@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.model.GraphLoader
+import graft.operators.Traversals
+import graft.queries.{GraphQueries, PipelineQueries, Relational}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the operator-coverage catalog: one entry per implemented
+  * operator from SURVEY.md §2 (plus the beyond-parity data-pipeline surface),
+  * each expressed through the graft library (model/operators/functions/algo/
+  * vector/dedup/text/streaming). `oracleSql` carries the DuckDB-equivalent
+  * SQL with matching column names/types for the driver's hash compare.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001: two-hop graph expansion
+    * (Customer -PLACED-> Order -CONTAINS-> Lineitem) with aggregation. */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    val g = GraphLoader.tpch(spark, d)
+    val c = g.nodesWithLabel("Customer").select(col("id").as("cid"))
+    val h1 = Traversals.expand(g, c, "cid", Seq("PLACED"))
+      .select(col("cid"), col("_nbr").as("oid"))
+    Traversals.expand(g, h1, "oid", Seq("CONTAINS"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_items"), round(sum(col("weight")), 2).as("total_qty"))
+      .orderBy(col("cid"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.defs ++ GraphQueries.defs ++ PipelineQueries.defs
+
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ GraphQueries.oracles ++ PipelineQueries.oracles
 }

@@ -1,0 +1,111 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Builds the canonical PropertyGraph from data sources.
+  *
+  * The main projection turns the driver's TPC-H-ish testdata into a graph
+  * (FIXTURES.md §6): customers place orders, orders contain lineitems,
+  * lineitems reference parts/suppliers, customers/suppliers live in nations,
+  * nations in regions — giving the same multi-hop / aggregation shapes as the
+  * reference's LDBC fixtures (`benches/ldbc_common/mod.rs:460-628`).
+  *
+  * Node-id spaces are disjoint by construction via fixed offsets; the DuckDB
+  * oracle SQL reproduces the identical arithmetic, so ids compare exactly.
+  */
+object GraphLoader {
+
+  // Fixed id-space offsets (documented in oracle SQL too — keep in sync).
+  val OrderOff: Long    = 10000000L
+  val LineOff: Long     = 100000000L   // lineitem id = LineOff + l_orderkey*8 + l_linenumber
+  val PartOff: Long     = 1000000000L
+  val SuppOff: Long     = 1100000000L
+  val NationOff: Long   = 1200000000L
+  val RegionOff: Long   = 1300000000L
+
+  /** TPC-H star schema → property graph. */
+  def tpch(spark: SparkSession, dir: String): PropertyGraph = {
+    val cust = Tables(spark, dir, "customer")
+    val ord  = Tables(spark, dir, "orders")
+    val li   = Tables(spark, dir, "lineitem")
+    val part = Tables(spark, dir, "part")
+    val supp = Tables(spark, dir, "supplier")
+    val nat  = Tables(spark, dir, "nation")
+    val reg  = Tables(spark, dir, "region")
+
+    val lineId = (lit(LineOff) + col("l_orderkey") * 8 + col("l_linenumber")).cast("long")
+
+    val nodes =
+      cust.select(col("c_custkey").cast("long").as("id"),
+        array(lit("Customer")).as("labels"), col("c_name").as("name"),
+        col("c_acctbal").as("balance"))
+      .unionByName(ord.select((col("o_orderkey") + OrderOff).cast("long").as("id"),
+        array(lit("Order")).as("labels"), col("o_orderstatus").as("name"),
+        col("o_totalprice").as("balance")))
+      .unionByName(part.select((col("p_partkey") + PartOff).cast("long").as("id"),
+        array(lit("Part")).as("labels"), col("p_name").as("name"),
+        col("p_retailprice").as("balance")))
+      .unionByName(supp.select((col("s_suppkey") + SuppOff).cast("long").as("id"),
+        array(lit("Supplier")).as("labels"), col("s_name").as("name"),
+        col("s_acctbal").as("balance")))
+      .unionByName(nat.select((col("n_nationkey") + NationOff).cast("long").as("id"),
+        array(lit("Nation")).as("labels"), col("n_name").as("name"),
+        lit(null).cast("double").as("balance")))
+      .unionByName(reg.select((col("r_regionkey") + RegionOff).cast("long").as("id"),
+        array(lit("Region")).as("labels"), col("r_name").as("name"),
+        lit(null).cast("double").as("balance")))
+
+    val edges =
+      ord.select((col("o_orderkey") + OrderOff).cast("long").as("id"),
+          col("o_custkey").cast("long").as("src"),
+          (col("o_orderkey") + OrderOff).cast("long").as("dst"),
+          lit("PLACED").as("relationship"), lit(null).cast("double").as("weight"))
+      .unionByName(li.select(lineId.as("id"),
+          (col("l_orderkey") + OrderOff).cast("long").as("src"),
+          lineId.as("dst"),
+          lit("CONTAINS").as("relationship"), col("l_quantity").as("weight")))
+      .unionByName(li.select((lineId + 2000000000L).as("id"),
+          lineId.as("src"),
+          (col("l_partkey") + PartOff).cast("long").as("dst"),
+          lit("HAS_PART").as("relationship"), col("l_extendedprice").as("weight")))
+      .unionByName(li.select((lineId + 4000000000L).as("id"),
+          lineId.as("src"),
+          (col("l_suppkey") + SuppOff).cast("long").as("dst"),
+          lit("SUPPLIED_BY").as("relationship"), lit(null).cast("double").as("weight")))
+      .unionByName(cust.select((col("c_custkey") + 6000000000L).cast("long").as("id"),
+          col("c_custkey").cast("long").as("src"),
+          (col("c_nationkey") + NationOff).cast("long").as("dst"),
+          lit("IN_NATION").as("relationship"), lit(null).cast("double").as("weight")))
+      .unionByName(supp.select((col("s_suppkey") + 6100000000L).cast("long").as("id"),
+          (col("s_suppkey") + SuppOff).cast("long").as("src"),
+          (col("s_nationkey") + NationOff).cast("long").as("dst"),
+          lit("IN_NATION").as("relationship"), lit(null).cast("double").as("weight")))
+      .unionByName(nat.select((col("n_nationkey") + 6200000000L).cast("long").as("id"),
+          (col("n_nationkey") + NationOff).cast("long").as("src"),
+          (col("n_regionkey") + RegionOff).cast("long").as("dst"),
+          lit("IN_REGION").as("relationship"), lit(null).cast("double").as("weight")))
+
+    PropertyGraph(nodes, edges)
+  }
+
+  /** Generic CSV loader into the canonical layout (reference CSV bulk load,
+    * `benches/ldbc_common/mod.rs:50-143`): expects node files with
+    * (id, labels?, props…) and edge files with (id, src, dst, relationship, props…). */
+  def fromCsv(spark: SparkSession, nodesPath: String, edgesPath: String,
+              delimiter: String = "|"): PropertyGraph = {
+    def read(p: String) = spark.read
+      .option("header", "true").option("delimiter", delimiter)
+      .option("inferSchema", "true").csv(p)
+    val n0 = read(nodesPath)
+    val n = if (n0.columns.contains("labels"))
+      n0.withColumn("labels", split(col("labels"), ";")) else n0
+    PropertyGraph(n, read(edgesPath))
+  }
+
+  /** JSON-lines snapshot loader — the reference's `.sgsnap` format is
+    * gzip JSON-lines of node/edge objects (`src/snapshot/mod.rs:30-95`);
+    * Spark reads .json.gz transparently. */
+  def fromJsonSnapshot(spark: SparkSession, nodesPath: String, edgesPath: String): PropertyGraph =
+    PropertyGraph(spark.read.json(nodesPath), spark.read.json(edgesPath))
+}

@@ -1,0 +1,217 @@
+package graft.queries
+
+import graft.algo.Algorithms
+import graft.functions.CypherFunctions
+import graft.model.{GraphLoader, Tables}
+import graft.operators.{Direction, Traversals}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph traversal + algorithm catalog (SURVEY.md §2.3, §2.10) over the
+  * TPC-H→graph projection (GraphLoader.tpch). The DuckDB oracles reproduce the
+  * same node-id arithmetic (offsets documented in GraphLoader), so node ids
+  * compare exactly.
+  */
+object GraphQueries {
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** The projected edge relation as a DuckDB CTE — MUST stay in sync with
+    * GraphLoader.tpch. */
+  private val EdgesCte: String =
+    """WITH e AS (
+      | SELECT CAST(o_custkey AS BIGINT) AS src, CAST(o_orderkey + 10000000 AS BIGINT) AS dst FROM orders
+      | UNION ALL SELECT CAST(l_orderkey + 10000000 AS BIGINT), CAST(100000000 + l_orderkey*8 + l_linenumber AS BIGINT) FROM lineitem
+      | UNION ALL SELECT CAST(100000000 + l_orderkey*8 + l_linenumber AS BIGINT), CAST(1000000000 + l_partkey AS BIGINT) FROM lineitem
+      | UNION ALL SELECT CAST(100000000 + l_orderkey*8 + l_linenumber AS BIGINT), CAST(1100000000 + l_suppkey AS BIGINT) FROM lineitem
+      | UNION ALL SELECT CAST(c_custkey AS BIGINT), CAST(1200000000 + c_nationkey AS BIGINT) FROM customer
+      | UNION ALL SELECT CAST(1100000000 + s_suppkey AS BIGINT), CAST(1200000000 + s_nationkey AS BIGINT) FROM supplier
+      | UNION ALL SELECT CAST(1200000000 + n_nationkey AS BIGINT), CAST(1300000000 + n_regionkey AS BIGINT) FROM nation
+      |)""".stripMargin
+
+  /** Part co-purchase undirected graph: parts sharing an order (a < b). */
+  private def copurchase(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
+    val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("b"))
+    a.join(b, "ok").filter(col("a") < col("b")).select(col("a"), col("b")).distinct()
+  }
+
+  private val CopurchaseCte: String =
+    "WITH pe AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.3 ExpandOperator: one hop out
+    "q_expand_1hop" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      val c = g.nodesWithLabel("Customer").select(col("id").as("cid"))
+      Traversals.expand(g, c, "cid", Seq("PLACED"))
+        .groupBy(col("cid")).agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("cid"))
+    }),
+
+    // §2.3 two-hop expand with edge-property aggregation
+    "q_expand_2hop" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      val c = g.nodesWithLabel("Customer").select(col("id").as("cid"))
+      val h1 = Traversals.expand(g, c, "cid", Seq("PLACED"))
+        .select(col("cid"), col("_nbr").as("oid"))
+      Traversals.expand(g, h1, "oid", Seq("CONTAINS"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_items"), CypherFunctions.roundC(sum(col("weight")), 2).as("total_qty"))
+        .orderBy(col("cid"))
+    }),
+
+    // §2.3 Expand with Direction.Both
+    "q_expand_both" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      val n = g.nodesWithLabel("Nation").select(col("id").as("nid"))
+      Traversals.expand(g, n, "nid", Nil, Direction.Both)
+        .groupBy(col("nid")).agg(count(lit(1)).as("n_neighbors"))
+        .orderBy(col("nid"))
+    }),
+
+    // §2.3 ExpandIntoOperator: edge existence between bound pairs
+    "q_expand_into" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      val c = g.nodesWithLabel("Customer").filter(col("id") < 100).select(col("id").as("cid"))
+      val n = g.nodesWithLabel("Nation").select(col("id").as("nid"))
+      Traversals.expandInto(g, c.crossJoin(n), "cid", "nid", Seq("IN_NATION"))
+        .orderBy(col("cid"), col("nid"))
+    }),
+
+    // §2.3 VarLengthExpandOperator *1..3 with BFS-visited dedup
+    "q_var_length" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      val starts = t(s, d, "customer").filter(col("c_custkey") < 20)
+      Traversals.varLengthExpand(g.edges, starts, "c_custkey", 1, 3)
+        .orderBy(col("start"), col("node"))
+    }),
+
+    // §2.3 ShortestPathOperator (BFS lengths, filtered to Region targets)
+    "q_shortest_path" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      val starts = t(s, d, "customer").filter(col("c_custkey") < 20)
+      Traversals.shortestPathLengths(g.edges, starts, "c_custkey", 4)
+        .filter(col("node") >= 1300000000L)
+        .orderBy(col("start"), col("node"))
+    }),
+
+    // §2.5 ADR-017 adjacency-count (degree) aggregate
+    "q_degree" -> ((s, d) => GraphLoader.tpch(s, d).degrees
+      .filter(col("id") < 10000000L)
+      .orderBy(col("id"))),
+
+    // §2.10 algo.wcc on the IN_NATION/IN_REGION subgraph
+    "q_wcc" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      Algorithms.wcc(g.edgesOfType("IN_NATION", "IN_REGION")).orderBy(col("id"))
+    }),
+
+    // §2.10 algo.scc on the PLACED/CONTAINS DAG (all singletons)
+    "q_scc" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      Algorithms.scc(g.edgesOfType("PLACED", "CONTAINS"), 5).orderBy(col("id"))
+    }),
+
+    // §2.10 algo.bfs from customer 1 over the order-chain subgraph
+    "q_bfs" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      Algorithms.bfs(g.edgesOfType("PLACED", "CONTAINS", "HAS_PART", "SUPPLIED_BY"),
+        1L, 4).orderBy(col("id"))
+    }),
+
+    // §2.10 algo.weightedPath (SSSP) from order node 0
+    "q_sssp" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      Algorithms.sssp(g.edgesOfType("CONTAINS", "HAS_PART"), 10000000L, 6)
+        .select(col("id"), CypherFunctions.roundC(col("dist"), 4).as("dist"))
+        .orderBy(col("id"))
+    }),
+
+    // §2.10 algo.triangleCount on the co-purchase graph
+    "q_triangle_count" -> ((s, d) =>
+      Algorithms.triangleCount(copurchase(s, d))),
+
+    // §2.10 algo.lcc on the co-purchase graph
+    "q_lcc" -> ((s, d) => Algorithms.lcc(copurchase(s, d))
+      .select(col("id"), col("deg"), col("triangles"), CypherFunctions.roundC(col("lcc"), 4).as("lcc"))
+      .orderBy(col("id"))),
+
+    // §2.10 algo.pageRank on the co-purchase graph (no SQL oracle — iterative)
+    "q_pagerank" -> ((s, d) => {
+      val und = copurchase(s, d)
+      val e = und.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      Algorithms.pageRank(e, 8).select(col("id"), CypherFunctions.roundC(col("rank"), 8).as("rank"))
+        .orderBy(col("id"))
+    }),
+
+    // §2.10 algo.cdlp on the co-purchase graph (no SQL oracle — iterative)
+    "q_cdlp" -> ((s, d) => {
+      val und = copurchase(s, d)
+      val e = und.select(col("a").as("src"), col("b").as("dst"))
+      Algorithms.cdlp(e, 5).orderBy(col("id"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_expand_1hop" ->
+      "SELECT CAST(o_custkey AS BIGINT) AS cid, count(*) AS n_orders FROM orders GROUP BY 1 ORDER BY 1",
+    "q_expand_2hop" ->
+      "SELECT CAST(o_custkey AS BIGINT) AS cid, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1",
+    "q_expand_both" ->
+      "SELECT CAST(1200000000 + n_nationkey AS BIGINT) AS nid, (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) + (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) + 1 AS n_neighbors FROM nation ORDER BY 1",
+    "q_expand_into" ->
+      "SELECT CAST(c_custkey AS BIGINT) AS cid, CAST(1200000000 + c_nationkey AS BIGINT) AS nid FROM customer WHERE c_custkey < 100 ORDER BY 1, 2",
+    "q_var_length" -> (EdgesCte +
+      """, s AS (SELECT CAST(c_custkey AS BIGINT) AS start FROM customer WHERE c_custkey < 20),
+        |h1 AS (SELECT DISTINCT s.start, e.dst AS node FROM s JOIN e ON e.src = s.start),
+        |h2 AS (SELECT DISTINCT h1.start, e.dst AS node FROM h1 JOIN e ON e.src = h1.node),
+        |h3 AS (SELECT DISTINCT h2.start, e.dst AS node FROM h2 JOIN e ON e.src = h2.node),
+        |v1 AS (SELECT start, node, 1 AS hops FROM h1 WHERE node <> start),
+        |v2 AS (SELECT h2.start, h2.node, 2 AS hops FROM h2 WHERE h2.node <> h2.start AND NOT EXISTS (SELECT 1 FROM v1 WHERE v1.start = h2.start AND v1.node = h2.node)),
+        |v3 AS (SELECT h3.start, h3.node, 3 AS hops FROM h3 WHERE h3.node <> h3.start AND NOT EXISTS (SELECT 1 FROM v1 WHERE v1.start = h3.start AND v1.node = h3.node) AND NOT EXISTS (SELECT 1 FROM v2 WHERE v2.start = h3.start AND v2.node = h3.node))
+        |SELECT start, node, hops FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3) ORDER BY start, node""".stripMargin),
+    "q_shortest_path" ->
+      "SELECT CAST(c_custkey AS BIGINT) AS start, CAST(1300000000 + n_regionkey AS BIGINT) AS node, 2 AS hops FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey < 20 ORDER BY 1, 2",
+    "q_degree" ->
+      "SELECT CAST(c_custkey AS BIGINT) AS id, CAST(1 + (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS BIGINT) AS degree FROM customer ORDER BY 1",
+    "q_wcc" ->
+      """WITH compmap AS (SELECT n_regionkey, CAST(min(c_custkey) AS BIGINT) AS comp FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1)
+        |SELECT id, comp AS component FROM (
+        | SELECT CAST(c_custkey AS BIGINT) AS id, comp FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN compmap ON compmap.n_regionkey = nation.n_regionkey
+        | UNION ALL SELECT CAST(1100000000 + s_suppkey AS BIGINT), comp FROM supplier JOIN nation ON s_nationkey = n_nationkey JOIN compmap ON compmap.n_regionkey = nation.n_regionkey
+        | UNION ALL SELECT CAST(1200000000 + n_nationkey AS BIGINT), comp FROM nation JOIN compmap ON compmap.n_regionkey = nation.n_regionkey
+        | UNION ALL SELECT CAST(1300000000 + r_regionkey AS BIGINT), comp FROM region JOIN compmap ON compmap.n_regionkey = region.r_regionkey
+        |) ORDER BY id""".stripMargin,
+    "q_scc" ->
+      "WITH v AS (SELECT CAST(o_custkey AS BIGINT) AS id FROM orders UNION SELECT CAST(o_orderkey + 10000000 AS BIGINT) FROM orders UNION SELECT CAST(100000000 + l_orderkey*8 + l_linenumber AS BIGINT) FROM lineitem) SELECT id, id AS component FROM v ORDER BY id",
+    "q_bfs" ->
+      // NOTE: (l_orderkey, l_linenumber) is NOT unique in the testdata, so
+      // distinct node ids everywhere (graph nodes dedup by id)
+      """WITH o1 AS (SELECT o_orderkey FROM orders WHERE o_custkey = 1),
+        |l1 AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem JOIN o1 ON l_orderkey = o_orderkey)
+        |SELECT id, dist FROM (
+        | SELECT CAST(1 AS BIGINT) AS id, 0 AS dist
+        | UNION ALL SELECT CAST(o_orderkey + 10000000 AS BIGINT), 1 FROM o1
+        | UNION ALL SELECT DISTINCT CAST(100000000 + l_orderkey*8 + l_linenumber AS BIGINT), 2 FROM l1
+        | UNION ALL SELECT DISTINCT CAST(1000000000 + l_partkey AS BIGINT), 3 FROM l1
+        | UNION ALL SELECT DISTINCT CAST(1100000000 + l_suppkey AS BIGINT), 3 FROM l1
+        |) ORDER BY id""".stripMargin,
+    "q_sssp" ->
+      // lineitem node ids can collide ((l_orderkey, l_linenumber) not unique):
+      // dist(lineitem node) = min incoming CONTAINS weight; dist(part) = min
+      // over rows of (node min + that row's HAS_PART weight)
+      """WITH l0 AS (SELECT CAST(100000000 + l_orderkey*8 + l_linenumber AS BIGINT) AS nid, l_quantity, l_partkey, l_extendedprice FROM lineitem WHERE l_orderkey = 0),
+        |nmin AS (SELECT nid, min(l_quantity) AS minq FROM l0 GROUP BY 1)
+        |SELECT id, round(dist, 4) AS dist FROM (
+        | SELECT CAST(10000000 AS BIGINT) AS id, 0.0 AS dist
+        | UNION ALL SELECT nid, minq FROM nmin
+        | UNION ALL SELECT CAST(1000000000 + l_partkey AS BIGINT), min(minq + l_extendedprice) FROM l0 JOIN nmin USING (nid) GROUP BY l_partkey
+        |) ORDER BY id""".stripMargin,
+    "q_triangle_count" -> (CopurchaseCte +
+      " SELECT count(*) AS triangles FROM pe e1 JOIN pe e2 ON e1.b = e2.a JOIN pe e3 ON e1.a = e3.a AND e2.b = e3.b"),
+    "q_lcc" -> (CopurchaseCte +
+      """, deg AS (SELECT id, count(*) AS deg FROM (SELECT a AS id FROM pe UNION ALL SELECT b AS id FROM pe) GROUP BY 1),
+        |tri AS (SELECT id, count(*) AS tri FROM (SELECT unnest([e1.a, e1.b, e2.b]) AS id FROM pe e1 JOIN pe e2 ON e1.b = e2.a JOIN pe e3 ON e1.a = e3.a AND e2.b = e3.b) GROUP BY 1)
+        |SELECT d.id, d.deg, coalesce(t.tri, 0) AS triangles, round(CASE WHEN d.deg >= 2 THEN coalesce(t.tri, 0) * 2.0 / (d.deg * (d.deg - 1)) ELSE 0.0 END, 4) AS lcc FROM deg d LEFT JOIN tri t ON d.id = t.id ORDER BY d.id""".stripMargin))
+}

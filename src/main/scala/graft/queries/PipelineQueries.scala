@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.dedup.Dedup
+import graft.functions.CypherFunctions
+import graft.model.Tables
+import graft.multimodal.Multimodal
+import graft.streaming.EventStream
+import graft.text.TextAnalysis
+import graft.vector.VectorSearch
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline catalog: dedup, similarity search, text analysis,
+  * multimodal plumbing, event windows/sessions, streaming (SURVEY.md §7.6 +
+  * builder-prompt beyond-parity surface).
+  */
+object PipelineQueries {
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // vector: exact k-NN, query = embedding of vec_id 0
+    "q_knn_exact" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+      VectorSearch.knnExactFor(emb, "vec_id", "embedding", q, "embedding", 10)
+        .select(col("vec_id"), CypherFunctions.roundC(col("score"), 4).as("score"))
+    }),
+
+    // dedup: exact dup groups on a corpus with planted exact copies
+    "q_dedup_exact" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val dup = docs.unionAll(docs.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      Dedup.exactDupGroups(dup, "doc_id", "text").orderBy(col("doc_id"))
+    }),
+
+    // dedup: exact n-gram (5-word shingle) Jaccard pairs >= 0.5
+    "q_ngram_jaccard" -> ((s, d) =>
+      Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 5, 0.5)
+        .select(col("i"), col("j"), CypherFunctions.roundC(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("i"), col("j"))),
+
+    // dedup: embedding-cosine near-dup pairs >= 0.45 (exact all-pairs)
+    "q_dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.45)
+        .select(col("i"), col("j"), CypherFunctions.roundC(col("cosine"), 4).as("cosine"))
+        .orderBy(col("i"), col("j"))),
+
+    // dedup: MinHash+LSH near-dup candidates (no SQL oracle — seeded murmur3)
+    "q_minhash_lsh" -> ((s, d) =>
+      Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        k = 5, numHashes = 64, bands = 16, threshold = 0.4)
+        .orderBy(col("i"), col("j"))),
+
+    // dedup: SimHash fingerprints + near-dup pairs (no SQL oracle)
+    "q_simhash" -> ((s, d) =>
+      Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 6)
+        .orderBy(col("i"), col("j"))),
+
+    // text: token counting
+    "q_token_count" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .orderBy(col("doc_id"))),
+
+    // text: quality scoring
+    "q_quality_score" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        CypherFunctions.roundC(length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+          / length(col("text")), 4).as("alpha_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("score"))
+      .orderBy(col("doc_id"))),
+
+    // text: heuristic language-ID (stopword lexicon argmax)
+    "q_lang_id" -> ((s, d) =>
+      TextAnalysis.langIdDf(t(s, d, "documents"), "text", "predicted_lang")
+        .select(col("doc_id"), col("predicted_lang"))
+        .orderBy(col("doc_id"))),
+
+    // text: document fingerprint (md5 of normalized text)
+    "q_fingerprint" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))),
+
+    // text: winnowing rolling-hash sketch (no SQL oracle — murmur3 sketch)
+    "q_winnow" -> ((s, d) =>
+      TextAnalysis.winnowingSketch(t(s, d, "documents"), "text")
+        .select(col("doc_id"), size(col("sketch")).as("sketch_size"))
+        .orderBy(col("doc_id"))),
+
+    // multimodal: binary payload + typed metadata struct
+    "q_multimodal_meta" -> ((s, d) =>
+      Multimodal.mediaFromDocuments(t(s, d, "documents"))
+        .select(col("media_id"), length(col("payload")).as("byte_len"),
+          col("meta.width").as("w"), col("meta.height").as("h"))
+        .orderBy(col("media_id"))),
+
+    // multimodal: resize plan (metadata math)
+    "q_multimodal_resize" -> ((s, d) =>
+      Multimodal.resizePlan(Multimodal.mediaFromDocuments(t(s, d, "documents")), 32)
+        .orderBy(col("media_id"))),
+
+    // multimodal: partition-wise stub decode/feature-extract (no SQL oracle)
+    "q_multimodal_decode" -> ((s, d) =>
+      Multimodal.stubDecodeFeatures(Multimodal.mediaFromDocuments(t(s, d, "documents")))
+        .toDF().select(col("media_id"), col("byte_len"), col("checksum"))
+        .orderBy(col("media_id"))),
+
+    // events: tumbling-window aggregation (batch)
+    "q_events_window" -> ((s, d) => t(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), CypherFunctions.roundC(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"), col("total"))
+      .orderBy(col("h"), col("event_type"))),
+
+    // events: dedup by id (exactly-once shape)
+    "q_events_dedup" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"))
+      ev.unionAll(ev).dropDuplicates("event_id").agg(count(lit(1)).as("n"))
+    }),
+
+    // events: gap-based sessionization (window-function formulation)
+    "q_events_sessionize" -> ((s, d) =>
+      EventStream.sessionizeBatch(t(s, d, "events").filter(col("user_id") < 50), 1800000L)
+        .orderBy(col("user_id"), col("session_seq"))),
+
+    // streaming: the same windowed aggregation through Structured Streaming
+    // (file source → complete-mode memory sink), checked against the batch oracle
+    "q_streaming_window" -> ((s, d) => {
+      val agg = EventStream.windowedCounts(EventStream.readEvents(s, d), "1 hour", "2 hours")
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("graft_stream_win").start()
+      q.processAllAvailable(); q.stop()
+      s.table("graft_stream_win")
+        .select(col("window.start").cast("timestamp_ntz").as("h"),
+          col("event_type"), col("n"),
+          CypherFunctions.roundC(col("total_value"), 2).as("total"))
+        .orderBy(col("h"), col("event_type"))
+    }))
+
+  private val QualityOracle: String =
+    """SELECT doc_id,
+      | CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+      | round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text), 4) AS alpha_ratio,
+      | round((
+      |   (CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0 WHEN length(text) < 50 THEN length(text) / 50.0 ELSE 5000.0 / length(text) END)
+      |   + (CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)
+      |   + (CASE WHEN (CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0 THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) ELSE 0.0 END) BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
+      | ) / 3.0, 4) AS score
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val LangIdOracle: String = {
+    def hits(words: Seq[String]) =
+      s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> list_contains([${words.map(w => s"'$w'").mkString(", ")}], x)))"
+    val cols = TextAnalysis.langLexicons.map { case (l, ws) => s"${hits(ws)} AS h_$l" }
+    val langs = TextAnalysis.langLexicons.map(_._1)
+    val zero = langs.map(l => s"h_$l = 0").mkString(" AND ")
+    val cascade = langs.zipWithIndex.map { case (l, _) =>
+      val geAll = langs.filter(_ != l).map(o => s"h_$l >= h_$o").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }.mkString(" ")
+    s"SELECT doc_id, CASE WHEN $zero THEN 'und' $cascade END AS predicted_lang FROM (SELECT doc_id, ${cols.mkString(", ")} FROM documents) ORDER BY doc_id"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_knn_exact" ->
+      "SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 10",
+    "q_dedup_exact" ->
+      "WITH d AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents) SELECT doc_id, md5(text) AS text_hash, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id, count(*) OVER (PARTITION BY md5(text)) AS group_size FROM d ORDER BY doc_id",
+    "q_ngram_jaccard" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[g:g+4], ' ') AS s FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS g FROM words)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT i, j, round(inter * 1.0 / (x.n + y.n - inter), 4) AS jaccard FROM inter JOIN sz x ON i = x.doc_id JOIN sz y ON j = y.doc_id WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.5 ORDER BY i, j""".stripMargin,
+    "q_dedup_embedding" ->
+      "SELECT a.vec_id AS i, b.vec_id AS j, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45 ORDER BY 1, 2",
+    "q_token_count" ->
+      """SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens FROM documents ORDER BY doc_id""",
+    "q_quality_score" -> QualityOracle,
+    "q_lang_id" -> LangIdOracle,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM documents ORDER BY doc_id""",
+    "q_multimodal_meta" ->
+      "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len, CAST(doc_id % 64 + 16 AS INTEGER) AS w, CAST(doc_id % 48 + 16 AS INTEGER) AS h FROM documents ORDER BY 1",
+    "q_multimodal_resize" ->
+      "WITH m AS (SELECT doc_id AS media_id, CAST(doc_id % 64 + 16 AS INTEGER) AS w, CAST(doc_id % 48 + 16 AS INTEGER) AS h FROM documents) SELECT media_id, w, h, CAST(round(w * least(1.0, 32.0 / greatest(w, h))) AS INTEGER) AS out_w, CAST(round(h * least(1.0, 32.0 / greatest(w, h))) AS INTEGER) AS out_h FROM m ORDER BY 1",
+    "q_events_window" ->
+      "SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n, round(sum(value), 2) AS total FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+    "q_events_dedup" ->
+      "SELECT count(*) AS n FROM (SELECT DISTINCT event_id FROM (SELECT event_id FROM events UNION ALL SELECT event_id FROM events))",
+    "q_events_sessionize" ->
+      """WITH t AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events WHERE user_id < 50),
+        |x AS (SELECT user_id, ts_ms, event_id, CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) IS NULL OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000 THEN 1 ELSE 0 END AS new_sess FROM t),
+        |y AS (SELECT user_id, ts_ms, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM x)
+        |SELECT user_id, session_seq, min(ts_ms) AS session_start, max(ts_ms) AS session_end, count(*) AS n_events FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_streaming_window" ->
+      "SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n, round(sum(value), 2) AS total FROM events GROUP BY 1, 2 ORDER BY 1, 2")
+}

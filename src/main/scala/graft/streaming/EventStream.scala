@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no streaming engine (SURVEY.md §2.13) — this is the
+  * beyond-parity extension: the same transforms run identically on a batch
+  * DataFrame or a readStream source, so each op takes a plain DataFrame.
+  */
+object EventStream {
+
+  /** File-source stream over a directory of event parquet. The testdata's
+    * ts column is TIMESTAMP(NANOS) which Spark reads as a raw long (with
+    * spark.sql.legacy.parquet.nanosAsLong=true) — normalized here to a real
+    * timestamp so watermarks/windows work. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file-source streams take a DIRECTORY; glob-filter to the events table
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // NOTE: kept as TIMESTAMP (with zone) — withWatermark rejects NTZ.
+    if (schema.fields.exists(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType)) {
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else raw
+  }
+
+  /** Tumbling-window counts/sums per event_type with a watermark for state
+    * eviction — at scale, state is bounded by (#types × windows in the
+    * watermark horizon). */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Exactly-once style dedup on event_id within the watermark horizon. */
+  def dedupedEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
+
+  final case class SessionUpdate(user_id: Long, session_start: Long,
+                                 session_end: Long, n_events: Long)
+  final case class SessState(start: Long, end: Long, n: Long)
+
+  /** Stateful sessionization: events of a user belong to one session while
+    * gaps stay under `gapMs`; emits a session when the timeout fires.
+    * flatMapGroupsWithState = the reference-free custom-state path. */
+  def sessionize(spark: SparkSession, events: DataFrame, gapMs: Long): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(col("user_id").cast("long"),
+      (unix_micros(col("ts")) / 1000).cast("long").as("ts_ms")).as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get; state.remove()
+            Iterator(SessionUpdate(user, s.start, s.end, s.n))
+          } else {
+            val ts = rows.map(_._2).toSeq.sorted
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer[SessionUpdate]()
+            ts.foreach { t =>
+              cur match {
+                case Some(s) if t - s.end <= gapMs => cur = Some(SessState(s.start, t, s.n + 1))
+                case Some(s) =>
+                  out += SessionUpdate(user, s.start, s.end, s.n)
+                  cur = Some(SessState(t, t, 1))
+                case None => cur = Some(SessState(t, t, 1))
+              }
+            }
+            cur.foreach(state.update)
+            state.setTimeoutDuration(gapMs)
+            out.iterator
+          }
+      }.toDF()
+  }
+
+  /** Batch-mode sessionization over the same data — window-function
+    * formulation (session id = running count of gap-breaks per user). Used as
+    * the oracle-checkable twin of the stateful stream version. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(col("user_id"),
+      (unix_micros(col("ts").cast("timestamp")) / 1000).cast("long").as("ts_ms"),
+      col("event_id"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    base
+      .withColumn("prev_ts", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("new_sess",
+        (col("prev_ts").isNull || (col("ts_ms") - col("prev_ts")) > gapMs).cast("int"))
+      .withColumn("session_seq", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts_ms")).as("session_start"), max(col("ts_ms")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+}

@@ -1,0 +1,130 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.CypherFunctions
+// NOTE for maintainers: never nest an expensive expression inside a
+// higher-order-function lambda that runs once per array element — project it
+// to a column first (no CSE inside lambdas; see winnowingSketch).
+
+/** Text-analysis operators for training-data pipelines (beyond-parity
+  * surface; the reference has no text analytics). Everything is built-in
+  * Catalyst expressions — no UDFs — so these run inside whole-stage codegen
+  * and scale linearly with a single scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (collapsing runs; leading/trailing trimmed). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword count estimate: word-boundary pieces + digit runs +
+    * punctuation each count as a token (a cheap deterministic proxy for a
+    * real tokenizer's token count). */
+  def subwordCountEstimate(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(
+      size(filter(split(text, "(?<=[\\s\\p{Punct}])|(?=[\\s\\p{Punct}])|(?<=[a-z])(?=[A-Z])|(?<=\\D)(?=\\d)|(?<=\\d)(?=\\D)"),
+        t => length(trim(t)) > 0)))
+
+  /** Quality metrics per document: char/token counts, mean token length,
+    * alphabetic & whitespace ratios, and a composite [0,1] score (rounded for
+    * engine-stable comparison). */
+  def qualityMetrics(text: Column): Seq[Column] = {
+    val nChars = length(text)
+    val toks = tokens(text)
+    val nTokens = tokenCount(text)
+    val alpha = length(regexp_replace(text, "[^a-zA-Z]", ""))
+    val spaces = length(regexp_replace(text, "[^ ]", ""))
+    val meanTokLen = when(nTokens > 0, CypherFunctions.roundC(alpha.cast("double") / nTokens, 4)).otherwise(0.0)
+    val alphaRatio = when(nChars > 0, CypherFunctions.roundC(alpha.cast("double") / nChars, 4)).otherwise(0.0)
+    val spaceRatio = when(nChars > 0, CypherFunctions.roundC(spaces.cast("double") / nChars, 4)).otherwise(0.0)
+    Seq(nChars.as("n_chars_m"), nTokens.as("n_tokens"), meanTokLen.as("mean_tok_len"),
+      alphaRatio.as("alpha_ratio"), spaceRatio.as("space_ratio"))
+  }
+
+  /** Composite quality score in [0,1]: favors 50-5000 chars, high alpha
+    * ratio, sane mean token length (3-12 chars). Deterministic and
+    * oracle-expressible. */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
+    val nTokens = tokenCount(text).cast("double")
+    val meanTok = when(nTokens > 0, alpha / nTokens).otherwise(lit(0.0))
+    val lenScore = when(nChars >= 50 && nChars <= 5000, 1.0)
+      .when(nChars < 50, nChars / 50.0).otherwise(lit(5000.0) / nChars)
+    val alphaScore = when(nChars > 0, alpha / nChars).otherwise(lit(0.0))
+    val tokScore = when(meanTok >= 3 && meanTok <= 12, 1.0).otherwise(lit(0.5))
+    CypherFunctions.roundC((lenScore + alphaScore + tokScore) / 3.0, 4)
+  }
+
+  // Tiny per-language stopword lexicons for the n-gram/stopword language-ID
+  // heuristic. Deterministic; mirrored verbatim in the DuckDB oracle.
+  val langLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "los", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有"))
+
+  /** Stopword hit count for one language lexicon. */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isin(words.map(lit): _*).cast("boolean")))
+
+  /** DataFrame form of langId: tokenizes once into a projected column, then
+    * scores lexicons over it (avoids re-splitting per language). */
+  def langIdDf(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val toks = col("__lang_toks")
+    val withToks = df.withColumn("__lang_toks", tokens(lower(col(textCol))))
+    val hits = langLexicons.zipWithIndex.map { case ((l, ws), ord) =>
+      struct(size(filter(toks, t => t.isin(ws.map(lit): _*))).as("h"),
+        lit(-ord).as("nord"), lit(l).as("l"))
+    }
+    val top = array_max(array(hits: _*))
+    withToks.withColumn(outCol,
+        when(top.getField("h") > 0, top.getField("l")).otherwise("und"))
+      .drop("__lang_toks")
+  }
+
+  /** Heuristic language ID: argmax of per-language stopword hits, ties broken
+    * by lexicon order, no hits at all → "und" (undetermined). */
+  def langId(text: Column): Column = {
+    val hits = langLexicons.map { case (l, ws) => (l, stopwordHits(text, ws)) }
+    val best = hits.map { case (l, h) => struct(h.as("h"), lit(langLexicons.indexWhere(_._1 == l)).as("ord"), lit(l).as("l")) }
+    val top = array_max(array(best.map(s => struct(s.getField("h").as("h"), (-s.getField("ord")).as("nord"), s.getField("l").as("l"))): _*))
+    when(top.getField("h") > 0, top.getField("l")).otherwise("und")
+  }
+
+  /** Canonical text normalization: lowercase + collapse whitespace + trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Document fingerprint = md5 of the normalized text (content-defined
+    * identity for exact near-normalization dedup). */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Winnowing-style rolling fingerprint: hash every char k-gram, take the
+    * min hash in each sliding window of w hashes, distinct — a compact
+    * sketch robust to local edits (Schleimer et al., SIGMOD'03).
+    *
+    * Implemented as staged projections (one withColumn per level) rather
+    * than one nested expression: Catalyst does NOT do common-subexpression
+    * elimination inside higher-order-function lambdas, so a nested form
+    * re-evaluates the normalization regex per array element — O(len³). */
+  def winnowingSketch(df: DataFrame, textCol: String, k: Int = 8, w: Int = 4,
+                      outCol: String = "sketch"): DataFrame = {
+    val n = col("__winnow_norm"); val hs = col("__winnow_hashes")
+    df.withColumn("__winnow_norm", normalize(col(textCol)))
+      .withColumn("__winnow_hashes",
+        when(length(n) >= k,
+          transform(sequence(lit(1), length(n) - (k - 1)), i => hash(n.substr(i, lit(k)))))
+          .otherwise(array(hash(n))))
+      .withColumn(outCol,
+        array_distinct(when(size(hs) >= w,
+          transform(sequence(lit(1), size(hs) - (w - 1)),
+            i => array_min(slice(hs, i, lit(w)))))
+          .otherwise(array(array_min(hs)))))
+      .drop("__winnow_norm", "__winnow_hashes")
+  }
+}

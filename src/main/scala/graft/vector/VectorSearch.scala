@@ -1,0 +1,128 @@
+package graft.vector
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search (reference: HNSW indexes, `src/vector/index.rs:71-258`,
+  * `VectorSearchOperator` `operator.rs:4645-4736`).
+  *
+  * Spark-first re-expression: HNSW is a pointer-chasing in-memory structure
+  * that does not distribute; the equivalent capabilities are
+  *  - exact k-NN: a scan + top-k (TakeOrderedAndProject) — the oracle path;
+  *  - approximate at scale: random-hyperplane LSH bucketing (cosine) so the
+  *    candidate join touches a small fraction of the corpus, then exact
+  *    re-ranking. All similarity math is built-in higher-order functions
+  *    (`zip_with`/`aggregate`) — codegen'd, no UDFs, column-prunable.
+  */
+object VectorSearch {
+
+  /** dot(a,b) in double precision over array<float/double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), (acc, x) => acc + x))
+
+  /** Exact top-k by cosine to a literal query vector.
+    * `ORDER BY score DESC LIMIT k` compiles to TakeOrderedAndProject —
+    * a single scan, no global sort, per-partition heaps at scale. */
+  def knnExact(emb: DataFrame, idCol: String, vecCol: String,
+               query: Seq[Float], k: Int): DataFrame = {
+    val q = typedlit(query)
+    emb.select(col(idCol), cosine(col(vecCol), q).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Exact top-k where the query vector is a row of another (1-row) DataFrame. */
+  def knnExactFor(emb: DataFrame, idCol: String, vecCol: String,
+                  queryDf: DataFrame, queryVecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queryDf.select(col(queryVecCol).as("_qv")))
+    emb.crossJoin(q)
+      .select(col(idCol), cosine(col(vecCol), col("_qv")).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic random hyperplanes for sign-LSH (seeded — reproducible
+    * across runs and engines). */
+  def hyperplanes(dim: Int, numBits: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Bucket id = bit-pattern of hyperplane signs. Cosine-similar vectors
+    * collide with high probability; numBits trades recall vs bucket size. */
+  def lshBucket(vecCol: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vecCol, typedlit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate k-NN: restrict the scan to the query's LSH bucket(s) across
+    * `numTables` independent hash tables, then exact re-rank. At 100 TB the
+    * bucketed table is written out partitioned by (table, bucket) so a query
+    * touches only matching partitions. */
+  def knnApprox(emb: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
+                k: Int, dim: Int, numBits: Int = 12, numTables: Int = 4,
+                seed: Long = 42L): DataFrame = {
+    val qArr = query.map(_.toDouble).toArray
+    val cands = (0 until numTables).map { t =>
+      val planes = hyperplanes(dim, numBits, seed + t)
+      val qBucket = planes.zipWithIndex.map { case (p, i) =>
+        val d = p.zip(qArr).map { case (x, y) => x * y }.sum
+        if (d >= 0) 1L << i else 0L
+      }.sum
+      emb.filter(lshBucket(col(vecCol), planes) === lit(qBucket))
+    }.reduce(_ unionAll _).dropDuplicates(idCol)
+    knnExact(cands, idCol, vecCol, query, k)
+  }
+
+  /** IVF-style two-level search: assign vectors to nprobe nearest of
+    * `centroids` (small, broadcast), scan only those cells. Centroids come
+    * from a cheap sample + k-means (driver-side Lloyd on a sample — the
+    * centroid set is tiny; the heavy assignment pass is distributed). */
+  def kmeansCentroids(emb: DataFrame, vecCol: String, kCells: Int, dim: Int,
+                      iters: Int = 5, sampleN: Int = 2000, seed: Long = 42L): Array[Array[Double]] = {
+    val sample = emb.select(col(vecCol)).limit(sampleN).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    if (sample.isEmpty) return Array.empty
+    val rnd = new scala.util.Random(seed)
+    var cents = rnd.shuffle(sample.toVector).take(math.min(kCells, sample.length)).toArray
+    for (_ <- 1 to iters) {
+      val assign = sample.groupBy { v =>
+        cents.indices.minBy(i => l2(v, cents(i)))
+      }
+      cents = cents.indices.map { i =>
+        assign.get(i).map { vs =>
+          val s = vs.transpose.map(_.sum / vs.length)
+          s
+        }.getOrElse(cents(i))
+      }.toArray
+    }
+    cents
+  }
+
+  private def l2(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  def knnIvf(emb: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
+             k: Int, centroids: Array[Array[Double]], nprobe: Int = 3): DataFrame = {
+    val qArr = query.map(_.toDouble).toArray
+    val probes = centroids.indices.sortBy(i => l2(qArr, centroids(i))).take(nprobe).toSet
+    val cellExpr = centroids.zipWithIndex.map { case (c, i) =>
+      struct(l2Distance(col(vecCol), typedlit(c.toSeq)).as("d"), lit(i).as("cell"))
+    }
+    val withCell = emb.withColumn("_cell", array_min(array(cellExpr: _*)).getField("cell"))
+    knnExact(withCell.filter(col("_cell").isin(probes.toSeq: _*)), idCol, vecCol, query, k)
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+import graft.vector.VectorSearch
+import org.apache.spark.sql.functions._
+
+class DedupTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near-dup of 1
+    (3L, "completely different content about spark query engines and columnar execution"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per identical text") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text").select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+  }
+
+  test("ngram jaccard finds the planted near-dup pair") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH surfaces near-dups without all-pairs compare") {
+    val pairs = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 32, 8, 0.4)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup always collides
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs distance 0, different docs far") {
+    val fp = Dedup.simHash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(4L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) > 4)
+  }
+
+  test("embedding near-dup pairs by cosine threshold") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.99f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", 0.9)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("knnExact returns self first, then nearest") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val top = VectorSearch.knnExact(emb, "vec_id", "embedding", Seq(1.0f, 0.0f), 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L))
+  }
+
+  test("lsh approx knn finds the exact-match neighbor") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (2L, Seq(0.95f, 0.05f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = VectorSearch.knnApprox(emb, "vec_id", "embedding",
+      Seq(1.0f, 0.0f, 0.0f, 0.0f), 1, dim = 4, numBits = 4, numTables = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top == Seq(1L))
+  }
+
+  test("text metrics: tokens, fingerprint, langId, winnowing") {
+    val d = Seq((1L, "The  quick\tbrown fox"), (2L, "el gato y el perro es aqui de la casa"))
+      .toDF("doc_id", "text")
+    val toks = d.select(TextAnalysis.tokenCount(col("text"))).as[Int].collect().toSeq
+    assert(toks == Seq(4, 10))
+    // fingerprint is whitespace/case-insensitive
+    val f1 = d.filter($"doc_id" === 1).select(TextAnalysis.fingerprint(col("text"))).as[String].head()
+    val f2 = Seq("the quick brown fox").toDF("t")
+      .select(TextAnalysis.fingerprint(col("t"))).as[String].head()
+    assert(f1 == f2)
+    val langs = TextAnalysis.langIdDf(d, "text", "lang").select("doc_id", "lang")
+      .as[(Long, String)].collect().toMap
+    assert(langs(2L) == "es")
+    val sk = TextAnalysis.winnowingSketch(d, "text").select(size(col("sketch")))
+      .as[Int].collect()
+    assert(sk.forall(_ > 0))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.CypherFunctions
+import graft.functions.CypherFunctions._
+import graft.multimodal.Multimodal
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+/** Cypher scalar-function semantics vs the reference's eval_function
+  * (operator.rs:838-1824): 0-based substring, inclusive range, head/tail,
+  * *OrNull coercions, 3VL list predicates. */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val one = Seq(1).toDF("x")
+
+  private def evalStr(c: org.apache.spark.sql.Column): String =
+    one.select(c.cast("string")).as[String].head()
+
+  test("substring is 0-based like Cypher, not 1-based like SQL") {
+    assert(evalStr(substring0(lit("hello"), lit(1), lit(3))) == "ell")
+    assert(evalStr(substring0(lit("hello"), lit(2))) == "llo")
+  }
+
+  test("left / right / tail / head / last / range") {
+    assert(evalStr(CypherFunctions.left(lit("hello"), lit(2))) == "he")
+    assert(evalStr(CypherFunctions.right(lit("hello"), lit(3))) == "llo")
+    assert(evalStr(CypherFunctions.right(lit("hi"), lit(5))) == "hi")
+    assert(one.select(head(array(lit(7), lit(8)))).as[Int].head() == 7)
+    assert(one.select(last0(array(lit(7), lit(8)))).as[Int].head() == 8)
+    assert(one.select(tail(array(lit(1), lit(2), lit(3)))).as[Seq[Int]].head() == Seq(2, 3))
+    assert(one.select(rangeList(lit(1), lit(4))).as[Seq[Long]].head() == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("toIntegerOrNull / toFloatOrNull / toBooleanOrNull") {
+    assert(one.select(toIntegerOrNull(lit("42"))).as[Option[Long]].head().contains(42L))
+    assert(one.select(toIntegerOrNull(lit("4x"))).as[Option[Long]].head().isEmpty)
+    assert(one.select(toFloatOrNull(lit("3.5e2"))).as[Option[Double]].head().contains(350.0))
+    assert(one.select(toFloatOrNull(lit("abc"))).as[Option[Double]].head().isEmpty)
+    assert(one.select(toBooleanOrNull(lit("TRUE"))).as[Option[Boolean]].head().contains(true))
+    assert(one.select(toBooleanOrNull(lit("nah"))).as[Option[Boolean]].head().isEmpty)
+  }
+
+  test("list predicates: all / any / none / single / reduce") {
+    val l = array(lit(2), lit(4), lit(5))
+    assert(one.select(allIn(l, _ > 1)).as[Boolean].head())
+    assert(one.select(anyIn(l, _ > 4)).as[Boolean].head())
+    assert(one.select(noneIn(l, _ > 9)).as[Boolean].head())
+    assert(one.select(singleIn(l, _ % 2 === 1)).as[Boolean].head())
+    assert(one.select(reduceList(l, lit(0), _ + _)).as[Int].head() == 11)
+  }
+
+  test("math shims: haversin, cot, sign") {
+    val got = one.select(haversin(lit(math.Pi))).as[Double].head()
+    assert(math.abs(got - 1.0) < 1e-12)
+    assert(math.abs(one.select(CypherFunctions.cot(lit(math.Pi / 4))).as[Double].head() - 1.0) < 1e-12)
+  }
+
+  test("multimodal stub decode keeps schema and determinism") {
+    val docs = Seq((1L, "abc"), (2L, "defg")).toDF("doc_id", "text")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val f = Multimodal.stubDecodeFeatures(media, 4).collect().sortBy(_.media_id)
+    assert(f.map(_.byte_len).toSeq == Seq(3L, 4L))
+    assert(f.forall(_.feature.length == 4))
+    val again = Multimodal.stubDecodeFeatures(media, 4).collect().sortBy(_.media_id)
+    assert(f.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
+  }
+
+  test("batch sessionize splits on gap") {
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 100L),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 100L),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 100L))
+      .toDF("event_id", "ts", "user_id")
+    val sess = EventStream.sessionizeBatch(ev, 1800000L)
+      .select("user_id", "session_seq", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sess == Set((100L, 1L, 2L), (100L, 2L, 1L)))
+  }
+}
