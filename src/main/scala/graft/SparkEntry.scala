@@ -2,7 +2,7 @@ package graft
 
 import graft.model.GraphLoader
 import graft.operators.Traversals
-import graft.queries.{GraphQueries, PipelineQueries, Relational}
+import graft.queries.{CypherQueries, GraphQueries, PipelineQueries, Relational}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -31,8 +31,8 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs ++ GraphQueries.defs ++ PipelineQueries.defs
+    Relational.defs ++ GraphQueries.defs ++ PipelineQueries.defs ++ CypherQueries.defs
 
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ GraphQueries.oracles ++ PipelineQueries.oracles
+    Relational.oracles ++ GraphQueries.oracles ++ PipelineQueries.oracles ++ CypherQueries.oracles
 }

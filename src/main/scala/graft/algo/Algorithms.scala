@@ -38,18 +38,21 @@ object Algorithms {
     var ranks = v.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
       val withDeg = ranks.join(outDeg, col("id") === col("_degid"), "left")
-      // mass of dangling nodes (no out-edges) is spread uniformly
-      val dangling = withDeg.filter(col("deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0.0))).first().getDouble(0)
+      // mass of dangling nodes (no out-edges), spread uniformly — computed
+      // INSIDE the plan (broadcast 1-row aggregate), not as a driver action:
+      // one job per iteration instead of three
+      val danglingDf = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("_dmass"))
       val contribs = withDeg.filter(col("deg").isNotNull)
         .select(col("id"), (col("rank") / col("deg")).as("c"))
         .join(e, col("id") === col("_esrc"))
         .groupBy(col("_edst")).agg(sum(col("c")).as("recv"))
         .withColumnRenamed("_edst", "vid")
       ranks = v.join(contribs, col("id") === col("vid"), "left")
+        .crossJoin(broadcast(danglingDf))
         .select(col("id"),
           (lit((1 - damping) / n) + lit(damping) *
-            (coalesce(col("recv"), lit(0.0)) + lit(dangling / n))).as("rank"))
+            (coalesce(col("recv"), lit(0.0)) + col("_dmass") / n)).as("rank"))
         .localCheckpoint(true)
     }
     ranks
@@ -96,9 +99,11 @@ object Algorithms {
       val freq = lbl.join(und, col("id") === col("_usrc"))
         .groupBy(col("_udst"), col("label")).agg(count(lit(1)).as("f"))
         .withColumnRenamed("_udst", "vid")
-      val w = Window.partitionBy(col("vid")).orderBy(col("f").desc, col("label").asc)
-      val pick = freq.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("vid"), col("label").as("nlbl"))
+      // argmax(f), ties -> min label, as a single hash aggregate over
+      // struct ordering (max of (f, -label)) — no window sort
+      val pick = freq.groupBy(col("vid"))
+        .agg(max(struct(col("f"), (-col("label")).as("nl"))).as("m"))
+        .select(col("vid"), (-col("m.nl")).as("nlbl"))
       lbl = lbl.join(pick, col("id") === col("vid"), "left")
         .select(col("id"), coalesce(col("nlbl"), col("label")).as("label"))
         .localCheckpoint(true)
@@ -146,14 +151,16 @@ object Algorithms {
     var it = 0
     var more = true
     while (more && it < maxIter) {
+      // one eager checkpoint materializes the frontier AND truncates lineage;
+      // the count afterwards is free (reads the checkpointed blocks)
       val next = frontier.join(e, col("id") === col("_esrc"))
         .select(col("_edst").as("id")).distinct()
         .join(dist.select(col("id").as("vid")), col("id") === col("vid"), "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      more = next.limit(1).count() > 0
+        .localCheckpoint(true)
+      more = next.count() > 0
       it += 1
       if (more) {
-        dist = dist.unionAll(next.select(col("id"), lit(it).as("dist"))).localCheckpoint(true)
+        dist = dist.unionAll(next.select(col("id"), lit(it).as("dist")))
         frontier = next
       }
     }

@@ -152,23 +152,30 @@ object Dedup {
     * Exact all-pairs for oracle-checkable small corpora; at scale set
     * `lshBits > 0` to bucket with sign-LSH first (candidates only). */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double, lshBits: Int = 0, dim: Int = 64,
+                            threshold: Double, lshBits: Int = 0, dim0: Int = 0,
                             seed: Long = 42L): DataFrame = {
+    val dim = if (dim0 > 0) dim0 else VectorSearch.detectDim(emb, vecCol)
+    // pre-normalize each side ONCE (unrolled codegen'd norm) so the pair
+    // condition is a single dot product, not dot + two norms
     val base =
       if (lshBits <= 0) {
-        val a = emb.select(col(idCol).as("i"), col(vecCol).as("va"))
-        val b = emb.select(col(idCol).as("j"), col(vecCol).as("vb"))
+        val a = emb.select(col(idCol).as("i"), col(vecCol).as("va"),
+          VectorSearch.l2Norm(col(vecCol), dim).as("na"))
+        val b = emb.select(col(idCol).as("j"), col(vecCol).as("vb"),
+          VectorSearch.l2Norm(col(vecCol), dim).as("nb"))
         a.join(b, col("i") < col("j"))
       } else {
         val planes = VectorSearch.hyperplanes(dim, lshBits, seed)
         val withB = emb.select(col(idCol), col(vecCol),
           VectorSearch.lshBucket(col(vecCol), planes).as("_bkt"))
-        val a = withB.select(col(idCol).as("i"), col(vecCol).as("va"), col("_bkt"))
-        val b = withB.select(col(idCol).as("j"), col(vecCol).as("vb"), col("_bkt").as("_bkt2"))
+        val a = withB.select(col(idCol).as("i"), col(vecCol).as("va"),
+          VectorSearch.l2Norm(col(vecCol), dim).as("na"), col("_bkt"))
+        val b = withB.select(col(idCol).as("j"), col(vecCol).as("vb"),
+          VectorSearch.l2Norm(col(vecCol), dim).as("nb"), col("_bkt").as("_bkt2"))
         a.join(b, col("_bkt") === col("_bkt2") && col("i") < col("j"))
       }
     base.select(col("i"), col("j"),
-        VectorSearch.cosine(col("va"), col("vb")).as("cosine"))
+        (VectorSearch.dot(col("va"), col("vb"), dim) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

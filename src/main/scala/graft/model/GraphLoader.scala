@@ -55,6 +55,12 @@ object GraphLoader {
       .unionByName(reg.select((col("r_regionkey") + RegionOff).cast("long").as("id"),
         array(lit("Region")).as("labels"), col("r_name").as("name"),
         lit(null).cast("double").as("balance")))
+      // lineitem nodes: (l_orderkey, l_linenumber) is NOT unique in the
+      // testdata so ids collide — constant props keep the id-dedup
+      // deterministic
+      .unionByName(li.select(lineId.as("id"),
+        array(lit("Lineitem")).as("labels"), lit(null).cast("string").as("name"),
+        lit(null).cast("double").as("balance")).dropDuplicates("id"))
 
     val edges =
       ord.select((col("o_orderkey") + OrderOff).cast("long").as("id"),

@@ -16,19 +16,48 @@ import org.apache.spark.sql.functions._
   */
 object VectorSearch {
 
-  /** dot(a,b) in double precision over array<float/double> columns. */
+  /** dot(a,b) in double precision over array<float/double> columns.
+    *
+    * HOF form (`aggregate`/`zip_with`) — correct for any dim, but Spark HOFs
+    * are CodegenFallback (interpreted per row, per element). Use the
+    * `dot(a,b,dim)` overload in anything hot. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Unrolled fixed-dimension dot product: a flat codegen'd expression of
+    * `element_at` products (same left-to-right summation order as the HOF
+    * form and the DuckDB oracle, so doubles match bit-for-bit). ~100×
+    * faster than the interpreted HOF path. */
+  def dot(a: Column, b: Column, dim: Int): Column =
+    (1 to dim).map(i =>
+      element_at(a, i).cast("double") * element_at(b, i).cast("double"))
+      .reduce(_ + _)
+
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
+  def l2Norm(a: Column, dim: Int): Column = sqrt(dot(a, a, dim))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  def cosine(a: Column, b: Column, dim: Int): Column =
+    dot(a, b, dim) / (l2Norm(a, dim) * l2Norm(b, dim))
+
+  /** Element count of the vector column, from one row (for picking the
+    * unrolled codegen path). */
+  def detectDim(df: DataFrame, vecCol: String): Int = {
+    val r = df.select(size(col(vecCol))).limit(1).collect()
+    if (r.isEmpty) 0 else r(0).getInt(0)
+  }
 
   def l2Distance(a: Column, b: Column): Column =
     sqrt(aggregate(zip_with(a, b, (x, y) => {
       val d = x.cast("double") - y.cast("double"); d * d
     }), lit(0.0), (acc, x) => acc + x))
+
+  def l2Distance(a: Column, b: Column, dim: Int): Column =
+    sqrt((1 to dim).map { i =>
+      val d = element_at(a, i).cast("double") - element_at(b, i).cast("double")
+      d * d
+    }.reduce(_ + _))
 
   /** Exact top-k by cosine to a literal query vector.
     * `ORDER BY score DESC LIMIT k` compiles to TakeOrderedAndProject —
@@ -36,7 +65,7 @@ object VectorSearch {
   def knnExact(emb: DataFrame, idCol: String, vecCol: String,
                query: Seq[Float], k: Int): DataFrame = {
     val q = typedlit(query)
-    emb.select(col(idCol), cosine(col(vecCol), q).as("score"))
+    emb.select(col(idCol), cosine(col(vecCol), q, query.length).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
@@ -44,9 +73,10 @@ object VectorSearch {
   /** Exact top-k where the query vector is a row of another (1-row) DataFrame. */
   def knnExactFor(emb: DataFrame, idCol: String, vecCol: String,
                   queryDf: DataFrame, queryVecCol: String, k: Int): DataFrame = {
+    val dim = detectDim(emb, vecCol)
     val q = broadcast(queryDf.select(col(queryVecCol).as("_qv")))
     emb.crossJoin(q)
-      .select(col(idCol), cosine(col(vecCol), col("_qv")).as("score"))
+      .select(col(idCol), cosine(col(vecCol), col("_qv"), dim).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
@@ -62,7 +92,7 @@ object VectorSearch {
     * collide with high probability; numBits trades recall vs bucket size. */
   def lshBucket(vecCol: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(dot(vecCol, typedlit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(dot(vecCol, typedlit(p.toSeq), p.length) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Approximate k-NN: restrict the scan to the query's LSH bucket(s) across
@@ -120,7 +150,7 @@ object VectorSearch {
     val qArr = query.map(_.toDouble).toArray
     val probes = centroids.indices.sortBy(i => l2(qArr, centroids(i))).take(nprobe).toSet
     val cellExpr = centroids.zipWithIndex.map { case (c, i) =>
-      struct(l2Distance(col(vecCol), typedlit(c.toSeq)).as("d"), lit(i).as("cell"))
+      struct(l2Distance(col(vecCol), typedlit(c.toSeq), c.length).as("d"), lit(i).as("cell"))
     }
     val withCell = emb.withColumn("_cell", array_min(array(cellExpr: _*)).getField("cell"))
     knnExact(withCell.filter(col("_cell").isin(probes.toSeq: _*)), idCol, vecCol, query, k)
