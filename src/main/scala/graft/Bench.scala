@@ -1,26 +1,63 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query and total seconds.
+  *
+  * Harness hygiene: queries run in deterministic sorted order; a warmup query
+  * first absorbs JVM/parquet/codegen warmup (not reported); each query runs
+  * up to `SPARK_GRAFT_BENCH_REPS` times (default 3) and reports the MEDIAN —
+  * except queries whose first run exceeds 30s, which run once (they dominate
+  * the suite and the overhead being amortized is negligible at that size).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // iterative operators emit many AQE plan events; bound the cost of
+      // stringifying plans (driver-side CPU, not execution)
+      .config("spark.sql.maxPlanStringLength", "32768")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // warmup: run the first query once, discard the measurement
+    ordered.headOption.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // per-query isolation: leftover cache/checkpoint blocks from a previous
+      // query must not skew this measurement
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = ordered.map { case (name, fn) =>
+      val first = time(fn)
+      val runs =
+        if (first < 0 || first > 30.0 || reps <= 1) Seq(first)
+        else first +: (2 to reps).map(_ => time(fn))
+      val ok = runs.filter(_ >= 0)
+      val median =
+        if (ok.isEmpty) -1.0
+        else ok.sorted.apply(ok.size / 2)
+      name -> median
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

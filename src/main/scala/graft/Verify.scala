@@ -17,6 +17,8 @@ object Verify {
       // events.ts is TIMESTAMP(NANOS) parquet — read as long, normalized
       // to a timestamp in graft.model.Tables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // iterative operators emit many AQE plan events; bound plan-string cost
+      .config("spark.sql.maxPlanStringLength", "32768")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -32,6 +34,10 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // queries are independent — drop leftover cache/checkpoint blocks so
+      // one query's persisted state never skews the next one's run
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

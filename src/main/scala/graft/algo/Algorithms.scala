@@ -34,10 +34,14 @@ object Algorithms {
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val n = v.count().toDouble
     val outDeg = e.groupBy(col("_esrc")).agg(count(lit(1)).as("deg"))
-      .withColumnRenamed("_esrc", "_degid")
+      .withColumnRenamed("_esrc", "_degid").persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = v.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
+      // withDeg feeds BOTH the dangling-mass aggregate and the contribs join —
+      // persist it so the rank+degree join runs once per iteration, not twice
       val withDeg = ranks.join(outDeg, col("id") === col("_degid"), "left")
+        .select(col("id"), col("rank"), col("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       // mass of dangling nodes (no out-edges), spread uniformly — computed
       // INSIDE the plan (broadcast 1-row aggregate), not as a driver action:
       // one job per iteration instead of three
@@ -53,8 +57,10 @@ object Algorithms {
         .select(col("id"),
           (lit((1 - damping) / n) + lit(damping) *
             (coalesce(col("recv"), lit(0.0)) + col("_dmass") / n)).as("rank"))
-        .localCheckpoint(true)
+        .localCheckpoint(true) // reads cached withDeg; cuts lineage for the next round
+      withDeg.unpersist(false)
     }
+    outDeg.unpersist(false)
     ranks
   }
 
@@ -152,13 +158,15 @@ object Algorithms {
   /** Per-vertex triangle participation + local clustering coefficient
     * (reference `lcc.rs:29-42`): lcc = 2*tri / (deg*(deg-1)). */
   def lcc(undirected: DataFrame): DataFrame = {
-    val e = undirected.select(col("a"), col("b")).persist(StorageLevel.MEMORY_AND_DISK)
+    val e = undirected.select(col("a"), col("b"))
     val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
-    val e1 = e.as("e1"); val e2 = e.as("e2"); val e3 = e.as("e3")
-    val tris = e1.join(e2, col("e1.b") === col("e2.a"))
-      .join(e3, col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
-      .select(explode(array(col("e1.a"), col("e1.b"), col("e2.b"))).as("id"))
+    // per-vertex triangle counts from the degree-oriented closed-wedge join —
+    // every triangle appears exactly once as (lo,x,y); exploding its three
+    // corners counts each vertex's participation. O(m^1.5) like triangleCount,
+    // not the naive id-oriented wedge join.
+    val tris = closedWedges(undirected)
+      .select(explode(array(col("lo"), col("x"), col("y"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("tri"))
     deg.join(tris, Seq("id"), "left")
       .select(col("id"), col("deg"), coalesce(col("tri"), lit(0L)).as("triangles"),

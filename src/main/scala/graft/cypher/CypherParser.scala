@@ -6,7 +6,16 @@ import scala.collection.mutable.ArrayBuffer
 /** Hand-rolled tokenizer + recursive-descent parser for the Cypher subset
   * (the reference uses a pest PEG + Pratt expressions,
   * `src/query/parser.rs:1-60` — same language, independent implementation).
-  * Keywords are case-insensitive; identifiers are case-sensitive. */
+  * Keywords are case-insensitive; identifiers are case-sensitive.
+  *
+  * Clause grammar (reference `src/query/cypher.pest:8-55`):
+  *   query     := single (UNION [ALL] single)*
+  *   single    := (MATCH | OPTIONAL MATCH | UNWIND | WITH)* RETURN
+  *   with      := WITH [DISTINCT] items [WHERE e] [ORDER BY ...] [SKIP n] [LIMIT n]
+  * Expressions add: $param, x[i], x[a..b], EXISTS { pattern [WHERE e] },
+  * all/any/none/single(v IN l WHERE p), reduce(a = z, v IN l | e),
+  * [v IN l WHERE p | e], simple CASE, ^ exponent.
+  */
 object CypherParser {
 
   final case class ParseError(msg: String, pos: Int)
@@ -59,19 +68,24 @@ object CypherParser {
   }
 
   // ---------- parser ----------
-  def parse(src: String): Query = new P(tokenize(src)).query()
+  def parse(src: String): Query = new P(tokenize(src)).parseQuery()
 
   private final class P(toks: Vector[Tok]) {
     private var pos = 0
     private def peek: Option[Tok] = toks.lift(pos)
+    private def peekAt(k: Int): Option[Tok] = toks.lift(pos + k)
     private def next(): Tok = { val t = toks.lift(pos).getOrElse(throw ParseError("unexpected end", pos)); pos += 1; t }
     private def isKw(kw: String): Boolean = peek.exists {
+      case TId(t) => t.equalsIgnoreCase(kw); case _ => false
+    }
+    private def isKwAt(k: Int, kw: String): Boolean = peekAt(k).exists {
       case TId(t) => t.equalsIgnoreCase(kw); case _ => false
     }
     private def eatKw(kw: String): Unit =
       if (isKw(kw)) pos += 1 else throw ParseError(s"expected $kw", pos)
     private def tryKw(kw: String): Boolean = { if (isKw(kw)) { pos += 1; true } else false }
     private def isSym(s: String): Boolean = peek.exists { case TSym(t) => t == s; case _ => false }
+    private def isSymAt(k: Int, s: String): Boolean = peekAt(k).exists { case TSym(t) => t == s; case _ => false }
     private def eatSym(s: String): Unit =
       if (isSym(s)) pos += 1 else throw ParseError(s"expected '$s'", pos)
     private def trySym(s: String): Boolean = { if (isSym(s)) { pos += 1; true } else false }
@@ -80,23 +94,46 @@ object CypherParser {
       case t => throw ParseError(s"expected identifier, got ${t.text}", pos)
     }
 
-    def query(): Query = {
-      val matches = ArrayBuffer[MatchClause]()
-      var unwind: Option[(Expr, String)] = None
-      while (isKw("MATCH") || isKw("OPTIONAL") || isKw("UNWIND")) {
+    def parseQuery(): Query = {
+      val first = singleQuery()
+      val unions = ArrayBuffer[(Boolean, SingleQuery)]()
+      while (isKw("UNION")) {
+        eatKw("UNION")
+        val all = tryKw("ALL")
+        unions += ((all, singleQuery()))
+      }
+      if (pos < toks.length) throw ParseError(s"trailing input '${toks(pos).text}'", pos)
+      Query(first, unions.toSeq)
+    }
+
+    private def singleQuery(): SingleQuery = {
+      val clauses = ArrayBuffer[Clause]()
+      var done = false
+      while (!done) {
         if (tryKw("UNWIND")) {
           val e = expr(); eatKw("AS"); val v = ident()
-          unwind = Some((e, v))
-        } else {
+          clauses += UnwindClause(e, v)
+        } else if (isKw("MATCH") || (isKw("OPTIONAL") && isKwAt(1, "MATCH"))) {
           val optional = tryKw("OPTIONAL")
           eatKw("MATCH")
           val paths = ArrayBuffer(pathPattern())
           while (trySym(",")) paths += pathPattern()
           val where = if (tryKw("WHERE")) Some(expr()) else None
-          matches += MatchClause(paths.toSeq, optional, where)
-        }
+          clauses += MatchClause(paths.toSeq, optional, where)
+        } else if (isKw("WITH")) {
+          eatKw("WITH")
+          val (distinct, items, order, skip, limit) = projectionBody()
+          val where = if (tryKw("WHERE")) Some(expr()) else None
+          clauses += WithClause(distinct, items, where, order, skip, limit)
+        } else done = true
       }
       eatKw("RETURN")
+      val (distinct, items, order, skip, limit) = projectionBody()
+      SingleQuery(clauses.toSeq, ReturnSpec(distinct, items, order, skip, limit))
+    }
+
+    /** [DISTINCT] item, ... [ORDER BY ...] [SKIP n] [LIMIT n] */
+    private def projectionBody(): (Boolean, Seq[ReturnItem], Seq[OrderItem], Option[Long], Option[Long]) = {
       val distinct = tryKw("DISTINCT")
       val items = ArrayBuffer(returnItem())
       while (trySym(",")) items += returnItem()
@@ -108,8 +145,7 @@ object CypherParser {
       }
       val skip = if (tryKw("SKIP")) Some(longLit()) else None
       val limit = if (tryKw("LIMIT")) Some(longLit()) else None
-      if (pos < toks.length) throw ParseError(s"trailing input '${toks(pos).text}'", pos)
-      Query(matches.toSeq, unwind, distinct, items.toSeq, order.toSeq, skip, limit)
+      (distinct, items.toSeq, order.toSeq, skip, limit)
     }
 
     private def longLit(): Long = next() match {
@@ -129,8 +165,25 @@ object CypherParser {
       OrderItem(e, asc)
     }
 
-    // (a:Label {k: v})-[r:T1|T2 *1..3]->(b)
+    // p = shortestPath((a)-[*..3]->(b)) | p = (a)-[:T]->(b) | (a)-[:T]->(b)
     private def pathPattern(): PathPat = {
+      var pathVar: Option[String] = None
+      if (peek.exists(_.isInstanceOf[TId]) && isSymAt(1, "=") &&
+          !isKw("shortestPath") && !isKw("allShortestPaths")) {
+        pathVar = Some(ident()); eatSym("=")
+      }
+      var shortest = false
+      if (isKw("shortestPath") || isKw("allShortestPaths")) {
+        pos += 1; shortest = true
+        eatSym("(")
+        val p = barePathPattern()
+        eatSym(")")
+        return p.copy(pathVar = pathVar, shortest = true)
+      }
+      barePathPattern().copy(pathVar = pathVar, shortest = shortest)
+    }
+
+    private def barePathPattern(): PathPat = {
       val nodes = ArrayBuffer(nodePattern())
       val rels = ArrayBuffer[RelPat]()
       while (isSym("-") || isSym("<-")) {
@@ -153,18 +206,22 @@ object CypherParser {
       NodePat(v, labels.toSeq, props)
     }
 
-    private def propMap(): Seq[(String, Lit)] = {
+    private def propMap(): Seq[(String, Expr)] = {
       eatSym("{")
-      val out = ArrayBuffer[(String, Lit)]()
+      val out = ArrayBuffer[(String, Expr)]()
       if (!isSym("}")) {
         do {
           val k = ident(); eatSym(":")
-          out += ((k, literal()))
+          out += ((k, propValue()))
         } while (trySym(","))
       }
       eatSym("}")
       out.toSeq
     }
+
+    /** literal or $param in a property map. */
+    private def propValue(): Expr =
+      if (isSym("$")) { eatSym("$"); Param(ident()) } else literal()
 
     private def literal(): Lit = next() match {
       case TNum(t) => if (t.contains('.')) Lit(t.toDouble) else Lit(t.toLong)
@@ -186,7 +243,7 @@ object CypherParser {
       var v: Option[String] = None
       val types = ArrayBuffer[String]()
       var min = 1; var max = 1
-      var props: Seq[(String, Lit)] = Nil
+      var props: Seq[(String, Expr)] = Nil
       if (trySym("[")) {
         peek match {
           case Some(TId(t)) => pos += 1; v = Some(t)
@@ -227,8 +284,13 @@ object CypherParser {
     def expr(): Expr = orExpr()
 
     private def orExpr(): Expr = {
+      var l = xorExpr()
+      while (tryKw("OR")) l = Bin("OR", l, xorExpr())
+      l
+    }
+    private def xorExpr(): Expr = {
       var l = andExpr()
-      while (tryKw("OR")) l = Bin("OR", l, andExpr())
+      while (tryKw("XOR")) l = Bin("XOR", l, andExpr())
       l
     }
     private def andExpr(): Expr = {
@@ -275,31 +337,68 @@ object CypherParser {
       l
     }
     private def mulDiv(): Expr = {
-      var l = unary()
+      var l = powExpr()
       while (isSym("*") || isSym("/") || isSym("%")) {
         val op = next().text
-        l = Bin(op, l, unary())
+        l = Bin(op, l, powExpr())
       }
       l
     }
+    private def powExpr(): Expr = {
+      var l = unary()
+      while (isSym("^")) { next(); l = Bin("^", l, unary()) }
+      l
+    }
     private def unary(): Expr =
-      if (trySym("-")) Bin("*", Lit(-1L), unary()) else atom()
+      if (trySym("-")) Bin("*", Lit(-1L), unary()) else postfix()
+
+    /** atom followed by any number of `[i]` / `[a..b]` index/slice suffixes. */
+    private def postfix(): Expr = {
+      var e = atom()
+      while (isSym("[")) {
+        eatSym("[")
+        if (isSym("..")) { // x[..b]
+          eatSym("..")
+          val to = if (!isSym("]")) Some(expr()) else None
+          e = Slice(e, None, to)
+        } else {
+          val first = expr()
+          if (trySym("..")) {
+            val to = if (!isSym("]")) Some(expr()) else None
+            e = Slice(e, Some(first), to)
+          } else e = Index(e, first)
+        }
+        eatSym("]")
+      }
+      e
+    }
 
     private def atom(): Expr = {
+      if (trySym("$")) return Param(ident())
       if (trySym("(")) { val e = expr(); eatSym(")"); return e }
-      if (trySym("[")) {
-        val items = ArrayBuffer[Expr]()
-        if (!isSym("]")) { do items += expr() while (trySym(",")) }
-        eatSym("]")
-        return ListLit(items.toSeq)
-      }
+      if (isSym("[")) return listLitOrComprehension()
       if (isKw("CASE")) return caseExpr()
+      if (isKw("EXISTS") && isSymAt(1, "{")) return existsSubquery()
       next() match {
         case TNum(t) => if (t.contains('.')) Lit(t.toDouble) else Lit(t.toLong)
         case TStr(t) => Lit(t)
         case TId(t) if t.equalsIgnoreCase("true") => Lit(true)
         case TId(t) if t.equalsIgnoreCase("false") => Lit(false)
         case TId(t) if t.equalsIgnoreCase("null") => Lit(null)
+        case TId(t) if Set("all", "any", "none", "single").contains(t.toLowerCase) && isSym("(") &&
+            peekAt(1).exists(_.isInstanceOf[TId]) && isKwAt(2, "IN") =>
+          eatSym("(")
+          val v = ident(); eatKw("IN"); val lst = expr()
+          eatKw("WHERE"); val p = expr()
+          eatSym(")")
+          LambdaPred(t.toLowerCase, v, lst, p)
+        case TId(t) if t.equalsIgnoreCase("reduce") && isSym("(") =>
+          eatSym("(")
+          val acc = ident(); eatSym("="); val init = expr()
+          eatSym(","); val v = ident(); eatKw("IN"); val lst = expr()
+          eatSym("|"); val body = expr()
+          eatSym(")")
+          ReduceExpr(acc, init, v, lst, body)
         case TId(t) =>
           if (trySym("(")) { // function call
             val distinct = tryKw("DISTINCT")
@@ -315,8 +414,40 @@ object CypherParser {
       }
     }
 
+    /** `[e, ...]` literal or `[v IN list WHERE p | body]` comprehension. */
+    private def listLitOrComprehension(): Expr = {
+      eatSym("[")
+      // comprehension: ident IN ...
+      if (peek.exists(_.isInstanceOf[TId]) && isKwAt(1, "IN")) {
+        val v = ident(); eatKw("IN"); val lst = expr()
+        val pred = if (tryKw("WHERE")) Some(expr()) else None
+        val body = if (trySym("|")) Some(expr()) else None
+        eatSym("]")
+        return ListComp(v, lst, pred, body)
+      }
+      val items = ArrayBuffer[Expr]()
+      if (!isSym("]")) { do items += expr() while (trySym(",")) }
+      eatSym("]")
+      ListLit(items.toSeq)
+    }
+
+    /** EXISTS { (pattern)[, pattern...] [WHERE expr] } — also accepts an
+      * optional leading MATCH inside the braces. */
+    private def existsSubquery(): Expr = {
+      eatKw("EXISTS")
+      eatSym("{")
+      tryKw("MATCH")
+      val paths = ArrayBuffer(pathPattern())
+      while (trySym(",")) paths += pathPattern()
+      val where = if (tryKw("WHERE")) Some(expr()) else None
+      eatSym("}")
+      ExistsPattern(paths.toSeq, where)
+    }
+
     private def caseExpr(): Expr = {
       eatKw("CASE")
+      // simple CASE: subject expression before the first WHEN
+      val subject = if (!isKw("WHEN")) Some(expr()) else None
       val branches = ArrayBuffer[(Expr, Expr)]()
       while (tryKw("WHEN")) {
         val c = expr(); eatKw("THEN"); val v = expr()
@@ -324,7 +455,7 @@ object CypherParser {
       }
       val default = if (tryKw("ELSE")) Some(expr()) else None
       eatKw("END")
-      CaseExpr(branches.toSeq, default)
+      CaseExpr(subject, branches.toSeq, default)
     }
   }
 }

@@ -13,65 +13,90 @@ import org.apache.spark.sql.functions._
   * This replaces the reference's Volcano planner+executor
   * (`src/query/planner.rs`, `executor/operator.rs`) with a declarative
   * translation: every MATCH step becomes a join against the edges DataFrame,
-  * WHERE becomes a Catalyst filter (predicate pushdown applies), implicit
-  * Cypher grouping becomes groupBy/agg, and Catalyst+AQE pick physical join
-  * strategies (broadcast for small sides — the label-scan of a selective
-  * label is typically broadcast, the expand join shuffles on node id).
+  * WHERE becomes a Catalyst filter (predicate pushdown applies), WITH is a
+  * projection/aggregation barrier (`WithBarrierOperator`,
+  * `operator.rs:7715-8031`), UNWIND is an explode in clause order, EXISTS
+  * subqueries lower to flag joins, UNION composes translated parts, and
+  * Catalyst+AQE pick physical join strategies (broadcast for small sides).
   *
   * Variable binding convention: each pattern variable `v` contributes columns
   * `v__id`, `v__labels`, `v__<prop>` (nodes) or `v__id`, `v__relationship`,
-  * `v__src`, `v__dst`, `v__<prop>` (edges). Node/edge identity and equality
-  * are BY ID, matching the reference (`record.rs:95-131`).
+  * `v__src`, `v__dst`, `v__<prop>` (edges); a named path `p` contributes
+  * `p__length` and `p__nodes`. Node/edge identity and equality are BY ID,
+  * matching the reference (`record.rs:95-131`).
   */
-final class Translator(g: PropertyGraph) {
+final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
 
   private var anonCount = 0
   private def fresh(): String = { anonCount += 1; s"_a$anonCount" }
-  private var unwindVars: Set[String] = Set.empty
+
+  // scope state while translating one SingleQuery
+  private var entityVars: Set[String] = Set.empty  // node/edge vars (v__* columns)
+  private var pathVars: Set[String] = Set.empty    // named paths (p__length/p__nodes)
+  private var scalarVars: Set[String] = Set.empty  // UNWIND / WITH scalar columns
+  private var lambdaEnv: Map[String, Column] = Map.empty
 
   def translate(q: Query): DataFrame = {
+    val base = translateSingle(q.first)
+    q.unions.foldLeft(base) { case (acc, (all, sq)) =>
+      val r = translateSingle(sq)
+      if (all) acc.unionByName(r) else acc.unionByName(r).distinct()
+    }
+  }
+
+  private def spark = g.nodes.sparkSession
+
+  private def translateSingle(sq: SingleQuery): DataFrame = {
+    entityVars = Set.empty; pathVars = Set.empty; scalarVars = Set.empty
     var df: DataFrame = null
-    var bound: Set[String] = Set.empty
 
-    for (clause <- q.matches) {
-      val (cdf, cvars) = translateClause(clause, bound)
-      if (df == null) {
-        df = cdf; bound = cvars
-        if (!clause.optional) clause.where.foreach(w => df = df.filter(toCol(w)))
-      } else {
-        val shared = (bound intersect cvars).toSeq
-        val joinType = if (clause.optional) "left_outer" else "inner"
-        if (shared.isEmpty) {
-          df = if (clause.optional) df.crossJoin(cdf) else df.crossJoin(cdf)
+    for (clause <- sq.clauses) clause match {
+      case m: MatchClause =>
+        val (cdf, cvars, cpaths) = translateClause(m)
+        if (df == null) {
+          df = cdf
+          entityVars = entityVars union cvars; pathVars = pathVars union cpaths
+          if (!m.optional) m.where.foreach(w => df = applyWhere(df, w))
         } else {
-          // join on shared node ids; drop the right side's duplicate columns
-          var right = cdf
-          val conds = shared.map { v =>
-            right = right.withColumnRenamed(s"${v}__id", s"__r_${v}__id")
-            col(s"${v}__id") === col(s"__r_${v}__id")
+          val shared = (entityVars intersect cvars).toSeq
+          val joinType = if (m.optional) "left_outer" else "inner"
+          if (shared.isEmpty) {
+            df = df.crossJoin(cdf)
+          } else {
+            var right = cdf
+            val conds = shared.map { v =>
+              right = right.withColumnRenamed(s"${v}__id", s"__r_${v}__id")
+              col(s"${v}__id") === col(s"__r_${v}__id")
+            }
+            val dupCols = right.columns.filter(c =>
+              shared.exists(v => c.startsWith(s"${v}__")))
+            right = right.drop(dupCols: _*)
+            df = df.join(right, conds.reduce(_ && _), joinType)
+              .drop(shared.map(v => s"__r_${v}__id"): _*)
           }
-          // drop right-side duplicates of every shared var's other columns
-          val dupCols = right.columns.filter(c =>
-            shared.exists(v => c.startsWith(s"${v}__")))
-          right = right.drop(dupCols: _*)
-          df = df.join(right, conds.reduce(_ && _), joinType)
-            .drop(shared.map(v => s"__r_${v}__id"): _*)
+          entityVars = entityVars union cvars; pathVars = pathVars union cpaths
+          if (!m.optional) m.where.foreach(w => df = applyWhere(df, w))
         }
-        bound = bound union cvars
-        if (!clause.optional) clause.where.foreach(w => df = df.filter(toCol(w)))
-      }
+
+      case UnwindClause(listExpr, v) =>
+        val src = if (df == null) spark.range(1).toDF() else df
+        df = src.withColumn(v, explode(toCol(listExpr)))
+        scalarVars += v
+
+      case WithClause(distinct, items, where, orderBy, skip, limit) =>
+        if (df == null) df = spark.range(1).toDF()
+        df = projectWith(df, items)
+        if (distinct) df = df.distinct()
+        where.foreach(w => df = applyWhere(df, w))
+        if (orderBy.nonEmpty) df = df.orderBy(orderCols(orderBy, items): _*)
+        skip.foreach(n => df = df.offset(n.toInt))
+        limit.foreach(n => df = df.limit(n.toInt))
     }
 
-    q.unwind.foreach { case (listExpr, v) =>
-      val src = if (df == null) g.nodes.sparkSession.range(1).toDF() else df
-      df = src.withColumn(v, explode(toCol(listExpr)))
-      unwindVars += v
-    }
-    if (df == null)
-      df = g.nodes.sparkSession.range(1).toDF() // RETURN-only query
+    if (df == null) df = spark.range(1).toDF() // RETURN-only query
 
     // RETURN: implicit grouping if any item aggregates
-    val items = q.returnItems
+    val items = sq.ret.items
     val hasAgg = items.exists(i => isAggregate(i.expr))
     var out =
       if (hasAgg) {
@@ -83,34 +108,127 @@ final class Translator(g: PropertyGraph) {
         else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
       } else df.select(items.map(i => toCol(i.expr).as(i.name)): _*)
 
-    if (q.returnDistinct) out = out.distinct()
-
-    if (q.orderBy.nonEmpty) {
-      val names = items.map(_.name).toSet
-      val sortCols = q.orderBy.map { o =>
-        val c = o.expr match {
-          case Var(n) if names.contains(n) => col(n)
-          case Prop(v, k) if names.contains(s"$v.$k") => col(s"`$v.$k`")
-          case e if names.contains(Render.name(e)) => col(s"`${Render.name(e)}`")
-          case e => toCol(e)
-        }
-        if (o.asc) c.asc else c.desc
-      }
-      out = out.orderBy(sortCols: _*)
-    }
-    q.skip.foreach(n => out = out.offset(n.toInt))
-    q.limit.foreach(n => out = out.limit(n.toInt))
+    if (sq.ret.distinct) out = out.distinct()
+    if (sq.ret.orderBy.nonEmpty) out = out.orderBy(orderCols(sq.ret.orderBy, items): _*)
+    sq.ret.skip.foreach(n => out = out.offset(n.toInt))
+    sq.ret.limit.foreach(n => out = out.limit(n.toInt))
     out
+  }
+
+  /** Resolve ORDER BY expressions against the projection's output names. */
+  private def orderCols(order: Seq[OrderItem], items: Seq[ReturnItem]): Seq[Column] = {
+    val names = items.map(_.name).toSet
+    order.map { o =>
+      val c = o.expr match {
+        case Var(n) if names.contains(n) => col(n)
+        case Prop(v, k) if names.contains(s"$v.$k") => col(s"`$v.$k`")
+        case e if names.contains(Render.name(e)) => col(s"`${Render.name(e)}`")
+        case e => toCol(e)
+      }
+      if (o.asc) c.asc else c.desc
+    }
+  }
+
+  /** WITH barrier: projection or implicit aggregation, carrying whole
+    * node/edge/path variables through (all their prefixed columns). Rebinds
+    * the scope to exactly the exported items. */
+  private def projectWith(df: DataFrame, items: Seq[ReturnItem]): DataFrame = {
+    val hasAgg = items.exists(i => isAggregate(i.expr))
+    var newEntity = Set.empty[String]
+    var newPath = Set.empty[String]
+    var newScalar = Set.empty[String]
+
+    def carryCols(v: String, out: String): Seq[Column] =
+      df.columns.filter(_.startsWith(s"${v}__")).toSeq
+        .map(c => col(c).as(s"${out}__${c.stripPrefix(s"${v}__")}"))
+
+    def itemCols(i: ReturnItem): Seq[Column] = i.expr match {
+      case Var(n) if entityVars.contains(n) =>
+        val out = i.alias.getOrElse(n); newEntity += out; carryCols(n, out)
+      case Var(n) if pathVars.contains(n) =>
+        val out = i.alias.getOrElse(n); newPath += out; carryCols(n, out)
+      case e =>
+        newScalar += i.name; Seq(toCol(e).as(i.name))
+    }
+
+    val res =
+      if (!hasAgg) df.select(items.flatMap(itemCols): _*)
+      else {
+        val keyItems = items.filter(i => !isAggregate(i.expr))
+        val aggItems = items.filter(i => isAggregate(i.expr))
+        val keyCols = keyItems.flatMap(itemCols)
+        val aggCols = aggItems.map { i => newScalar += i.name; toAggCol(i.expr).as(i.name) }
+        if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+        else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      }
+    entityVars = newEntity; pathVars = newPath; scalarVars = newScalar
+    res
+  }
+
+  // ---------- EXISTS lowering ----------
+
+  /** Filter with EXISTS { pattern } subqueries lowered to flag joins:
+    * the subquery pattern is translated independently, reduced to DISTINCT
+    * anchor ids (the variables shared with the outer scope) + a true flag,
+    * left-joined to the outer frame; the EXISTS node becomes `flag IS NOT
+    * NULL`. Composes under NOT/AND/OR (reference semi/anti-join selection,
+    * `tests/exists_subquery_test.rs`). */
+  private def applyWhere(df: DataFrame, w: Expr): DataFrame = {
+    val (df2, rewritten) = lowerExists(df, w)
+    df2.filter(toCol(rewritten))
+  }
+
+  private var existsCount = 0
+  private def lowerExists(df0: DataFrame, e: Expr): (DataFrame, Expr) = {
+    var df = df0
+    def walk(x: Expr): Expr = x match {
+      case ExistsPattern(paths, where) =>
+        existsCount += 1
+        val flag = s"__exists_$existsCount"
+        val outerEntities = entityVars
+        // translate the pattern in an isolated scope
+        val savedE = entityVars; val savedP = pathVars
+        val (sub0, svars, _) = translateClause(MatchClause(paths, optional = false, where = None))
+        entityVars = svars; pathVars = Set.empty
+        val sub = where.map(wx => applyWhere(sub0, wx)).getOrElse(sub0)
+        entityVars = savedE; pathVars = savedP
+        val anchors = (outerEntities intersect svars).toSeq
+        if (anchors.isEmpty) {
+          val flagDf = sub.limit(1).agg((count(lit(1)) > 0).as(flag))
+          df = df.crossJoin(broadcast(flagDf))
+          scalarVars += flag
+          Var(flag) // boolean column
+        } else {
+          val flagDf = sub
+            .select(anchors.map(v => col(s"${v}__id").as(s"__ex_${v}__id")): _*)
+            .distinct()
+            .withColumn(flag, lit(true))
+          val cond = anchors.map(v => col(s"${v}__id") === col(s"__ex_${v}__id")).reduce(_ && _)
+          df = df.join(flagDf, cond, "left_outer")
+            .drop(anchors.map(v => s"__ex_${v}__id"): _*)
+          scalarVars += flag
+          IsNull(Var(flag), negated = true)
+        }
+      case Bin(op, l, r) => Bin(op, walk(l), walk(r))
+      case Not(y) => Not(walk(y))
+      case IsNull(y, n) => IsNull(walk(y), n)
+      case CaseExpr(s, bs, d) =>
+        CaseExpr(s.map(walk), bs.map(b => (walk(b._1), walk(b._2))), d.map(walk))
+      case other => other
+    }
+    val rewritten = walk(e)
+    (df, rewritten)
   }
 
   // ---------- clause / path translation ----------
 
-  private def translateClause(clause: MatchClause, outerBound: Set[String]): (DataFrame, Set[String]) = {
+  private def translateClause(clause: MatchClause): (DataFrame, Set[String], Set[String]) = {
     var df: DataFrame = null
     var vars: Set[String] = Set.empty
+    var paths: Set[String] = Set.empty
     for (path <- clause.paths) {
-      val (pdf, pvars) = translatePath(path)
-      if (df == null) { df = pdf; vars = pvars }
+      val (pdf, pvars, ppaths) = translatePath(path)
+      if (df == null) { df = pdf; vars = pvars; paths = ppaths }
       else {
         val shared = (vars intersect pvars).toSeq
         if (shared.isEmpty) df = df.crossJoin(pdf)
@@ -125,23 +243,26 @@ final class Translator(g: PropertyGraph) {
             .drop(shared.map(v => s"__p_${v}__id"): _*)
         }
         vars = vars union pvars
+        paths = paths union ppaths
       }
     }
     if (clause.optional) clause.where.foreach(w => df = df.filter(toCol(w)))
-    (df, vars)
+    (df, vars, paths)
   }
 
-  private def translatePath(path0: PathPat): (DataFrame, Set[String]) = {
+  private def translatePath(path0: PathPat): (DataFrame, Set[String], Set[String]) = {
     // anchor heuristic: start from a labeled/constrained end (reference's
     // cost-based anchor selection, ADR-015 — simplified to
     // "prefer the selective end" pending a stats catalog)
     val path = {
       def selective(n: NodePat) = n.labels.nonEmpty || n.props.nonEmpty
       if (path0.nodes.nonEmpty && !selective(path0.nodes.head) &&
-          selective(path0.nodes.last) && path0.rels.forall(!_.isVarLength))
-        PathPat(path0.nodes.reverse, path0.rels.reverse.map(r => r.copy(dir = r.dir match {
-          case Out => In; case In => Out; case Undirected => Undirected
-        })))
+          selective(path0.nodes.last) && path0.rels.forall(!_.isVarLength) &&
+          path0.pathVar.isEmpty)
+        path0.copy(nodes = path0.nodes.reverse,
+          rels = path0.rels.reverse.map(r => r.copy(dir = r.dir match {
+            case Out => In; case In => Out; case Undirected => Undirected
+          })))
       else path0
     }
 
@@ -152,13 +273,36 @@ final class Translator(g: PropertyGraph) {
     for ((rel, node) <- path.rels.zip(path.nodes.tail)) {
       val tgtVar = node.variable.getOrElse(fresh())
       df =
-        if (rel.isVarLength) expandVarLength(df, cur, rel, node, tgtVar, vars)
+        if (rel.isVarLength)
+          expandVarLength(df, cur, rel, node, tgtVar, vars, path.pathVar)
         else expandOne(df, cur, rel, node, tgtVar, vars)
       rel.variable.foreach(v => vars += v)
       vars += tgtVar
       cur = tgtVar
     }
-    (df, vars)
+    var pset = Set.empty[String]
+    path.pathVar.foreach { p =>
+      pset += p
+      if (path.rels.forall(!_.isVarLength)) {
+        // fixed-length named path: length and node-id list are static shape
+        val nodeIds = (Seq(headVar) ++ path.rels.zip(path.nodes.tail).map(_._2.variable.getOrElse("?")))
+        val idCols = (path.nodes.head.variable.getOrElse(headVar) +: path.nodes.tail.map(_.variable.getOrElse(fresh())))
+        // recompute: all node vars along the path in order
+        val orderedVars = pathNodeVars(path, headVar)
+        df = df.withColumn(s"${p}__length", lit(path.rels.length))
+          .withColumn(s"${p}__nodes", array(orderedVars.map(v => col(s"${v}__id")): _*))
+      }
+      // var-length named paths get p__length/p__nodes inside expandVarLength
+    }
+    (df, vars, pset)
+  }
+
+  /** Node variables along a path in order (generating names only for display). */
+  private def pathNodeVars(path: PathPat, headVar: String): Seq[String] = {
+    var out = Seq(headVar)
+    for (node <- path.nodes.tail)
+      out = out :+ node.variable.getOrElse(headVar) // anonymous interior nodes resolve to head (unused)
+    out
   }
 
   private def prefixAll(df: DataFrame, v: String): DataFrame =
@@ -166,14 +310,14 @@ final class Translator(g: PropertyGraph) {
 
   private def scanNode(n: NodePat, v: String): DataFrame = {
     var df = n.labels.foldLeft(g.nodes)((d, l) => d.filter(array_contains(col("labels"), l)))
-    for ((k, Lit(value)) <- n.props) df = df.filter(col(k) === lit(value))
+    for ((k, value) <- n.props) df = df.filter(col(k) === toCol(value))
     prefixAll(df, v)
   }
 
   /** Oriented candidate edges for one hop: (__from, __to, <relVar>__*). */
   private def orientedEdges(rel: RelPat, relVar: String): DataFrame = {
     var e = g.edgesOfType(rel.types: _*)
-    for ((k, Lit(value)) <- rel.props) e = e.filter(col(k) === lit(value))
+    for ((k, value) <- rel.props) e = e.filter(col(k) === toCol(value))
     val pre = prefixAll(e, relVar)
     def orient(from: String, to: String) =
       pre.withColumn("__from", col(s"${relVar}__$from"))
@@ -203,8 +347,9 @@ final class Translator(g: PropertyGraph) {
   }
 
   private def expandVarLength(df: DataFrame, srcVar: String, rel: RelPat,
-                              node: NodePat, tgtVar: String, bound: Set[String]): DataFrame = {
-    val maxHops = if (rel.maxHops == Int.MaxValue) 15 else rel.maxHops
+                              node: NodePat, tgtVar: String, bound: Set[String],
+                              pathVar: Option[String]): DataFrame = {
+    val maxHops = rel.maxHops // unbounded `*` iterates to the reachability fixpoint
     var e = g.edgesOfType(rel.types: _*)
     e = rel.dir match {
       case Out => e
@@ -213,9 +358,15 @@ final class Translator(g: PropertyGraph) {
         .unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
     }
     val starts = df.select(col(s"${srcVar}__id").as("__s")).distinct()
-    val pairs = Traversals.varLengthExpand(e, starts, "__s", math.max(rel.minHops, 1), maxHops)
-      .select(col("start").as("__vfrom"), col("node").as("__vto"))
-    var joined = df.join(pairs, col(s"${srcVar}__id") === col("__vfrom"))
+    val needPath = pathVar.isDefined
+    val raw =
+      if (needPath)
+        Traversals.varLengthExpandPaths(e, starts, "__s", rel.minHops, maxHops)
+      else Traversals.varLengthExpand(e, starts, "__s", rel.minHops, maxHops)
+    val pairs0 = raw.select(Seq(col("start").as("__vfrom"), col("node").as("__vto")) ++
+      (if (needPath) Seq(col("hops").as(s"${pathVar.get}__length"),
+        col("path").as(s"${pathVar.get}__nodes")) else Nil): _*)
+    var joined = df.join(pairs0, col(s"${srcVar}__id") === col("__vfrom"))
     if (bound.contains(tgtVar)) {
       joined = joined.filter(col("__vto") === col(s"${tgtVar}__id"))
     } else {
@@ -230,9 +381,31 @@ final class Translator(g: PropertyGraph) {
   def toCol(e: Expr): Column = e match {
     case Lit(null) => lit(null)
     case Lit(v) => lit(v)
-    case Var(n) => if (unwindVars.contains(n)) col(n) else col(s"${n}__id")
+    case Param(n) =>
+      params.getOrElse(n,
+        throw new IllegalArgumentException(s"missing query parameter $$$n")) match {
+        case s: Seq[_] => array(s.map(x => lit(x)): _*)
+        case a: Array[_] => array(a.toSeq.map(x => lit(x)): _*)
+        case v => lit(v)
+      }
+    case Var(n) =>
+      lambdaEnv.get(n).getOrElse {
+        if (scalarVars.contains(n)) col(n) else col(s"${n}__id")
+      }
     case Prop(v, k) => col(s"${v}__$k")
     case ListLit(items) => array(items.map(toCol): _*)
+    case Index(l, i) =>
+      val (c, ic) = (toCol(l), toCol(i))
+      // Cypher indexing is 0-based; element_at is 1-based with negative wrap
+      element_at(c, when(ic >= 0, ic + 1).otherwise(ic).cast("int"))
+    case Slice(l, f, t) =>
+      val c = toCol(l)
+      val sz = size(c)
+      val f0 = f.map(toCol).getOrElse(lit(0))
+      val t0 = t.map(toCol).getOrElse(sz)
+      val fi = when(f0 < 0, greatest(sz + f0, lit(0))).otherwise(f0) // 0-based
+      val ti = when(t0 < 0, greatest(sz + t0, lit(0))).otherwise(least(t0, sz))
+      slice(c, (fi + 1).cast("int"), greatest(ti - fi, lit(0)).cast("int"))
     case Bin(op, l, r) =>
       val (a, b) = (toCol(l), toCol(r))
       op match {
@@ -247,8 +420,10 @@ final class Translator(g: PropertyGraph) {
         case "*" => a * b
         case "/" => a / b
         case "%" => a % b
+        case "^" => pow(a, b)
         case "AND" => a && b
         case "OR" => a || b
+        case "XOR" => a =!= b
       }
     case Not(x) => !toCol(x)
     case IsNull(x, neg) => if (neg) toCol(x).isNotNull else toCol(x).isNull
@@ -264,16 +439,52 @@ final class Translator(g: PropertyGraph) {
         }
       }
     case InList(x, list) => list match {
-      case ListLit(items) => toCol(x).isin(items.map { case Lit(v) => v; case o => o }: _*)
+      case ListLit(items) if items.forall(_.isInstanceOf[Lit]) =>
+        toCol(x).isin(items.map { case Lit(v) => v; case o => o }: _*)
       case other => array_contains(toCol(other), toCol(x))
     }
-    case CaseExpr(branches, default) =>
-      val start = when(toCol(branches.head._1), toCol(branches.head._2))
+    case CaseExpr(subject, branches, default) =>
+      def cond(b: Expr): Column = subject match {
+        case Some(s) => toCol(s) === toCol(b) // simple CASE
+        case None => toCol(b)                 // searched CASE
+      }
+      val start = when(cond(branches.head._1), toCol(branches.head._2))
       val chained = branches.tail.foldLeft(start)((acc, b) =>
-        acc.when(toCol(b._1), toCol(b._2)))
+        acc.when(cond(b._1), toCol(b._2)))
       default.map(d => chained.otherwise(toCol(d))).getOrElse(chained)
+    case LambdaPred(kind, v, list, pred) =>
+      val lc = toCol(list)
+      def p(x: Column): Column = withLambda(v, x)(toCol(pred))
+      kind match {
+        case "all" => forall(lc, p)
+        case "any" => exists(lc, p)
+        case "none" => !exists(lc, p)
+        case "single" => size(filter(lc, x => p(x))) === 1
+      }
+    case ReduceExpr(acc, init, v, list, body) =>
+      aggregate(toCol(list), toCol(init),
+        (a, x) => withLambda(acc, a)(withLambda(v, x)(toCol(body))))
+    case ListComp(v, list, pred, body) =>
+      var c = toCol(list)
+      pred.foreach(px => c = filter(c, x => withLambda(v, x)(toCol(px))))
+      body.foreach(bx => c = transform(c, x => withLambda(v, x)(toCol(bx))))
+      c
+    case ExistsPattern(_, _) =>
+      throw new IllegalArgumentException(
+        "EXISTS { pattern } is only supported inside WHERE")
     case Fn(name, args, _) => scalarFn(name.toLowerCase, args, toCol)
   }
+
+  private def withLambda(name: String, c: Column)(body: => Column): Column = {
+    val saved = lambdaEnv
+    lambdaEnv = lambdaEnv + (name -> c)
+    try body finally lambdaEnv = saved
+  }
+
+  /** Property columns of the canonical node layout (everything beyond
+    * id/labels) — used by keys()/properties(). */
+  private lazy val nodePropCols: Seq[String] =
+    g.nodes.columns.filterNot(Set("id", "labels")).toSeq
 
   /** Scalar function registry — Cypher surface from the reference's
     * eval_function (`operator.rs:838-1824`) mapped onto CypherFunctions /
@@ -284,13 +495,39 @@ final class Translator(g: PropertyGraph) {
     def a0 = toCol(args(0)); def a1 = toCol(args(1))
     name match {
       case "id" | "elementid" => args.head match {
-        case Var(n) => col(s"${n}__id")
+        case Var(n) if !scalarVars.contains(n) => col(s"${n}__id")
         case e => toCol(e)
       }
       case "labels" => args.head match { case Var(n) => col(s"${n}__labels"); case e => toCol(e) }
       case "type" => args.head match { case Var(n) => col(s"${n}__relationship"); case e => toCol(e) }
       case "startnode" => args.head match { case Var(n) => col(s"${n}__src"); case e => toCol(e) }
       case "endnode" => args.head match { case Var(n) => col(s"${n}__dst"); case e => toCol(e) }
+      case "keys" => args.head match {
+        case Var(n) =>
+          concat(nodePropCols.map(p =>
+            when(col(s"${n}__$p").isNotNull, array(lit(p)))
+              .otherwise(array().cast("array<string>"))): _*)
+        case e => map_keys(toCol(e))
+      }
+      case "properties" => args.head match {
+        case Var(n) =>
+          map_filter(
+            map(nodePropCols.flatMap(p =>
+              Seq(lit(p), col(s"${n}__$p").cast("string"))): _*),
+            (_, v) => v.isNotNull)
+        case e => toCol(e)
+      }
+      case "nodes" => args.head match {
+        case Var(p) if pathVars.contains(p) => col(s"${p}__nodes")
+        case e => toCol(e)
+      }
+      case "relationships" =>
+        throw new IllegalArgumentException(
+          "relationships(path) is not supported (paths carry node ids + length)")
+      case "length" | "char_length" | "character_length" => args.head match {
+        case Var(p) if pathVars.contains(p) => col(s"${p}__length")
+        case e => length(toCol(e)) // strings
+      }
       case "toupper" | "touppercase" => upper(a0)
       case "tolower" | "tolowercase" => lower(a0)
       case "trim" => trim(a0)
@@ -312,7 +549,6 @@ final class Translator(g: PropertyGraph) {
       case "tofloatornull" => CypherFunctions.toFloatOrNull(a0)
       case "tobooleanornull" => CypherFunctions.toBooleanOrNull(a0)
       case "size" => size(a0)            // lists (Cypher size)
-      case "length" | "char_length" | "character_length" => length(a0) // strings
       case "abs" => abs(a0)
       case "ceil" => ceil(a0)
       case "floor" => floor(a0)
@@ -347,8 +583,25 @@ final class Translator(g: PropertyGraph) {
       case "timestamp" => (unix_micros(current_timestamp()) / 1000).cast("long")
       case "date" => if (args.isEmpty) current_date() else to_date(a0)
       case "datetime" => if (args.isEmpty) current_timestamp() else to_timestamp(a0)
+      case "duration" => args.head match {
+        // duration('P1DT2H') ISO-8601 subset → an interval via SQL cast;
+        // duration({days: d, hours: h, ...}) map form is not parsed yet
+        case Lit(s: String) => expr(s"INTERVAL '${iso8601ToSparkInterval(s)}'")
+        case e => toCol(e)
+      }
       case other => call_function(other, args.map(toCol): _*)
     }
+  }
+
+  /** Minimal ISO-8601 duration → Spark interval literal text
+    * (reference temporal surface, `operator.rs:1265-1393`). */
+  private def iso8601ToSparkInterval(s: String): String = {
+    val m = java.util.regex.Pattern
+      .compile("P(?:(\\d+)D)?(?:T(?:(\\d+)H)?(?:(\\d+)M)?(?:(\\d+)S)?)?")
+      .matcher(s)
+    if (!m.matches()) throw new IllegalArgumentException(s"bad duration: $s")
+    def g(i: Int) = Option(m.group(i)).getOrElse("0")
+    s"${g(1)} ${g(2)}:${g(3)}:${g(4)}".trim + " DAY TO SECOND"
   }
 
   private def toAggCol(e: Expr): Column = e match {
@@ -369,7 +622,7 @@ final class Translator(g: PropertyGraph) {
         case "stdev" => stddev_samp(toCol(args.head))
         case "stdevp" => stddev_pop(toCol(args.head))
         case "percentilecont" => percentile(toCol(args.head), toCol(args(1)))
-        case "percentiledisc" => percentile(toCol(args.head), toCol(args(1)))
+        case "percentiledisc" => CypherFunctions.percentileDisc(toCol(args.head), toCol(args(1)))
       }
     case Fn(name, args, _) if !AggregateFns.contains(name.toLowerCase) =>
       scalarFn(name.toLowerCase, args, toAggCol) // e.g. round(sum(x), 2)
@@ -384,17 +637,19 @@ final class Translator(g: PropertyGraph) {
   }
 }
 
-/** Public entry: `QueryEngine.execute(cypher, graph)` — parse + translate +
-  * hand Catalyst the declarative plan (reference lifecycle §3.1 stages 1-3;
-  * stages 4+ are Spark). */
+/** Public entry: `QueryEngine.execute(cypher, graph[, params])` — parse +
+  * translate + hand Catalyst the declarative plan (reference lifecycle §3.1
+  * stages 1-3; stages 4+ are Spark). */
 object QueryEngine {
-  def execute(cypher: String, g: PropertyGraph): DataFrame =
-    new Translator(g).translate(CypherParser.parse(cypher))
+  def execute(cypher: String, g: PropertyGraph,
+              params: Map[String, Any] = Map.empty): DataFrame =
+    new Translator(g, params).translate(CypherParser.parse(cypher))
 
   /** Our planner's view + Catalyst's — reference EXPLAIN analog. */
-  def explain(cypher: String, g: PropertyGraph): String = {
+  def explain(cypher: String, g: PropertyGraph,
+              params: Map[String, Any] = Map.empty): String = {
     val ast = CypherParser.parse(cypher)
-    val df = new Translator(g).translate(ast)
+    val df = new Translator(g, params).translate(ast)
     s"AST: $ast\n\n${df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))}"
   }
 }

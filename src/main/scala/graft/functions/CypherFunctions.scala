@@ -80,6 +80,17 @@ object CypherFunctions {
     sequence(start, end, step)
   def isEmpty(c: Column): Column = size(c) === 0
 
+  // ---- aggregates (operator.rs percentileDisc) ----
+  /** SQL-standard discrete percentile: smallest element whose cumulative
+    * distribution >= p (1-based index ceil(p*n) into the sorted group).
+    * Built from sort_array(collect_list) — the two identical collect_list
+    * buffers are deduplicated by the physical aggregation, so this is one
+    * sort-based aggregate per group. */
+  def percentileDisc(c: Column, p: Column): Column = {
+    val arr = sort_array(collect_list(c))
+    element_at(arr, greatest(lit(1), ceil(p * size(arr)).cast("int")))
+  }
+
   // ---- 3VL predicates (ast.rs:367-390) ----
   def allIn(list: Column, p: Column => Column): Column = forall(list, p)
   def anyIn(list: Column, p: Column => Column): Column = exists(list, p)

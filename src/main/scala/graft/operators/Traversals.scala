@@ -84,31 +84,87 @@ object Traversals {
     */
   def varLengthExpand(edges: DataFrame, starts: DataFrame, startCol: String,
                       minHops: Int, maxHops: Int): DataFrame = {
-    require(minHops >= 1 && maxHops >= minHops, "need 1 <= min <= max")
-    val e = edges.select(col("src").as("_src"), col("dst").as("_dst"))
-    var frontier = starts.select(col(startCol).cast("long").as("start"))
+    require(minHops >= 0 && maxHops >= minHops, "need 0 <= min <= max")
+    // Each hop's frontier is materialized ONCE via eager localCheckpoint,
+    // which also replaces its logical plan with a tiny LogicalRDD. That keeps
+    // the per-hop plan (and the AQE plan-string events, which stringify the
+    // full tree per stage) CONSTANT-size — a persist() here instead nests the
+    // cached plans combinatorially and the driver burns minutes in
+    // generateTreeString. The growing visited set is a cheap UNION of those
+    // checkpointed frontiers and is never re-materialized.
+    val e = edges.select(col("src").cast("long").as("_src"), col("dst").cast("long").as("_dst"))
+      .localCheckpoint(true)
+    val start0 = starts.select(col(startCol).cast("long").as("start"))
       .distinct().withColumn("node", col("start"))
-    var visited = frontier.withColumn("hops", lit(0))
-    var out: DataFrame = null
+      .localCheckpoint(true)
+    var visited: DataFrame = start0
+    var frontier: DataFrame = start0
+    var out: DataFrame = if (minHops == 0) start0.withColumn("hops", lit(0)) else null
     var h = 1
-    while (h <= maxHops) {
+    var done = false
+    while (h <= maxHops && !done) {
       val next = frontier.join(e, frontier("node") === e("_src"))
         .select(col("start"), col("_dst").as("node")).distinct()
-        .join(visited.select(col("start").as("vs"), col("node").as("vn")),
-              col("start") === col("vs") && col("node") === col("vn"), "left_anti")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val reached = next.withColumn("hops", lit(h))
-      visited = visited.unionAll(reached).localCheckpoint(true)
-      if (h >= minHops) out = if (out == null) reached else out.unionAll(reached)
-      frontier = next
-      h += 1
+        .join(visited, Seq("start", "node"), "left_anti")
+        .localCheckpoint(true) // one job; frontier becomes a LogicalRDD
+      if (next.isEmpty) done = true // fixpoint: supports unbounded `*`
+      else {
+        if (h >= minHops) {
+          val reached = next.withColumn("hops", lit(h))
+          out = if (out == null) reached else out.unionAll(reached)
+        }
+        visited = visited.unionAll(next)
+        frontier = next
+        h += 1
+      }
     }
-    if (out == null) visited.filter(lit(false)) else out.localCheckpoint(true)
+    if (out == null) start0.withColumn("hops", lit(0)).filter(lit(false)) else out
+  }
+
+  /** varLengthExpand variant that also materializes ONE witness path per
+    * (start, node) — the lexicographically-smallest node-id sequence among
+    * the shortest (BFS min-depth) paths, so results are deterministic.
+    * Returns (start, node, hops, path: array<long> = [start .. node]).
+    * Powers named paths / `shortestPath()` (`operator.rs:7527-7714`,
+    * `ast.rs:204-208`): `length(p)` = hops, `nodes(p)` = path. */
+  def varLengthExpandPaths(edges: DataFrame, starts: DataFrame, startCol: String,
+                           minHops: Int, maxHops: Int): DataFrame = {
+    require(minHops >= 0 && maxHops >= minHops, "need 0 <= min <= max")
+    val e = edges.select(col("src").cast("long").as("_src"), col("dst").cast("long").as("_dst"))
+      .localCheckpoint(true)
+    val start0 = starts.select(col(startCol).cast("long").as("start")).distinct()
+      .select(col("start"), col("start").as("node"), array(col("start")).as("path"))
+      .localCheckpoint(true)
+    var visited: DataFrame = start0.select("start", "node")
+    var frontier: DataFrame = start0
+    var out: DataFrame = if (minHops == 0) start0.withColumn("hops", lit(0)) else null
+    var h = 1
+    var done = false
+    while (h <= maxHops && !done) {
+      val next = frontier.join(e, frontier("node") === e("_src"))
+        .select(col("start"), col("_dst").as("node"),
+          concat(col("path"), array(col("_dst"))).as("path"))
+        .join(visited, Seq("start", "node"), "left_anti")
+        .groupBy(col("start"), col("node")).agg(min(col("path")).as("path"))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        if (h >= minHops) {
+          val reached = next.withColumn("hops", lit(h))
+          out = if (out == null) reached else out.unionAll(reached)
+        }
+        visited = visited.unionAll(next.select("start", "node"))
+        frontier = next
+        h += 1
+      }
+    }
+    if (out == null) start0.withColumn("hops", lit(0)).filter(lit(false)) else out
   }
 
   /** Unweighted shortest-path length between a start set and all reachable
     * nodes (`ShortestPathOperator` BFS, `operator.rs:7527-7714`), bounded by
-    * maxIter. Returns (start, node, dist>=1). */
+    * maxIter; terminates early at the reachability fixpoint.
+    * Returns (start, node, dist>=1). */
   def shortestPathLengths(edges: DataFrame, starts: DataFrame, startCol: String,
                           maxIter: Int): DataFrame =
     varLengthExpand(edges, starts, startCol, 1, maxIter)

@@ -146,10 +146,11 @@ object Relational {
       .agg(countDistinct(col("c_mktsegment")).as("n_seg"), count(lit(1)).as("n"))
       .orderBy(col("c_nationkey"))),
 
-    // §2.5 collect(DISTINCT) — sorted for engine-stable comparison
+    // §2.5 collect(DISTINCT) — sorted + joined to a scalar string so the
+    // cross-engine compare never has to hash an array column
     "q_collect_list" -> ((s, d) => t(s, d, "customer")
       .groupBy(col("c_nationkey"))
-      .agg(sort_array(collect_set(col("c_mktsegment"))).as("segs"))
+      .agg(array_join(sort_array(collect_set(col("c_mktsegment"))), ",").as("segs"))
       .orderBy(col("c_nationkey"))),
 
     // §2.5 percentileCont
@@ -157,6 +158,14 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(CypherFunctions.roundC(percentile(col("l_quantity"), lit(0.5)), 4).as("p50"),
         CypherFunctions.roundC(percentile(col("l_quantity"), lit(0.9)), 4).as("p90"))
+      .orderBy(col("l_returnflag"))),
+
+    // §2.5 percentileDisc — true discrete percentile (actual group element)
+    "q_percentile_disc" -> ((s, d) => t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(CypherFunctions.percentileDisc(col("l_quantity"), lit(0.5)).as("p50"),
+        CypherFunctions.percentileDisc(col("l_quantity"), lit(0.9)).as("p90"),
+        CypherFunctions.percentileDisc(col("l_extendedprice"), lit(0.25)).as("p25_price"))
       .orderBy(col("l_returnflag"))),
 
     // §2.5 stDev / stDevP / variance
@@ -320,9 +329,11 @@ object Relational {
     "q_count_distinct" ->
       "SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_seg, count(*) AS n FROM customer GROUP BY 1 ORDER BY 1",
     "q_collect_list" ->
-      "SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segs FROM customer GROUP BY 1 ORDER BY 1",
+      "SELECT c_nationkey, array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segs FROM customer GROUP BY 1 ORDER BY 1",
     "q_percentile" ->
       "SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5), 4) AS p50, round(quantile_cont(l_quantity, 0.9), 4) AS p90 FROM lineitem GROUP BY 1 ORDER BY 1",
+    "q_percentile_disc" ->
+      "SELECT l_returnflag, quantile_disc(l_quantity, 0.5) AS p50, quantile_disc(l_quantity, 0.9) AS p90, quantile_disc(l_extendedprice, 0.25) AS p25_price FROM lineitem GROUP BY 1 ORDER BY 1",
     "q_stddev" ->
       "SELECT l_returnflag, round(stddev_samp(l_extendedprice), 2) AS sd, round(var_samp(l_quantity), 4) AS vr, round(stddev_pop(l_discount), 6) AS sdp FROM lineitem GROUP BY 1 ORDER BY 1",
     "q_having" ->

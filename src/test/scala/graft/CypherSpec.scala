@@ -29,13 +29,150 @@ class CypherSpec extends SparkSpec {
   private def run(cy: String) = QueryEngine.execute(cy, g)
 
   test("parser handles full clause structure") {
+    import graft.cypher.Ast.MatchClause
     val q = CypherParser.parse(
       "MATCH (a:Person {city: 'Paris'})-[r:KNOWS|WORKS_AT *1..3]->(b) " +
         "WHERE a.age > 20 AND NOT b.name = 'X' " +
         "RETURN DISTINCT a.name AS n, count(b) ORDER BY n DESC SKIP 1 LIMIT 5")
-    assert(q.matches.head.paths.head.rels.head.types == Seq("KNOWS", "WORKS_AT"))
-    assert(q.matches.head.paths.head.rels.head.maxHops == 3)
-    assert(q.returnDistinct && q.skip.contains(1L) && q.limit.contains(5L))
+    val m = q.first.clauses.collect { case c: MatchClause => c }.head
+    assert(m.paths.head.rels.head.types == Seq("KNOWS", "WORKS_AT"))
+    assert(m.paths.head.rels.head.maxHops == 3)
+    assert(q.first.ret.distinct && q.first.ret.skip.contains(1L) && q.first.ret.limit.contains(5L))
+  }
+
+  test("WITH barrier: aggregate then filter then continue") {
+    val r = run("MATCH (a:Person)-[:KNOWS]->(b) WITH a, count(b) AS n WHERE n >= 2 " +
+      "RETURN a.name AS name, n")
+      .as[(String, Long)].collect().toSeq
+    assert(r == Seq(("Alice", 2L)))
+  }
+
+  test("WITH chains two barriers") {
+    val r = run("MATCH (a:Person)-[:KNOWS]->(b) WITH a, count(b) AS n " +
+      "WITH sum(n) AS total RETURN total")
+      .as[Long].collect().toSeq
+    assert(r == Seq(3L))
+  }
+
+  test("WITH renames a node variable") {
+    val r = run("MATCH (a:Person {name: 'Alice'}) WITH a AS p MATCH (p)-[:KNOWS]->(b) " +
+      "RETURN b.name AS name ORDER BY name")
+      .as[String].collect().toSeq
+    assert(r == Seq("Bob", "Carol"))
+  }
+
+  test("UNWIND in clause order before MATCH") {
+    val r = run("UNWIND [1, 2] AS x MATCH (p:Person {name: 'Bob'}) RETURN x, p.name AS n ORDER BY x")
+      .as[(Long, String)].collect().toSeq
+    assert(r == Seq((1L, "Bob"), (2L, "Bob")))
+  }
+
+  test("two UNWINDs compose") {
+    val r = run("UNWIND [1, 2] AS x UNWIND [10, 20] AS y RETURN x, y ORDER BY x, y")
+      .as[(Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L)))
+  }
+
+  test("UNION and UNION ALL") {
+    val r = run("MATCH (p:Person {name: 'Alice'}) RETURN p.name AS n " +
+      "UNION MATCH (p:Person {name: 'Bob'}) RETURN p.name AS n")
+      .as[String].collect().toSeq.sorted
+    assert(r == Seq("Alice", "Bob"))
+    val r2 = run("MATCH (p:Person {name: 'Alice'}) RETURN p.name AS n " +
+      "UNION ALL MATCH (p:Person {name: 'Alice'}) RETURN p.name AS n")
+      .as[String].collect().toSeq
+    assert(r2 == Seq("Alice", "Alice"))
+  }
+
+  test("EXISTS subquery as semi-join") {
+    val r = run("MATCH (p:Person) WHERE EXISTS { (p)-[:WORKS_AT]->(:Company) } " +
+      "RETURN p.name AS name ORDER BY name")
+      .as[String].collect().toSeq
+    assert(r == Seq("Alice", "Carol"))
+  }
+
+  test("NOT EXISTS subquery as anti-join") {
+    val r = run("MATCH (p:Person) WHERE NOT EXISTS { (p)-[:WORKS_AT]->(:Company) } " +
+      "RETURN p.name AS name")
+      .as[String].collect().toSeq
+    assert(r == Seq("Bob"))
+  }
+
+  test("query parameters") {
+    val r = QueryEngine.execute(
+      "MATCH (p:Person) WHERE p.age > $minAge RETURN p.name AS name ORDER BY name",
+      g, Map("minAge" -> 28))
+      .as[String].collect().toSeq
+    assert(r == Seq("Alice", "Carol"))
+  }
+
+  test("parameter in property map") {
+    val r = QueryEngine.execute(
+      "MATCH (p:Person {name: $who}) RETURN p.age AS age", g, Map("who" -> "Bob"))
+      .as[Long].collect().toSeq
+    assert(r == Seq(25L))
+  }
+
+  test("list index and slice are 0-based") {
+    val r = run("RETURN [10, 20, 30][1] AS x, [10, 20, 30][-1] AS y, " +
+      "[10, 20, 30, 40][1..3] AS s")
+      .as[(Long, Long, Seq[Long])].collect().head
+    assert(r._1 == 20L && r._2 == 30L && r._3 == Seq(20L, 30L))
+  }
+
+  test("quantified predicates and reduce") {
+    val r = run("RETURN all(x IN [1, 2, 3] WHERE x > 0) AS a, " +
+      "any(x IN [1, 2, 3] WHERE x > 2) AS b, " +
+      "none(x IN [1, 2] WHERE x > 5) AS c, " +
+      "single(x IN [1, 2, 3] WHERE x = 2) AS d, " +
+      "reduce(acc = 0, x IN [1, 2, 3] | acc + x) AS e")
+      .as[(Boolean, Boolean, Boolean, Boolean, Long)].collect().head
+    assert(r == ((true, true, true, true, 6L)))
+  }
+
+  test("list comprehension") {
+    val r = run("RETURN [x IN [1, 2, 3, 4] WHERE x % 2 = 0 | x * 10] AS l")
+      .as[Seq[Long]].collect().head
+    assert(r == Seq(20L, 40L))
+  }
+
+  test("simple CASE") {
+    val r = run("MATCH (p:Person) RETURN p.name AS n, " +
+      "CASE p.city WHEN 'Paris' THEN 'fr' ELSE 'other' END AS c ORDER BY n")
+      .as[(String, String)].collect().toSeq
+    assert(r == Seq(("Alice", "fr"), ("Bob", "other"), ("Carol", "fr")))
+  }
+
+  test("shortestPath length and nodes") {
+    val r = run("MATCH p = shortestPath((a:Person {name: 'Alice'})-[:KNOWS*1..3]->(b:Person {name: 'Carol'})) " +
+      "RETURN length(p) AS len, nodes(p) AS ns")
+      .as[(Long, Seq[Long])].collect().head
+    assert(r._1 == 1L && r._2 == Seq(1L, 3L))
+  }
+
+  test("named fixed-length path") {
+    val r = run("MATCH p = (a:Person {name: 'Alice'})-[:KNOWS]->(b:Person {name: 'Bob'}) " +
+      "RETURN length(p) AS len, nodes(p) AS ns")
+      .as[(Long, Seq[Long])].collect().head
+    assert(r._1 == 1L && r._2 == Seq(1L, 2L))
+  }
+
+  test("keys and properties") {
+    val r = run("MATCH (p:Person {name: 'Alice'}) RETURN keys(p) AS k")
+      .as[Seq[String]].collect().head
+    assert(r.contains("name") && r.contains("age") && r.contains("city"))
+  }
+
+  test("unbounded var-length reaches fixpoint") {
+    val r = run("MATCH (a:Person {name: 'Alice'})-[:KNOWS*]->(b) RETURN b.name AS n ORDER BY n")
+      .as[String].collect().toSeq
+    assert(r == Seq("Bob", "Carol"))
+  }
+
+  test("zero-min var-length includes the start") {
+    val r = run("MATCH (a:Person {name: 'Alice'})-[:KNOWS*0..1]->(b) RETURN b.name AS n ORDER BY n")
+      .as[String].collect().toSeq
+    assert(r == Seq("Alice", "Bob", "Carol")) // hop 0 = Alice herself; Bob+Carol at hop 1
   }
 
   test("match + where + return") {
