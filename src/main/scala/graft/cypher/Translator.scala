@@ -222,7 +222,54 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
 
   // ---------- clause / path translation ----------
 
+  /** AND-conjuncts of an expression. */
+  private def conjuncts(e: Expr): Seq[Expr] = e match {
+    case Bin("AND", l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** Free variables of an expression (lambda-bound names excluded);
+    * EXISTS subqueries are marked non-pushable. */
+  private def refVars(e: Expr): Set[String] = e match {
+    case Var(n) => Set(n)
+    case Prop(v, _) => Set(v)
+    case Bin(_, l, r) => refVars(l) ++ refVars(r)
+    case Not(x) => refVars(x)
+    case IsNull(x, _) => refVars(x)
+    case StrPred(_, l, r) => refVars(l) ++ refVars(r)
+    case InList(x, l) => refVars(x) ++ refVars(l)
+    case Fn(_, args, _) => args.flatMap(refVars).toSet
+    case CaseExpr(s, bs, d) =>
+      (s.toSeq ++ bs.flatMap(b => Seq(b._1, b._2)) ++ d.toSeq).flatMap(refVars).toSet
+    case Index(l, i) => refVars(l) ++ refVars(i)
+    case Slice(l, f, t) => (Seq(l) ++ f ++ t).flatMap(refVars).toSet
+    case LambdaPred(_, v, l, p) => (refVars(l) ++ refVars(p)) - v
+    case ReduceExpr(a, i, v, l, b) => (refVars(i) ++ refVars(l) ++ refVars(b)) - a - v
+    case ListComp(v, l, p, b) =>
+      (refVars(l) ++ p.toSeq.flatMap(refVars) ++ b.toSeq.flatMap(refVars)) - v
+    case ExistsPattern(_, _) => Set("__nonpushable")
+    case ListLit(items) => items.flatMap(refVars).toSet
+    case _ => Set.empty
+  }
+
+  /** Single-variable WHERE conjuncts, keyed by that variable — these are
+    * pushed into the matching node scan BEFORE any expansion (the traversal
+    * analog of predicate pushdown: filter 20 start nodes, then expand, rather
+    * than expanding every node and filtering millions of pairs). The full
+    * WHERE is still applied afterwards (idempotent for conjuncts). */
+  private var pushFilters: Map[String, Seq[Expr]] = Map.empty
+
   private def translateClause(clause: MatchClause): (DataFrame, Set[String], Set[String]) = {
+    val savedPush = pushFilters
+    pushFilters = clause.where.map(w =>
+      conjuncts(w).filter(c => refVars(c).size == 1 &&
+          !refVars(c).contains("__nonpushable") &&
+          !refVars(c).exists(scalarVars.contains))
+        .groupBy(c => refVars(c).head)).getOrElse(Map.empty)
+    try translateClauseInner(clause) finally pushFilters = savedPush
+  }
+
+  private def translateClauseInner(clause: MatchClause): (DataFrame, Set[String], Set[String]) = {
     var df: DataFrame = null
     var vars: Set[String] = Set.empty
     var paths: Set[String] = Set.empty
@@ -309,9 +356,17 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
     df.select(df.columns.map(c => col(c).as(s"${v}__$c")): _*)
 
   private def scanNode(n: NodePat, v: String): DataFrame = {
-    var df = n.labels.foldLeft(g.nodes)((d, l) => d.filter(array_contains(col("labels"), l)))
+    // first label resolves through the per-label store (prunes the node
+    // union); extra labels filter the already-pruned frame
+    var df = n.labels match {
+      case Seq() => g.nodes
+      case l +: rest =>
+        rest.foldLeft(g.nodesWithLabel(l))((d, l2) => d.filter(array_contains(col("labels"), l2)))
+    }
     for ((k, value) <- n.props) df = df.filter(col(k) === toCol(value))
-    prefixAll(df, v)
+    var out = prefixAll(df, v)
+    for (c <- pushFilters.getOrElse(v, Nil)) out = out.filter(toCol(c))
+    out
   }
 
   /** Oriented candidate edges for one hop: (__from, __to, <relVar>__*). */

@@ -36,31 +36,42 @@ object GraphLoader {
 
     val lineId = (lit(LineOff) + col("l_orderkey") * 8 + col("l_linenumber")).cast("long")
 
-    val nodes =
-      cust.select(col("c_custkey").cast("long").as("id"),
-        array(lit("Customer")).as("labels"), col("c_name").as("name"),
-        col("c_acctbal").as("balance"))
-      .unionByName(ord.select((col("o_orderkey") + OrderOff).cast("long").as("id"),
-        array(lit("Order")).as("labels"), col("o_orderstatus").as("name"),
-        col("o_totalprice").as("balance")))
-      .unionByName(part.select((col("p_partkey") + PartOff).cast("long").as("id"),
-        array(lit("Part")).as("labels"), col("p_name").as("name"),
-        col("p_retailprice").as("balance")))
-      .unionByName(supp.select((col("s_suppkey") + SuppOff).cast("long").as("id"),
-        array(lit("Supplier")).as("labels"), col("s_name").as("name"),
-        col("s_acctbal").as("balance")))
-      .unionByName(nat.select((col("n_nationkey") + NationOff).cast("long").as("id"),
-        array(lit("Nation")).as("labels"), col("n_name").as("name"),
-        lit(null).cast("double").as("balance")))
-      .unionByName(reg.select((col("r_regionkey") + RegionOff).cast("long").as("id"),
-        array(lit("Region")).as("labels"), col("r_name").as("name"),
-        lit(null).cast("double").as("balance")))
-      // lineitem nodes: (l_orderkey, l_linenumber) is NOT unique in the
-      // testdata so ids collide — constant props keep the id-dedup
-      // deterministic
-      .unionByName(li.select(lineId.as("id"),
-        array(lit("Lineitem")).as("labels"), lit(null).cast("string").as("name"),
-        lit(null).cast("double").as("balance")).dropDuplicates("id"))
+    // Per-label node tables — kept individually (the columnar label index,
+    // reference `store.rs:558`) so `MATCH (n:Label)` reads ONE table; the
+    // all-nodes view below unions them for unlabeled patterns.
+    val custNodes = cust.select(col("c_custkey").cast("long").as("id"),
+      array(lit("Customer")).as("labels"), col("c_name").as("name"),
+      col("c_acctbal").as("balance"))
+    val ordNodes = ord.select((col("o_orderkey") + OrderOff).cast("long").as("id"),
+      array(lit("Order")).as("labels"), col("o_orderstatus").as("name"),
+      col("o_totalprice").as("balance"))
+    val partNodes = part.select((col("p_partkey") + PartOff).cast("long").as("id"),
+      array(lit("Part")).as("labels"), col("p_name").as("name"),
+      col("p_retailprice").as("balance"))
+    val suppNodes = supp.select((col("s_suppkey") + SuppOff).cast("long").as("id"),
+      array(lit("Supplier")).as("labels"), col("s_name").as("name"),
+      col("s_acctbal").as("balance"))
+    val natNodes = nat.select((col("n_nationkey") + NationOff).cast("long").as("id"),
+      array(lit("Nation")).as("labels"), col("n_name").as("name"),
+      lit(null).cast("double").as("balance"))
+    val regNodes = reg.select((col("r_regionkey") + RegionOff).cast("long").as("id"),
+      array(lit("Region")).as("labels"), col("r_name").as("name"),
+      lit(null).cast("double").as("balance"))
+    // lineitem nodes: (l_orderkey, l_linenumber) is NOT unique in the
+    // testdata so ids collide — constant props keep the id-dedup
+    // deterministic
+    val liNodes = li.select(lineId.as("id"),
+      array(lit("Lineitem")).as("labels"), lit(null).cast("string").as("name"),
+      lit(null).cast("double").as("balance")).dropDuplicates("id")
+
+    val byLabel = Map(
+      "Customer" -> custNodes, "Order" -> ordNodes, "Part" -> partNodes,
+      "Supplier" -> suppNodes, "Nation" -> natNodes, "Region" -> regNodes,
+      "Lineitem" -> liNodes)
+
+    val nodes = custNodes
+      .unionByName(ordNodes).unionByName(partNodes).unionByName(suppNodes)
+      .unionByName(natNodes).unionByName(regNodes).unionByName(liNodes)
 
     val edges =
       ord.select((col("o_orderkey") + OrderOff).cast("long").as("id"),
@@ -92,7 +103,7 @@ object GraphLoader {
           (col("n_regionkey") + RegionOff).cast("long").as("dst"),
           lit("IN_REGION").as("relationship"), lit(null).cast("double").as("weight")))
 
-    PropertyGraph(nodes, edges)
+    PropertyGraph(nodes, edges, byLabel)
   }
 
   /** Generic CSV loader into the canonical layout (reference CSV bulk load,

@@ -23,12 +23,18 @@ import org.apache.spark.sql.functions._
   * ones. At cluster scale, partition `edges` by `src` (and optionally keep a
   * dst-partitioned copy) so expand() joins co-locate.
   */
-final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
+final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
+                               byLabel: Map[String, DataFrame] = Map.empty) {
 
   /** Nodes carrying `label` — the reference's label_index scan
-    * (`src/graph/store.rs:558`) becomes a pushable predicate. */
+    * (`src/graph/store.rs:558`). When the loader registered a per-label
+    * DataFrame (the columnar analog of the reference's label index), a label
+    * scan reads ONLY that table — the multi-branch union (and any dedup
+    * inside it) is never touched. Otherwise falls back to a pushable
+    * array_contains predicate, which Catalyst folds to prune union branches
+    * wherever the branch's labels are a literal. */
   def nodesWithLabel(label: String): DataFrame =
-    nodes.filter(array_contains(col("labels"), label))
+    byLabel.getOrElse(label, nodes.filter(array_contains(col("labels"), label)))
 
   /** Edges of one relationship type (`edge_type_index`, `store.rs:562`). */
   def edgesOfType(rel: String*): DataFrame =

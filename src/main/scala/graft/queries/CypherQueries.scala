@@ -14,6 +14,9 @@ object CypherQueries {
   private def run(cy: String)(s: SparkSession, d: String): DataFrame =
     QueryEngine.execute(cy, GraphLoader.tpch(s, d))
 
+  private def runP(cy: String, params: Map[String, Any])(s: SparkSession, d: String): DataFrame =
+    QueryEngine.execute(cy, GraphLoader.tpch(s, d), params)
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §7.2 flagship slice: scan+filter+expand+agg+sort+limit
     "q_cypher_match_agg" -> (run(
@@ -82,7 +85,85 @@ object CypherQueries {
       """MATCH (o:Order)
         |RETURN id(o) AS oid, o.balance AS price
         |ORDER BY price DESC, oid
-        |SKIP 5 LIMIT 10""".stripMargin) _))
+        |SKIP 5 LIMIT 10""".stripMargin) _),
+
+    // §2.7 WITH barrier: aggregate → HAVING-style filter (WithBarrierOperator)
+    "q_cypher_with_agg" -> (run(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WITH c, count(o) AS n, round(sum(o.balance), 2) AS rev
+        |WHERE n >= 10
+        |RETURN id(c) AS cid, n, rev
+        |ORDER BY cid""".stripMargin) _),
+
+    // §2.7 WITH: aggregate → filter → expand (the reference's canonical
+    // multi-stage pipeline shape)
+    "q_cypher_with_expand" -> (run(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WITH c, sum(o.balance) AS rev
+        |WHERE rev > 2000000
+        |MATCH (c)-[:IN_NATION]->(n:Nation)
+        |RETURN n.name AS nation, count(c) AS n_big, round(sum(rev), 2) AS total
+        |ORDER BY nation""".stripMargin) _),
+
+    // §2.7 chained WITH barriers re-aggregating each stage
+    "q_cypher_with_chain" -> (run(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WITH c, count(o) AS n
+        |WITH CASE WHEN n >= 15 THEN 'many' WHEN n >= 5 THEN 'some' ELSE 'few' END AS bucket, n
+        |WITH bucket, count(n) AS customers, round(avg(n), 4) AS avg_orders
+        |RETURN bucket, customers, avg_orders
+        |ORDER BY bucket""".stripMargin) _),
+
+    // §2.7 WITH ... ORDER BY ... LIMIT mid-pipeline (top-k then continue)
+    "q_cypher_with_topk" -> (run(
+      """MATCH (o:Order)
+        |WITH o ORDER BY o.balance DESC, id(o) LIMIT 10
+        |RETURN id(o) AS oid, round(o.balance, 2) AS price
+        |ORDER BY oid""".stripMargin) _),
+
+    // §2.7 EXISTS subquery in WHERE (semi-join lowering)
+    "q_cypher_exists" -> (run(
+      """MATCH (c:Customer)
+        |WHERE EXISTS { (c)-[:PLACED]->(o:Order {name: 'P'}) }
+        |RETURN id(c) AS cid
+        |ORDER BY cid""".stripMargin) _),
+
+    // §2.7 NOT EXISTS (anti-join lowering)
+    "q_cypher_not_exists" -> (run(
+      """MATCH (c:Customer)
+        |WHERE NOT EXISTS { (c)-[:PLACED]->(o:Order {name: 'P'}) }
+        |RETURN id(c) AS cid
+        |ORDER BY cid""".stripMargin) _),
+
+    // §2.6 UNION (distinct) between full queries
+    "q_cypher_union" -> (run(
+      """MATCH (:Customer)-[:IN_NATION]->(n) RETURN id(n) AS nid
+        |UNION
+        |MATCH (:Supplier)-[:IN_NATION]->(n) RETURN id(n) AS nid""".stripMargin) _),
+
+    // query parameters $p (reference cypher.pest:136-137)
+    "q_cypher_param" -> (runP(
+      """MATCH (c:Customer)-[:PLACED]->(o:Order)
+        |WHERE o.balance > $minTotal AND id(c) < $maxId
+        |RETURN id(c) AS cid, count(o) AS n
+        |ORDER BY cid""".stripMargin,
+      Map("minTotal" -> 150000.0, "maxId" -> 200L)) _),
+
+    // shortestPath() + named path: length(p) (ShortestPathOperator)
+    "q_cypher_shortestpath" -> (run(
+      """MATCH p = shortestPath((c:Customer)-[*1..3]->(n:Nation))
+        |WHERE id(c) < 20
+        |RETURN id(c) AS cid, id(n) AS nid, length(p) AS len
+        |ORDER BY cid, nid""".stripMargin) _),
+
+    // list index / reduce / quantified predicate in projections
+    "q_cypher_listops" -> (run(
+      """MATCH (c:Customer)
+        |WHERE id(c) < 100
+        |RETURN id(c) AS cid, split(c.name, '#')[1] AS num,
+        |       reduce(acc = 0, x IN range(1, 3) | acc + x) AS s,
+        |       all(x IN range(1, 2) WHERE x > 0) AS b
+        |ORDER BY cid""".stripMargin) _))
 
   val oracles: Map[String, String] = Map(
     "q_cypher_match_agg" ->
@@ -115,5 +196,25 @@ object CypherQueries {
     "q_cypher_unwind" ->
       "SELECT CAST(1200000000 + n_nationkey AS BIGINT) AS nid, CAST(i AS BIGINT) AS i FROM nation, (SELECT unnest([1, 2, 3]) AS i) t ORDER BY 1, 2",
     "q_cypher_skip_limit" ->
-      "SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS oid, o_totalprice AS price FROM orders ORDER BY price DESC, oid LIMIT 10 OFFSET 5")
+      "SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS oid, o_totalprice AS price FROM orders ORDER BY price DESC, oid LIMIT 10 OFFSET 5",
+    "q_cypher_with_agg" ->
+      "SELECT CAST(c_custkey AS BIGINT) AS cid, count(*) AS n, round(sum(o_totalprice), 2) AS rev FROM customer JOIN orders ON o_custkey = c_custkey GROUP BY 1 HAVING count(*) >= 10 ORDER BY 1",
+    "q_cypher_with_expand" ->
+      "SELECT n_name AS nation, count(*) AS n_big, round(sum(rev), 2) AS total FROM (SELECT c_custkey, c_nationkey, sum(o_totalprice) AS rev FROM orders JOIN customer ON c_custkey = o_custkey GROUP BY 1, 2 HAVING sum(o_totalprice) > 2000000) t JOIN nation ON n_nationkey = c_nationkey GROUP BY 1 ORDER BY 1",
+    "q_cypher_with_chain" ->
+      "SELECT bucket, count(*) AS customers, round(avg(n), 4) AS avg_orders FROM (SELECT CASE WHEN n >= 15 THEN 'many' WHEN n >= 5 THEN 'some' ELSE 'few' END AS bucket, n FROM (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)) GROUP BY 1 ORDER BY 1",
+    "q_cypher_with_topk" ->
+      "SELECT oid, price FROM (SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS oid, round(o_totalprice, 2) AS price FROM orders ORDER BY o_totalprice DESC, oid LIMIT 10) ORDER BY oid",
+    "q_cypher_exists" ->
+      "SELECT CAST(c_custkey AS BIGINT) AS cid FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P') ORDER BY 1",
+    "q_cypher_not_exists" ->
+      "SELECT CAST(c_custkey AS BIGINT) AS cid FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P') ORDER BY 1",
+    "q_cypher_union" ->
+      "SELECT nid FROM (SELECT CAST(1200000000 + c_nationkey AS BIGINT) AS nid FROM customer UNION SELECT CAST(1200000000 + s_nationkey AS BIGINT) AS nid FROM supplier)",
+    "q_cypher_param" ->
+      "SELECT CAST(c_custkey AS BIGINT) AS cid, count(*) AS n FROM customer JOIN orders ON o_custkey = c_custkey WHERE o_totalprice > 150000.0 AND c_custkey < 200 GROUP BY 1 ORDER BY 1",
+    "q_cypher_shortestpath" ->
+      "SELECT CAST(c_custkey AS BIGINT) AS cid, CAST(1200000000 + c_nationkey AS BIGINT) AS nid, CAST(1 AS INTEGER) AS len FROM customer WHERE c_custkey < 20 ORDER BY 1, 2",
+    "q_cypher_listops" ->
+      "SELECT CAST(c_custkey AS BIGINT) AS cid, string_split(c_name, '#')[2] AS num, CAST(6 AS BIGINT) AS s, true AS b FROM customer WHERE c_custkey < 100 ORDER BY 1")
 }

@@ -96,6 +96,11 @@ object GraphQueries {
         .orderBy(col("start"), col("node"))
     }),
 
+    // §2.1 EdgeTypeCountOperator (per-relationship-type count store)
+    "q_edge_type_count" -> ((s, d) => GraphLoader.tpch(s, d).edges
+      .groupBy(col("relationship")).agg(count(lit(1)).as("n"))
+      .orderBy(col("relationship"))),
+
     // §2.5 ADR-017 adjacency-count (degree) aggregate
     "q_degree" -> ((s, d) => GraphLoader.tpch(s, d).degrees
       .filter(col("id") < 10000000L)
@@ -176,6 +181,8 @@ object GraphQueries {
         |SELECT start, node, hops FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3) ORDER BY start, node""".stripMargin),
     "q_shortest_path" ->
       "SELECT CAST(c_custkey AS BIGINT) AS start, CAST(1300000000 + n_regionkey AS BIGINT) AS node, 2 AS hops FROM customer JOIN nation ON c_nationkey = n_nationkey WHERE c_custkey < 20 ORDER BY 1, 2",
+    "q_edge_type_count" ->
+      "SELECT relationship, n FROM (SELECT 'PLACED' AS relationship, count(*) AS n FROM orders UNION ALL SELECT 'CONTAINS', count(*) FROM lineitem UNION ALL SELECT 'HAS_PART', count(*) FROM lineitem UNION ALL SELECT 'SUPPLIED_BY', count(*) FROM lineitem UNION ALL SELECT 'IN_NATION', (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier) UNION ALL SELECT 'IN_REGION', count(*) FROM nation) ORDER BY 1",
     "q_degree" ->
       "SELECT CAST(c_custkey AS BIGINT) AS id, CAST(1 + (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS BIGINT) AS degree FROM customer ORDER BY 1",
     "q_wcc" ->
