@@ -1,0 +1,98 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph write path (SURVEY §2.8) as BATCH DataFrame transforms.
+  *
+  * The reference mutates an in-memory store under MVCC
+  * (`operator.rs:5157-7424`: CreateOperator, MergeOperator, DeleteOperator,
+  * SetOperator). A Spark analytics engine is immutable-by-design, so each
+  * mutation produces a NEW PropertyGraph whose nodes/edges DataFrames are
+  * derived declaratively:
+  *
+  *   - CREATE  = unionByName append
+  *   - MERGE   = anti-join split (matched / created) + ON MATCH / ON CREATE
+  *               column overwrite + union
+  *   - DELETE  = anti-join on the id set (DETACH also anti-joins edges on
+  *               both endpoints)
+  *   - SET     = conditional column overwrite in ONE projection (atomic —
+  *               assignments never observe each other's writes)
+  *   - REMOVE  = SET to NULL of the column's type
+  *
+  * All shapes are one shuffle (or none, when the id set broadcasts) — they
+  * scale like any join. The per-label index is dropped on mutation (the
+  * label→DataFrame map would go stale); label scans fall back to the pushable
+  * predicate.
+  */
+object GraphMutations {
+
+  /** CREATE nodes (reference `operator.rs:5157-6167`). Caller is responsible
+    * for id-space discipline; duplicate ids are NOT checked (use mergeNodes
+    * for insert-if-absent). */
+  def createNodes(g: PropertyGraph, rows: DataFrame): PropertyGraph =
+    PropertyGraph(g.nodes.unionByName(rows, allowMissingColumns = true), g.edges)
+
+  /** CREATE edges. */
+  def createEdges(g: PropertyGraph, rows: DataFrame): PropertyGraph =
+    PropertyGraph(g.nodes, g.edges.unionByName(rows, allowMissingColumns = true))
+
+  /** MERGE nodes by id (reference `operator.rs:7304-7424`):
+    * existing nodes whose id appears in `incoming` get `onMatchSet` applied;
+    * incoming rows whose id is absent are appended after `onCreateSet`. */
+  def mergeNodes(g: PropertyGraph, incoming: DataFrame,
+                 onCreateSet: Map[String, Column] = Map.empty,
+                 onMatchSet: Map[String, Column] = Map.empty): PropertyGraph = {
+    val incIds = incoming.select(col("id")).distinct()
+    val untouched = g.nodes.join(incIds, Seq("id"), "left_anti")
+    val matched = applySet(g.nodes.join(incIds, Seq("id"), "left_semi"), lit(true), onMatchSet)
+    val created = applySet(
+      incoming.join(g.nodes.select(col("id")), Seq("id"), "left_anti"), lit(true), onCreateSet)
+    PropertyGraph(
+      untouched.unionByName(matched).unionByName(created, allowMissingColumns = true),
+      g.edges)
+  }
+
+  /** DELETE nodes by id set; DETACH also removes incident edges
+    * (reference `operator.rs:7023-7089` — plain DELETE on a connected node is
+    * an error there; here `detach=false` simply leaves the edges). */
+  def deleteNodes(g: PropertyGraph, ids: DataFrame, detach: Boolean = true): PropertyGraph = {
+    val idc = ids.select(ids.columns.head).toDF("id").distinct()
+    val n = g.nodes.join(idc, Seq("id"), "left_anti")
+    val e =
+      if (!detach) g.edges
+      else g.edges
+        .join(idc.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        .join(idc.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+    PropertyGraph(n, e)
+  }
+
+  /** DELETE edges by id set. */
+  def deleteEdges(g: PropertyGraph, ids: DataFrame): PropertyGraph =
+    PropertyGraph(g.nodes,
+      g.edges.join(ids.select(ids.columns.head).toDF("id").distinct(), Seq("id"), "left_anti"))
+
+  /** SET node properties where `pred` holds (reference `operator.rs:7090-7228`).
+    * All assignments are applied in one projection, so they observe the
+    * PRE-update values (statement semantics, not sequential withColumn). */
+  def setNodeProps(g: PropertyGraph, pred: Column,
+                   assigns: Map[String, Column]): PropertyGraph =
+    PropertyGraph(applySet(g.nodes, pred, assigns), g.edges)
+
+  /** SET edge properties where `pred` holds. */
+  def setEdgeProps(g: PropertyGraph, pred: Column,
+                   assigns: Map[String, Column]): PropertyGraph =
+    PropertyGraph(g.nodes, applySet(g.edges, pred, assigns))
+
+  /** REMOVE node properties where `pred` holds — NULL of the column's type. */
+  def removeNodeProps(g: PropertyGraph, pred: Column, keys: Seq[String]): PropertyGraph = {
+    val types = g.nodes.schema.fields.map(f => f.name -> f.dataType).toMap
+    setNodeProps(g, pred,
+      keys.map(k => k -> lit(null).cast(types(k))).toMap)
+  }
+
+  private def applySet(df: DataFrame, pred: Column, assigns: Map[String, Column]): DataFrame =
+    if (assigns.isEmpty) df
+    else df.select(df.columns.map(c =>
+      assigns.get(c).map(v => when(pred, v).otherwise(col(c)).as(c)).getOrElse(col(c))): _*)
+}
