@@ -130,17 +130,21 @@ object Dedup {
     agg.select(col("doc"), fp.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance <= maxHamming, via 4-byte
-    * band join (pigeonhole: distance<=3 pairs must agree on >=1 of 4 bytes). */
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, via 8
+    * 4-bit-band join — pigeonhole: a pair at distance <= 7 differs in at most
+    * 7 of the 8 nibbles, so it MUST agree on >= 1 band. (4 byte-bands would
+    * only guarantee distance <= 3; the band count is sized to the maxHamming
+    * the API accepts.) */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 7, s"8-band pigeonhole guarantees recall only for hamming <= 7, got $maxHamming")
     val fp = simHash(docs, idCol, textCol).cache()
     val banded = fp.select(col("doc"), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), i * 8).bitwiseAND(0xFF)): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "byte")
+      posexplode(array((0 until 8).map(i =>
+        shiftright(col("simhash"), i * 4).bitwiseAND(0xF)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "nibble")
     val a = banded.as("a"); val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
+    a.join(b, col("a.band") === col("b.band") && col("a.nibble") === col("b.nibble") &&
         col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("i"), col("b.doc").as("j"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
@@ -149,11 +153,18 @@ object Dedup {
   }
 
   /** Embedding cosine near-duplicate pairs above `threshold`.
-    * Exact all-pairs for oracle-checkable small corpora; at scale set
-    * `lshBits > 0` to bucket with sign-LSH first (candidates only). */
+    *
+    * `lshBits = 0` → exact all-pairs (the oracle path; O(n²), small corpora
+    * only). `lshBits > 0` → multi-table sign-LSH: `lshTables` independent
+    * hyperplane sets; a pair is a candidate iff it collides in ANY table's
+    * bucket, then candidates are verified with the exact cosine. Recall for
+    * a pair with bit-agreement probability p is 1-(1-p^bits)^tables — size
+    * (bits, tables) to the similarity regime (fewer bits + more tables for
+    * lower-cosine targets). Candidate generation touches only colliding
+    * pairs; the full cross join never happens. */
   def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, lshBits: Int = 0, dim0: Int = 0,
-                            seed: Long = 42L): DataFrame = {
+                            seed: Long = 42L, lshTables: Int = 1): DataFrame = {
     val dim = if (dim0 > 0) dim0 else VectorSearch.detectDim(emb, vecCol)
     // pre-normalize each side ONCE (unrolled codegen'd norm) so the pair
     // condition is a single dot product, not dot + two norms
@@ -165,14 +176,29 @@ object Dedup {
           VectorSearch.l2Norm(col(vecCol), dim).as("nb"))
         a.join(b, col("i") < col("j"))
       } else {
-        val planes = VectorSearch.hyperplanes(dim, lshBits, seed)
+        val buckets = (0 until lshTables).map { t =>
+          val planes = VectorSearch.hyperplanes(dim, lshBits, seed + t)
+          struct(lit(t).as("t"), VectorSearch.lshBucketCompact(col(vecCol), planes).as("b"))
+        }
+        // Materialize the bucket projection ONCE (eager checkpoint): the
+        // tables×bits unrolled plane dots are a huge codegen'd expression, and
+        // without the cut it is inlined into BOTH self-join children (and the
+        // broadcast build side), exploding generated-code size superlinearly.
+        // After the cut the join children are plain scans of the materialized
+        // relation — which is also the right shape at 100 TB (compute buckets
+        // once, write out partitioned by (table, bucket), then join).
         val withB = emb.select(col(idCol), col(vecCol),
-          VectorSearch.lshBucket(col(vecCol), planes).as("_bkt"))
-        val a = withB.select(col(idCol).as("i"), col(vecCol).as("va"),
-          VectorSearch.l2Norm(col(vecCol), dim).as("na"), col("_bkt"))
-        val b = withB.select(col(idCol).as("j"), col(vecCol).as("vb"),
-          VectorSearch.l2Norm(col(vecCol), dim).as("nb"), col("_bkt").as("_bkt2"))
-        a.join(b, col("_bkt") === col("_bkt2") && col("i") < col("j"))
+            VectorSearch.l2Norm(col(vecCol), dim).as("_n"),
+            array(buckets: _*).as("_tbs"))
+          .localCheckpoint(true)
+        val banded = withB.select(col(idCol), col(vecCol), col("_n"),
+          explode(col("_tbs")).as("_tb"))
+        val a = banded.select(col(idCol).as("i"), col(vecCol).as("va"),
+          col("_n").as("na"), col("_tb"))
+        val b = banded.select(col(idCol).as("j"), col(vecCol).as("vb"),
+          col("_n").as("nb"), col("_tb").as("_tb2"))
+        a.join(b, col("_tb") === col("_tb2") && col("i") < col("j"))
+          .dropDuplicates("i", "j")
       }
     base.select(col("i"), col("j"),
         (VectorSearch.dot(col("va"), col("vb"), dim) / (col("na") * col("nb"))).as("cosine"))

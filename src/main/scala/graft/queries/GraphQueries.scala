@@ -145,21 +145,57 @@ object GraphQueries {
       .select(col("id"), col("deg"), col("triangles"), CypherFunctions.roundC(col("lcc"), 4).as("lcc"))
       .orderBy(col("id"))),
 
-    // §2.10 algo.pageRank on the co-purchase graph (no SQL oracle — iterative)
+    // §2.10 algo.pageRank on the co-purchase graph — oracled by 8 chained
+    // DuckDB CTE iterations (round 6: absorbs summation-order ULPs)
     "q_pagerank" -> ((s, d) => {
       val und = copurchase(s, d)
       val e = und.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
-      Algorithms.pageRank(e, 8).select(col("id"), CypherFunctions.roundC(col("rank"), 8).as("rank"))
+      Algorithms.pageRank(e, 8).select(col("id"), CypherFunctions.roundC(col("rank"), 6).as("rank"))
         .orderBy(col("id"))
     }),
 
-    // §2.10 algo.cdlp on the co-purchase graph (no SQL oracle — iterative)
+    // §2.10 algo.cdlp on the co-purchase graph — oracled by 5 chained
+    // argmax-label CTE iterations
     "q_cdlp" -> ((s, d) => {
       val und = copurchase(s, d)
       val e = und.select(col("a").as("src"), col("b").as("dst"))
       Algorithms.cdlp(e, 5).orderBy(col("id"))
     }))
+
+  /** PageRank as `iters` chained CTEs (both-direction co-purchase graph has
+    * no dangling vertices, so the damped update needs no dangling term).
+    * Constants are interpolated from the SAME Scala doubles the Spark side
+    * uses, so both engines parse bit-identical literals. */
+  private def pagerankOracle(iters: Int, damping: Double): String = {
+    val sb = new StringBuilder(CopurchaseCte)
+    sb.append(", e AS (SELECT a AS src, b AS dst FROM pe UNION ALL SELECT b, a FROM pe)")
+    sb.append(", v AS (SELECT DISTINCT src AS id FROM e)")
+    sb.append(", nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v)")
+    sb.append(", deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1)")
+    sb.append(", r0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM v)")
+    for (i <- 1 to iters)
+      sb.append(s", r$i AS (SELECT v.id, ${1 - damping}/(SELECT n FROM nn) + $damping * coalesce(s.recv, 0.0) AS rank" +
+        s" FROM v LEFT JOIN (SELECT e.dst AS id, sum(r.rank / deg.deg) AS recv" +
+        s" FROM r${i - 1} r JOIN deg ON deg.id = r.id JOIN e ON e.src = r.id GROUP BY 1) s ON s.id = v.id)")
+    sb.append(s" SELECT id, round(rank, 6) AS rank FROM r$iters ORDER BY id")
+    sb.toString
+  }
+
+  /** CDLP as `iters` chained CTEs: argmax neighbor-label frequency, ties to
+    * the minimum label (row_number over count DESC, label ASC). */
+  private def cdlpOracle(iters: Int): String = {
+    val sb = new StringBuilder(CopurchaseCte)
+    sb.append(", e AS (SELECT a AS src, b AS dst FROM pe UNION ALL SELECT b, a FROM pe)")
+    sb.append(", v AS (SELECT DISTINCT src AS id FROM e)")
+    sb.append(", l0 AS (SELECT id, id AS label FROM v)")
+    for (i <- 1 to iters)
+      sb.append(s", l$i AS (SELECT id, label FROM (SELECT e.dst AS id, l.label," +
+        s" row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, l.label ASC) AS rn" +
+        s" FROM e JOIN l${i - 1} l ON l.id = e.src GROUP BY e.dst, l.label) WHERE rn = 1)")
+    sb.append(s" SELECT id, label FROM l$iters ORDER BY id")
+    sb.toString
+  }
 
   val oracles: Map[String, String] = Map(
     "q_expand_1hop" ->
@@ -218,6 +254,8 @@ object GraphQueries {
         | UNION ALL SELECT nid, minq FROM nmin
         | UNION ALL SELECT CAST(1000000000 + l_partkey AS BIGINT), min(minq + l_extendedprice) FROM l0 JOIN nmin USING (nid) GROUP BY l_partkey
         |) ORDER BY id""".stripMargin,
+    "q_pagerank" -> pagerankOracle(8, 0.85),
+    "q_cdlp" -> cdlpOracle(5),
     "q_triangle_count" -> (CopurchaseCte +
       " SELECT count(*) AS triangles FROM pe e1 JOIN pe e2 ON e1.b = e2.a JOIN pe e3 ON e1.a = e3.a AND e2.b = e3.b"),
     "q_lcc" -> (CopurchaseCte +

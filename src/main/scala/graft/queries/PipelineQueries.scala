@@ -33,28 +33,48 @@ object PipelineQueries {
       Dedup.exactDupGroups(dup, "doc_id", "text").orderBy(col("doc_id"))
     }),
 
-    // dedup: exact n-gram (5-word shingle) Jaccard pairs >= 0.5
+    // dedup: exact n-gram (5-word shingle) Jaccard pairs >= 0.5, with the
+    // stop-shingle document-frequency cap ON (the 100 TB-safe configuration —
+    // a shingle shared by >10k docs is a stop phrase, not a dup signal)
     "q_ngram_jaccard" -> ((s, d) =>
-      Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 5, 0.5)
+      Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text", 5, 0.5, maxDocFreq = 10000)
         .select(col("i"), col("j"), CypherFunctions.roundC(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("i"), col("j"))),
 
-    // dedup: embedding-cosine near-dup pairs >= 0.45 (exact all-pairs)
+    // dedup: embedding-cosine near-dup pairs >= 0.45 through the SCALABLE
+    // multi-table sign-LSH path (bucket-collision candidates + exact verify),
+    // oracled against DuckDB's exact all-pairs result — LSH recall at this
+    // (bits, tables) sizing is 1 on the planted pairs
     "q_dedup_embedding" -> ((s, d) =>
-      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.45)
+      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.45,
+        lshBits = 2, lshTables = 24)
         .select(col("i"), col("j"), CypherFunctions.roundC(col("cosine"), 4).as("cosine"))
         .orderBy(col("i"), col("j"))),
 
-    // dedup: MinHash+LSH near-dup candidates (no SQL oracle — seeded murmur3)
-    "q_minhash_lsh" -> ((s, d) =>
-      Dedup.minHashLshPairs(t(s, d, "documents"), "doc_id", "text",
+    // dedup: MinHash+LSH — checked against engine-independent ground truth:
+    // the candidates must cover ALL exact-Jaccard>=0.5 pairs (planted dups sit
+    // at jaccard 0.875-0.99, where 16x4 banding recall is ~1-1e-6)
+    "q_minhash_lsh" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 5, 0.5, maxDocFreq = 10000)
+        .select(col("i"), col("j"))
+      val cand = Dedup.minHashLshPairs(docs, "doc_id", "text",
         k = 5, numHashes = 64, bands = 16, threshold = 0.4)
-        .orderBy(col("i"), col("j"))),
+        .select(col("i"), col("j"))
+      exact.join(cand, Seq("i", "j"), "left_semi").orderBy(col("i"), col("j"))
+    }),
 
-    // dedup: SimHash fingerprints + near-dup pairs (no SQL oracle)
-    "q_simhash" -> ((s, d) =>
-      Dedup.simHashPairs(t(s, d, "documents"), "doc_id", "text", maxHamming = 6)
-        .orderBy(col("i"), col("j"))),
+    // dedup: SimHash — planted ground truth: each doc vs a copy with its
+    // first word replaced must land within hamming<=7 (8x4-bit banding)
+    "q_simhash" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val pert = docs.select((col("doc_id") + 20000).as("doc_id"),
+        concat(lit("zzzz "), expr("substring(text, instr(text, ' ') + 1)")).as("text"))
+      Dedup.simHashPairs(docs.unionAll(pert), "doc_id", "text", maxHamming = 7)
+        .filter(col("j") === col("i") + 20000)
+        .select(col("i"), col("j"))
+        .orderBy(col("i"))
+    }),
 
     // text: token counting
     "q_token_count" -> ((s, d) => t(s, d, "documents")
@@ -81,11 +101,22 @@ object PipelineQueries {
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))),
 
-    // text: winnowing rolling-hash sketch (no SQL oracle — murmur3 sketch)
-    "q_winnow" -> ((s, d) =>
-      TextAnalysis.winnowingSketch(t(s, d, "documents"), "text")
-        .select(col("doc_id"), size(col("sketch")).as("sketch_size"))
-        .orderBy(col("doc_id"))),
+    // text: winnowing sketch — engine-independent robustness property: a
+    // prefix edit only disturbs fingerprints overlapping the edited region
+    // (Schleimer et al. locality), so sketch overlap with the edited copy
+    // stays high for every doc
+    "q_winnow" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sk = TextAnalysis.winnowingSketch(docs, "text").select(col("doc_id"), col("sketch"))
+      val pert = docs.select(col("doc_id"), concat(lit("injected prefix words "), col("text")).as("text"))
+      val sk2 = TextAnalysis.winnowingSketch(pert, "text")
+        .select(col("doc_id"), col("sketch").as("sketch2"))
+      sk.join(sk2, "doc_id")
+        .select(col("doc_id"),
+          (size(array_intersect(col("sketch"), col("sketch2"))).cast("double")
+            / size(col("sketch")) >= 0.5).as("robust"))
+        .orderBy(col("doc_id"))
+    }),
 
     // multimodal: binary payload + typed metadata struct
     "q_multimodal_meta" -> ((s, d) =>
@@ -99,11 +130,20 @@ object PipelineQueries {
       Multimodal.resizePlan(Multimodal.mediaFromDocuments(t(s, d, "documents")), 32)
         .orderBy(col("media_id"))),
 
-    // multimodal: partition-wise stub decode/feature-extract (no SQL oracle)
-    "q_multimodal_decode" -> ((s, d) =>
-      Multimodal.stubDecodeFeatures(Multimodal.mediaFromDocuments(t(s, d, "documents")))
-        .toDF().select(col("media_id"), col("byte_len"), col("checksum"))
-        .orderBy(col("media_id"))),
+    // multimodal: partition-wise stub decode — oracle checks byte_len against
+    // DuckDB plus that the checksum is partition-layout-independent (the same
+    // payload decoded under a different partitioning folds identically)
+    "q_multimodal_decode" -> ((s, d) => {
+      val media = Multimodal.mediaFromDocuments(t(s, d, "documents"))
+      val f1 = Multimodal.stubDecodeFeatures(media).toDF()
+        .select(col("media_id"), col("byte_len"), col("checksum"))
+      val f2 = Multimodal.stubDecodeFeatures(media.repartition(7)).toDF()
+        .select(col("media_id"), col("checksum").as("checksum2"))
+      f1.join(f2, "media_id")
+        .select(col("media_id"), col("byte_len"),
+          (col("checksum") === col("checksum2")).as("deterministic"))
+        .orderBy(col("media_id"))
+    }),
 
     // events: tumbling-window aggregation (batch)
     "q_events_window" -> ((s, d) => t(s, d, "events")
@@ -174,6 +214,18 @@ object PipelineQueries {
         |SELECT i, j, round(inter * 1.0 / (x.n + y.n - inter), 4) AS jaccard FROM inter JOIN sz x ON i = x.doc_id JOIN sz y ON j = y.doc_id WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.5 ORDER BY i, j""".stripMargin,
     "q_dedup_embedding" ->
       "SELECT a.vec_id AS i, b.vec_id AS j, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45 ORDER BY 1, 2",
+    "q_minhash_lsh" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[g:g+4], ' ') AS s FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS g FROM words)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT i, j FROM inter JOIN sz x ON i = x.doc_id JOIN sz y ON j = y.doc_id WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.5 ORDER BY i, j""".stripMargin,
+    "q_simhash" ->
+      "SELECT doc_id AS i, doc_id + 20000 AS j FROM documents ORDER BY 1",
+    "q_winnow" ->
+      "SELECT doc_id, true AS robust FROM documents ORDER BY 1",
+    "q_multimodal_decode" ->
+      "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, true AS deterministic FROM documents ORDER BY 1",
     "q_token_count" ->
       """SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens FROM documents ORDER BY doc_id""",
     "q_quality_score" -> QualityOracle,

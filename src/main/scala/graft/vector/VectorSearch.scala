@@ -95,6 +95,18 @@ object VectorSearch {
       when(dot(vecCol, typedlit(p.toSeq), p.length) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** `lshBucket` with the compact HOF dot product: each plane is ONE array
+    * literal + one interpreted `aggregate` in the plan, instead of dim
+    * unrolled `element_at` terms. ~dim× smaller generated code. Use for
+    * once-per-corpus bucket materialization, where many planes × many bits
+    * would otherwise explode codegen (Janino compiles superlinearly in
+    * method size); keep the unrolled form for per-row hot paths with a
+    * handful of dots. */
+  def lshBucketCompact(vecCol: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vecCol, typedlit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Approximate k-NN: restrict the scan to the query's LSH bucket(s) across
     * `numTables` independent hash tables, then exact re-rank. At 100 TB the
     * bucketed table is written out partitioned by (table, bucket) so a query
