@@ -244,4 +244,224 @@ object Algorithms {
     spark.createDataFrame(comps.map { case (id, c) => (id, c) })
       .toDF("id", "component")
   }
+
+  /** Max flow by Edmonds-Karp (reference
+    * `crates/samyama-graph-algorithms/src/flow.rs:16`): BFS shortest
+    * augmenting paths over a residual-capacity table. The residual graph
+    * stays a DataFrame throughout (never collected); each augmentation runs
+    * a distributed BFS with parent tracking and collects only the visited
+    * cone's (vertex, parent, cap) rows to walk the O(depth) path — bounded
+    * by the BFS reach, the same in-memory footprint the reference's
+    * adjacency map commits to. Residual updates are a broadcast join against
+    * the O(depth) path-edge table, lineage cut per augmentation.
+    * Augmenting-path max-flow is inherently round-sequential; use on bounded
+    * subgraphs (the reference is likewise single-machine in-memory here).
+    * Input columns: src, dst, cap. Returns one row (max_flow). */
+  def maxFlow(edges: DataFrame, source: Long, sink: Long,
+              maxAugment: Int = 500, collectThreshold: Long = 200000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val eps = 1e-9
+    val fwd = edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"),
+        coalesce(col("cap"), lit(1.0)).cast("double").as("c"))
+      .groupBy("u", "v").agg(sum("c").as("c"))
+    // Augmenting-path max-flow is round-sequential: every augmentation is a
+    // full BFS + residual update, and no partitioning amortizes that. When
+    // the (already network-extraction-bounded) graph fits comfortably on the
+    // driver, collect it and run the classic O(V·E²) solve there — the same
+    // in-memory commitment the reference makes, minus ~10 Spark jobs per
+    // augmentation of pure overhead. The distributed loop below remains the
+    // path for graphs past the threshold.
+    if (fwd.count() <= collectThreshold) {
+      val es = fwd.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val residual = scala.collection.mutable.Map.empty[(Long, Long), Double]
+      val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      def link(u: Long, v: Long): Unit =
+        adj.getOrElseUpdate(u, scala.collection.mutable.ArrayBuffer.empty[Long]) += v
+      es.foreach { case (u, v, c) =>
+        if (!residual.contains((u, v))) { link(u, v) }
+        if (!residual.contains((v, u))) { link(v, u) }
+        residual((u, v)) = residual.getOrElse((u, v), 0.0) + c
+        residual.getOrElseUpdate((v, u), 0.0)
+      }
+      var total = 0.0
+      var found = true
+      while (found) {
+        // BFS shortest augmenting path
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        val queue = scala.collection.mutable.Queue(source)
+        val seen = scala.collection.mutable.Set(source)
+        var hit = false
+        while (queue.nonEmpty && !hit) {
+          val u = queue.dequeue()
+          adj.getOrElse(u, Nil).foreach { v =>
+            if (!seen.contains(v) && residual((u, v)) > eps) {
+              seen += v; parent(v) = u
+              if (v == sink) hit = true else queue.enqueue(v)
+            }
+          }
+        }
+        if (!hit) found = false
+        else {
+          var cur = sink
+          var f = Double.MaxValue
+          while (cur != source) { val p = parent(cur); f = math.min(f, residual((p, cur))); cur = p }
+          cur = sink
+          while (cur != source) {
+            val p = parent(cur)
+            residual((p, cur)) -= f; residual((cur, p)) += f
+            cur = p
+          }
+          total += f
+        }
+      }
+      return spark.range(1).select(lit(total).as("max_flow"))
+    }
+    // residual = forward caps + zero-cap reverse slots (flow cancellation)
+    var residual = fwd.unionByName(
+        fwd.select(col("v").as("u"), col("u").as("v"), lit(0.0).as("c")))
+      .groupBy("u", "v").agg(sum("c").as("c"))
+      .localCheckpoint(true)
+    var total = 0.0
+    var found = true
+    var rounds = 0
+    while (found && rounds < maxAugment) {
+      // distributed BFS from source on spare-capacity edges, keeping for each
+      // newly reached vertex its (min) parent and that parent edge's capacity
+      val live = residual.filter(col("c") > eps)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var visited = spark.range(1)
+        .select(lit(source).as("id"), lit(-1L).as("parent"), lit(0.0).as("pc"))
+        .localCheckpoint(true)
+      var frontier = visited.select("id")
+      var reachedSink = false
+      var expanding = true
+      while (expanding && !reachedSink) {
+        val next = frontier.join(live, col("id") === col("u"))
+          .groupBy(col("v")).agg(min(struct(col("u"), col("c"))).as("p"))
+          .select(col("v").as("id"), col("p.u").as("parent"), col("p.c").as("pc"))
+          .join(visited.select(col("id").as("_vid")), col("id") === col("_vid"), "left_anti")
+          .localCheckpoint(true)
+        val n = next.count()
+        expanding = n > 0
+        if (expanding) {
+          visited = visited.unionAll(next).localCheckpoint(true)
+          frontier = next.select("id")
+          reachedSink = next.filter(col("id") === sink).count() > 0
+        }
+      }
+      if (!reachedSink) { found = false; live.unpersist(false) }
+      else {
+        // walk sink -> source through the collected parent cone (O(reach))
+        val parents = visited.collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        var cur = sink
+        var path = List.empty[(Long, Long, Double)]
+        while (cur != source) {
+          val (p, pc) = parents(cur)
+          path = (p, cur, pc) :: path
+          cur = p
+        }
+        val f = path.map(_._3).min
+        total += f
+        val deltas = path.flatMap { case (u, v, _) => Seq((u, v, -f), (v, u, f)) }
+          .toDF("du", "dv", "delta")
+        residual = residual
+          .join(broadcast(deltas), col("u") === col("du") && col("v") === col("dv"), "left")
+          .select(col("u"), col("v"), (col("c") + coalesce(col("delta"), lit(0.0))).as("c"))
+          .localCheckpoint(true)
+        live.unpersist(false)
+        rounds += 1
+      }
+    }
+    spark.range(1).select(lit(total).as("max_flow"))
+  }
+
+  /** Minimum spanning forest by Borůvka (reference Prim
+    * `crates/samyama-graph-algorithms/src/mst.rs:41` — Prim's heap is
+    * sequential; Borůvka is the classic distributed formulation: every
+    * component picks its minimum outgoing edge in ONE aggregate per round,
+    * components merge, rounds are O(log V)). Ties are broken by (w, a, b)
+    * lexicographic order, which makes edge weights totally ordered and the
+    * resulting forest unique — so any correct MST algorithm (the oracle runs
+    * Prim) must return the identical edge set.
+    * Input columns: src, dst, weight. Returns MST edges (a, b, weight). */
+  def mst(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    val e0 = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"),
+        coalesce(col("weight"), lit(1.0)).cast("double").as("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(min("w").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var comp = e0.select(explode(array(col("a"), col("b"))).as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var mstEdges = spark.emptyDataFrame
+      .select(lit(0L).as("a"), lit(0L).as("b"), lit(0.0).as("w")).limit(0)
+    var more = true
+    var rounds = 0
+    while (more && rounds < maxRounds) {
+      val crossing = e0
+        .join(comp.select(col("id").as("a"), col("comp").as("ca")), Seq("a"))
+        .join(comp.select(col("id").as("b"), col("comp").as("cb")), Seq("b"))
+        .filter(col("ca") =!= col("cb"))
+      // each component's minimum outgoing edge — one hash aggregate, struct
+      // ordering gives the (w, a, b) tie-break
+      val pick = crossing
+        .select(explode(array(col("ca"), col("cb"))).as("c"),
+          struct(col("w"), col("a"), col("b"), col("ca"), col("cb")).as("e"))
+        .groupBy("c").agg(min("e").as("m"))
+        .select(col("m.a").as("a"), col("m.b").as("b"), col("m.w").as("w"),
+          col("m.ca").as("ca"), col("m.cb").as("cb"))
+        .dropDuplicates("a", "b")
+        .localCheckpoint(true)
+      more = pick.count() > 0
+      if (more) {
+        mstEdges = mstEdges.unionAll(pick.select(col("a"), col("b"), col("w")))
+          .localCheckpoint(true)
+        // contract: connected components of the picked component-pair graph
+        // (reuses the distributed min-label wcc)
+        val merged = wcc(pick.select(col("ca").as("src"), col("cb").as("dst")))
+        comp = comp.join(merged.select(col("id").as("_c"), col("component")),
+            col("comp") === col("_c"), "left")
+          .select(col("id"), coalesce(col("component"), col("comp")).as("comp"))
+          .localCheckpoint(true)
+      }
+      rounds += 1
+    }
+    e0.unpersist(false)
+    mstEdges
+  }
+
+  /** PCA over a vector column (reference
+    * `crates/samyama-optimization/src/algorithms/pca.rs:154`): the covariance
+    * gramian is aggregated distributedly by MLlib's RowMatrix (one pass, dim²
+    * partial sums), and only the dim×dim eigenproblem runs on the driver —
+    * the standard tall-skinny decomposition, exactly how this scales to
+    * 100 TB of rows. Returns (components: dim×k column-major, eigenvalues
+    * absolute, totalVariance, projected RowMatrix column variances). */
+  def pca(df: DataFrame, vecCol: String, k: Int):
+      (Array[Array[Double]], Array[Double], Double, Array[Double]) = {
+    import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val rows = df.select(col(vecCol)).rdd.map { r =>
+      OldVectors.dense(r.getSeq[Any](0).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toArray)
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    val mat = new RowMatrix(rows)
+    val (pc, explained) = mat.computePrincipalComponentsAndExplainedVariance(k)
+    val summary = mat.computeColumnSummaryStatistics()
+    val totalVar = summary.variance.toArray.sum
+    val eig = explained.toArray.map(_ * totalVar)
+    // project (uncentered — variance is shift-invariant) and measure the
+    // per-component variance; for a correct PCA it equals the eigenvalue
+    val projVar = mat.multiply(pc).computeColumnSummaryStatistics().variance.toArray
+    val comps = Array.tabulate(pc.numCols)(j => Array.tabulate(pc.numRows)(i => pc(i, j)))
+    rows.unpersist(false)
+    (comps, eig, totalVar, projVar)
+  }
 }

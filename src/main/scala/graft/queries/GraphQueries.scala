@@ -161,7 +161,80 @@ object GraphQueries {
       val und = copurchase(s, d)
       val e = und.select(col("a").as("src"), col("b").as("dst"))
       Algorithms.cdlp(e, 5).orderBy(col("id"))
+    }),
+
+    // §2.10 algo.mst (reference mst.rs:41) — Borůvka on the nation trade
+    // graph (edge weight = #trades between the two nations); (w,a,b)
+    // tie-break makes the forest unique, so the oracle's Prim chain (24
+    // chained argmin CTEs) must return the identical edge set
+    "q_mst" -> ((s, d) =>
+      Algorithms.mst(tradeEdges(s, d).select(col("a").as("src"), col("b").as("dst"),
+          col("w").cast("double").as("weight")))
+        .select(col("a"), col("b"), col("w").cast("long").as("w"))
+        .orderBy(col("a"), col("b"))),
+
+    // §2.10 algo.maxFlow (reference flow.rs:16) — Edmonds-Karp on a layered
+    // order-routing network (source -> customer [cap = order count] ->
+    // nation [inf] -> sink [cap 20]); oracle = the exact min cut
+    // sum_n min(20, sum of that nation's customer caps)
+    "q_maxflow" -> ((s, d) => {
+      val oc = t(s, d, "orders").filter(col("o_custkey") <= 30)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).cast("double").as("cnt"))
+      val cn = t(s, d, "customer")
+        .join(oc, col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey").cast("long").as("ck"),
+          col("c_nationkey").cast("long").as("nk"), col("cnt"))
+      val srcE = cn.select(lit(9000L).as("src"), col("ck").as("dst"), col("cnt").as("cap"))
+      val midE = cn.select(col("ck").as("src"), (col("nk") + 1000L).as("dst"), lit(1e9).as("cap"))
+      val outE = cn.select((col("nk") + 1000L).as("src"), lit(9001L).as("dst"), lit(20.0).as("cap")).distinct()
+      Algorithms.maxFlow(srcE.unionByName(midE).unionByName(outE), 9000L, 9001L)
+        .select(CypherFunctions.roundC(col("max_flow"), 1).as("max_flow"))
     }))
+
+  /** Nation-to-nation trade graph: undirected edge (a,b) weighted by the
+    * number of lineitems shipped between a customer of one nation and a
+    * supplier of the other. MUST stay in sync with TradeCte. */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey").as("cn"))
+    val sp = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey").as("sn"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(sp, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("cn") =!= col("sn"))
+      .select(least(col("cn"), col("sn")).cast("long").as("a"),
+        greatest(col("cn"), col("sn")).cast("long").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+  }
+
+  private val TradeCte: String =
+    """WITH te AS MATERIALIZED (SELECT least(cn, sn) AS a, greatest(cn, sn) AS b, count(*) AS w FROM (
+      | SELECT c.c_nationkey AS cn, s.s_nationkey AS sn
+      | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      | JOIN customer c ON o.o_custkey = c.c_custkey
+      | JOIN supplier s ON l.l_suppkey = s.s_suppkey) WHERE cn <> sn GROUP BY 1, 2)""".stripMargin
+
+  /** Prim's algorithm as `steps` chained argmin CTEs (MATERIALIZED — each
+    * v$i is referenced three times by the next step, and without
+    * materialization DuckDB inlines the chain exponentially). Steps beyond
+    * the component of the start vertex pick nothing (LIMIT 1 over empty). */
+  private def mstOracle(steps: Int): String = {
+    val sb = new StringBuilder(TradeCte)
+    sb.append(", v0 AS MATERIALIZED (SELECT (SELECT min(a) FROM te) AS id)")
+    for (i <- 1 to steps) {
+      val p = i - 1
+      sb.append(s", p$i AS MATERIALIZED (SELECT a, b, w FROM te" +
+        s" WHERE (a IN (SELECT id FROM v$p) AND b NOT IN (SELECT id FROM v$p))" +
+        s" OR (b IN (SELECT id FROM v$p) AND a NOT IN (SELECT id FROM v$p))" +
+        s" ORDER BY w, a, b LIMIT 1)")
+      sb.append(s", v$i AS MATERIALIZED (SELECT id FROM v$p UNION SELECT CASE" +
+        s" WHEN a IN (SELECT id FROM v$p) THEN b ELSE a END FROM p$i)")
+    }
+    val picks = (1 to steps).map(i => s"SELECT a, b, w FROM p$i").mkString(" UNION ALL ")
+    sb.append(s" SELECT a, b, w FROM ($picks) ORDER BY a, b")
+    sb.toString
+  }
 
   /** PageRank as `iters` chained CTEs (both-direction co-purchase graph has
     * no dangling vertices, so the damped update needs no dangling term).
@@ -256,6 +329,12 @@ object GraphQueries {
         |) ORDER BY id""".stripMargin,
     "q_pagerank" -> pagerankOracle(8, 0.85),
     "q_cdlp" -> cdlpOracle(5),
+    "q_mst" -> mstOracle(24),
+    "q_maxflow" ->
+      """SELECT round(sum(least(20, tot)), 1) AS max_flow FROM (
+        | SELECT c.c_nationkey AS nk, sum(cnt) AS tot FROM (
+        |  SELECT o_custkey, count(*) AS cnt FROM orders WHERE o_custkey <= 30 GROUP BY 1) oc
+        | JOIN customer c ON c.c_custkey = oc.o_custkey GROUP BY 1)""".stripMargin,
     "q_triangle_count" -> (CopurchaseCte +
       " SELECT count(*) AS triangles FROM pe e1 JOIN pe e2 ON e1.b = e2.a JOIN pe e3 ON e1.a = e3.a AND e2.b = e3.b"),
     "q_lcc" -> (CopurchaseCte +

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.algo.Algorithms
 import graft.dedup.Dedup
 import graft.functions.CypherFunctions
 import graft.model.Tables
@@ -145,6 +146,27 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // pca (reference pca.rs:154): top-4 components of the embedding corpus.
+    // Cross-engine check: total variance (the covariance trace) is exact SQL;
+    // the eigen side is pinned by engine-independent invariants computed on
+    // the data — projected-component variance equals its eigenvalue,
+    // components orthonormal, eigenvalues descending
+    "q_pca" -> ((s, d) => {
+      val (comps, eig, totalVar, projVar) = Algorithms.pca(t(s, d, "embeddings"), "embedding", 4)
+      val k = comps.length
+      val orthonormal = (0 until k).forall(i => (i until k).forall { j =>
+        val dot = comps(i).zip(comps(j)).map { case (x, y) => x * y }.sum
+        math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8
+      })
+      val descending = eig.sliding(2).forall(p => p.length < 2 || p(0) >= p(1) - 1e-12)
+      val projMatches = eig.zip(projVar).forall { case (e, v) =>
+        math.abs(e - v) <= 1e-6 * math.max(1.0, totalVar)
+      }
+      import s.implicits._
+      Seq((math.round(totalVar * 10000.0) / 10000.0, projMatches, orthonormal, descending))
+        .toDF("total_var", "proj_var_matches", "orthonormal", "descending")
+    }),
+
     // events: tumbling-window aggregation (batch)
     "q_events_window" -> ((s, d) => t(s, d, "events")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -202,6 +224,11 @@ object PipelineQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_pca" ->
+      """SELECT round(sum(v), 4) AS total_var, true AS proj_var_matches, true AS orthonormal, true AS descending FROM (
+        | SELECT i, var_samp(x) AS v FROM (
+        |  SELECT unnest(CAST(embedding AS DOUBLE[])) AS x, unnest(range(len(embedding))) AS i FROM embeddings
+        | ) GROUP BY i)""".stripMargin,
     "q_knn_exact" ->
       "SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 10",
     "q_dedup_exact" ->
