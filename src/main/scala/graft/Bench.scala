@@ -24,6 +24,12 @@ object Bench {
       // stringifying plans (driver-side CPU, not execution)
       .config("spark.sql.maxPlanStringLength", "32768")
       .config("spark.ui.enabled", "false")
+      // see Verify: retained SQL-execution state (plans incl.) across a
+      // ~95-query suite is GBs of old-gen garbage — late queries go GC-bound
+      .config("spark.sql.ui.retainedExecutions", "2")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -20,6 +20,15 @@ object Verify {
       // iterative operators emit many AQE plan events; bound plan-string cost
       .config("spark.sql.maxPlanStringLength", "32768")
       .config("spark.ui.enabled", "false")
+      // the SQL status store retains up to 1000 executions INCLUDING their
+      // plan graphs — iterative queries produce huge plans, and across a
+      // ~95-query suite the retained state becomes GBs of old-gen garbage
+      // that makes late-suite queries 10-40x slower (GC-bound). Retain
+      // almost nothing: this is a batch driver, not a UI server.
+      .config("spark.sql.ui.retainedExecutions", "2")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -28,7 +28,11 @@ object Algorithms {
     * Returns (id, rank). */
   def pageRank(edges: DataFrame, iterations: Int = 20, damping: Double = 0.85): DataFrame = {
     val spark = edges.sparkSession
+    // hash-partition the edge table by join key ONCE: every iteration's
+    // contribs join then reuses this partitioning (Exchange reuse) instead of
+    // re-shuffling the (large, static) edge side each round
     val e = edges.select(col("src").as("_esrc"), col("dst").as("_edst"))
+      .repartition(col("_esrc"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val v = e.select(col("_esrc").as("id")).unionAll(e.select(col("_edst").as("id")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
@@ -145,6 +149,7 @@ object Algorithms {
   /** All triangles, one row each, as (lo, x, y). */
   private def closedWedges(undirected: DataFrame): DataFrame = {
     val o = degreeOriented(undirected).persist(StorageLevel.MEMORY_AND_DISK)
+    val m = o.count() // materializes the persist; cheap count on cached blocks
     val e1 = o.as("e1"); val e2 = o.as("e2")
     // wedge lo->x, lo->y (x,y both above lo in the order) closed by edge x-y
     // in either orientation
@@ -152,7 +157,12 @@ object Algorithms {
       .select(col("e1.lo").as("lo"), col("e1.hi").as("x"), col("e2.hi").as("y"))
     val closing = o.select(col("lo").as("x"), col("hi").as("y"))
       .unionAll(o.select(col("hi").as("x"), col("lo").as("y")))
-    wedges.join(closing, Seq("x", "y"), "left_semi")
+    // the wedge set is O(m^1.5) rows — far larger than the edge set. When the
+    // edge set fits in a broadcast, probing wedges against a broadcast hash
+    // relation avoids shuffling the wedge set entirely (the dominant cost);
+    // past that size, fall back to the shuffled semi-join.
+    if (m <= 5000000L) wedges.join(broadcast(closing), Seq("x", "y"), "left_semi")
+    else wedges.join(closing, Seq("x", "y"), "left_semi")
   }
 
   /** Per-vertex triangle participation + local clustering coefficient

@@ -73,6 +73,13 @@ object Ast {
                               where: Option[Expr], orderBy: Seq[OrderItem],
                               skip: Option[Long], limit: Option[Long]) extends Clause
 
+  /** CALL procedure (reference `ast.rs:166-169` standalone procedure call):
+    * `CALL ns.name(args) [YIELD col [AS alias], ...] [WHERE pred]`.
+    * Covers the algo.* analytics and db.index.vector.queryNodes surfaces. */
+  final case class CallClause(proc: String, args: Seq[Expr],
+                              yields: Seq[(String, Option[String])],
+                              where: Option[Expr]) extends Clause
+
   final case class ReturnSpec(distinct: Boolean, items: Seq[ReturnItem],
                               orderBy: Seq[OrderItem], skip: Option[Long],
                               limit: Option[Long])

@@ -125,11 +125,36 @@ object CypherParser {
           val (distinct, items, order, skip, limit) = projectionBody()
           val where = if (tryKw("WHERE")) Some(expr()) else None
           clauses += WithClause(distinct, items, where, order, skip, limit)
+        } else if (tryKw("CALL")) {
+          val name = new StringBuilder(ident())
+          while (trySym(".")) { name.append('.').append(ident()) }
+          eatSym("(")
+          val args = ArrayBuffer[Expr]()
+          if (!isSym(")")) { args += expr(); while (trySym(",")) args += expr() }
+          eatSym(")")
+          val yields = ArrayBuffer[(String, Option[String])]()
+          if (tryKw("YIELD")) {
+            yields += yieldItem()
+            while (trySym(",")) yields += yieldItem()
+          }
+          val where = if (tryKw("WHERE")) Some(expr()) else None
+          clauses += CallClause(name.toString, args.toSeq, yields.toSeq, where)
         } else done = true
       }
-      eatKw("RETURN")
-      val (distinct, items, order, skip, limit) = projectionBody()
-      SingleQuery(clauses.toSeq, ReturnSpec(distinct, items, order, skip, limit))
+      // a standalone CALL may omit RETURN (yields everything it YIELDed)
+      if (!isKw("RETURN") && clauses.lastOption.exists(_.isInstanceOf[CallClause]))
+        SingleQuery(clauses.toSeq, ReturnSpec(distinct = false, Seq.empty, Seq.empty, None, None))
+      else {
+        eatKw("RETURN")
+        val (distinct, items, order, skip, limit) = projectionBody()
+        SingleQuery(clauses.toSeq, ReturnSpec(distinct, items, order, skip, limit))
+      }
+    }
+
+    private def yieldItem(): (String, Option[String]) = {
+      val y = ident()
+      val alias = if (tryKw("AS")) Some(ident()) else None
+      (y, alias)
     }
 
     /** [DISTINCT] item, ... [ORDER BY ...] [SKIP n] [LIMIT n] */
@@ -408,7 +433,15 @@ object CypherParser {
             eatSym(")")
             Fn(t, args.toSeq, distinct)
           } else if (trySym(".")) {
-            Prop(t, ident())
+            val key = ident()
+            // qualified function name (duration.between(...)) vs property
+            if (isSym("(")) {
+              eatSym("(")
+              val args = ArrayBuffer[Expr]()
+              if (!isSym(")")) { do args += expr() while (trySym(",")) }
+              eatSym(")")
+              Fn(s"$t.$key", args.toSeq)
+            } else Prop(t, key)
           } else Var(t)
         case tok => throw ParseError(s"unexpected '${tok.text}'", pos)
       }

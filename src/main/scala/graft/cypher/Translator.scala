@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   * `p__length` and `p__nodes`. Node/edge identity and equality are BY ID,
   * matching the reference (`record.rs:95-131`).
   */
-final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
+final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
+                       vectorIndexes: Map[String, (DataFrame, String, String)] = Map.empty) {
 
   private var anonCount = 0
   private def fresh(): String = { anonCount += 1; s"_a$anonCount" }
@@ -91,9 +92,21 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         if (orderBy.nonEmpty) df = df.orderBy(orderCols(orderBy, items): _*)
         skip.foreach(n => df = df.offset(n.toInt))
         limit.foreach(n => df = df.limit(n.toInt))
+
+      case c: CallClause =>
+        require(df == null, "CALL is supported as the first clause of a (sub)query")
+        df = callProcedure(c)
+        if (c.yields.nonEmpty) {
+          df = df.select(c.yields.map { case (y, al) => col(y).as(al.getOrElse(y)) }: _*)
+        }
+        scalarVars = df.columns.toSet
+        c.where.foreach(w => df = applyWhere(df, w))
     }
 
     if (df == null) df = spark.range(1).toDF() // RETURN-only query
+
+    // bare CALL without RETURN: emit the yielded frame as-is
+    if (sq.ret.items.isEmpty) return df
 
     // RETURN: implicit grouping if any item aggregates
     val items = sq.ret.items
@@ -163,6 +176,81 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
       }
     entityVars = newEntity; pathVars = newPath; scalarVars = newScalar
     res
+  }
+
+  // ---------- CALL procedures ----------
+
+  /** Driver-side constant evaluation of procedure arguments (literals,
+    * $params, list literals — reference `executor/mod.rs:171-180` binds
+    * parameters the same way before dispatch). */
+  private def evalConst(e: Expr): Any = e match {
+    case Lit(v) => v
+    case Param(n) => params.getOrElse(n,
+      throw new IllegalArgumentException(s"missing parameter $$$n"))
+    case ListLit(items) => items.map(evalConst)
+    case other => throw new IllegalArgumentException(s"CALL argument must be constant, got $other")
+  }
+
+  /** `CALL algo.*` / `CALL db.index.vector.queryNodes` dispatch (reference
+    * operator dispatch `operator.rs:6303-6959`). Every algo procedure accepts
+    * an optional trailing string argument restricting the run to a
+    * comma-separated list of relationship types (the reference's
+    * `build_view(edge_type?)` projection). */
+  private def callProcedure(c: CallClause): DataFrame = {
+    import graft.algo.Algorithms
+    val argv = c.args.map(evalConst)
+    def numArg(i: Int, dflt: Double): Double = argv.lift(i) match {
+      case Some(n: Number) => n.doubleValue()
+      case Some(other) => throw new IllegalArgumentException(s"expected number, got $other")
+      case None => dflt
+    }
+    def longArg(i: Int): Long = numArg(i, Double.NaN) match {
+      case d if d.isNaN => throw new IllegalArgumentException(s"missing argument $i of ${c.proc}")
+      case d => d.toLong
+    }
+    // a trailing string arg = edge-type restriction
+    def typedEdges: DataFrame = argv.lastOption match {
+      case Some(s: String) => g.edgesOfType(s.split(",").map(_.trim).filter(_.nonEmpty).toSeq: _*)
+      case _ => g.edges
+    }
+    def und: DataFrame = {
+      val e = typedEdges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+      e.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    }
+    c.proc.toLowerCase match {
+      case "algo.pagerank" =>
+        Algorithms.pageRank(typedEdges, numArg(0, 20).toInt, numArg(1, 0.85))
+      case "algo.wcc" => Algorithms.wcc(typedEdges)
+      case "algo.cdlp" => Algorithms.cdlp(typedEdges, numArg(0, 10).toInt)
+      case "algo.scc" => Algorithms.scc(typedEdges, numArg(0, 10).toInt)
+      case "algo.bfs" | "algo.shortestpath" =>
+        Algorithms.bfs(typedEdges, longArg(0), numArg(1, 30).toInt)
+      case "algo.sssp" | "algo.weightedpath" =>
+        Algorithms.sssp(typedEdges, longArg(0), numArg(1, 30).toInt)
+      case "algo.trianglecount" => Algorithms.triangleCount(und)
+      case "algo.lcc" => Algorithms.lcc(und)
+      case "algo.mst" =>
+        Algorithms.mst(typedEdges.select(col("src"), col("dst"),
+          (if (typedEdges.columns.contains("weight")) col("weight") else lit(1.0)).as("weight")))
+      case "algo.maxflow" =>
+        Algorithms.maxFlow(typedEdges.select(col("src"), col("dst"),
+          (if (typedEdges.columns.contains("cap")) col("cap")
+           else if (typedEdges.columns.contains("weight")) col("weight")
+           else lit(1.0)).as("cap")), longArg(0), longArg(1))
+      case "db.index.vector.querynodes" =>
+        val idxName = argv.head.asInstanceOf[String]
+        val (emb, idCol, vecCol) = vectorIndexes.getOrElse(idxName,
+          throw new IllegalArgumentException(s"unknown vector index '$idxName'"))
+        val k = longArg(1).toInt
+        val q = argv(2).asInstanceOf[Seq[Any]].map {
+          case n: Number => n.floatValue()
+          case other => throw new IllegalArgumentException(s"non-numeric vector element $other")
+        }
+        graft.vector.VectorSearch.knnExact(emb, idCol, vecCol, q, k)
+          .select(col(idCol).as("id"), col("score"))
+      case other => throw new IllegalArgumentException(s"unknown procedure $other")
+    }
   }
 
   // ---------- EXISTS lowering ----------
@@ -644,6 +732,20 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty) {
         case Lit(s: String) => expr(s"INTERVAL '${iso8601ToSparkInterval(s)}'")
         case e => toCol(e)
       }
+      // time()/localtime(): Cypher time-of-day values; Spark has no TIME
+      // type, so the canonical columnar form is the HH:mm:ss.SSS string
+      // (reference `operator.rs:1265-1393` time family)
+      case "time" | "localtime" =>
+        if (args.isEmpty) date_format(current_timestamp(), "HH:mm:ss.SSS")
+        else date_format(to_timestamp(a0), "HH:mm:ss.SSS")
+      case "localdatetime" =>
+        if (args.isEmpty) current_timestamp().cast("timestamp_ntz")
+        else to_timestamp(a0).cast("timestamp_ntz")
+      // duration.between(a, b) → day-time interval (parsed as the dotted
+      // name `duration.between` by the CALL-style qualified-fn path)
+      case "duration.between" => a1.cast("timestamp") - a0.cast("timestamp")
+      // valueType(x) → Cypher type-name string (reference operator.rs:1513)
+      case "valuetype" => CypherFunctions.valueType(a0)
       case other => call_function(other, args.map(toCol): _*)
     }
   }
@@ -699,6 +801,14 @@ object QueryEngine {
   def execute(cypher: String, g: PropertyGraph,
               params: Map[String, Any] = Map.empty): DataFrame =
     new Translator(g, params).translate(CypherParser.parse(cypher))
+
+  /** Execute with vector indexes registered for
+    * `CALL db.index.vector.queryNodes(name, k, $vec)`
+    * (index name -> (table, id column, vector column)). */
+  def executeWithIndexes(cypher: String, g: PropertyGraph,
+                         params: Map[String, Any],
+                         indexes: Map[String, (DataFrame, String, String)]): DataFrame =
+    new Translator(g, params, indexes).translate(CypherParser.parse(cypher))
 
   /** Our planner's view + Catalyst's — reference EXPLAIN analog. */
   def explain(cypher: String, g: PropertyGraph,

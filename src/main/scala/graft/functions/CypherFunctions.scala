@@ -104,6 +104,23 @@ object CypherFunctions {
   def labels(nodeLabels: Column): Column = nodeLabels
   def propExists(c: Column): Column = c.isNotNull
 
+  /** Cypher `valueType(x)` (reference `operator.rs:1513`): the Cypher type
+    * name of the value. Spark's `typeof` gives the SQL type; map it onto the
+    * Cypher names. */
+  def valueType(c: Column): Column = {
+    val t = call_function("typeof", c)
+    when(c.isNull, lit("NULL"))
+      .when(t.isin("tinyint", "smallint", "int", "bigint"), lit("INTEGER"))
+      .when(t.isin("float", "double") || t.startsWith("decimal"), lit("FLOAT"))
+      .when(t === "string", lit("STRING"))
+      .when(t === "boolean", lit("BOOLEAN"))
+      .when(t.startsWith("array"), lit("LIST"))
+      .when(t === "date", lit("DATE"))
+      .when(t.startsWith("timestamp"), lit("DATETIME"))
+      .when(t.startsWith("interval"), lit("DURATION"))
+      .otherwise(upper(t))
+  }
+
   // helper: call a named SQL function on Columns (for builtins without a
   // Scala functions._ binding)
   private def expr2(name: String, cs: Column*): Column =

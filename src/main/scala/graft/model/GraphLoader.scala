@@ -125,4 +125,15 @@ object GraphLoader {
     * Spark reads .json.gz transparently. */
   def fromJsonSnapshot(spark: SparkSession, nodesPath: String, edgesPath: String): PropertyGraph =
     PropertyGraph(spark.read.json(nodesPath), spark.read.json(edgesPath))
+
+  /** Snapshot EXPORT sink (reference `src/snapshot/mod.rs:226-257` export):
+    * gzip JSON-lines of node / edge objects, written distributedly (one file
+    * per partition — at 100 TB a single-stream export would serialize the
+    * world through the driver; a directory of part files is the scalable
+    * inverse of the loader above, which globs transparently). Round-trips
+    * through `fromJsonSnapshot`. */
+  def toJsonSnapshot(g: PropertyGraph, nodesPath: String, edgesPath: String): Unit = {
+    g.nodes.write.mode("overwrite").option("compression", "gzip").json(nodesPath)
+    g.edges.write.mode("overwrite").option("compression", "gzip").json(edgesPath)
+  }
 }

@@ -163,9 +163,45 @@ object CypherQueries {
         |RETURN id(c) AS cid, split(c.name, '#')[1] AS num,
         |       reduce(acc = 0, x IN range(1, 3) | acc + x) AS s,
         |       all(x IN range(1, 2) WHERE x > 0) AS b
-        |ORDER BY cid""".stripMargin) _))
+        |ORDER BY cid""".stripMargin) _),
+
+    // valueType + time()/duration.between temporal surface (operator.rs:1265-1513)
+    "q_cypher_valuetype" -> (run(
+      """UNWIND [1] AS x
+        |RETURN valueType(1) AS t_int, valueType(1.5) AS t_flt,
+        |       valueType('a') AS t_str, valueType(true) AS t_bool,
+        |       valueType([1, 2]) AS t_list,
+        |       time('2024-03-05 12:34:56') AS t_time,
+        |       toString(duration.between(datetime('2024-01-01 00:00:00'),
+        |                                 datetime('2024-01-02 03:30:00'))) AS dur""".stripMargin) _),
+
+    // CALL procedure surface (reference ast.rs:166-169): algo.* from Cypher,
+    // with YIELD + trailing edge-type restriction
+    "q_cypher_call_bfs" -> (run(
+      """CALL algo.bfs(1, 4, 'PLACED,CONTAINS,HAS_PART,SUPPLIED_BY')
+        |YIELD id, dist
+        |RETURN id, dist ORDER BY id""".stripMargin) _),
+
+    // CALL db.index.vector.queryNodes with a $param query vector
+    "q_cypher_call_knn" -> ((s: SparkSession, d: String) => {
+      val emb = graft.model.Tables(s, d, "embeddings")
+      val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+        .select("embedding").first().getSeq[Float](0)
+      QueryEngine.executeWithIndexes(
+        """CALL db.index.vector.queryNodes('embeddings', 10, $q)
+          |YIELD id, score
+          |RETURN id, round(score, 4) AS score""".stripMargin,
+        GraphLoader.tpch(s, d), Map("q" -> q),
+        Map("embeddings" -> ((emb, "vec_id", "embedding"))))
+    }))
 
   val oracles: Map[String, String] = Map(
+    "q_cypher_valuetype" ->
+      "SELECT 'INTEGER' AS t_int, 'FLOAT' AS t_flt, 'STRING' AS t_str, 'BOOLEAN' AS t_bool, 'LIST' AS t_list, '12:34:56.000' AS t_time, 'INTERVAL ''1 03:30:00'' DAY TO SECOND' AS dur",
+    // same traversal as q_bfs — the CALL surface must agree with the Scala API
+    "q_cypher_call_bfs" -> GraphQueries.oracles("q_bfs"),
+    "q_cypher_call_knn" ->
+      "SELECT e.vec_id AS id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 10",
     "q_cypher_match_agg" ->
       "SELECT c_name AS name, count(*) AS n FROM customer JOIN orders ON o_custkey = c_custkey WHERE o_totalprice > 200000 GROUP BY 1 ORDER BY n DESC, name LIMIT 10",
     "q_cypher_2hop" ->

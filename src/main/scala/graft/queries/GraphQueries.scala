@@ -163,6 +163,21 @@ object GraphQueries {
       Algorithms.cdlp(e, 5).orderBy(col("id"))
     }),
 
+    // §2.1 snapshot sink + source round-trip (reference snapshot export
+    // `src/snapshot/mod.rs:226-257`): export the Nation/Region subgraph as
+    // gzip JSON-lines, re-import it, and query the re-imported graph
+    "q_snapshot_roundtrip" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      val sub = graft.model.PropertyGraph(
+        g.nodesWithLabel("Nation").unionByName(g.nodesWithLabel("Region")),
+        g.edgesOfType("IN_REGION"))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_snapshot_rt"
+      GraphLoader.toJsonSnapshot(sub, s"$base/nodes", s"$base/edges")
+      val re = GraphLoader.fromJsonSnapshot(s, s"$base/nodes", s"$base/edges")
+      re.edges.join(re.nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")).orderBy(col("src"))
+    }),
+
     // §2.10 algo.mst (reference mst.rs:41) — Borůvka on the nation trade
     // graph (edge weight = #trades between the two nations); (w,a,b)
     // tie-break makes the forest unique, so the oracle's Prim chain (24
@@ -329,6 +344,8 @@ object GraphQueries {
         |) ORDER BY id""".stripMargin,
     "q_pagerank" -> pagerankOracle(8, 0.85),
     "q_cdlp" -> cdlpOracle(5),
+    "q_snapshot_roundtrip" ->
+      "SELECT CAST(n_nationkey + 1200000000 AS BIGINT) AS src, CAST(n_regionkey + 1300000000 AS BIGINT) AS dst FROM nation ORDER BY 1",
     "q_mst" -> mstOracle(24),
     "q_maxflow" ->
       """SELECT round(sum(least(20, tot)), 1) AS max_flow FROM (

@@ -42,15 +42,33 @@ object PipelineQueries {
         .select(col("i"), col("j"), CypherFunctions.roundC(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("i"), col("j"))),
 
-    // dedup: embedding-cosine near-dup pairs >= 0.45 through the SCALABLE
-    // multi-table sign-LSH path (bucket-collision candidates + exact verify),
-    // oracled against DuckDB's exact all-pairs result — LSH recall at this
-    // (bits, tables) sizing is 1 on the planted pairs
+    // dedup: embedding-cosine pairs >= 0.45, exact all-pairs. DELIBERATELY
+    // not LSH: at theta=0.45 the sign-LSH bit-agreement probability is
+    // p = 1 - acos(0.45)/pi = 0.649, and any (bits, tables) meeting recall~1
+    // does >= n^2 candidate work (T x n^2/2^bits with T >= ln(eps)/ln(1-p^b))
+    // — exact is output-optimal in this selectivity regime. The LSH path is
+    // graded in its own regime below (q_dedup_embedding_lsh).
     "q_dedup_embedding" -> ((s, d) =>
-      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.45,
-        lshBits = 2, lshTables = 24)
+      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.45)
         .select(col("i"), col("j"), CypherFunctions.roundC(col("cosine"), 4).as("cosine"))
         .orderBy(col("i"), col("j"))),
+
+    // dedup: the SCALABLE multi-table sign-LSH path, in the high-similarity
+    // regime it is designed for: the corpus is augmented with zeroed-tail
+    // copies (cosine = ||v[1..56]|| / ||v|| ~ 0.935), threshold 0.9, and
+    // 8 bits x 40 tables gives per-pair miss probability (1-p^8)^40 ~ 1e-6
+    // at p = 0.856. Oracle = DuckDB exact all-pairs >= 0.9 on the SAME
+    // augmented corpus; candidate work is ~n^2/13 vs exact's n^2/2.
+    "q_dedup_embedding_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val pert = emb.select((col("vec_id") + 100000).as("vec_id"),
+        concat(slice(col("embedding"), 1, 56),
+          array((1 to 8).map(_ => lit(0.0f)): _*)).as("embedding"))
+      Dedup.embeddingNearDupPairs(emb.unionAll(pert), "vec_id", "embedding", 0.9,
+        lshBits = 8, lshTables = 40)
+        .select(col("i"), col("j"), CypherFunctions.roundC(col("cosine"), 4).as("cosine"))
+        .orderBy(col("i"), col("j"))
+    }),
 
     // dedup: MinHash+LSH — checked against engine-independent ground truth:
     // the candidates must cover ALL exact-Jaccard>=0.5 pairs (planted dups sit
@@ -241,6 +259,12 @@ object PipelineQueries {
         |SELECT i, j, round(inter * 1.0 / (x.n + y.n - inter), 4) AS jaccard FROM inter JOIN sz x ON i = x.doc_id JOIN sz y ON j = y.doc_id WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.5 ORDER BY i, j""".stripMargin,
     "q_dedup_embedding" ->
       "SELECT a.vec_id AS i, b.vec_id AS j, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45 ORDER BY 1, 2",
+    "q_dedup_embedding_lsh" ->
+      """WITH aug AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        | UNION ALL SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])[1:56] || [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] FROM embeddings)
+        |SELECT a.vec_id AS i, b.vec_id AS j, round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.9 ORDER BY 1, 2""".stripMargin,
     "q_minhash_lsh" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(w[g:g+4], ' ') AS s FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS g FROM words)),
