@@ -28,17 +28,21 @@ object Algorithms {
     * Returns (id, rank). */
   def pageRank(edges: DataFrame, iterations: Int = 20, damping: Double = 0.85): DataFrame = {
     val spark = edges.sparkSession
-    // hash-partition the edge table by join key ONCE: every iteration's
-    // contribs join then reuses this partitioning (Exchange reuse) instead of
-    // re-shuffling the (large, static) edge side each round
+    // hash-partition the edge table by join key ONCE (iterations reuse the
+    // partitioning), and cut it to a LEAF with an eager localCheckpoint
+    // (LogicalRDD keeps the partitioning). persist() would keep the full
+    // lineage inside an InMemoryRelation: every iteration's plan then nests
+    // it several times, and AQE re-stringifies the whole tree per stage
+    // update (regex per node, single-threaded on the driver) — plan-string
+    // building, not execution, became the bottleneck at 8 iterations.
     val e = edges.select(col("src").as("_esrc"), col("dst").as("_edst"))
       .repartition(col("_esrc"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val v = e.select(col("_esrc").as("id")).unionAll(e.select(col("_edst").as("id")))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      .distinct().localCheckpoint(true)
     val n = v.count().toDouble
     val outDeg = e.groupBy(col("_esrc")).agg(count(lit(1)).as("deg"))
-      .withColumnRenamed("_esrc", "_degid").persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumnRenamed("_esrc", "_degid").localCheckpoint(true)
     var ranks = v.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
       // withDeg feeds BOTH the dangling-mass aggregate and the contribs join —
@@ -64,7 +68,6 @@ object Algorithms {
         .localCheckpoint(true) // reads cached withDeg; cuts lineage for the next round
       withDeg.unpersist(false)
     }
-    outDeg.unpersist(false)
     ranks
   }
 
@@ -74,7 +77,7 @@ object Algorithms {
   def wcc(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val und = edges.select(col("src").as("_usrc"), col("dst").as("_udst"))
       .unionAll(edges.select(col("dst").as("_usrc"), col("src").as("_udst")))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      .distinct().localCheckpoint(true)
     var comp = verts(edges).withColumn("component", col("id"))
     var changed = 1L
     var it = 0
@@ -103,7 +106,7 @@ object Algorithms {
   def cdlp(edges: DataFrame, iterations: Int = 10): DataFrame = {
     val und = edges.select(col("src").as("_usrc"), col("dst").as("_udst"))
       .unionAll(edges.select(col("dst").as("_usrc"), col("src").as("_udst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var lbl = verts(edges).withColumn("label", col("id"))
     for (_ <- 1 to iterations) {
       val freq = lbl.join(und, col("id") === col("_usrc"))
@@ -138,46 +141,52 @@ object Algorithms {
   }
 
   /** Global triangle count (reference `topology.rs:14`) via degree-ordered
-    * orientation — each triangle forms exactly one wedge at its
-    * lowest-(degree,id) corner, so it is counted exactly once, and hub
-    * vertices never anchor wedges (255s -> seconds on the sf0.1
-    * co-purchase graph vs the naive id-orientation join).
+    * orientation — each triangle has exactly one edge (u,v) whose endpoints'
+    * common higher-neighbors contain its third corner, so summing
+    * |adj⁺(u) ∩ adj⁺(v)| over oriented edges counts each triangle once.
     * Input: undirected canonical edges (a<b). */
-  def triangleCount(undirected: DataFrame): DataFrame =
-    closedWedges(undirected).agg(count(lit(1)).as("triangles"))
+  def triangleCount(undirected: DataFrame): DataFrame = {
+    // the input subplan (often an expensive projection like a co-purchase
+    // self-join) is referenced several times downstream — Spark does NOT
+    // dedupe common subplans, so materialize it once here
+    val und = undirected.select(col("a"), col("b")).localCheckpoint(true)
+    triangleEdges(und)
+      .agg(coalesce(sum(size(col("ws"))), lit(0L)).as("triangles"))
+  }
 
-  /** All triangles, one row each, as (lo, x, y). */
-  private def closedWedges(undirected: DataFrame): DataFrame = {
-    val o = degreeOriented(undirected).persist(StorageLevel.MEMORY_AND_DISK)
-    val m = o.count() // materializes the persist; cheap count on cached blocks
-    val e1 = o.as("e1"); val e2 = o.as("e2")
-    // wedge lo->x, lo->y (x,y both above lo in the order) closed by edge x-y
-    // in either orientation
-    val wedges = e1.join(e2, col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
-      .select(col("e1.lo").as("lo"), col("e1.hi").as("x"), col("e2.hi").as("y"))
-    val closing = o.select(col("lo").as("x"), col("hi").as("y"))
-      .unionAll(o.select(col("hi").as("x"), col("lo").as("y")))
-    // the wedge set is O(m^1.5) rows — far larger than the edge set. When the
-    // edge set fits in a broadcast, probing wedges against a broadcast hash
-    // relation avoids shuffling the wedge set entirely (the dominant cost);
-    // past that size, fall back to the shuffled semi-join.
-    if (m <= 5000000L) wedges.join(broadcast(closing), Seq("x", "y"), "left_semi")
-    else wedges.join(closing, Seq("x", "y"), "left_semi")
+  /** Per oriented edge (lo, hi): the common higher-neighbor set `ws` — each
+    * w in it closes one distinct triangle (lo, hi, w). Compared to
+    * materializing the O(m^1.5) wedge set and semi-joining it against the
+    * edge table, this moves only O(m) rows carrying neighbor arrays (bounded
+    * by the orientation: max out-degree ~ sqrt(m)); the intersection runs
+    * in-memory per row, and the wedge set never exists as shuffled rows. */
+  private def triangleEdges(und: DataFrame): DataFrame = {
+    // eager leaf cuts (not persist): o and adj are each referenced multiple
+    // times downstream and their lineage includes the (often expensive)
+    // input projection — see pageRank for why plan size itself matters
+    val o = degreeOriented(und).localCheckpoint(true)
+    val adj = o.groupBy(col("lo").as("v")).agg(sort_array(collect_list(col("hi"))).as("nbr"))
+      .localCheckpoint(true)
+    o.join(adj.select(col("v").as("lo"), col("nbr").as("nl")), Seq("lo"))
+      .join(adj.select(col("v").as("hi"), col("nbr").as("nh")), Seq("hi"))
+      .select(col("lo"), col("hi"), array_intersect(col("nl"), col("nh")).as("ws"))
   }
 
   /** Per-vertex triangle participation + local clustering coefficient
-    * (reference `lcc.rs:29-42`): lcc = 2*tri / (deg*(deg-1)). */
+    * (reference `lcc.rs:29-42`): lcc = 2*tri / (deg*(deg-1)). Corner
+    * attribution from the intersection rows: edge endpoints each get |ws|,
+    * every closing vertex w gets 1. */
   def lcc(undirected: DataFrame): DataFrame = {
-    val e = undirected.select(col("a"), col("b"))
+    val e = undirected.select(col("a"), col("b")).localCheckpoint(true)
     val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
-    // per-vertex triangle counts from the degree-oriented closed-wedge join —
-    // every triangle appears exactly once as (lo,x,y); exploding its three
-    // corners counts each vertex's participation. O(m^1.5) like triangleCount,
-    // not the naive id-oriented wedge join.
-    val tris = closedWedges(undirected)
-      .select(explode(array(col("lo"), col("x"), col("y"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("tri"))
+    val te = triangleEdges(e)
+      .select(col("lo"), col("hi"), col("ws"), size(col("ws")).as("nw"))
+      .filter(col("nw") > 0)
+    val tris = te.select(col("lo").as("id"), col("nw").cast("long").as("c"))
+      .unionAll(te.select(col("hi").as("id"), col("nw").cast("long").as("c")))
+      .unionAll(te.select(explode(col("ws")).as("id"), lit(1L).as("c")))
+      .groupBy("id").agg(sum("c").as("tri"))
     deg.join(tris, Seq("id"), "left")
       .select(col("id"), col("deg"), coalesce(col("tri"), lit(0L)).as("triangles"),
         when(col("deg") >= 2,
@@ -189,7 +198,7 @@ object Algorithms {
     * `pathfinding.rs:19`). Returns (id, dist) for reachable vertices. */
   def bfs(edges: DataFrame, source: Long, maxIter: Int = 30): DataFrame = {
     val e = edges.select(col("src").as("_esrc"), col("dst").as("_edst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var dist = e.sparkSession.range(1).select(lit(source).as("id"), lit(0).as("dist"))
     var frontier = dist.select("id")
     var it = 0
@@ -217,7 +226,7 @@ object Algorithms {
     * results for non-negative weights). */
   def sssp(edges: DataFrame, source: Long, maxIter: Int = 30): DataFrame = {
     val e = edges.select(col("src").as("_esrc"), col("dst").as("_edst"),
-      coalesce(col("weight"), lit(1.0)).as("w")).persist(StorageLevel.MEMORY_AND_DISK)
+      coalesce(col("weight"), lit(1.0)).as("w")).localCheckpoint(true)
     var dist = e.sparkSession.range(1).select(lit(source).cast("long").as("id"), lit(0.0).as("dist"))
     var it = 0
     var changed = true
@@ -404,7 +413,7 @@ object Algorithms {
         coalesce(col("weight"), lit(1.0)).cast("double").as("w"))
       .filter(col("a") =!= col("b"))
       .groupBy("a", "b").agg(min("w").as("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var comp = e0.select(explode(array(col("a"), col("b"))).as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(true)
     var mstEdges = spark.emptyDataFrame

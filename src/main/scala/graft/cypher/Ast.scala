@@ -73,6 +73,14 @@ object Ast {
                               where: Option[Expr], orderBy: Seq[OrderItem],
                               skip: Option[Long], limit: Option[Long]) extends Clause
 
+  // ---------- write clauses (reference cypher.pest create/merge/set/delete) ----------
+  final case class CreateClause(paths: Seq[PathPat]) extends Clause
+  final case class MergeClause(path: PathPat, onCreate: Seq[(Prop, Expr)],
+                               onMatch: Seq[(Prop, Expr)]) extends Clause
+  final case class SetClause(assigns: Seq[(Prop, Expr)]) extends Clause
+  final case class RemoveClause(props: Seq[Prop]) extends Clause
+  final case class DeleteClause(vars: Seq[String], detach: Boolean) extends Clause
+
   /** CALL procedure (reference `ast.rs:166-169` standalone procedure call):
     * `CALL ns.name(args) [YIELD col [AS alias], ...] [WHERE pred]`.
     * Covers the algo.* analytics and db.index.vector.queryNodes surfaces. */

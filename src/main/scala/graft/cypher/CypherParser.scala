@@ -125,6 +125,33 @@ object CypherParser {
           val (distinct, items, order, skip, limit) = projectionBody()
           val where = if (tryKw("WHERE")) Some(expr()) else None
           clauses += WithClause(distinct, items, where, order, skip, limit)
+        } else if (isKw("CREATE") && !isKwAt(1, "INDEX") && !isKwAt(1, "CONSTRAINT") && !isKwAt(1, "VECTOR")) {
+          eatKw("CREATE")
+          val paths = ArrayBuffer(pathPattern())
+          while (trySym(",")) paths += pathPattern()
+          clauses += CreateClause(paths.toSeq)
+        } else if (tryKw("MERGE")) {
+          val path = pathPattern()
+          var onCreate: Seq[(Prop, Expr)] = Nil
+          var onMatch: Seq[(Prop, Expr)] = Nil
+          while (isKw("ON")) {
+            eatKw("ON")
+            if (tryKw("CREATE")) { eatKw("SET"); onCreate = onCreate ++ assignList() }
+            else { eatKw("MATCH"); eatKw("SET"); onMatch = onMatch ++ assignList() }
+          }
+          clauses += MergeClause(path, onCreate, onMatch)
+        } else if (tryKw("SET")) {
+          clauses += SetClause(assignList())
+        } else if (tryKw("REMOVE")) {
+          val ps = ArrayBuffer(propRef())
+          while (trySym(",")) ps += propRef()
+          clauses += RemoveClause(ps.toSeq)
+        } else if (isKw("DELETE") || (isKw("DETACH") && isKwAt(1, "DELETE"))) {
+          val detach = tryKw("DETACH")
+          eatKw("DELETE")
+          val vs = ArrayBuffer(ident())
+          while (trySym(",")) vs += ident()
+          clauses += DeleteClause(vs.toSeq, detach)
         } else if (tryKw("CALL")) {
           val name = new StringBuilder(ident())
           while (trySym(".")) { name.append('.').append(ident()) }
@@ -141,8 +168,13 @@ object CypherParser {
           clauses += CallClause(name.toString, args.toSeq, yields.toSeq, where)
         } else done = true
       }
-      // a standalone CALL may omit RETURN (yields everything it YIELDed)
-      if (!isKw("RETURN") && clauses.lastOption.exists(_.isInstanceOf[CallClause]))
+      // a standalone CALL or a write statement may omit RETURN
+      val mayOmitReturn = clauses.lastOption.exists {
+        case _: CallClause | _: CreateClause | _: MergeClause | _: SetClause |
+             _: RemoveClause | _: DeleteClause => true
+        case _ => false
+      }
+      if (!isKw("RETURN") && mayOmitReturn)
         SingleQuery(clauses.toSeq, ReturnSpec(distinct = false, Seq.empty, Seq.empty, None, None))
       else {
         eatKw("RETURN")
@@ -155,6 +187,22 @@ object CypherParser {
       val y = ident()
       val alias = if (tryKw("AS")) Some(ident()) else None
       (y, alias)
+    }
+
+    private def propRef(): Prop = {
+      val v = ident(); eatSym("."); Prop(v, ident())
+    }
+
+    /** `v.key = expr, ...` (SET / ON CREATE SET / ON MATCH SET). */
+    private def assignList(): Seq[(Prop, Expr)] = {
+      val out = ArrayBuffer[(Prop, Expr)]()
+      var more = true
+      while (more) {
+        val p = propRef(); eatSym("=")
+        out += ((p, expr()))
+        more = trySym(",")
+      }
+      out.toSeq
     }
 
     /** [DISTINCT] item, ... [ORDER BY ...] [SKIP n] [LIMIT n] */

@@ -798,9 +798,50 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
   * translate + hand Catalyst the declarative plan (reference lifecycle §3.1
   * stages 1-3; stages 4+ are Spark). */
 object QueryEngine {
+
+  /** DDL / introspection statements (reference `cypher.pest:11-20`:
+    * show_indexes, show_constraints, create_index, create_vector_index,
+    * drop_index, create_constraint). Index DDL is ADVISORY here: the columnar
+    * store's "indexes" are Parquet column statistics + predicate pushdown +
+    * the per-label node tables, which exist without declaration — so CREATE /
+    * DROP INDEX parse, validate, and return a status row without side
+    * effects, and SHOW INDEXES lists the registered vector indexes. */
+  private val DdlRe =
+    "(?is)^\\s*(SHOW\\s+(?:INDEXES?|CONSTRAINTS)|CREATE\\s+(?:VECTOR\\s+)?INDEX|DROP\\s+INDEX|CREATE\\s+CONSTRAINT)\\b.*".r
+
+  private def ddl(spark: org.apache.spark.sql.SparkSession, stmt: String,
+                  indexes: Map[String, (DataFrame, String, String)]): DataFrame = {
+    import spark.implicits._
+    val norm = stmt.trim.toUpperCase.replaceAll("\\s+", " ")
+    if (norm.startsWith("SHOW INDEX")) {
+      val rows = indexes.keys.toSeq.sorted.map(n => (n, "VECTOR", "ONLINE")) :+
+        (("<label-scan>", "LOOKUP", "ONLINE")) // per-label tables, always on
+      rows.toDF("name", "type", "state")
+    } else if (norm.startsWith("SHOW CONSTRAINTS")) {
+      Seq.empty[(String, String)].toDF("name", "type")
+    } else {
+      Seq((norm.split(" ").take(3).mkString(" ").toLowerCase, "ok"))
+        .toDF("statement", "status")
+    }
+  }
+
   def execute(cypher: String, g: PropertyGraph,
               params: Map[String, Any] = Map.empty): DataFrame =
-    new Translator(g, params).translate(CypherParser.parse(cypher))
+    cypher match {
+      case DdlRe(_*) => ddl(g.nodes.sparkSession, cypher, Map.empty)
+      case _ =>
+        val ast = CypherParser.parse(cypher)
+        if (WriteTranslator.isWrite(ast)) WriteTranslator.execute(ast, g, params).summary
+        else new Translator(g, params).translate(ast)
+    }
+
+  /** Execute a write statement (CREATE / MERGE / SET / REMOVE / DELETE),
+    * returning the mutated graph alongside the summary row. */
+  def executeWrite(cypher: String, g: PropertyGraph,
+                   params: Map[String, Any] = Map.empty): (PropertyGraph, DataFrame) = {
+    val r = WriteTranslator.execute(CypherParser.parse(cypher), g, params)
+    (r.graph, r.summary)
+  }
 
   /** Execute with vector indexes registered for
     * `CALL db.index.vector.queryNodes(name, k, $vec)`
@@ -808,7 +849,10 @@ object QueryEngine {
   def executeWithIndexes(cypher: String, g: PropertyGraph,
                          params: Map[String, Any],
                          indexes: Map[String, (DataFrame, String, String)]): DataFrame =
-    new Translator(g, params, indexes).translate(CypherParser.parse(cypher))
+    cypher match {
+      case DdlRe(_*) => ddl(g.nodes.sparkSession, cypher, indexes)
+      case _ => new Translator(g, params, indexes).translate(CypherParser.parse(cypher))
+    }
 
   /** Our planner's view + Catalyst's — reference EXPLAIN analog. */
   def explain(cypher: String, g: PropertyGraph,

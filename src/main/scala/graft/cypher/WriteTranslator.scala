@@ -1,0 +1,220 @@
+package graft.cypher
+
+import Ast._
+import graft.model.{GraphMutations, PropertyGraph}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cypher write statements (reference `cypher.pest` create/merge/set/delete
+  * clauses; operators `operator.rs:5157-7424`) executed as the batch
+  * transforms in [[GraphMutations]] — each statement yields a NEW
+  * PropertyGraph plus a Neo4j-style summary row.
+  *
+  * Shape: `[MATCH ... [WHERE ...]]* <one write clause>`. Variable bindings
+  * for the write clause are computed by the READ translator on a synthesized
+  * `RETURN id(v), ...` query, so SET/DELETE expressions get the full read
+  * expression surface for free. RETURN after a write is not supported (the
+  * reference's write statements return summaries too).
+  */
+object WriteTranslator {
+
+  final case class WriteResult(graph: PropertyGraph, summary: DataFrame)
+
+  def isWrite(q: Query): Boolean = q.first.clauses.exists(isWriteClause)
+
+  private def isWriteClause(c: Clause): Boolean = c match {
+    case _: CreateClause | _: MergeClause | _: SetClause | _: RemoveClause |
+         _: DeleteClause => true
+    case _ => false
+  }
+
+  def execute(q: Query, g: PropertyGraph, params: Map[String, Any]): WriteResult = {
+    require(q.unions.isEmpty, "UNION of write statements is unsupported")
+    val sq = q.first
+    require(sq.ret.items.isEmpty, "RETURN after a write clause is unsupported")
+    val (readClauses, rest) = sq.clauses.span(c => !isWriteClause(c))
+    require(rest.size == 1, "exactly one write clause per statement")
+    val matches = readClauses.collect { case m: MatchClause => m }
+    // which variables are nodes vs relationships, from the pattern itself
+    val nodeVars = matches.flatMap(_.paths).flatMap(_.nodes).flatMap(_.variable).toSet
+    val edgeVars = matches.flatMap(_.paths).flatMap(_.rels).flatMap(_.variable).toSet
+
+    def readFrame(items: Seq[ReturnItem]): DataFrame =
+      new Translator(g, params).translate(Query(
+        SingleQuery(readClauses, ReturnSpec(distinct = false, items, Seq.empty, None, None)),
+        Seq.empty))
+
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    def summary(created: Long = 0, relCreated: Long = 0, propsSet: Long = 0,
+                deleted: Long = 0, relDeleted: Long = 0): DataFrame =
+      Seq((created, relCreated, propsSet, deleted, relDeleted))
+        .toDF("nodes_created", "relationships_created", "properties_set",
+          "nodes_deleted", "relationships_deleted")
+
+    def constCol(e: Expr): Column = e match {
+      case Lit(v) => lit(v)
+      case Param(n) => lit(params.getOrElse(n,
+        throw new IllegalArgumentException(s"missing parameter $$$n")))
+      case ListLit(xs) => array(xs.map(constCol): _*)
+      case other => throw new IllegalArgumentException(
+        s"CREATE/MERGE property values must be constant, got $other")
+    }
+
+    val nodeTypes = g.nodes.schema.fields.map(f => f.name -> f.dataType).toMap
+    val edgeTypes = g.edges.schema.fields.map(f => f.name -> f.dataType).toMap
+
+    /** One literal node row aligned to the node schema. */
+    def nodeRow(n: NodePat, id: Long): DataFrame = {
+      val propCols = n.props
+        .filterNot { case (k, _) => k == "id" || k == "labels" }
+        .map { case (k, e) =>
+          val c = constCol(e)
+          nodeTypes.get(k).map(c.cast).getOrElse(c).as(k)
+        }
+      val cols = Seq(lit(id).as("id"),
+        typedlit(n.labels).as("labels")) ++ propCols
+      spark.range(1).select(cols: _*)
+    }
+
+    def maxNodeId(): Long =
+      g.nodes.agg(coalesce(max(col("id")), lit(0L))).first().getLong(0)
+    def maxEdgeId(): Long =
+      g.edges.agg(coalesce(max(col("id")), lit(0L))).first().getLong(0)
+
+    rest.head match {
+      // ---------- CREATE ----------
+      case CreateClause(paths) =>
+        var cur = g
+        var nCreated = 0L
+        var rCreated = 0L
+        var nextId = maxNodeId() + 1
+        paths.foreach { p =>
+          if (p.rels.isEmpty) {
+            // literal node create; id from the props if given, else allocated
+            val n = p.nodes.head
+            val id = n.props.collectFirst { case ("id", Lit(v: Long)) => v }
+              .getOrElse { val i = nextId; nextId += 1; i }
+            cur = GraphMutations.createNodes(cur, nodeRow(n, id))
+            nCreated += 1
+          } else {
+            // edge create between two MATCH-bound node variables
+            require(p.rels.size == 1 && p.nodes.size == 2,
+              "CREATE supports a single relationship per path")
+            val r = p.rels.head
+            val (a, b) = (p.nodes(0).variable, p.nodes(1).variable) match {
+              case (Some(x), Some(y)) => (x, y)
+              case _ => throw new IllegalArgumentException(
+                "CREATE relationship endpoints must be bound variables")
+            }
+            require(nodeVars.contains(a) && nodeVars.contains(b),
+              "CREATE relationship endpoints must come from a preceding MATCH")
+            val pairs = readFrame(Seq(
+              ReturnItem(Fn("id", Seq(Var(a))), Some("_src")),
+              ReturnItem(Fn("id", Seq(Var(b))), Some("_dst")))).distinct()
+            val base = maxEdgeId()
+            // bounded creates: the single-partition window only orders the
+            // newly created rows, never the graph
+            val w = Window.orderBy(col("_src"), col("_dst"))
+            val propCols = r.props.map { case (k, e) =>
+              val c = constCol(e)
+              edgeTypes.get(k).map(c.cast).getOrElse(c).as(k)
+            }
+            val rows = pairs.withColumn("id", lit(base) + row_number().over(w).cast("long"))
+              .select(Seq(col("id"), col("_src").cast("long").as("src"),
+                col("_dst").cast("long").as("dst"),
+                lit(r.types.headOption.getOrElse("RELATED")).as("relationship")) ++ propCols: _*)
+            rCreated += rows.count()
+            cur = GraphMutations.createEdges(cur, rows)
+          }
+        }
+        WriteResult(cur, summary(created = nCreated, relCreated = rCreated))
+
+      // ---------- MERGE ----------
+      case MergeClause(path, onCreate, onMatch) =>
+        require(path.rels.isEmpty, "MERGE of relationships is unsupported")
+        val n = path.nodes.head
+        val pred = (n.labels.map(l => array_contains(col("labels"), l)) ++
+          n.props.map { case (k, e) =>
+            val c = constCol(e)
+            col(k) <=> nodeTypes.get(k).map(c.cast).getOrElse(c)
+          }).reduceOption(_ && _).getOrElse(lit(true))
+        val existing = g.nodes.filter(pred).select(col("id"))
+        val exists = existing.limit(1).count() > 0
+        if (exists) {
+          val assigns = onMatch.map { case (Prop(_, k), e) => k -> constCol(e).cast(nodeTypes(k)) }.toMap
+          val ids = existing.collect().map(_.getLong(0)).toSeq
+          val res = GraphMutations.setNodeProps(g, col("id").isin(ids: _*), assigns)
+          WriteResult(res, summary(propsSet = assigns.size.toLong * ids.size))
+        } else {
+          val id = n.props.collectFirst { case ("id", Lit(v: Long)) => v }
+            .getOrElse(maxNodeId() + 1)
+          var row = nodeRow(n, id)
+          onCreate.foreach { case (Prop(_, k), e) =>
+            val c = constCol(e)
+            row = row.withColumn(k, nodeTypes.get(k).map(c.cast).getOrElse(c))
+          }
+          WriteResult(GraphMutations.createNodes(g, row),
+            summary(created = 1, propsSet = onCreate.size.toLong))
+        }
+
+      // ---------- SET / REMOVE ----------
+      case SetClause(assigns) =>
+        var cur = g
+        var nSet = 0L
+        assigns.groupBy(_._1.variable).foreach { case (v, as) =>
+          val isNode = nodeVars.contains(v) || !edgeVars.contains(v)
+          // id + each value expression, evaluated in the MATCH context
+          val items = ReturnItem(Fn("id", Seq(Var(v))), Some("_id")) +:
+            as.zipWithIndex.map { case ((_, e), i) => ReturnItem(e, Some(s"_v$i")) }
+          val vals = readFrame(items)
+            .groupBy(col("_id"))
+            .agg(as.indices.map(i => max(col(s"_v$i")).as(s"_v$i")).head,
+              as.indices.map(i => max(col(s"_v$i")).as(s"_v$i")).tail: _*)
+          nSet += vals.count() * as.size
+          val types = if (isNode) nodeTypes else edgeTypes
+          val target = if (isNode) cur.nodes else cur.edges
+          val joined = target.join(
+            vals.withColumn("_hit", lit(true)), col("id") === col("_id"), "left")
+          val updated = joined.select(target.columns.map { c =>
+            val idx = as.indexWhere(_._1.key == c)
+            if (idx >= 0)
+              when(col("_hit"), col(s"_v$idx").cast(types(c))).otherwise(col(c)).as(c)
+            else col(c)
+          }: _*)
+          cur = if (isNode) PropertyGraph(updated, cur.edges)
+                else PropertyGraph(cur.nodes, updated)
+        }
+        WriteResult(cur, summary(propsSet = nSet))
+
+      case RemoveClause(props) =>
+        var cur = g
+        props.groupBy(_.variable).foreach { case (v, ps) =>
+          val ids = readFrame(Seq(ReturnItem(Fn("id", Seq(Var(v))), Some("_id"))))
+            .collect().map(_.getLong(0)).toSeq
+          cur = GraphMutations.removeNodeProps(cur, col("id").isin(ids: _*), ps.map(_.key))
+        }
+        WriteResult(cur, summary(propsSet = props.size.toLong))
+
+      // ---------- DELETE ----------
+      case DeleteClause(vars, detach) =>
+        var cur = g
+        var nDel = 0L
+        var rDel = 0L
+        vars.foreach { v =>
+          val ids = readFrame(Seq(ReturnItem(Fn("id", Seq(Var(v))), Some("_id")))).distinct()
+          if (edgeVars.contains(v)) {
+            rDel += ids.count()
+            cur = GraphMutations.deleteEdges(cur, ids)
+          } else {
+            nDel += ids.count()
+            cur = GraphMutations.deleteNodes(cur, ids, detach)
+          }
+        }
+        WriteResult(cur, summary(deleted = nDel, relDeleted = rDel))
+
+      case other => throw new IllegalStateException(s"not a write clause: $other")
+    }
+  }
+}

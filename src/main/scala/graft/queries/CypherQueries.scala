@@ -182,6 +182,49 @@ object CypherQueries {
         |YIELD id, dist
         |RETURN id, dist ORDER BY id""".stripMargin) _),
 
+    // Cypher write statements (reference cypher.pest create/merge/set/delete)
+    // executed as batch transforms; checked by reading the mutated graph
+    "q_cypher_write_create" -> ((s: SparkSession, d: String) => {
+      val (g2, _) = QueryEngine.executeWrite(
+        "CREATE (n:Nation {id: 1200000099, name: 'atlantis'})", GraphLoader.tpch(s, d))
+      QueryEngine.execute(
+        "MATCH (n:Nation) RETURN id(n) AS nid, n.name AS name ORDER BY nid", g2)
+    }),
+    "q_cypher_write_set" -> ((s: SparkSession, d: String) => {
+      val (g2, _) = QueryEngine.executeWrite(
+        "MATCH (n:Nation) WHERE id(n) < 1200000003 SET n.name = 'REDACTED'",
+        GraphLoader.tpch(s, d))
+      QueryEngine.execute(
+        "MATCH (n:Nation) RETURN id(n) AS nid, n.name AS name ORDER BY nid", g2)
+    }),
+    "q_cypher_write_delete" -> ((s: SparkSession, d: String) => {
+      val (g2, _) = QueryEngine.executeWrite(
+        "MATCH (n:Region) WHERE id(n) >= 1300000003 DETACH DELETE n",
+        GraphLoader.tpch(s, d))
+      QueryEngine.execute(
+        "MATCH (:Nation)-[r:IN_REGION]->(:Region) RETURN count(r) AS n", g2)
+    }),
+    "q_cypher_write_merge" -> ((s: SparkSession, d: String) => {
+      val (g2, _) = QueryEngine.executeWrite(
+        "MERGE (n:Nation {name: 'NATION_5'}) ON MATCH SET n.balance = 1.0 ON CREATE SET n.balance = 2.0",
+        GraphLoader.tpch(s, d))
+      val (g3, _) = QueryEngine.executeWrite(
+        "MERGE (n:Nation {name: 'atlantis2', id: 1200000098}) ON MATCH SET n.balance = 1.0 ON CREATE SET n.balance = 2.0",
+        g2)
+      QueryEngine.execute(
+        """MATCH (n:Nation) WHERE n.name = 'NATION_5' OR n.name = 'atlantis2'
+          |RETURN n.name AS name, n.balance AS balance ORDER BY name""".stripMargin, g3)
+    }),
+
+    // SHOW INDEXES introspection (reference cypher.pest:19) over the
+    // registered vector index + the always-on per-label scan
+    "q_cypher_show_indexes" -> ((s: SparkSession, d: String) => {
+      val emb = graft.model.Tables(s, d, "embeddings")
+      QueryEngine.executeWithIndexes("SHOW INDEXES", GraphLoader.tpch(s, d),
+        Map.empty, Map("embeddings" -> ((emb, "vec_id", "embedding"))))
+        .orderBy(org.apache.spark.sql.functions.col("name"))
+    }),
+
     // CALL db.index.vector.queryNodes with a $param query vector
     "q_cypher_call_knn" -> ((s: SparkSession, d: String) => {
       val emb = graft.model.Tables(s, d, "embeddings")
@@ -196,6 +239,16 @@ object CypherQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_cypher_write_create" ->
+      "SELECT nid, name FROM (SELECT CAST(n_nationkey + 1200000000 AS BIGINT) AS nid, n_name AS name FROM nation UNION ALL SELECT 1200000099, 'atlantis') ORDER BY nid",
+    "q_cypher_write_set" ->
+      "SELECT CAST(n_nationkey + 1200000000 AS BIGINT) AS nid, CASE WHEN n_nationkey < 3 THEN 'REDACTED' ELSE n_name END AS name FROM nation ORDER BY nid",
+    "q_cypher_write_delete" ->
+      "SELECT count(*) AS n FROM nation WHERE n_regionkey < 3",
+    "q_cypher_write_merge" ->
+      "SELECT * FROM (VALUES ('NATION_5', 1.0), ('atlantis2', 2.0)) t(name, balance) ORDER BY name",
+    "q_cypher_show_indexes" ->
+      "SELECT * FROM (VALUES ('<label-scan>', 'LOOKUP', 'ONLINE'), ('embeddings', 'VECTOR', 'ONLINE')) t(name, type, state) ORDER BY name",
     "q_cypher_valuetype" ->
       "SELECT 'INTEGER' AS t_int, 'FLOAT' AS t_flt, 'STRING' AS t_str, 'BOOLEAN' AS t_bool, 'LIST' AS t_list, '12:34:56.000' AS t_time, 'INTERVAL ''1 03:30:00'' DAY TO SECOND' AS dur",
     // same traversal as q_bfs — the CALL surface must agree with the Scala API

@@ -148,7 +148,10 @@ object GraphQueries {
     // §2.10 algo.pageRank on the co-purchase graph — oracled by 8 chained
     // DuckDB CTE iterations (round 6: absorbs summation-order ULPs)
     "q_pagerank" -> ((s, d) => {
-      val und = copurchase(s, d)
+      // both-direction union reads the co-purchase self-join twice —
+      // materialize once (leaf cut, not persist: keeps every downstream
+      // iteration's plan small)
+      val und = copurchase(s, d).localCheckpoint(true)
       val e = und.select(col("a").as("src"), col("b").as("dst"))
         .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
       Algorithms.pageRank(e, 8).select(col("id"), CypherFunctions.roundC(col("rank"), 6).as("rank"))
@@ -160,7 +163,9 @@ object GraphQueries {
     "q_cdlp" -> ((s, d) => {
       val und = copurchase(s, d)
       val e = und.select(col("a").as("src"), col("b").as("dst"))
-      Algorithms.cdlp(e, 5).orderBy(col("id"))
+      // cdlp's own both-direction union then reads this subplan twice;
+      // materializing here makes the self-join run once
+      Algorithms.cdlp(e.localCheckpoint(true), 5).orderBy(col("id"))
     }),
 
     // §2.1 snapshot sink + source round-trip (reference snapshot export

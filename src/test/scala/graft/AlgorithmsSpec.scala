@@ -67,4 +67,48 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got(1L) == got(2L) && got(2L) == got(3L))
     assert(got(4L) != got(1L))
   }
+
+  test("maxFlow: classic 4-node network with a cross edge") {
+    // s=0, t=3; 0->1 (3), 0->2 (2), 1->2 (1), 1->3 (2), 2->3 (3): max flow 5
+    val e = Seq((0L, 1L, 3.0), (0L, 2L, 2.0), (1L, 2L, 1.0), (1L, 3L, 2.0), (2L, 3L, 3.0))
+      .toDF("src", "dst", "cap")
+    assert(Algorithms.maxFlow(e, 0L, 3L).as[Double].head() == 5.0)
+  }
+
+  test("maxFlow: distributed path (threshold 0) needs flow cancellation") {
+    // same network, collectThreshold=0 forces the distributed BFS loop;
+    // BFS finds 0->1->2->3 first, forcing cancellation via the reverse edge
+    val e = Seq((0L, 1L, 3.0), (0L, 2L, 2.0), (1L, 2L, 3.0), (1L, 3L, 2.0), (2L, 3L, 3.0))
+      .toDF("src", "dst", "cap")
+    assert(Algorithms.maxFlow(e, 0L, 3L, collectThreshold = 0L).as[Double].head() == 5.0)
+  }
+
+  test("mst: picks the cheap spanning edges, tie-broken lexicographically") {
+    // square 1-2-3-4 with diagonal; MST = the three weight-1 edges
+    val e = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0), (4L, 1L, 5.0), (1L, 3L, 5.0))
+      .toDF("src", "dst", "weight")
+    val got = Algorithms.mst(e).as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0)))
+  }
+
+  test("mst: disconnected graph yields a spanning forest") {
+    val e = Seq((1L, 2L, 1.0), (10L, 11L, 2.0)).toDF("src", "dst", "weight")
+    val got = Algorithms.mst(e).as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 1.0), (10L, 11L, 2.0)))
+  }
+
+  test("pca: first component of a line cloud explains ~all variance") {
+    // points on the line y = 2x (plus tiny z noise): PC1 captures ~everything
+    val rows = (0 until 50).map { i =>
+      val x = i / 10.0
+      Tuple1(Seq(x.toFloat, (2 * x).toFloat, (if (i % 2 == 0) 1e-4 else -1e-4).toFloat))
+    }
+    val df = rows.toDF("embedding")
+    val (comps, eig, totalVar, projVar) = Algorithms.pca(df, "embedding", 2)
+    assert(eig(0) / totalVar > 0.999)
+    assert(math.abs(eig(0) - projVar(0)) < 1e-6 * totalVar)
+    // PC1 direction ~ (1, 2)/sqrt(5)
+    val ratio = math.abs(comps(0)(1) / comps(0)(0))
+    assert(math.abs(ratio - 2.0) < 1e-3)
+  }
 }

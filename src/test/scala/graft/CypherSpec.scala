@@ -234,4 +234,38 @@ class CypherSpec extends SparkSpec {
     val s = QueryEngine.explain("MATCH (p:Person) RETURN count(p) AS n", g)
     assert(s.contains("AST:") && s.contains("Physical Plan") || s.contains("=="))
   }
+
+  test("CALL algo.wcc with YIELD + WHERE + RETURN") {
+    val r = run(
+      """CALL algo.wcc('KNOWS') YIELD id, component
+        |WHERE id < 4 RETURN id, component ORDER BY id""".stripMargin)
+      .as[(Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("bare CALL without RETURN yields the full frame") {
+    val r = run("CALL algo.bfs(1, 5, 'KNOWS') YIELD id, dist")
+      .as[(Long, Int)].collect().toMap
+    assert(r == Map(1L -> 0, 2L -> 1, 3L -> 1))
+  }
+
+  test("CALL db.index.vector.queryNodes over a registered index") {
+    val emb = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("nid", "vec")
+    val r = QueryEngine.executeWithIndexes(
+      "CALL db.index.vector.queryNodes('people', 2, $q) YIELD id, score RETURN id",
+      g, Map("q" -> Seq(1.0f, 0.0f)), Map("people" -> ((emb, "nid", "vec"))))
+      .as[Long].collect().toSeq
+    assert(r == Seq(1L, 2L))
+  }
+
+  test("valueType and dotted duration.between parse and evaluate") {
+    val r = run(
+      """UNWIND [1] AS x
+        |RETURN valueType('s') AS t,
+        |       toString(duration.between(datetime('2024-01-01 00:00:00'),
+        |                                 datetime('2024-01-01 02:00:00'))) AS d""".stripMargin)
+      .as[(String, String)].head()
+    assert(r._1 == "STRING" && r._2.contains("02:00:00"))
+  }
 }
