@@ -203,8 +203,36 @@ object PipelineQueries {
       EventStream.sessionizeBatch(t(s, d, "events").filter(col("user_id") < 50), 1800000L)
         .orderBy(col("user_id"), col("session_seq"))),
 
+    // streaming: the SCALABLE shape — append mode + watermark to a parquet
+    // file sink: state lives in the executor-side state store bounded by the
+    // watermark horizon, output goes to distributed files, nothing buffers
+    // on the driver. Emits exactly the windows the watermark has closed, so
+    // the oracle is the batch aggregation restricted to windows whose end
+    // precedes max(ts)
+    "q_streaming_append" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_append"
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles).foreach(_.foreach(rm))
+        p.delete(); ()
+      }
+      rm(new java.io.File(base)) // the file sink is append-only across runs
+      val agg = EventStream.windowedCounts(EventStream.readEvents(s, d), "1 hour", "0 seconds")
+        .select(col("window.start").as("h"), col("event_type"),
+          col("n"), col("total_value"))
+      val q = agg.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(s"$base/out")
+        .select(col("h").cast("timestamp_ntz").as("h"), col("event_type"),
+          col("n"), CypherFunctions.roundC(col("total_value"), 2).as("total"))
+        .orderBy(col("h"), col("event_type"))
+    }),
+
     // streaming: the same windowed aggregation through Structured Streaming
-    // (file source → complete-mode memory sink), checked against the batch oracle
+    // (file source → complete-mode memory sink) — DEMO formulation: complete
+    // mode re-emits everything and the memory sink buffers on the driver;
+    // q_streaming_append above is the at-scale twin
     "q_streaming_window" -> ((s, d) => {
       val agg = EventStream.windowedCounts(EventStream.readEvents(s, d), "1 hour", "2 hours")
       val q = agg.writeStream.outputMode("complete")
@@ -297,5 +325,7 @@ object PipelineQueries {
         |y AS (SELECT user_id, ts_ms, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM x)
         |SELECT user_id, session_seq, min(ts_ms) AS session_start, max(ts_ms) AS session_end, count(*) AS n_events FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_streaming_window" ->
-      "SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n, round(sum(value), 2) AS total FROM events GROUP BY 1, 2 ORDER BY 1, 2")
+      "SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n, round(sum(value), 2) AS total FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+    "q_streaming_append" ->
+      "SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n, round(sum(value), 2) AS total FROM events WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events) GROUP BY 1, 2 ORDER BY 1, 2")
 }
