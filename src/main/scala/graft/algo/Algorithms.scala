@@ -46,10 +46,11 @@ object Algorithms {
     var ranks = v.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iterations) {
       // withDeg feeds BOTH the dangling-mass aggregate and the contribs join —
-      // persist it so the rank+degree join runs once per iteration, not twice
+      // one eager leaf materialization (vertex-sized, small) instead of
+      // recomputing the rank+degree join twice or persist/unpersist churn
       val withDeg = ranks.join(outDeg, col("id") === col("_degid"), "left")
         .select(col("id"), col("rank"), col("deg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       // mass of dangling nodes (no out-edges), spread uniformly — computed
       // INSIDE the plan (broadcast 1-row aggregate), not as a driver action:
       // one job per iteration instead of three
@@ -65,8 +66,7 @@ object Algorithms {
         .select(col("id"),
           (lit((1 - damping) / n) + lit(damping) *
             (coalesce(col("recv"), lit(0.0)) + col("_dmass") / n)).as("rank"))
-        .localCheckpoint(true) // reads cached withDeg; cuts lineage for the next round
-      withDeg.unpersist(false)
+        .localCheckpoint(true) // cuts lineage for the next round
     }
     ranks
   }

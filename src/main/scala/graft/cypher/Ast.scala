@@ -81,6 +81,10 @@ object Ast {
   final case class RemoveClause(props: Seq[Prop]) extends Clause
   final case class DeleteClause(vars: Seq[String], detach: Boolean) extends Clause
 
+  /** `CALL { <subquery> }` (uncorrelated): the inner query runs once and its
+    * result joins the outer frame. */
+  final case class CallSubquery(inner: SingleQuery) extends Clause
+
   /** CALL procedure (reference `ast.rs:166-169` standalone procedure call):
     * `CALL ns.name(args) [YIELD col [AS alias], ...] [WHERE pred]`.
     * Covers the algo.* analytics and db.index.vector.queryNodes surfaces. */

@@ -152,6 +152,11 @@ object CypherParser {
           val vs = ArrayBuffer(ident())
           while (trySym(",")) vs += ident()
           clauses += DeleteClause(vs.toSeq, detach)
+        } else if (isKw("CALL") && peekAt(1).exists(t => t.isInstanceOf[TSym] && t.text == "{")) {
+          eatKw("CALL"); eatSym("{")
+          val inner = singleQuery()
+          eatSym("}")
+          clauses += CallSubquery(inner)
         } else if (tryKw("CALL")) {
           val name = new StringBuilder(ident())
           while (trySym(".")) { name.append('.').append(ident()) }

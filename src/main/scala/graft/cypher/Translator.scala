@@ -93,6 +93,16 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         skip.foreach(n => df = df.offset(n.toInt))
         limit.foreach(n => df = df.limit(n.toInt))
 
+      case CallSubquery(inner) =>
+        // uncorrelated: the inner query runs on its own scope; its result
+        // cross-joins the outer frame (translateSingle mutates scope state,
+        // so save/restore around the recursion)
+        val (se, sp, ss) = (entityVars, pathVars, scalarVars)
+        val sub = translateSingle(inner)
+        entityVars = se; pathVars = sp
+        scalarVars = ss ++ sub.columns
+        df = if (df == null) sub else df.crossJoin(sub)
+
       case c: CallClause =>
         require(df == null, "CALL is supported as the first clause of a (sub)query")
         df = callProcedure(c)

@@ -182,6 +182,13 @@ object CypherQueries {
         |YIELD id, dist
         |RETURN id, dist ORDER BY id""".stripMargin) _),
 
+    // §2.7 CALL { } subquery (uncorrelated) joined to the outer frame
+    "q_cypher_call_subquery" -> (run(
+      """MATCH (n:Nation)
+        |CALL { MATCH (c:Customer) RETURN count(c) AS total }
+        |RETURN id(n) AS nid, total
+        |ORDER BY nid""".stripMargin) _),
+
     // Cypher write statements (reference cypher.pest create/merge/set/delete)
     // executed as batch transforms; checked by reading the mutated graph
     "q_cypher_write_create" -> ((s: SparkSession, d: String) => {
@@ -239,6 +246,8 @@ object CypherQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_cypher_call_subquery" ->
+      "SELECT CAST(n_nationkey + 1200000000 AS BIGINT) AS nid, (SELECT count(*) FROM customer) AS total FROM nation ORDER BY 1",
     "q_cypher_write_create" ->
       "SELECT nid, name FROM (SELECT CAST(n_nationkey + 1200000000 AS BIGINT) AS nid, n_name AS name FROM nation UNION ALL SELECT 1200000099, 'atlantis') ORDER BY nid",
     "q_cypher_write_set" ->

@@ -27,6 +27,36 @@ object PipelineQueries {
         .select(col("vec_id"), CypherFunctions.roundC(col("score"), 4).as("score"))
     }),
 
+    // §2.9 approximate ANN, sign-LSH multi-table: deterministic self-hit
+    // contract — every query vector collides with itself in every table, so
+    // ANN top-1 must be the query itself at cosine 1.0 (exercises bucketing,
+    // candidate generation, and exact re-rank end-to-end; recall-vs-threshold
+    // sizing is documented at Dedup.embeddingNearDupPairs)
+    "q_knn_approx" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qs = emb.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      qs.map { case (qid, v) =>
+        VectorSearch.knnApprox(emb, "vec_id", "embedding", v, 1, v.length)
+          .select(lit(qid).as("qid"), col("vec_id").as("id"),
+            CypherFunctions.roundC(col("score"), 4).as("score"))
+      }.reduce(_ unionAll _).orderBy(col("qid"))
+    }),
+
+    // §2.9 IVF two-level ANN: same self-hit contract (a vector's own cell is
+    // its nearest centroid, so nprobe >= 1 always probes it)
+    "q_knn_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = VectorSearch.kmeansCentroids(emb, "embedding", 16, 64)
+      val qs = emb.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      qs.map { case (qid, v) =>
+        VectorSearch.knnIvf(emb, "vec_id", "embedding", v, 1, cents, nprobe = 2)
+          .select(lit(qid).as("qid"), col("vec_id").as("id"),
+            CypherFunctions.roundC(col("score"), 4).as("score"))
+      }.reduce(_ unionAll _).orderBy(col("qid"))
+    }),
+
     // dedup: exact dup groups on a corpus with planted exact copies
     "q_dedup_exact" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
@@ -285,6 +315,10 @@ object PipelineQueries {
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT i, j, round(inter * 1.0 / (x.n + y.n - inter), 4) AS jaccard FROM inter JOIN sz x ON i = x.doc_id JOIN sz y ON j = y.doc_id WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.5 ORDER BY i, j""".stripMargin,
+    "q_knn_approx" ->
+      "SELECT vec_id AS qid, vec_id AS id, 1.0 AS score FROM embeddings WHERE vec_id < 5 ORDER BY 1",
+    "q_knn_ivf" ->
+      "SELECT vec_id AS qid, vec_id AS id, 1.0 AS score FROM embeddings WHERE vec_id < 5 ORDER BY 1",
     "q_dedup_embedding" ->
       "SELECT a.vec_id AS i, b.vec_id AS j, round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45 ORDER BY 1, 2",
     "q_dedup_embedding_lsh" ->

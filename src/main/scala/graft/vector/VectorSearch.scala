@@ -121,7 +121,11 @@ object VectorSearch {
         val d = p.zip(qArr).map { case (x, y) => x * y }.sum
         if (d >= 0) 1L << i else 0L
       }.sum
-      emb.filter(lshBucket(col(vecCol), planes) === lit(qBucket))
+      // compact HOF buckets: the probe scans the whole corpus, and
+      // numTables x numBits unrolled dots would explode codegen (see
+      // lshBucketCompact) — at scale the bucketed table is precomputed
+      // and partitioned anyway, so the probe reads only matching partitions
+      emb.filter(lshBucketCompact(col(vecCol), planes) === lit(qBucket))
     }.reduce(_ unionAll _).dropDuplicates(idCol)
     knnExact(cands, idCol, vecCol, query, k)
   }
