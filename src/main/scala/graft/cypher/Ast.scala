@@ -80,6 +80,9 @@ object Ast {
   final case class SetClause(assigns: Seq[(Prop, Expr)]) extends Clause
   final case class RemoveClause(props: Seq[Prop]) extends Clause
   final case class DeleteClause(vars: Seq[String], detach: Boolean) extends Clause
+  /** FOREACH (v IN list | write-clauses) — reference `cypher.pest:44-45`. */
+  final case class ForeachClause(variable: String, list: Expr,
+                                 body: Seq[Clause]) extends Clause
 
   /** `CALL { <subquery> }` (uncorrelated): the inner query runs once and its
     * result joins the outer frame. */

@@ -152,6 +152,29 @@ object CypherParser {
           val vs = ArrayBuffer(ident())
           while (trySym(",")) vs += ident()
           clauses += DeleteClause(vs.toSeq, detach)
+        } else if (tryKw("FOREACH")) {
+          eatSym("(")
+          val v = ident(); eatKw("IN"); val lst = expr(); eatSym("|")
+          // body: one or more write clauses (cypher.pest:45 foreach_body)
+          val body = ArrayBuffer[Clause]()
+          var bodyDone = false
+          while (!bodyDone) {
+            if (tryKw("SET")) body += SetClause(assignList())
+            else if (tryKw("REMOVE")) {
+              val ps = ArrayBuffer(propRef()); while (trySym(",")) ps += propRef()
+              body += RemoveClause(ps.toSeq)
+            } else if (isKw("DELETE") || (isKw("DETACH") && isKwAt(1, "DELETE"))) {
+              val detach = tryKw("DETACH"); eatKw("DELETE")
+              val vs = ArrayBuffer(ident()); while (trySym(",")) vs += ident()
+              body += DeleteClause(vs.toSeq, detach)
+            } else if (tryKw("CREATE")) {
+              val paths = ArrayBuffer(pathPattern()); while (trySym(",")) paths += pathPattern()
+              body += CreateClause(paths.toSeq)
+            } else bodyDone = true
+          }
+          if (body.isEmpty) throw ParseError("FOREACH body must contain a write clause", pos)
+          eatSym(")")
+          clauses += ForeachClause(v, lst, body.toSeq)
         } else if (isKw("CALL") && peekAt(1).exists(t => t.isInstanceOf[TSym] && t.text == "{")) {
           eatKw("CALL"); eatSym("{")
           val inner = singleQuery()
@@ -176,7 +199,7 @@ object CypherParser {
       // a standalone CALL or a write statement may omit RETURN
       val mayOmitReturn = clauses.lastOption.exists {
         case _: CallClause | _: CreateClause | _: MergeClause | _: SetClause |
-             _: RemoveClause | _: DeleteClause => true
+             _: RemoveClause | _: DeleteClause | _: ForeachClause => true
         case _ => false
       }
       if (!isKw("RETURN") && mayOmitReturn)
@@ -298,8 +321,24 @@ object CypherParser {
     }
 
     /** literal or $param in a property map. */
-    private def propValue(): Expr =
-      if (isSym("$")) { eatSym("$"); Param(ident()) } else literal()
+    /** Property-map values: literals, $params, bare variables (FOREACH loop
+      * vars, bound later by substitution), and simple arithmetic over them. */
+    private def propValue(): Expr = {
+      def atom(): Expr =
+        if (isSym("$")) { eatSym("$"); Param(ident()) }
+        else peek match {
+          case Some(TId(t)) if !Seq("true", "false", "null").contains(t.toLowerCase) =>
+            next(); Var(t)
+          case _ => literal()
+        }
+      var e = atom()
+      while (peek.exists(t => t.isInstanceOf[TSym] &&
+          Seq("+", "-", "*", "/", "%").contains(t.text))) {
+        val op = next().text
+        e = Bin(op, e, atom())
+      }
+      e
+    }
 
     private def literal(): Lit = next() match {
       case TNum(t) => if (t.contains('.')) Lit(t.toDouble) else Lit(t.toLong)

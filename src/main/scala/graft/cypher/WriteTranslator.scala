@@ -25,8 +25,37 @@ object WriteTranslator {
 
   private def isWriteClause(c: Clause): Boolean = c match {
     case _: CreateClause | _: MergeClause | _: SetClause | _: RemoveClause |
-         _: DeleteClause => true
+         _: DeleteClause | _: ForeachClause => true
     case _ => false
+  }
+
+  /** Substitute `Var(name)` with a literal throughout an expression tree —
+    * how FOREACH binds its loop variable per element. */
+  private def subst(e: Expr, name: String, value: Any): Expr = {
+    def s(x: Expr): Expr = x match {
+      case Var(`name`) => Lit(value)
+      case Bin(op, l, r) => Bin(op, s(l), s(r))
+      case Not(i) => Not(s(i))
+      case IsNull(i, n) => IsNull(s(i), n)
+      case StrPred(op, l, r) => StrPred(op, s(l), s(r))
+      case InList(i, l) => InList(s(i), s(l))
+      case Fn(n, args, d) => Fn(n, args.map(s), d)
+      case ListLit(items) => ListLit(items.map(s))
+      case CaseExpr(subj, br, els) =>
+        CaseExpr(subj.map(s), br.map { case (a, b) => (s(a), s(b)) }, els.map(s))
+      case Index(l, i) => Index(s(l), s(i))
+      case Slice(l, f, t) => Slice(s(l), f.map(s), t.map(s))
+      case other => other // literals, params, props, nested scopes
+    }
+    s(e)
+  }
+
+  private def substClause(c: Clause, name: String, value: Any): Clause = c match {
+    case SetClause(as) => SetClause(as.map { case (p, e) => (p, subst(e, name, value)) })
+    case CreateClause(paths) => CreateClause(paths.map(p => p.copy(
+      nodes = p.nodes.map(n => n.copy(props = n.props.map { case (k, e) => (k, subst(e, name, value)) })),
+      rels = p.rels.map(r => r.copy(props = r.props.map { case (k, e) => (k, subst(e, name, value)) })))))
+    case other => other // REMOVE/DELETE reference only variables
   }
 
   def execute(q: Query, g: PropertyGraph, params: Map[String, Any]): WriteResult = {
@@ -53,13 +82,31 @@ object WriteTranslator {
         .toDF("nodes_created", "relationships_created", "properties_set",
           "nodes_deleted", "relationships_deleted")
 
-    def constCol(e: Expr): Column = e match {
-      case Lit(v) => lit(v)
-      case Param(n) => lit(params.getOrElse(n,
-        throw new IllegalArgumentException(s"missing parameter $$$n")))
-      case ListLit(xs) => array(xs.map(constCol): _*)
+    def constVal(e: Expr): Any = e match {
+      case Lit(v) => v
+      case Param(n) => params.getOrElse(n,
+        throw new IllegalArgumentException(s"missing parameter $$$n"))
+      case ListLit(xs) => xs.map(constVal)
+      case Bin(op, l, r) => (constVal(l), constVal(r)) match {
+        case (a: Number, b: Number) =>
+          val (x, y) = (a.doubleValue(), b.doubleValue())
+          val d = op match {
+            case "+" => x + y; case "-" => x - y; case "*" => x * y
+            case "/" => x / y; case "%" => x % y
+            case o => throw new IllegalArgumentException(s"non-constant op $o")
+          }
+          // stay integral when both inputs were (ids, counters)
+          if (a.isInstanceOf[java.lang.Long] && b.isInstanceOf[java.lang.Long] &&
+            op != "/") d.toLong else d
+        case (a: String, b: String) if op == "+" => a + b
+        case other => throw new IllegalArgumentException(s"non-constant operands $other")
+      }
       case other => throw new IllegalArgumentException(
         s"CREATE/MERGE property values must be constant, got $other")
+    }
+    def constCol(e: Expr): Column = e match {
+      case ListLit(xs) => array(xs.map(constCol): _*)
+      case other => lit(constVal(other))
     }
 
     val nodeTypes = g.nodes.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -94,7 +141,8 @@ object WriteTranslator {
           if (p.rels.isEmpty) {
             // literal node create; id from the props if given, else allocated
             val n = p.nodes.head
-            val id = n.props.collectFirst { case ("id", Lit(v: Long)) => v }
+            val id = n.props.collectFirst { case ("id", e) => constVal(e) }
+              .collect { case num: Number => num.longValue() }
               .getOrElse { val i = nextId; nextId += 1; i }
             cur = GraphMutations.createNodes(cur, nodeRow(n, id))
             nCreated += 1
@@ -148,7 +196,8 @@ object WriteTranslator {
           val res = GraphMutations.setNodeProps(g, col("id").isin(ids: _*), assigns)
           WriteResult(res, summary(propsSet = assigns.size.toLong * ids.size))
         } else {
-          val id = n.props.collectFirst { case ("id", Lit(v: Long)) => v }
+          val id = n.props.collectFirst { case ("id", e) => constVal(e) }
+            .collect { case num: Number => num.longValue() }
             .getOrElse(maxNodeId() + 1)
           var row = nodeRow(n, id)
           onCreate.foreach { case (Prop(_, k), e) =>
@@ -213,6 +262,30 @@ object WriteTranslator {
           }
         }
         WriteResult(cur, summary(deleted = nDel, relDeleted = rDel))
+
+      // ---------- FOREACH ----------
+      case ForeachClause(v, listExpr, body) =>
+        // fold the body over the (constant / $param) list, binding the loop
+        // variable by literal substitution — each element's writes see the
+        // previous element's graph, like the reference's sequential apply
+        val elems = constVal(listExpr) match {
+          case s: Seq[_] => s
+          case other => throw new IllegalArgumentException(s"FOREACH needs a list, got $other")
+        }
+        var cur = g
+        val totals = Array.fill(5)(0L)
+        elems.foreach { elem =>
+          body.foreach { cl =>
+            val q2 = Query(SingleQuery(
+              readClauses :+ substClause(cl, v, elem),
+              ReturnSpec(distinct = false, Seq.empty, Seq.empty, None, None)), Seq.empty)
+            val r = execute(q2, cur, params)
+            cur = r.graph
+            val row = r.summary.collect()(0)
+            (0 until 5).foreach(i => totals(i) += row.getLong(i))
+          }
+        }
+        WriteResult(cur, summary(totals(0), totals(1), totals(2), totals(3), totals(4)))
 
       case other => throw new IllegalStateException(s"not a write clause: $other")
     }

@@ -182,6 +182,16 @@ object CypherQueries {
         |YIELD id, dist
         |RETURN id, dist ORDER BY id""".stripMargin) _),
 
+    // FOREACH write clause (cypher.pest:44): body folded over the list with
+    // the loop variable bound by substitution
+    "q_cypher_foreach" -> ((s: SparkSession, d: String) => {
+      val (g2, _) = QueryEngine.executeWrite(
+        "FOREACH (i IN [1, 2, 3] | CREATE (m:Marker {id: 9000000000 + i, name: 'marker'}))",
+        GraphLoader.tpch(s, d))
+      QueryEngine.execute(
+        "MATCH (m:Marker) RETURN id(m) AS mid, m.name AS name ORDER BY mid", g2)
+    }),
+
     // §2.7 CALL { } subquery (uncorrelated) joined to the outer frame
     "q_cypher_call_subquery" -> (run(
       """MATCH (n:Nation)
@@ -248,6 +258,8 @@ object CypherQueries {
   val oracles: Map[String, String] = Map(
     "q_cypher_call_subquery" ->
       "SELECT CAST(n_nationkey + 1200000000 AS BIGINT) AS nid, (SELECT count(*) FROM customer) AS total FROM nation ORDER BY 1",
+    "q_cypher_foreach" ->
+      "SELECT * FROM (VALUES (9000000001, 'marker'), (9000000002, 'marker'), (9000000003, 'marker')) t(mid, name) ORDER BY mid",
     "q_cypher_write_create" ->
       "SELECT nid, name FROM (SELECT CAST(n_nationkey + 1200000000 AS BIGINT) AS nid, n_name AS name FROM nation UNION ALL SELECT 1200000099, 'atlantis') ORDER BY nid",
     "q_cypher_write_set" ->

@@ -165,8 +165,11 @@ object VectorSearch {
              k: Int, centroids: Array[Array[Double]], nprobe: Int = 3): DataFrame = {
     val qArr = query.map(_.toDouble).toArray
     val probes = centroids.indices.sortBy(i => l2(qArr, centroids(i))).take(nprobe).toSet
+    // compact HOF distances (one array literal per centroid): kCells x dim
+    // unrolled terms would make the assignment plan megabytes of generated
+    // code; assignment is a once-per-corpus pass, interpretation is fine
     val cellExpr = centroids.zipWithIndex.map { case (c, i) =>
-      struct(l2Distance(col(vecCol), typedlit(c.toSeq), c.length).as("d"), lit(i).as("cell"))
+      struct(l2Distance(col(vecCol), typedlit(c.toSeq)).as("d"), lit(i).as("cell"))
     }
     val withCell = emb.withColumn("_cell", array_min(array(cellExpr: _*)).getField("cell"))
     knnExact(withCell.filter(col("_cell").isin(probes.toSeq: _*)), idCol, vecCol, query, k)
