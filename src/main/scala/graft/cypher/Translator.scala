@@ -248,6 +248,13 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
           (if (typedEdges.columns.contains("cap")) col("cap")
            else if (typedEdges.columns.contains("weight")) col("weight")
            else lit(1.0)).as("cap")), longArg(0), longArg(1))
+      case "algo.or.solve" =>
+        // reference takes a config map (operator.rs:6622); positional here:
+        // (label, costProperty, algorithm = 'Jaya', minTotal = 0, budget = inf)
+        graft.algo.Optimize.orSolveNodes(g,
+          argv(0).asInstanceOf[String], argv(1).asInstanceOf[String],
+          argv.lift(2).collect { case s: String => s }.getOrElse("Jaya"),
+          minTotal = numArg(3, 0.0), budget = numArg(4, Double.NaN))
       case "db.index.vector.querynodes" =>
         val idxName = argv.head.asInstanceOf[String]
         val (emb, idCol, vecCol) = vectorIndexes.getOrElse(idxName,

@@ -182,6 +182,14 @@ object CypherQueries {
         |YIELD id, dist
         |RETURN id, dist ORDER BY id""".stripMargin) _),
 
+    // §2.10 algo.or.solve (operator.rs:6617; samyama-optimization crate):
+    // minimize sum(balance_i * x_i) s.t. sum(x_i) >= 20, x in [0,1], via
+    // parallel multi-start Jaya; contract: feasible + cheaper than uniform
+    "q_cypher_or_solve" -> (run(
+      """CALL algo.or.solve('Supplier', 'balance', 'Jaya', 20)
+        |YIELD algorithm, feasible, beats_uniform
+        |RETURN algorithm, feasible, beats_uniform""".stripMargin) _),
+
     // FOREACH write clause (cypher.pest:44): body folded over the list with
     // the loop variable bound by substitution
     "q_cypher_foreach" -> ((s: SparkSession, d: String) => {
@@ -260,6 +268,8 @@ object CypherQueries {
       "SELECT CAST(n_nationkey + 1200000000 AS BIGINT) AS nid, (SELECT count(*) FROM customer) AS total FROM nation ORDER BY 1",
     "q_cypher_foreach" ->
       "SELECT * FROM (VALUES (9000000001, 'marker'), (9000000002, 'marker'), (9000000003, 'marker')) t(mid, name) ORDER BY mid",
+    "q_cypher_or_solve" ->
+      "SELECT 'Jaya' AS algorithm, true AS feasible, true AS beats_uniform",
     "q_cypher_write_create" ->
       "SELECT nid, name FROM (SELECT CAST(n_nationkey + 1200000000 AS BIGINT) AS nid, n_name AS name FROM nation UNION ALL SELECT 1200000099, 'atlantis') ORDER BY nid",
     "q_cypher_write_set" ->

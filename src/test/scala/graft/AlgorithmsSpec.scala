@@ -97,6 +97,19 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1.0), (10L, 11L, 2.0)))
   }
 
+  test("or.solve: all three kernels find a near-greedy allocation") {
+    // costs (1, 10, 100), need total >= 1, x in [0,1]: optimum fills the
+    // cheapest variable -> fitness ~1; uniform (1/3 each) costs 37
+    val costs = Array(1.0, 10.0, 100.0)
+    for (alg <- Seq("Jaya", "SA", "TLBO")) {
+      val r = graft.algo.Optimize.orSolve(spark, costs, alg,
+        minTotal = 1.0, maxIter = 200, starts = 4)
+      assert(r.solution.sum >= 1.0 - 1e-6, s"$alg infeasible")
+      assert(r.fitness < 37.0, s"$alg fitness ${r.fitness} not better than uniform")
+      assert(r.fitness >= 1.0 - 1e-6, s"$alg fitness ${r.fitness} below the optimum")
+    }
+  }
+
   test("pca: first component of a line cloud explains ~all variance") {
     // points on the line y = 2x (plus tiny z noise): PC1 captures ~everything
     val rows = (0 until 50).map { i =>
