@@ -29,6 +29,9 @@ object Verify {
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "100")
       .config("spark.ui.retainedTasks", "1000")
+      // see Bench: force periodic driver GC so the ContextCleaner actually
+      // drains accumulated broadcast/checkpoint blocks during the suite
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
