@@ -180,8 +180,59 @@ object WriteTranslator {
         WriteResult(cur, summary(created = nCreated, relCreated = rCreated))
 
       // ---------- MERGE ----------
+      case MergeClause(path, onCreate, onMatch) if path.rels.nonEmpty =>
+        // relationship MERGE between MATCH-bound endpoints: insert-if-absent
+        // by (src, dst, type) anti-join — idempotent by construction
+        require(path.rels.size == 1 && path.nodes.size == 2,
+          "MERGE supports a single relationship per pattern")
+        val r = path.rels.head
+        val relType = r.types.headOption.getOrElse("RELATED")
+        val (a, b) = (path.nodes(0).variable, path.nodes(1).variable) match {
+          case (Some(x), Some(y)) => (x, y)
+          case _ => throw new IllegalArgumentException(
+            "MERGE relationship endpoints must be bound variables")
+        }
+        require(nodeVars.contains(a) && nodeVars.contains(b),
+          "MERGE relationship endpoints must come from a preceding MATCH")
+        val pairs = readFrame(Seq(
+          ReturnItem(Fn("id", Seq(Var(a))), Some("_src")),
+          ReturnItem(Fn("id", Seq(Var(b))), Some("_dst")))).distinct()
+        val typed = g.edges.filter(col("relationship") === relType)
+        val missing = pairs.join(typed.select(col("src").as("_src"), col("dst").as("_dst")),
+          Seq("_src", "_dst"), "left_anti")
+        val base = maxEdgeId()
+        val w = Window.orderBy(col("_src"), col("_dst"))
+        val createProps = (r.props ++ onCreate.map { case (Prop(_, k), e) => k -> e })
+          .map { case (k, e) =>
+            val c = constCol(e)
+            edgeTypes.get(k).map(c.cast).getOrElse(c).as(k)
+          }
+        val rows = missing.withColumn("id", lit(base) + row_number().over(w).cast("long"))
+          .select(Seq(col("id"), col("_src").cast("long").as("src"),
+            col("_dst").cast("long").as("dst"),
+            lit(relType).as("relationship")) ++ createProps: _*)
+        val nNew = rows.count()
+        var cur = GraphMutations.createEdges(g, rows)
+        var nSet = 0L
+        if (onMatch.nonEmpty && nNew < pairs.count()) {
+          // ON MATCH SET via join-overwrite on the pre-existing matched edges
+          val matched = pairs.join(typed.select(col("src").as("_src"), col("dst").as("_dst"),
+            col("id").as("_eid")), Seq("_src", "_dst")).select(col("_eid"))
+          val assigns = onMatch.map { case (Prop(_, k), e) =>
+            k -> constCol(e).cast(edgeTypes(k))
+          }.toMap
+          val joined = cur.edges.join(matched.withColumn("_hit", lit(true)),
+            col("id") === col("_eid"), "left")
+          val updated = joined.select(cur.edges.columns.map { c =>
+            assigns.get(c).map(v => when(col("_hit"), v).otherwise(col(c)).as(c))
+              .getOrElse(col(c))
+          }: _*)
+          nSet = assigns.size.toLong
+          cur = graft.model.PropertyGraph(cur.nodes, updated)
+        }
+        WriteResult(cur, summary(relCreated = nNew, propsSet = nSet))
+
       case MergeClause(path, onCreate, onMatch) =>
-        require(path.rels.isEmpty, "MERGE of relationships is unsupported")
         val n = path.nodes.head
         val pred = (n.labels.map(l => array_contains(col("labels"), l)) ++
           n.props.map { case (k, e) =>

@@ -182,6 +182,17 @@ object CypherQueries {
         |YIELD id, dist
         |RETURN id, dist ORDER BY id""".stripMargin) _),
 
+    // relationship MERGE: insert-if-absent by (src, dst, type) — applied
+    // TWICE to prove idempotency; the read counts exactly one edge per pair
+    "q_cypher_write_merge_rel" -> ((s: SparkSession, d: String) => {
+      val m = """MATCH (c:Customer), (n:Nation)
+                |WHERE id(c) < 3 AND id(n) = 1200000001
+                |MERGE (c)-[:SPONSORS]->(n)""".stripMargin
+      val (g2, _) = QueryEngine.executeWrite(m, GraphLoader.tpch(s, d))
+      val (g3, _) = QueryEngine.executeWrite(m, g2)
+      QueryEngine.execute("MATCH ()-[r:SPONSORS]->() RETURN count(r) AS n", g3)
+    }),
+
     // §2.10 algo.or.solve (operator.rs:6617; samyama-optimization crate):
     // minimize sum(balance_i * x_i) s.t. sum(x_i) >= 20, x in [0,1], via
     // parallel multi-start Jaya; contract: feasible + cheaper than uniform
@@ -270,6 +281,8 @@ object CypherQueries {
       "SELECT * FROM (VALUES (9000000001, 'marker'), (9000000002, 'marker'), (9000000003, 'marker')) t(mid, name) ORDER BY mid",
     "q_cypher_or_solve" ->
       "SELECT 'Jaya' AS algorithm, true AS feasible, true AS beats_uniform",
+    "q_cypher_write_merge_rel" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM customer WHERE c_custkey < 3",
     "q_cypher_write_create" ->
       "SELECT nid, name FROM (SELECT CAST(n_nationkey + 1200000000 AS BIGINT) AS nid, n_name AS name FROM nation UNION ALL SELECT 1200000099, 'atlantis') ORDER BY nid",
     "q_cypher_write_set" ->
