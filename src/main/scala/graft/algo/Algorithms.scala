@@ -66,7 +66,10 @@ object Algorithms {
         .select(col("id"),
           (lit((1 - damping) / n) + lit(damping) *
             (coalesce(col("recv"), lit(0.0)) + col("_dmass") / n)).as("rank"))
-        .localCheckpoint(true) // cuts lineage for the next round
+      // no checkpoint here: the NEXT round's withDeg cut already truncates
+      // lineage once per round — a second per-round materialization of the
+      // vertex-sized ranks table is pure checkpoint-write overhead (and at
+      // 100x the per-round block writes are the bottleneck, per round-2)
     }
     ranks
   }
@@ -107,19 +110,22 @@ object Algorithms {
     val und = edges.select(col("src").as("_usrc"), col("dst").as("_udst"))
       .unionAll(edges.select(col("dst").as("_usrc"), col("src").as("_udst")))
       .localCheckpoint(true)
+    // every vertex appears as _udst (both directions are in `und`, and the
+    // vertex set is derived from the edges), so the per-round argmax over
+    // incoming neighbor labels covers ALL vertices — no join back to the
+    // previous labels is needed. Each round then references the previous
+    // one exactly ONCE, which lets lineage be cut every OTHER round: half
+    // the checkpoint writes, and a 2-round plan is still O(1) deep.
     var lbl = verts(edges).withColumn("label", col("id"))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       val freq = lbl.join(und, col("id") === col("_usrc"))
         .groupBy(col("_udst"), col("label")).agg(count(lit(1)).as("f"))
-        .withColumnRenamed("_udst", "vid")
       // argmax(f), ties -> min label, as a single hash aggregate over
       // struct ordering (max of (f, -label)) — no window sort
-      val pick = freq.groupBy(col("vid"))
+      val next = freq.groupBy(col("_udst"))
         .agg(max(struct(col("f"), (-col("label")).as("nl"))).as("m"))
-        .select(col("vid"), (-col("m.nl")).as("nlbl"))
-      lbl = lbl.join(pick, col("id") === col("vid"), "left")
-        .select(col("id"), coalesce(col("nlbl"), col("label")).as("label"))
-        .localCheckpoint(true)
+        .select(col("_udst").as("id"), (-col("m.nl")).as("label"))
+      lbl = if (i % 2 == 0 && i < iterations) next.localCheckpoint(true) else next
     }
     lbl
   }

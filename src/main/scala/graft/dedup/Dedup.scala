@@ -168,40 +168,157 @@ object Dedup {
     val dim = if (dim0 > 0) dim0 else VectorSearch.detectDim(emb, vecCol)
     // pre-normalize each side ONCE (unrolled codegen'd norm) so the pair
     // condition is a single dot product, not dot + two norms
-    val base =
-      if (lshBits <= 0) {
+    if (lshBits <= 0) {
         val a = emb.select(col(idCol).as("i"), col(vecCol).as("va"),
           VectorSearch.l2Norm(col(vecCol), dim).as("na"))
         val b = emb.select(col(idCol).as("j"), col(vecCol).as("vb"),
           VectorSearch.l2Norm(col(vecCol), dim).as("nb"))
         a.join(b, col("i") < col("j"))
-      } else {
-        val buckets = (0 until lshTables).map { t =>
-          val planes = VectorSearch.hyperplanes(dim, lshBits, seed + t)
-          struct(lit(t).as("t"), VectorSearch.lshBucketCompact(col(vecCol), planes).as("b"))
-        }
-        // Materialize the bucket projection ONCE (eager checkpoint): the
-        // tables×bits unrolled plane dots are a huge codegen'd expression, and
-        // without the cut it is inlined into BOTH self-join children (and the
-        // broadcast build side), exploding generated-code size superlinearly.
-        // After the cut the join children are plain scans of the materialized
-        // relation — which is also the right shape at 100 TB (compute buckets
-        // once, write out partitioned by (table, bucket), then join).
-        val withB = emb.select(col(idCol), col(vecCol),
-            VectorSearch.l2Norm(col(vecCol), dim).as("_n"),
-            array(buckets: _*).as("_tbs"))
+          .select(col("i"), col("j"),
+            (VectorSearch.dot(col("va"), col("vb"), dim) / (col("na") * col("nb"))).as("cosine"))
+          .filter(col("cosine") >= threshold)
+    } else {
+        // Bucket materialization as a typed kernel: tables×bits plane dots
+        // per row are a dense matrix multiply — as Catalyst HOF expressions
+        // they run interpreted per element (~tables×bits×dim boxed ops per
+        // row; this WAS the operator's bottleneck), as a primitive loop they
+        // are microseconds per row. Materialized ONCE (eager checkpoint) so
+        // the self-join children read a plain scan — which is also the right
+        // shape at 100 TB (compute buckets once, write out partitioned by
+        // (table, bucket), then join). Vector values widen float→double and
+        // the norm accumulates left-to-right, matching the Catalyst path.
+        val spark = emb.sparkSession
+        import spark.implicits._
+        val planesAll: Array[Array[Array[Double]]] =
+          (0 until lshTables).map(t => VectorSearch.hyperplanes(dim, lshBits, seed + t)).toArray
+        val bc = spark.sparkContext.broadcast(planesAll)
+        val withB = emb
+          .select(col(idCol).cast("long").as("_kid"), col(vecCol).cast("array<double>").as("_kv"))
+          .as[(Long, Seq[Double])]
+          .map { case (id, vSeq) =>
+            val v = vSeq.toArray
+            var s = 0.0; var k = 0
+            while (k < v.length) { s += v(k) * v(k); k += 1 }
+            val tbs = bc.value.iterator.zipWithIndex.map { case (planes, t) =>
+              var b = 0L; var i = 0
+              while (i < planes.length) {
+                val p = planes(i)
+                var d = 0.0; var k2 = 0
+                while (k2 < p.length) { d += p(k2) * v(k2); k2 += 1 }
+                if (d >= 0) b |= (1L << i)
+                i += 1
+              }
+              (t, b)
+            }.toSeq
+            (id, vSeq, math.sqrt(s), tbs)
+          }
+          .toDF(idCol, vecCol, "_n", "_tbs")
           .localCheckpoint(true)
-        val banded = withB.select(col(idCol), col(vecCol), col("_n"),
-          explode(col("_tbs")).as("_tb"))
-        val a = banded.select(col(idCol).as("i"), col(vecCol).as("va"),
-          col("_n").as("na"), col("_tb"))
-        val b = banded.select(col(idCol).as("j"), col(vecCol).as("vb"),
-          col("_n").as("nb"), col("_tb").as("_tb2"))
-        a.join(b, col("_tb") === col("_tb2") && col("i") < col("j"))
+        // candidate generation joins IDS ONLY: a pair colliding in k of the
+        // tables produces k rows into the dedup, and carrying two dim-width
+        // vectors per candidate row through that shuffle was the dominant
+        // cost of this operator in round 2 — shuffle (i, j) longs instead,
+        // dedup, then join the vectors back on (the n-sized, not n²-sized,
+        // side) for the exact re-rank
+        val banded = withB.select(col(idCol).as("_bid"), explode(col("_tbs")).as("_tb"))
+        val cand = banded.select(col("_bid").as("i"), col("_tb"))
+          .join(banded.select(col("_bid").as("j"), col("_tb").as("_tb2")),
+            col("_tb") === col("_tb2") && col("i") < col("j"))
+          .select(col("i"), col("j"))
           .dropDuplicates("i", "j")
+        // Exact re-rank as a typed kernel over a broadcast id→(vector, norm)
+        // map: the corpus-vector side is the build side a stats-aware planner
+        // would broadcast anyway (n·d·8 B — the same memory class as a
+        // broadcast-hash-join table), and a primitive-loop dot is ~50× faster
+        // per candidate than a dim-term codegen expression tree. Past the
+        // broadcast budget, fall back to broadcast-hint joins + expression dot.
+        val nRows = withB.count()
+        if (nRows * dim <= 6L * 1000 * 1000) { // ~50 MB of doubles
+          val vecMap: Map[Long, (Array[Double], Double)] = withB
+            .select(col(idCol).cast("long"), col(vecCol), col("_n"))
+            .as[(Long, Seq[Double], Double)]
+            .collect().map { case (id, v, nn) => id -> (v.toArray, nn) }.toMap
+          val bcV = spark.sparkContext.broadcast(vecMap)
+          cand.select(col("i").cast("long"), col("j").cast("long")).as[(Long, Long)]
+            .map { case (i, j) =>
+              val (va, na) = bcV.value(i)
+              val (vb, nb) = bcV.value(j)
+              var s = 0.0; var k = 0
+              while (k < va.length) { s += va(k) * vb(k); k += 1 }
+              (i, j, s / (na * nb))
+            }
+            .toDF("i", "j", "cosine")
+            .filter(col("cosine") >= threshold)
+        } else {
+          cand
+            .join(broadcast(withB.select(col(idCol).as("i"), col(vecCol).as("va"), col("_n").as("na"))), Seq("i"))
+            .join(broadcast(withB.select(col(idCol).as("j"), col(vecCol).as("vb"), col("_n").as("nb"))), Seq("j"))
+            .select(col("i"), col("j"),
+              (VectorSearch.dot(col("va"), col("vb"), dim) / (col("na") * col("nb"))).as("cosine"))
+            .filter(col("cosine") >= threshold)
+        }
+    }
+  }
+
+  /** Exact all-pairs embedding near-dup as a BLOCKED matrix kernel — the
+    * scale-true formulation of the exact path (vs the row-pair join above,
+    * which shuffles O(n²) rows each carrying two vectors). Rows are hashed
+    * into blocks of ~blockSize vectors; blocks join pairwise (bx <= by), so
+    * the shuffle moves O(B²) block-pair rows = n²·d/blockSize numbers —
+    * blockSize× less data movement — and the blockSize² dot products per
+    * block pair run as a tight primitive loop inside one task. n² rows are
+    * never formed in the plan; only pairs passing the threshold are emitted.
+    * Exact all-pairs is inherently O(n²) COMPUTE — blocking is the standard
+    * distributed-gramian shape that makes the movement and the inner loop
+    * efficient. (mapPartitions-class typed kernel: genuine per-partition
+    * imperative logic, the documented exception to functions-not-UDFs.)
+    * Numerics match the Catalyst path bit-for-bit: float→double widening,
+    * dot and norm accumulated left-to-right, cosine = dot/(na·nb).
+    * Returns (i, j, cosine) with i < j. */
+  def embeddingNearDupPairsBlocked(emb: DataFrame, idCol: String, vecCol: String,
+                                   threshold: Double, blockSize: Int = 1024): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val rows = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val n = rows.count()
+    val numBlocks = math.max(1L, (n + blockSize - 1) / blockSize).toInt
+    val blocks = rows
+      .withColumn("blk", pmod(hash(col("id")), lit(numBlocks)).cast("long"))
+      .groupBy("blk").agg(collect_list(struct(col("id"), col("v"))).as("rows"))
+      .localCheckpoint(true) // both sides of the block join read this once
+    val pairs = blocks.as("x").join(blocks.as("y"), col("x.blk") <= col("y.blk"))
+      .select(col("x.blk").as("bx"), col("x.rows").as("rx"),
+        col("y.blk").as("by"), col("y.rows").as("ry"))
+      .as[(Long, Seq[(Long, Seq[Double])], Long, Seq[(Long, Seq[Double])])]
+    pairs.flatMap { case (bx, rxS, by, ryS) =>
+      val rx = rxS.iterator.map { case (i, v) => (i, v.toArray) }.toArray
+      val ry = if (bx == by) rx else ryS.iterator.map { case (j, v) => (j, v.toArray) }.toArray
+      def norms(a: Array[(Long, Array[Double])]): Array[Double] = a.map { case (_, v) =>
+        var s = 0.0; var k = 0
+        while (k < v.length) { s += v(k) * v(k); k += 1 }
+        math.sqrt(s)
       }
-    base.select(col("i"), col("j"),
-        (VectorSearch.dot(col("va"), col("vb"), dim) / (col("na") * col("nb"))).as("cosine"))
-      .filter(col("cosine") >= threshold)
+      val nx = norms(rx)
+      val ny = if (bx == by) nx else norms(ry)
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      var a = 0
+      while (a < rx.length) {
+        val (ia, va) = rx(a)
+        var b = 0
+        while (b < ry.length) {
+          val (jb, vb) = ry(b)
+          if (bx != by || ia < jb) { // same-block pairs once; cross-block all
+            var s = 0.0; var k = 0
+            while (k < va.length) { s += va(k) * vb(k); k += 1 }
+            val cos = s / (nx(a) * ny(b))
+            if (cos >= threshold) out += ((math.min(ia, jb), math.max(ia, jb), cos))
+          }
+          b += 1
+        }
+        a += 1
+      }
+      out.result()
+    }.toDF("i", "j", "cosine")
   }
 }

@@ -72,14 +72,16 @@ object PipelineQueries {
         .select(col("i"), col("j"), CypherFunctions.roundC(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("i"), col("j"))),
 
-    // dedup: embedding-cosine pairs >= 0.45, exact all-pairs. DELIBERATELY
-    // not LSH: at theta=0.45 the sign-LSH bit-agreement probability is
+    // dedup: embedding-cosine pairs >= 0.45, exact — DELIBERATELY not LSH:
+    // at theta=0.45 the sign-LSH bit-agreement probability is
     // p = 1 - acos(0.45)/pi = 0.649, and any (bits, tables) meeting recall~1
     // does >= n^2 candidate work (T x n^2/2^bits with T >= ln(eps)/ln(1-p^b))
-    // — exact is output-optimal in this selectivity regime. The LSH path is
-    // graded in its own regime below (q_dedup_embedding_lsh).
+    // — exact is output-optimal in this selectivity regime. Runs as the
+    // BLOCKED matrix kernel (see Dedup.embeddingNearDupPairsBlocked): the
+    // O(n^2) compute is inherent to exactness, but the plan never forms the
+    // n^2 row join. The LSH path is graded in its own regime below.
     "q_dedup_embedding" -> ((s, d) =>
-      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding", 0.45)
+      Dedup.embeddingNearDupPairsBlocked(t(s, d, "embeddings"), "vec_id", "embedding", 0.45)
         .select(col("i"), col("j"), CypherFunctions.roundC(col("cosine"), 4).as("cosine"))
         .orderBy(col("i"), col("j"))),
 
