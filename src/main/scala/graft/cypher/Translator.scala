@@ -422,6 +422,10 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     var df = scanNode(path.nodes.head, headVar)
     var vars = Set(headVar)
     var cur = headVar
+    // the variables ACTUALLY bound per node position, in path order —
+    // anonymous nodes get their fresh() name recorded here so a named
+    // path's node list refers to the real interior columns
+    var nodeVarsInOrder = Seq(headVar)
     for ((rel, node) <- path.rels.zip(path.nodes.tail)) {
       val tgtVar = node.variable.getOrElse(fresh())
       df =
@@ -430,6 +434,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         else expandOne(df, cur, rel, node, tgtVar, vars)
       rel.variable.foreach(v => vars += v)
       vars += tgtVar
+      nodeVarsInOrder :+= tgtVar
       cur = tgtVar
     }
     var pset = Set.empty[String]
@@ -437,24 +442,12 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
       pset += p
       if (path.rels.forall(!_.isVarLength)) {
         // fixed-length named path: length and node-id list are static shape
-        val nodeIds = (Seq(headVar) ++ path.rels.zip(path.nodes.tail).map(_._2.variable.getOrElse("?")))
-        val idCols = (path.nodes.head.variable.getOrElse(headVar) +: path.nodes.tail.map(_.variable.getOrElse(fresh())))
-        // recompute: all node vars along the path in order
-        val orderedVars = pathNodeVars(path, headVar)
         df = df.withColumn(s"${p}__length", lit(path.rels.length))
-          .withColumn(s"${p}__nodes", array(orderedVars.map(v => col(s"${v}__id")): _*))
+          .withColumn(s"${p}__nodes", array(nodeVarsInOrder.map(v => col(s"${v}__id")): _*))
       }
       // var-length named paths get p__length/p__nodes inside expandVarLength
     }
     (df, vars, pset)
-  }
-
-  /** Node variables along a path in order (generating names only for display). */
-  private def pathNodeVars(path: PathPat, headVar: String): Seq[String] = {
-    var out = Seq(headVar)
-    for (node <- path.nodes.tail)
-      out = out :+ node.variable.getOrElse(headVar) // anonymous interior nodes resolve to head (unused)
-    out
   }
 
   private def prefixAll(df: DataFrame, v: String): DataFrame =
@@ -511,6 +504,9 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
                               pathVar: Option[String]): DataFrame = {
     val maxHops = rel.maxHops // unbounded `*` iterates to the reachability fixpoint
     var e = g.edgesOfType(rel.types: _*)
+    // relationship property predicates apply to EVERY traversed edge
+    // (`[*1..2 {weight: 5}]` — same filter expandOne/orientedEdges applies)
+    for ((k, value) <- rel.props) e = e.filter(col(k) === toCol(value))
     e = rel.dir match {
       case Out => e
       case In => e.select(col("dst").as("src"), col("src").as("dst"))

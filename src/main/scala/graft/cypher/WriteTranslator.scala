@@ -137,6 +137,11 @@ object WriteTranslator {
         var nCreated = 0L
         var rCreated = 0L
         var nextId = maxNodeId() + 1
+        // edge-id high-water mark across ALL paths of this CREATE: computing
+        // maxEdgeId() per path against the ORIGINAL graph would hand every
+        // path the same id range (duplicate edge ids corrupting id-keyed
+        // SET/DELETE later)
+        var nextEdgeBase = maxEdgeId()
         paths.foreach { p =>
           if (p.rels.isEmpty) {
             // literal node create; id from the props if given, else allocated
@@ -161,7 +166,6 @@ object WriteTranslator {
             val pairs = readFrame(Seq(
               ReturnItem(Fn("id", Seq(Var(a))), Some("_src")),
               ReturnItem(Fn("id", Seq(Var(b))), Some("_dst")))).distinct()
-            val base = maxEdgeId()
             // bounded creates: the single-partition window only orders the
             // newly created rows, never the graph
             val w = Window.orderBy(col("_src"), col("_dst"))
@@ -169,11 +173,13 @@ object WriteTranslator {
               val c = constCol(e)
               edgeTypes.get(k).map(c.cast).getOrElse(c).as(k)
             }
-            val rows = pairs.withColumn("id", lit(base) + row_number().over(w).cast("long"))
+            val rows = pairs.withColumn("id", lit(nextEdgeBase) + row_number().over(w).cast("long"))
               .select(Seq(col("id"), col("_src").cast("long").as("src"),
                 col("_dst").cast("long").as("dst"),
                 lit(r.types.headOption.getOrElse("RELATED")).as("relationship")) ++ propCols: _*)
-            rCreated += rows.count()
+            val nRows = rows.count()
+            rCreated += nRows
+            nextEdgeBase += nRows
             cur = GraphMutations.createEdges(cur, rows)
           }
         }
@@ -227,7 +233,8 @@ object WriteTranslator {
             assigns.get(c).map(v => when(col("_hit"), v).otherwise(col(c)).as(c))
               .getOrElse(col(c))
           }: _*)
-          nSet = assigns.size.toLong
+          // per-entity property writes, Neo4j-style: assignments × matched edges
+          nSet = assigns.size.toLong * matched.count()
           cur = graft.model.PropertyGraph(cur.nodes, updated)
         }
         WriteResult(cur, summary(relCreated = nNew, propsSet = nSet))
@@ -243,9 +250,10 @@ object WriteTranslator {
         val exists = existing.limit(1).count() > 0
         if (exists) {
           val assigns = onMatch.map { case (Prop(_, k), e) => k -> constCol(e).cast(nodeTypes(k)) }.toMap
-          val ids = existing.collect().map(_.getLong(0)).toSeq
-          val res = GraphMutations.setNodeProps(g, col("id").isin(ids: _*), assigns)
-          WriteResult(res, summary(propsSet = assigns.size.toLong * ids.size))
+          // join-based overwrite: a non-selective MERGE predicate must not
+          // collect every matched id into the driver + plan (OOM at scale)
+          val res = GraphMutations.setNodePropsByIds(g, existing, assigns)
+          WriteResult(res, summary(propsSet = assigns.size.toLong * existing.count()))
         } else {
           val id = n.props.collectFirst { case ("id", e) => constVal(e) }
             .collect { case num: Number => num.longValue() }
@@ -290,12 +298,19 @@ object WriteTranslator {
 
       case RemoveClause(props) =>
         var cur = g
+        var nSet = 0L
         props.groupBy(_.variable).foreach { case (v, ps) =>
-          val ids = readFrame(Seq(ReturnItem(Fn("id", Seq(Var(v))), Some("_id"))))
-            .collect().map(_.getLong(0)).toSeq
-          cur = GraphMutations.removeNodeProps(cur, col("id").isin(ids: _*), ps.map(_.key))
+          // join-based, and branched on node vs relationship variable like
+          // DELETE (REMOVE r.prop must null EDGE columns, not node columns
+          // whose ids happen to collide)
+          val ids = readFrame(Seq(ReturnItem(Fn("id", Seq(Var(v))), Some("_id")))).distinct()
+          nSet += ids.count() * ps.size
+          cur =
+            if (edgeVars.contains(v))
+              GraphMutations.removeEdgePropsByIds(cur, ids, ps.map(_.key))
+            else GraphMutations.removeNodePropsByIds(cur, ids, ps.map(_.key))
         }
-        WriteResult(cur, summary(propsSet = props.size.toLong))
+        WriteResult(cur, summary(propsSet = nSet))
 
       // ---------- DELETE ----------
       case DeleteClause(vars, detach) =>

@@ -91,8 +91,43 @@ object GraphMutations {
       keys.map(k => k -> lit(null).cast(types(k))).toMap)
   }
 
+  /** SET node properties on the id set given as a DATAFRAME — the scale-safe
+    * twin of the `pred` overload for MATCH-derived targets: a left join +
+    * conditional overwrite instead of collecting ids to the driver and
+    * inlining an `isin` (which at scale is both an OOM and a giant plan). */
+  def setNodePropsByIds(g: PropertyGraph, ids: DataFrame,
+                        assigns: Map[String, Column]): PropertyGraph =
+    PropertyGraph(applySetByIds(g.nodes, ids, assigns), g.edges)
+
+  /** SET edge properties on an id-set DataFrame (join-based, scale-safe). */
+  def setEdgePropsByIds(g: PropertyGraph, ids: DataFrame,
+                        assigns: Map[String, Column]): PropertyGraph =
+    PropertyGraph(g.nodes, applySetByIds(g.edges, ids, assigns))
+
+  /** REMOVE node properties on an id-set DataFrame — typed NULL overwrite. */
+  def removeNodePropsByIds(g: PropertyGraph, ids: DataFrame, keys: Seq[String]): PropertyGraph = {
+    val types = g.nodes.schema.fields.map(f => f.name -> f.dataType).toMap
+    setNodePropsByIds(g, ids, keys.map(k => k -> lit(null).cast(types(k))).toMap)
+  }
+
+  /** REMOVE edge properties on an id-set DataFrame — typed NULL overwrite. */
+  def removeEdgePropsByIds(g: PropertyGraph, ids: DataFrame, keys: Seq[String]): PropertyGraph = {
+    val types = g.edges.schema.fields.map(f => f.name -> f.dataType).toMap
+    setEdgePropsByIds(g, ids, keys.map(k => k -> lit(null).cast(types(k))).toMap)
+  }
+
   private def applySet(df: DataFrame, pred: Column, assigns: Map[String, Column]): DataFrame =
     if (assigns.isEmpty) df
     else df.select(df.columns.map(c =>
       assigns.get(c).map(v => when(pred, v).otherwise(col(c)).as(c)).getOrElse(col(c))): _*)
+
+  private def applySetByIds(df: DataFrame, ids: DataFrame, assigns: Map[String, Column]): DataFrame =
+    if (assigns.isEmpty) df
+    else {
+      val idc = ids.select(ids.columns.head).toDF("_mid").distinct()
+        .withColumn("_hit", lit(true))
+      df.join(idc, col("id") === col("_mid"), "left")
+        .select(df.columns.map(c =>
+          assigns.get(c).map(v => when(col("_hit"), v).otherwise(col(c)).as(c)).getOrElse(col(c))): _*)
+    }
 }

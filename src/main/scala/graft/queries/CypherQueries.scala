@@ -45,6 +45,24 @@ object CypherQueries {
         |RETURN id(c) AS start, id(x) AS node
         |ORDER BY start, node""".stripMargin) _),
 
+    // variable-length expansion with a relationship property predicate —
+    // EVERY traversed edge must satisfy it (round-2 bug: props were
+    // silently ignored on the var-length path)
+    "q_cypher_varlength_props" -> (run(
+      """MATCH (o:Order)-[*1..2 {weight: 5.0}]->(x)
+        |WHERE id(o) < 10000050
+        |RETURN id(o) AS start, id(x) AS node
+        |ORDER BY start, node""".stripMargin) _),
+
+    // named path with an ANONYMOUS interior node: nodes(p) must carry the
+    // interior node's real id (round-2 bug: head id was repeated in place
+    // of anonymous interior nodes)
+    "q_cypher_path_anon" -> (run(
+      """MATCH p = (c:Customer)-[:PLACED]->()-[:CONTAINS]->(l)
+        |WHERE id(c) < 3
+        |RETURN id(c) AS cid, nodes(p)[1] AS mid, id(l) AS lid, length(p) AS len
+        |ORDER BY cid, mid, lid""".stripMargin) _),
+
     // string predicates in WHERE
     "q_cypher_where_str" -> (run(
       """MATCH (p:Part)
@@ -318,6 +336,19 @@ object CypherQueries {
         |h1 AS (SELECT DISTINCT s.start, e.dst AS node FROM s JOIN e ON e.src = s.start),
         |h2 AS (SELECT DISTINCT h1.start, e.dst AS node FROM h1 JOIN e ON e.src = h1.node)
         |SELECT start, node FROM (SELECT start, node FROM h1 UNION SELECT start, node FROM h2) ORDER BY start, node""".stripMargin,
+    "q_cypher_varlength_props" ->
+      """WITH e AS (
+        | SELECT CAST(l_orderkey + 10000000 AS BIGINT) AS src, CAST(100000000 + l_orderkey*8 + l_linenumber AS BIGINT) AS dst FROM lineitem WHERE l_quantity = 5.0
+        | UNION ALL SELECT CAST(100000000 + l_orderkey*8 + l_linenumber AS BIGINT), CAST(1000000000 + l_partkey AS BIGINT) FROM lineitem WHERE l_extendedprice = 5.0
+        |), s AS (SELECT CAST(o_orderkey + 10000000 AS BIGINT) AS start FROM orders WHERE o_orderkey < 50),
+        |h1 AS (SELECT DISTINCT s.start, e.dst AS node FROM s JOIN e ON e.src = s.start),
+        |h2 AS (SELECT DISTINCT h1.start, e.dst AS node FROM h1 JOIN e ON e.src = h1.node)
+        |SELECT start, node FROM (SELECT start, node FROM h1 UNION SELECT start, node FROM h2) ORDER BY start, node""".stripMargin,
+    "q_cypher_path_anon" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS cid, CAST(o_orderkey + 10000000 AS BIGINT) AS mid,
+        | CAST(100000000 + l_orderkey*8 + l_linenumber AS BIGINT) AS lid, 2 AS len
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_custkey < 3 ORDER BY cid, mid, lid""".stripMargin,
     "q_cypher_where_str" ->
       "SELECT CAST(p_partkey + 1000000000 AS BIGINT) AS pid, p_name AS name FROM part WHERE starts_with(p_name, 'a') OR contains(p_name, 'ol') ORDER BY pid",
     "q_cypher_distinct" ->

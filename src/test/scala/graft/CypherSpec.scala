@@ -268,4 +268,43 @@ class CypherSpec extends SparkSpec {
       .as[(String, String)].head()
     assert(r._1 == "STRING" && r._2.contains("02:00:00"))
   }
+
+  test("named path with anonymous interior node carries the real interior id") {
+    val r = run("MATCH p = (a:Person {name: 'Alice'})-[:KNOWS]->()-[:KNOWS]->(c) " +
+      "RETURN nodes(p)[1] AS mid, id(c) AS cid")
+      .as[(Long, Long)].collect().toSeq
+    // only Alice(1) -KNOWS-> Bob(2) -KNOWS-> Carol(3); the anonymous
+    // interior must resolve to Bob's id, not repeat the head's
+    assert(r == Seq((2L, 3L)))
+  }
+
+  test("var-length expansion applies relationship property predicates") {
+    // only edge 11 (Bob->Carol) has since = 2015; from Alice no first hop
+    // qualifies, so the pattern must match nothing (the round-2 bug
+    // silently traversed ALL edges)
+    val r = run("MATCH (a:Person {name: 'Alice'})-[*1..2 {since: 2015}]->(x) " +
+      "RETURN id(x) AS xid").as[Long].collect().toSeq
+    assert(r.isEmpty)
+    val r2 = run("MATCH (b:Person {name: 'Bob'})-[*1..2 {since: 2015}]->(x) " +
+      "RETURN id(x) AS xid").as[Long].collect().toSeq
+    assert(r2 == Seq(3L))
+  }
+
+  test("CREATE with two relationship paths allocates distinct edge ids") {
+    val (g2, _) = QueryEngine.executeWrite(
+      "MATCH (a:Person {name: 'Alice'}), (b:Person {name: 'Bob'}) " +
+        "CREATE (a)-[:LIKES]->(b), (b)-[:LIKES]->(a)", g)
+    val ids = g2.edges.select("id").as[Long].collect().toSeq
+    assert(ids.distinct.size == ids.size, s"duplicate edge ids in $ids")
+    assert(g2.edges.filter($"relationship" === "LIKES").count() == 2L)
+  }
+
+  test("REMOVE on a relationship variable nulls the edge property") {
+    val (g2, _) = QueryEngine.executeWrite(
+      "MATCH (:Person {name: 'Alice'})-[r:KNOWS]->(:Person {name: 'Bob'}) " +
+        "REMOVE r.since", g)
+    val nulled = g2.edges.filter($"since".isNull).select("id").as[Long].collect().toSeq
+    assert(nulled == Seq(10L)) // only Alice->Bob; other edges keep since
+    assert(g2.nodes.count() == 4L && g2.nodes.filter($"name".isNull).count() == 0L)
+  }
 }
