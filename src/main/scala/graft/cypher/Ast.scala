@@ -54,7 +54,8 @@ object Ast {
     * (ast.rs:204-208). */
   final case class PathPat(nodes: Seq[NodePat], rels: Seq[RelPat],
                            pathVar: Option[String] = None,
-                           shortest: Boolean = false)
+                           shortest: Boolean = false,
+                           allPaths: Boolean = false)
 
   final case class ReturnItem(expr: Expr, alias: Option[String]) {
     def name: String = alias.getOrElse(Render.name(expr))

@@ -275,11 +275,12 @@ object CypherParser {
       }
       var shortest = false
       if (isKw("shortestPath") || isKw("allShortestPaths")) {
+        val all = isKw("allShortestPaths")
         pos += 1; shortest = true
         eatSym("(")
         val p = barePathPattern()
         eatSym(")")
-        return p.copy(pathVar = pathVar, shortest = true)
+        return p.copy(pathVar = pathVar, shortest = true, allPaths = all)
       }
       barePathPattern().copy(pathVar = pathVar, shortest = shortest)
     }

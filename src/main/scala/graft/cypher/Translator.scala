@@ -430,7 +430,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
       val tgtVar = node.variable.getOrElse(fresh())
       df =
         if (rel.isVarLength)
-          expandVarLength(df, cur, rel, node, tgtVar, vars, path.pathVar)
+          expandVarLength(df, cur, rel, node, tgtVar, vars, path.pathVar, path.allPaths)
         else expandOne(df, cur, rel, node, tgtVar, vars)
       rel.variable.foreach(v => vars += v)
       vars += tgtVar
@@ -501,7 +501,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
 
   private def expandVarLength(df: DataFrame, srcVar: String, rel: RelPat,
                               node: NodePat, tgtVar: String, bound: Set[String],
-                              pathVar: Option[String]): DataFrame = {
+                              pathVar: Option[String], allPaths: Boolean = false): DataFrame = {
     val maxHops = rel.maxHops // unbounded `*` iterates to the reachability fixpoint
     var e = g.edgesOfType(rel.types: _*)
     // relationship property predicates apply to EVERY traversed edge
@@ -516,7 +516,11 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     val starts = df.select(col(s"${srcVar}__id").as("__s")).distinct()
     val needPath = pathVar.isDefined
     val raw =
-      if (needPath)
+      if (allPaths)
+        // allShortestPaths(): one row per distinct min-depth node sequence
+        // (row multiplicity holds even when the path itself is unnamed)
+        Traversals.varLengthExpandAllPaths(e, starts, "__s", rel.minHops, maxHops)
+      else if (needPath)
         Traversals.varLengthExpandPaths(e, starts, "__s", rel.minHops, maxHops)
       else Traversals.varLengthExpand(e, starts, "__s", rel.minHops, maxHops)
     val pairs0 = raw.select(Seq(col("start").as("__vfrom"), col("node").as("__vto")) ++

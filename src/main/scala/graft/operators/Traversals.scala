@@ -161,6 +161,49 @@ object Traversals {
     if (out == null) start0.withColumn("hops", lit(0)).filter(lit(false)) else out
   }
 
+  /** varLengthExpandPaths variant keeping ALL distinct shortest node
+    * sequences per (start, node) — `allShortestPaths()` semantics (reference
+    * `operator.rs:7534` `all_paths: bool`). A node is still reached only at
+    * its BFS depth (the visited anti-join excludes earlier-depth nodes), but
+    * every distinct path surviving to that depth is kept instead of one
+    * witness. Paths are node-id sequences: parallel edges between the same
+    * nodes collapse to one path (node/edge identity is by id).
+    * Path multiplicity is inherently combinatorial — the frontier carries
+    * one row per (start, node, path); dedup bounds it per hop. */
+  def varLengthExpandAllPaths(edges: DataFrame, starts: DataFrame, startCol: String,
+                              minHops: Int, maxHops: Int): DataFrame = {
+    require(minHops >= 0 && maxHops >= minHops, "need 0 <= min <= max")
+    val e = edges.select(col("src").cast("long").as("_src"), col("dst").cast("long").as("_dst"))
+      .localCheckpoint(true)
+    val start0 = starts.select(col(startCol).cast("long").as("start")).distinct()
+      .select(col("start"), col("start").as("node"), array(col("start")).as("path"))
+      .localCheckpoint(true)
+    var visited: DataFrame = start0.select("start", "node")
+    var frontier: DataFrame = start0
+    var out: DataFrame = if (minHops == 0) start0.withColumn("hops", lit(0)) else null
+    var h = 1
+    var done = false
+    while (h <= maxHops && !done) {
+      val next = frontier.join(e, frontier("node") === e("_src"))
+        .select(col("start"), col("_dst").as("node"),
+          concat(col("path"), array(col("_dst"))).as("path"))
+        .join(visited, Seq("start", "node"), "left_anti")
+        .dropDuplicates("start", "node", "path")
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        if (h >= minHops) {
+          val reached = next.withColumn("hops", lit(h))
+          out = if (out == null) reached else out.unionAll(reached)
+        }
+        visited = visited.unionAll(next.select("start", "node").distinct())
+        frontier = next
+        h += 1
+      }
+    }
+    if (out == null) start0.withColumn("hops", lit(0)).filter(lit(false)) else out
+  }
+
   /** Unweighted shortest-path length between a start set and all reachable
     * nodes (`ShortestPathOperator` BFS, `operator.rs:7527-7714`), bounded by
     * maxIter; terminates early at the reachability fixpoint.

@@ -174,6 +174,16 @@ object CypherQueries {
         |RETURN id(c) AS cid, id(n) AS nid, length(p) AS len
         |ORDER BY cid, nid""".stripMargin) _),
 
+    // allShortestPaths(): ALL distinct min-depth node sequences, one row per
+    // path (reference operator.rs:7534 all_paths) — customers reach a part
+    // only at depth 3 (PLACED/CONTAINS/HAS_PART chain), so n_paths counts
+    // the distinct (order, lineitem-node) chains per (customer, part)
+    "q_cypher_allshortest" -> (run(
+      """MATCH p = allShortestPaths((c:Customer)-[*1..3]->(x:Part))
+        |WHERE id(c) < 5
+        |RETURN id(c) AS cid, id(x) AS pid, count(*) AS n_paths
+        |ORDER BY cid, pid""".stripMargin) _),
+
     // list index / reduce / quantified predicate in projections
     "q_cypher_listops" -> (run(
       """MATCH (c:Customer)
@@ -344,6 +354,12 @@ object CypherQueries {
         |h1 AS (SELECT DISTINCT s.start, e.dst AS node FROM s JOIN e ON e.src = s.start),
         |h2 AS (SELECT DISTINCT h1.start, e.dst AS node FROM h1 JOIN e ON e.src = h1.node)
         |SELECT start, node FROM (SELECT start, node FROM h1 UNION SELECT start, node FROM h2) ORDER BY start, node""".stripMargin,
+    "q_cypher_allshortest" ->
+      """SELECT cid, pid, count(*) AS n_paths FROM (
+        | SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cid, CAST(1000000000 + l_partkey AS BIGINT) AS pid,
+        |  o_orderkey, l_orderkey*8 + l_linenumber AS ln
+        | FROM orders JOIN lineitem ON l_orderkey = o_orderkey WHERE o_custkey < 5
+        |) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_cypher_path_anon" ->
       """SELECT CAST(o_custkey AS BIGINT) AS cid, CAST(o_orderkey + 10000000 AS BIGINT) AS mid,
         | CAST(100000000 + l_orderkey*8 + l_linenumber AS BIGINT) AS lid, 2 AS len

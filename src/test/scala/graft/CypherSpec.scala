@@ -290,6 +290,25 @@ class CypherSpec extends SparkSpec {
     assert(r2 == Seq(3L))
   }
 
+  test("allShortestPaths keeps every min-depth node sequence") {
+    // Alice->Carol directly (depth 1): ONE shortest path even though
+    // Alice->Bob->Carol also exists at depth 2
+    val direct = run("MATCH p = allShortestPaths((a:Person {name: 'Alice'})-[:KNOWS*1..3]->(c {name: 'Carol'})) " +
+      "RETURN length(p) AS len").as[Int].collect().toSeq
+    assert(direct == Seq(1))
+    // diamond 1->2->4, 1->3->4 (+ distractor 2->3): BOTH depth-2 arms are
+    // shortest paths; 1->2->3->4 at depth 3 must be excluded
+    val n2 = Seq((1L, Seq("P"), "A"), (2L, Seq("P"), "B"), (3L, Seq("P"), "C"),
+      (4L, Seq("P"), "D")).toDF("id", "labels", "name")
+    val e2 = Seq((1L, 1L, 2L, "E"), (2L, 1L, 3L, "E"), (3L, 2L, 4L, "E"),
+      (4L, 3L, 4L, "E"), (5L, 2L, 3L, "E")).toDF("id", "src", "dst", "relationship")
+    val r = QueryEngine.execute(
+      "MATCH p = allShortestPaths((a {name: 'A'})-[*1..3]->(d {name: 'D'})) " +
+        "RETURN nodes(p) AS ns ORDER BY ns", PropertyGraph(n2, e2))
+      .as[Seq[Long]].collect().toSeq
+    assert(r == Seq(Seq(1L, 2L, 4L), Seq(1L, 3L, 4L)))
+  }
+
   test("CREATE with two relationship paths allocates distinct edge ids") {
     val (g2, _) = QueryEngine.executeWrite(
       "MATCH (a:Person {name: 'Alice'}), (b:Person {name: 'Bob'}) " +
