@@ -36,6 +36,9 @@ object Ast {
   /** [v IN list WHERE pred | body] list comprehension. */
   final case class ListComp(variable: String, list: Expr, pred: Option[Expr],
                             body: Option[Expr]) extends Expr
+  /** [(a)-[:R]->(b) WHERE pred | proj] pattern comprehension (ast.rs:392):
+    * per outer row, the list of proj values over the pattern's matches. */
+  final case class PatternComp(path: PathPat, where: Option[Expr], proj: Expr) extends Expr
 
   sealed trait Direction
   case object Out extends Direction

@@ -551,6 +551,22 @@ object CypherParser {
         eatSym("]")
         return ListComp(v, lst, pred, body)
       }
+      // pattern comprehension: [ (a)-[:R]->(b) [WHERE e] | proj ] — try a
+      // path pattern with backtracking (a parenthesized expression like
+      // `[(1+2), 3]` fails nodePattern and falls through to the literal)
+      if (isSym("(")) {
+        val saved = pos
+        try {
+          val p = barePathPattern()
+          if (p.rels.nonEmpty) {
+            val where = if (tryKw("WHERE")) Some(expr()) else None
+            eatSym("|")
+            val proj = expr()
+            eatSym("]")
+            return PatternComp(p, where, proj)
+          } else pos = saved
+        } catch { case _: ParseError => pos = saved }
+      }
       val items = ArrayBuffer[Expr]()
       if (!isSym("]")) { do items += expr() while (trySym(",")) }
       eatSym("]")

@@ -86,7 +86,8 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
 
       case WithClause(distinct, items, where, orderBy, skip, limit) =>
         if (df == null) df = spark.range(1).toDF()
-        df = projectWith(df, items)
+        val (dfL, itemsL) = lowerItems(df, items)
+        df = projectWith(dfL, itemsL)
         if (distinct) df = df.distinct()
         where.foreach(w => df = applyWhere(df, w))
         if (orderBy.nonEmpty) df = df.orderBy(orderCols(orderBy, items): _*)
@@ -119,7 +120,8 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     if (sq.ret.items.isEmpty) return df
 
     // RETURN: implicit grouping if any item aggregates
-    val items = sq.ret.items
+    val (dfL, items) = lowerItems(df, sq.ret.items)
+    df = dfL
     val hasAgg = items.exists(i => isAggregate(i.expr))
     var out =
       if (hasAgg) {
@@ -314,15 +316,69 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
           scalarVars += flag
           IsNull(Var(flag), negated = true)
         }
+      case PatternComp(path, where, proj) =>
+        // pattern comprehension (reference ast.rs:392): translate the
+        // pattern in an isolated scope, evaluate the projection there,
+        // group to ONE array per anchor-id combination (sorted — the
+        // reference's match order is an implementation detail; sorting
+        // makes results deterministic), left-join to the outer frame,
+        // absent anchors get []
+        existsCount += 1
+        val listName = s"__pc_$existsCount"
+        val outerEntities = entityVars
+        val savedE = entityVars; val savedP = pathVars
+        val (sub0, svars, spaths) =
+          translateClause(MatchClause(Seq(path), optional = false, where = where))
+        entityVars = svars; pathVars = spaths
+        val sub = where.map(wx => applyWhere(sub0, wx)).getOrElse(sub0)
+        val valCol = toCol(proj)
+        entityVars = savedE; pathVars = savedP
+        val anchors = (outerEntities intersect svars).toSeq
+        if (anchors.isEmpty) {
+          val listDf = sub.agg(sort_array(collect_list(valCol)).as(listName))
+          df = df.crossJoin(broadcast(listDf))
+          scalarVars += listName
+          Var(listName)
+        } else {
+          val grouped = sub
+            .groupBy(anchors.map(v => col(s"${v}__id").as(s"__pc_${v}__id")): _*)
+            .agg(sort_array(collect_list(valCol)).as(listName))
+          val elemType = grouped.schema(listName).dataType
+          val cond = anchors.map(v => col(s"${v}__id") === col(s"__pc_${v}__id")).reduce(_ && _)
+          df = df.join(grouped, cond, "left_outer")
+            .drop(anchors.map(v => s"__pc_${v}__id"): _*)
+            .withColumn(listName, coalesce(col(listName), array().cast(elemType)))
+          scalarVars += listName
+          Var(listName)
+        }
       case Bin(op, l, r) => Bin(op, walk(l), walk(r))
       case Not(y) => Not(walk(y))
       case IsNull(y, n) => IsNull(walk(y), n)
+      case StrPred(op, l, r) => StrPred(op, walk(l), walk(r))
+      case InList(i, l) => InList(walk(i), walk(l))
+      case Fn(n, args, d) => Fn(n, args.map(walk), d)
+      case Index(l, i) => Index(walk(l), walk(i))
+      case Slice(l, f, t) => Slice(walk(l), f.map(walk), t.map(walk))
       case CaseExpr(s, bs, d) =>
         CaseExpr(s.map(walk), bs.map(b => (walk(b._1), walk(b._2))), d.map(walk))
       case other => other
     }
     val rewritten = walk(e)
     (df, rewritten)
+  }
+
+  /** Lower EXISTS / pattern-comprehension subqueries inside projection
+    * items: each subquery becomes a joined column and the item's expression
+    * is rewritten to reference it. Names are pinned to the original item
+    * names so ORDER BY-by-name and column output are unchanged. */
+  private def lowerItems(df0: DataFrame, items: Seq[ReturnItem]): (DataFrame, Seq[ReturnItem]) = {
+    var df = df0
+    val out = items.map { i =>
+      val (d2, e2) = lowerExists(df, i.expr)
+      df = d2
+      ReturnItem(e2, Some(i.name))
+    }
+    (df, out)
   }
 
   // ---------- clause / path translation ----------
@@ -353,6 +409,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     case ListComp(v, l, p, b) =>
       (refVars(l) ++ p.toSeq.flatMap(refVars) ++ b.toSeq.flatMap(refVars)) - v
     case ExistsPattern(_, _) => Set("__nonpushable")
+    case PatternComp(_, _, _) => Set("__nonpushable")
     case ListLit(items) => items.flatMap(refVars).toSet
     case _ => Set.empty
   }
@@ -632,6 +689,9 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     case ExistsPattern(_, _) =>
       throw new IllegalArgumentException(
         "EXISTS { pattern } is only supported inside WHERE")
+    case PatternComp(_, _, _) =>
+      throw new IllegalArgumentException(
+        "pattern comprehensions are supported in WHERE / WITH / RETURN items (not nested inside another pattern comprehension)")
     case Fn(name, args, _) => scalarFn(name.toLowerCase, args, toCol)
   }
 

@@ -174,6 +174,15 @@ object CypherQueries {
         |RETURN id(c) AS cid, id(n) AS nid, length(p) AS len
         |ORDER BY cid, nid""".stripMargin) _),
 
+    // pattern comprehension (reference ast.rs:392): per-customer list of
+    // order totals collected inline — lowered to a grouped left join, empty
+    // list for customers without orders
+    "q_cypher_pattern_comp" -> (run(
+      """MATCH (c:Customer)
+        |WHERE id(c) < 10
+        |RETURN id(c) AS cid, [(c)-[:PLACED]->(o) | o.balance] AS order_totals
+        |ORDER BY cid""".stripMargin) _),
+
     // allShortestPaths(): ALL distinct min-depth node sequences, one row per
     // path (reference operator.rs:7534 all_paths) — customers reach a part
     // only at depth 3 (PLACED/CONTAINS/HAS_PART chain), so n_paths counts
@@ -354,6 +363,10 @@ object CypherQueries {
         |h1 AS (SELECT DISTINCT s.start, e.dst AS node FROM s JOIN e ON e.src = s.start),
         |h2 AS (SELECT DISTINCT h1.start, e.dst AS node FROM h1 JOIN e ON e.src = h1.node)
         |SELECT start, node FROM (SELECT start, node FROM h1 UNION SELECT start, node FROM h2) ORDER BY start, node""".stripMargin,
+    "q_cypher_pattern_comp" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS cid,
+        | coalesce((SELECT list(o_totalprice ORDER BY o_totalprice) FROM orders WHERE o_custkey = c_custkey), CAST([] AS DOUBLE[])) AS order_totals
+        |FROM customer WHERE c_custkey < 10 ORDER BY cid""".stripMargin,
     "q_cypher_allshortest" ->
       """SELECT cid, pid, count(*) AS n_paths FROM (
         | SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cid, CAST(1000000000 + l_partkey AS BIGINT) AS pid,

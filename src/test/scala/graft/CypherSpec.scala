@@ -309,6 +309,28 @@ class CypherSpec extends SparkSpec {
     assert(r == Seq(Seq(1L, 2L, 4L), Seq(1L, 3L, 4L)))
   }
 
+  test("pattern comprehension collects per-row neighbor values") {
+    val r = run("MATCH (a:Person) RETURN a.name AS name, " +
+      "[(a)-[:KNOWS]->(b) | b.name] AS knows ORDER BY name")
+      .as[(String, Seq[String])].collect().toSeq
+    assert(r == Seq(
+      ("Alice", Seq("Bob", "Carol")),
+      ("Bob", Seq("Carol")),
+      ("Carol", Seq.empty))) // no matches -> empty list, row kept
+  }
+
+  test("pattern comprehension with WHERE and in WITH") {
+    val r = run("MATCH (a:Person) WITH a, size([(a)-[:KNOWS]->(b) WHERE b.age > 26 | b.name]) AS n " +
+      "RETURN a.name AS name, n ORDER BY name")
+      .as[(String, Int)].collect().toSeq
+    assert(r == Seq(("Alice", 1), ("Bob", 1), ("Carol", 0)))
+  }
+
+  test("bracketed expression list still parses as a literal") {
+    val r = run("RETURN [(1+2), 3] AS xs").as[Seq[Long]].head()
+    assert(r == Seq(3L, 3L))
+  }
+
   test("CREATE with two relationship paths allocates distinct edge ids") {
     val (g2, _) = QueryEngine.executeWrite(
       "MATCH (a:Person {name: 'Alice'}), (b:Person {name: 'Bob'}) " +
