@@ -95,22 +95,76 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         limit.foreach(n => df = df.limit(n.toInt))
 
       case CallSubquery(inner) =>
-        // uncorrelated: the inner query runs on its own scope; its result
-        // cross-joins the outer frame (translateSingle mutates scope state,
-        // so save/restore around the recursion)
-        val (se, sp, ss) = (entityVars, pathVars, scalarVars)
-        val sub = translateSingle(inner)
-        entityVars = se; pathVars = sp
-        scalarVars = ss ++ sub.columns
-        df = if (df == null) sub else df.crossJoin(sub)
+        // correlated form: a leading `WITH <vars>` of bare outer variables
+        // imports them into the subquery scope (cypher.pest:43 allows
+        // importing WITH). Decorrelated execution — the standard scalable
+        // shape: translate the subquery with the imported variables as FREE
+        // pattern variables (computing it for ALL candidate bindings in one
+        // distributed pass), append their ids to the subquery's RETURN
+        // (which also keys any aggregate per binding), then equi-join to
+        // the outer frame instead of looping per row.
+        val (imports, restClauses) = inner.clauses.headOption match {
+          case Some(WithClause(false, items, None, Seq(), None, None))
+              if items.nonEmpty &&
+                items.forall(i => i.alias.isEmpty && i.expr.isInstanceOf[Var]) =>
+            (items.map(_.expr.asInstanceOf[Var].name), inner.clauses.tail)
+          case _ => (Seq.empty[String], inner.clauses)
+        }
+        if (imports.isEmpty) {
+          // uncorrelated: the inner query runs on its own scope; its result
+          // cross-joins the outer frame (translateSingle mutates scope
+          // state, so save/restore around the recursion)
+          val (se, sp, ss) = (entityVars, pathVars, scalarVars)
+          val sub = translateSingle(inner)
+          entityVars = se; pathVars = sp
+          scalarVars = ss ++ sub.columns
+          df = if (df == null) sub else df.crossJoin(sub)
+        } else {
+          require(df != null, "correlated CALL { WITH ... } needs a preceding MATCH")
+          require(imports.forall(entityVars.contains),
+            s"CALL {} imports must be node/relationship variables bound in the outer scope, got $imports")
+          require(inner.ret.orderBy.isEmpty && inner.ret.skip.isEmpty &&
+            inner.ret.limit.isEmpty,
+            "ORDER BY/SKIP/LIMIT inside a correlated CALL {} is unsupported")
+          val retPlus = inner.ret.copy(items = inner.ret.items ++
+            imports.map(v => ReturnItem(Fn("id", Seq(Var(v))), Some(s"__call_${v}__id"))))
+          val (se, sp, ss) = (entityVars, pathVars, scalarVars)
+          val sub = translateSingle(SingleQuery(restClauses, retPlus))
+          entityVars = se; pathVars = sp
+          scalarVars = ss ++ inner.ret.items.map(_.name)
+          val cond = imports.map(v => col(s"${v}__id") === col(s"__call_${v}__id")).reduce(_ && _)
+          // an all-aggregate subquery yields a row even for bindings with
+          // no matches (count()=0, sum()=0, collect()=[], min/max/avg=null)
+          // — the decorrelated groups miss those, so join left and patch
+          val retItems = inner.ret.items
+          val allAgg = retItems.nonEmpty && retItems.forall(i => isAggregate(i.expr))
+          df = df.join(sub, cond, if (allAgg) "left_outer" else "inner")
+            .drop(imports.map(v => s"__call_${v}__id"): _*)
+          if (allAgg) retItems.foreach { i =>
+            i.expr match {
+              case Fn(n, _, _) if n.equalsIgnoreCase("count") =>
+                df = df.withColumn(i.name, coalesce(col(i.name), lit(0L)))
+              case Fn(n, _, _) if n.equalsIgnoreCase("sum") =>
+                df = df.withColumn(i.name,
+                  coalesce(col(i.name), lit(0).cast(sub.schema(i.name).dataType)))
+              case Fn(n, _, _) if n.equalsIgnoreCase("collect") =>
+                df = df.withColumn(i.name,
+                  coalesce(col(i.name), array().cast(sub.schema(i.name).dataType)))
+              case _ => () // min/max/avg over no rows are null — already so
+            }
+          }
+        }
 
       case c: CallClause =>
-        require(df == null, "CALL is supported as the first clause of a (sub)query")
-        df = callProcedure(c)
+        // procedures may also appear mid-query (cypher.pest:43 call_clause
+        // inside match_stmt): the yielded frame joins the outer one (no
+        // shared variables — procedures take constant args — so crossJoin)
+        var proc = callProcedure(c)
         if (c.yields.nonEmpty) {
-          df = df.select(c.yields.map { case (y, al) => col(y).as(al.getOrElse(y)) }: _*)
+          proc = proc.select(c.yields.map { case (y, al) => col(y).as(al.getOrElse(y)) }: _*)
         }
-        scalarVars = df.columns.toSet
+        if (df == null) { df = proc; scalarVars = df.columns.toSet }
+        else { df = df.crossJoin(proc); scalarVars = scalarVars ++ proc.columns }
         c.where.foreach(w => df = applyWhere(df, w))
     }
 

@@ -255,6 +255,14 @@ object CypherQueries {
         |RETURN id(n) AS nid, total
         |ORDER BY nid""".stripMargin) _),
 
+    // §2.7 CALL { WITH ... } correlated subquery: imported variables key the
+    // inner aggregate per outer row (decorrelated to a grouped equi-join)
+    "q_cypher_call_subquery_corr" -> (run(
+      """MATCH (n:Nation)
+        |CALL { WITH n MATCH (c:Customer)-[:IN_NATION]->(n) RETURN count(c) AS n_cust }
+        |RETURN id(n) AS nid, n_cust
+        |ORDER BY nid""".stripMargin) _),
+
     // Cypher write statements (reference cypher.pest create/merge/set/delete)
     // executed as batch transforms; checked by reading the mutated graph
     "q_cypher_write_create" -> ((s: SparkSession, d: String) => {
@@ -363,6 +371,8 @@ object CypherQueries {
         |h1 AS (SELECT DISTINCT s.start, e.dst AS node FROM s JOIN e ON e.src = s.start),
         |h2 AS (SELECT DISTINCT h1.start, e.dst AS node FROM h1 JOIN e ON e.src = h1.node)
         |SELECT start, node FROM (SELECT start, node FROM h1 UNION SELECT start, node FROM h2) ORDER BY start, node""".stripMargin,
+    "q_cypher_call_subquery_corr" ->
+      "SELECT CAST(1200000000 + n_nationkey AS BIGINT) AS nid, (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust FROM nation ORDER BY 1",
     "q_cypher_pattern_comp" ->
       """SELECT CAST(c_custkey AS BIGINT) AS cid,
         | coalesce((SELECT list(o_totalprice ORDER BY o_totalprice) FROM orders WHERE o_custkey = c_custkey), CAST([] AS DOUBLE[])) AS order_totals

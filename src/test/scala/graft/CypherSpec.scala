@@ -309,6 +309,28 @@ class CypherSpec extends SparkSpec {
     assert(r == Seq(Seq(1L, 2L, 4L), Seq(1L, 3L, 4L)))
   }
 
+  test("correlated CALL subquery imports outer variables") {
+    val r = run("MATCH (a:Person) CALL { WITH a MATCH (a)-[:KNOWS]->(b) RETURN count(b) AS n } " +
+      "RETURN a.name AS name, n ORDER BY name")
+      .as[(String, Long)].collect().toSeq
+    // all-aggregate subquery: Carol has no KNOWS matches -> n = 0, row kept
+    assert(r == Seq(("Alice", 2L), ("Bob", 1L), ("Carol", 0L)))
+  }
+
+  test("correlated CALL subquery without aggregate drops non-matching rows") {
+    val r = run("MATCH (a:Person) CALL { WITH a MATCH (a)-[:KNOWS]->(b) RETURN b.name AS bn } " +
+      "RETURN a.name AS name, bn ORDER BY name, bn")
+      .as[(String, String)].collect().toSeq
+    assert(r == Seq(("Alice", "Bob"), ("Alice", "Carol"), ("Bob", "Carol")))
+  }
+
+  test("CALL procedure after MATCH joins the yielded frame") {
+    val r = run("MATCH (c:Company) CALL algo.bfs(1, 5, 'KNOWS') YIELD id, dist " +
+      "RETURN c.name AS cn, id, dist ORDER BY id")
+      .as[(String, Long, Int)].collect().toSeq
+    assert(r == Seq(("Acme", 1L, 0), ("Acme", 2L, 1), ("Acme", 3L, 1)))
+  }
+
   test("pattern comprehension collects per-row neighbor values") {
     val r = run("MATCH (a:Person) RETURN a.name AS name, " +
       "[(a)-[:KNOWS]->(b) | b.name] AS knows ORDER BY name")
