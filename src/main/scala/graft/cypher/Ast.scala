@@ -81,8 +81,12 @@ object Ast {
   final case class CreateClause(paths: Seq[PathPat]) extends Clause
   final case class MergeClause(path: PathPat, onCreate: Seq[(Prop, Expr)],
                                onMatch: Seq[(Prop, Expr)]) extends Clause
-  final case class SetClause(assigns: Seq[(Prop, Expr)]) extends Clause
-  final case class RemoveClause(props: Seq[Prop]) extends Clause
+  /** SET v.key = expr and/or SET v:Label (cypher.pest:56). */
+  final case class SetClause(assigns: Seq[(Prop, Expr)],
+                             labels: Seq[(String, String)] = Nil) extends Clause
+  /** REMOVE v.key and/or REMOVE v:Label (cypher.pest:57). */
+  final case class RemoveClause(props: Seq[Prop],
+                                labels: Seq[(String, String)] = Nil) extends Clause
   final case class DeleteClause(vars: Seq[String], detach: Boolean) extends Clause
   /** FOREACH (v IN list | write-clauses) — reference `cypher.pest:44-45`. */
   final case class ForeachClause(variable: String, list: Expr,

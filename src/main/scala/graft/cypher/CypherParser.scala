@@ -141,11 +141,11 @@ object CypherParser {
           }
           clauses += MergeClause(path, onCreate, onMatch)
         } else if (tryKw("SET")) {
-          clauses += SetClause(assignList())
+          val (as, lbls) = setItems()
+          clauses += SetClause(as, lbls)
         } else if (tryKw("REMOVE")) {
-          val ps = ArrayBuffer(propRef())
-          while (trySym(",")) ps += propRef()
-          clauses += RemoveClause(ps.toSeq)
+          val (ps, lbls) = removeItems()
+          clauses += RemoveClause(ps, lbls)
         } else if (isKw("DELETE") || (isKw("DETACH") && isKwAt(1, "DELETE"))) {
           val detach = tryKw("DETACH")
           eatKw("DELETE")
@@ -159,10 +159,11 @@ object CypherParser {
           val body = ArrayBuffer[Clause]()
           var bodyDone = false
           while (!bodyDone) {
-            if (tryKw("SET")) body += SetClause(assignList())
-            else if (tryKw("REMOVE")) {
-              val ps = ArrayBuffer(propRef()); while (trySym(",")) ps += propRef()
-              body += RemoveClause(ps.toSeq)
+            if (tryKw("SET")) {
+              val (as, lbls) = setItems(); body += SetClause(as, lbls)
+            } else if (tryKw("REMOVE")) {
+              val (ps, lbls) = removeItems()
+              body += RemoveClause(ps, lbls)
             } else if (isKw("DELETE") || (isKw("DETACH") && isKwAt(1, "DELETE"))) {
               val detach = tryKw("DETACH"); eatKw("DELETE")
               val vs = ArrayBuffer(ident()); while (trySym(",")) vs += ident()
@@ -231,6 +232,42 @@ object CypherParser {
         more = trySym(",")
       }
       out.toSeq
+    }
+
+    /** SET items: `v.key = expr` assignments and `v:Label[:Label2]` label
+      * additions, mixed (cypher.pest:56). */
+    private def setItems(): (Seq[(Prop, Expr)], Seq[(String, String)]) = {
+      val assigns = ArrayBuffer[(Prop, Expr)]()
+      val labels = ArrayBuffer[(String, String)]()
+      var more = true
+      while (more) {
+        val v = ident()
+        if (isSym(":")) {
+          while (trySym(":")) labels += ((v, ident()))
+        } else {
+          eatSym("."); val k = ident(); eatSym("=")
+          assigns += ((Prop(v, k), expr()))
+        }
+        more = trySym(",")
+      }
+      (assigns.toSeq, labels.toSeq)
+    }
+
+    /** REMOVE items: `v.key` property removals and `v:Label` label removals. */
+    private def removeItems(): (Seq[Prop], Seq[(String, String)]) = {
+      val props = ArrayBuffer[Prop]()
+      val labels = ArrayBuffer[(String, String)]()
+      var more = true
+      while (more) {
+        val v = ident()
+        if (isSym(":")) {
+          while (trySym(":")) labels += ((v, ident()))
+        } else {
+          eatSym("."); props += Prop(v, ident())
+        }
+        more = trySym(",")
+      }
+      (props.toSeq, labels.toSeq)
     }
 
     /** [DISTINCT] item, ... [ORDER BY ...] [SKIP n] [LIMIT n] */

@@ -51,7 +51,7 @@ object WriteTranslator {
   }
 
   private def substClause(c: Clause, name: String, value: Any): Clause = c match {
-    case SetClause(as) => SetClause(as.map { case (p, e) => (p, subst(e, name, value)) })
+    case SetClause(as, lbls) => SetClause(as.map { case (p, e) => (p, subst(e, name, value)) }, lbls)
     case CreateClause(paths) => CreateClause(paths.map(p => p.copy(
       nodes = p.nodes.map(n => n.copy(props = n.props.map { case (k, e) => (k, subst(e, name, value)) })),
       rels = p.rels.map(r => r.copy(props = r.props.map { case (k, e) => (k, subst(e, name, value)) })))))
@@ -77,10 +77,11 @@ object WriteTranslator {
     val spark = g.nodes.sparkSession
     import spark.implicits._
     def summary(created: Long = 0, relCreated: Long = 0, propsSet: Long = 0,
-                deleted: Long = 0, relDeleted: Long = 0): DataFrame =
-      Seq((created, relCreated, propsSet, deleted, relDeleted))
+                deleted: Long = 0, relDeleted: Long = 0,
+                labelsAdded: Long = 0, labelsRemoved: Long = 0): DataFrame =
+      Seq((created, relCreated, propsSet, deleted, relDeleted, labelsAdded, labelsRemoved))
         .toDF("nodes_created", "relationships_created", "properties_set",
-          "nodes_deleted", "relationships_deleted")
+          "nodes_deleted", "relationships_deleted", "labels_added", "labels_removed")
 
     def constVal(e: Expr): Any = e match {
       case Lit(v) => v
@@ -268,9 +269,18 @@ object WriteTranslator {
         }
 
       // ---------- SET / REMOVE ----------
-      case SetClause(assigns) =>
+      case SetClause(assigns, labelSets) =>
         var cur = g
         var nSet = 0L
+        var nLbl = 0L
+        labelSets.groupBy(_._1).foreach { case (v, ls) =>
+          require(!edgeVars.contains(v), "SET :Label applies to node variables")
+          val ids = readFrame(Seq(ReturnItem(Fn("id", Seq(Var(v))), Some("_id")))).distinct()
+          nLbl += ids.count() * ls.size
+          ls.foreach { case (_, l) =>
+            cur = GraphMutations.setNodeLabelByIds(cur, ids, l, add = true)
+          }
+        }
         assigns.groupBy(_._1.variable).foreach { case (v, as) =>
           val isNode = nodeVars.contains(v) || !edgeVars.contains(v)
           // id + each value expression, evaluated in the MATCH context
@@ -294,11 +304,20 @@ object WriteTranslator {
           cur = if (isNode) PropertyGraph(updated, cur.edges)
                 else PropertyGraph(cur.nodes, updated)
         }
-        WriteResult(cur, summary(propsSet = nSet))
+        WriteResult(cur, summary(propsSet = nSet, labelsAdded = nLbl))
 
-      case RemoveClause(props) =>
+      case RemoveClause(props, labelRemoves) =>
         var cur = g
         var nSet = 0L
+        var nLbl = 0L
+        labelRemoves.groupBy(_._1).foreach { case (v, ls) =>
+          require(!edgeVars.contains(v), "REMOVE :Label applies to node variables")
+          val ids = readFrame(Seq(ReturnItem(Fn("id", Seq(Var(v))), Some("_id")))).distinct()
+          nLbl += ids.count() * ls.size
+          ls.foreach { case (_, l) =>
+            cur = GraphMutations.setNodeLabelByIds(cur, ids, l, add = false)
+          }
+        }
         props.groupBy(_.variable).foreach { case (v, ps) =>
           // join-based, and branched on node vs relationship variable like
           // DELETE (REMOVE r.prop must null EDGE columns, not node columns
@@ -339,7 +358,7 @@ object WriteTranslator {
           case other => throw new IllegalArgumentException(s"FOREACH needs a list, got $other")
         }
         var cur = g
-        val totals = Array.fill(5)(0L)
+        val totals = Array.fill(7)(0L)
         elems.foreach { elem =>
           body.foreach { cl =>
             val q2 = Query(SingleQuery(
@@ -348,10 +367,10 @@ object WriteTranslator {
             val r = execute(q2, cur, params)
             cur = r.graph
             val row = r.summary.collect()(0)
-            (0 until 5).foreach(i => totals(i) += row.getLong(i))
+            (0 until 7).foreach(i => totals(i) += row.getLong(i))
           }
         }
-        WriteResult(cur, summary(totals(0), totals(1), totals(2), totals(3), totals(4)))
+        WriteResult(cur, summary(totals(0), totals(1), totals(2), totals(3), totals(4), totals(5), totals(6)))
 
       case other => throw new IllegalStateException(s"not a write clause: $other")
     }

@@ -116,6 +116,17 @@ object GraphMutations {
     setEdgePropsByIds(g, ids, keys.map(k => k -> lit(null).cast(types(k))).toMap)
   }
 
+  /** SET n:Label / REMOVE n:Label on an id-set DataFrame — array_union /
+    * array_remove on the multi-label column (reference `cypher.pest:56-57`;
+    * nodes may carry multiple labels, `node.rs:107`). */
+  def setNodeLabelByIds(g: PropertyGraph, ids: DataFrame, label: String,
+                        add: Boolean): PropertyGraph = {
+    val newLabels =
+      if (add) array_union(col("labels"), array(lit(label)))
+      else array_remove(col("labels"), label)
+    setNodePropsByIds(g, ids, Map("labels" -> newLabels))
+  }
+
   private def applySet(df: DataFrame, pred: Column, assigns: Map[String, Column]): DataFrame =
     if (assigns.isEmpty) df
     else df.select(df.columns.map(c =>

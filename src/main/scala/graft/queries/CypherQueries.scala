@@ -297,6 +297,17 @@ object CypherQueries {
           |RETURN n.name AS name, n.balance AS balance ORDER BY name""".stripMargin, g3)
     }),
 
+    // SET n:Label / REMOVE n:Label (cypher.pest:56-57): add a label to five
+    // nations, strip it from two, count survivors through a label scan on
+    // the mutated graph
+    "q_cypher_write_label" -> ((s: SparkSession, d: String) => {
+      val (g2, _) = QueryEngine.executeWrite(
+        "MATCH (n:Nation) WHERE id(n) < 1200000005 SET n:Major", GraphLoader.tpch(s, d))
+      val (g3, _) = QueryEngine.executeWrite(
+        "MATCH (n:Major) WHERE id(n) < 1200000002 REMOVE n:Major", g2)
+      QueryEngine.execute("MATCH (n:Major) RETURN count(n) AS n_major", g3)
+    }),
+
     // SHOW INDEXES introspection (reference cypher.pest:19) over the
     // registered vector index + the always-on per-label scan
     "q_cypher_show_indexes" -> ((s: SparkSession, d: String) => {
@@ -371,6 +382,8 @@ object CypherQueries {
         |h1 AS (SELECT DISTINCT s.start, e.dst AS node FROM s JOIN e ON e.src = s.start),
         |h2 AS (SELECT DISTINCT h1.start, e.dst AS node FROM h1 JOIN e ON e.src = h1.node)
         |SELECT start, node FROM (SELECT start, node FROM h1 UNION SELECT start, node FROM h2) ORDER BY start, node""".stripMargin,
+    "q_cypher_write_label" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_major FROM nation WHERE n_nationkey >= 2 AND n_nationkey < 5",
     "q_cypher_call_subquery_corr" ->
       "SELECT CAST(1200000000 + n_nationkey AS BIGINT) AS nid, (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust FROM nation ORDER BY 1",
     "q_cypher_pattern_comp" ->

@@ -2,6 +2,7 @@ package graft
 
 import graft.cypher.{CypherParser, QueryEngine}
 import graft.model.PropertyGraph
+import org.apache.spark.sql.functions.array_contains
 
 /** Cypher parser + translator golden tests on the micro Person/KNOWS fixture
   * (FIXTURES.md §1, mirroring the reference's executor end-to-end tests in
@@ -360,6 +361,21 @@ class CypherSpec extends SparkSpec {
     val ids = g2.edges.select("id").as[Long].collect().toSeq
     assert(ids.distinct.size == ids.size, s"duplicate edge ids in $ids")
     assert(g2.edges.filter($"relationship" === "LIKES").count() == 2L)
+  }
+
+  test("SET and REMOVE node labels") {
+    val (g2, s2) = QueryEngine.executeWrite(
+      "MATCH (p:Person {name: 'Alice'}) SET p:Admin:Owner", g)
+    assert(s2.select("labels_added").as[Long].head() == 2L)
+    val labels = g2.nodes.filter($"name" === "Alice").select("labels")
+      .as[Seq[String]].head()
+    assert(labels.toSet == Set("Person", "Admin", "Owner"))
+    val (g3, _) = QueryEngine.executeWrite("MATCH (p:Admin) REMOVE p:Owner", g2)
+    val labels3 = g3.nodes.filter($"name" === "Alice").select("labels")
+      .as[Seq[String]].head()
+    assert(labels3.toSet == Set("Person", "Admin"))
+    // other nodes untouched
+    assert(g3.nodes.filter(array_contains($"labels", "Owner")).count() == 0L)
   }
 
   test("REMOVE on a relationship variable nulls the edge property") {
