@@ -31,6 +31,11 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
   private var anonCount = 0
   private def fresh(): String = { anonCount += 1; s"_a$anonCount" }
 
+  /** Cardinality stats for anchor selection — present when the loader set a
+    * statsKey (computed once per dataset per JVM, see GraphStats). */
+  private lazy val stats: Option[graft.model.GraphStats] =
+    g.statsKey.map(k => graft.model.GraphStats.forGraph(g, k))
+
   // scope state while translating one SingleQuery
   private var entityVars: Set[String] = Set.empty  // node/edge vars (v__* columns)
   private var pathVars: Set[String] = Set.empty    // named paths (p__length/p__nodes)
@@ -513,20 +518,60 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     (df, vars, paths)
   }
 
+  /** Reverse a linear path (flipping every hop's direction). */
+  private def reversePath(p: PathPat): PathPat =
+    p.copy(nodes = p.nodes.reverse,
+      rels = p.rels.reverse.map(r => r.copy(dir = r.dir match {
+        case Out => In; case In => Out; case Undirected => Undirected
+      })))
+
+  /** Estimated rows flowing through a left-to-right expansion of `p`
+    * (reference cost model `cost_model.rs:11-100`): the anchor scan plus
+    * each hop's expected intermediate size from the (label, type, label)
+    * triple counts, scaled by the surviving fraction of source bindings and
+    * a fixed 0.1 selectivity per property-equality predicate. */
+  private def pathCost(p: PathPat, st: graft.model.GraphStats): Double = {
+    def card(n: NodePat): Double =
+      math.max(1.0, st.nodeCard(n.labels.headOption) * math.pow(0.1, n.props.size))
+    var rows = card(p.nodes.head)
+    var cost = rows
+    for (((rel, src), dst) <- p.rels.zip(p.nodes).zip(p.nodes.tail)) {
+      val hopEdges = rel.dir match {
+        case Out => st.tripleCard(src.labels.headOption, rel.types, dst.labels.headOption)
+        case In => st.tripleCard(dst.labels.headOption, rel.types, src.labels.headOption)
+        case Undirected =>
+          st.tripleCard(src.labels.headOption, rel.types, dst.labels.headOption) +
+            st.tripleCard(dst.labels.headOption, rel.types, src.labels.headOption)
+      }
+      val surviving = math.min(1.0, rows / math.max(1.0, st.nodeCard(src.labels.headOption)))
+      rows = math.max(1.0, hopEdges * surviving * math.pow(0.1, dst.props.size))
+      cost += rows
+    }
+    cost
+  }
+
   private def translatePath(path0: PathPat): (DataFrame, Set[String], Set[String]) = {
-    // anchor heuristic: start from a labeled/constrained end (reference's
-    // cost-based anchor selection, ADR-015 — simplified to
-    // "prefer the selective end" pending a stats catalog)
+    // anchor selection (reference plan_enumerator.rs:18-64 — SURVEY §4.1
+    // "the single most important planning decision"): with a stats catalog,
+    // cost both orientations from the (label, type, label) triple counts
+    // and expand from the cheaper end; without stats, fall back to the
+    // "prefer the selective end" syntactic heuristic. Var-length and named
+    // paths keep their written orientation (hop semantics are directional).
     val path = {
       def selective(n: NodePat) = n.labels.nonEmpty || n.props.nonEmpty
-      if (path0.nodes.nonEmpty && !selective(path0.nodes.head) &&
-          selective(path0.nodes.last) && path0.rels.forall(!_.isVarLength) &&
-          path0.pathVar.isEmpty)
-        path0.copy(nodes = path0.nodes.reverse,
-          rels = path0.rels.reverse.map(r => r.copy(dir = r.dir match {
-            case Out => In; case In => Out; case Undirected => Undirected
-          })))
-      else path0
+      val eligible = path0.nodes.nonEmpty && path0.rels.nonEmpty &&
+        path0.rels.forall(!_.isVarLength) && path0.pathVar.isEmpty
+      if (!eligible) path0
+      else stats match {
+        case Some(st) =>
+          val rev = reversePath(path0)
+          // strict inequality: ties keep the written order (determinism)
+          if (pathCost(rev, st) < pathCost(path0, st)) rev else path0
+        case None =>
+          if (!selective(path0.nodes.head) && selective(path0.nodes.last))
+            reversePath(path0)
+          else path0
+      }
     }
 
     val headVar = path.nodes.head.variable.getOrElse(fresh())

@@ -103,7 +103,7 @@ object GraphLoader {
           (col("n_regionkey") + RegionOff).cast("long").as("dst"),
           lit("IN_REGION").as("relationship"), lit(null).cast("double").as("weight")))
 
-    PropertyGraph(nodes, edges, byLabel)
+    PropertyGraph(nodes, edges, byLabel, statsKey = Some(s"tpch:$dir"))
   }
 
   /** Generic CSV loader into the canonical layout (reference CSV bulk load,

@@ -24,7 +24,8 @@ import org.apache.spark.sql.functions._
   * dst-partitioned copy) so expand() joins co-locate.
   */
 final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
-                               byLabel: Map[String, DataFrame] = Map.empty) {
+                               byLabel: Map[String, DataFrame] = Map.empty,
+                               statsKey: Option[String] = None) {
 
   /** Nodes carrying `label` — the reference's label_index scan
     * (`src/graph/store.rs:558`). When the loader registered a per-label

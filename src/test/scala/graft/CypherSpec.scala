@@ -363,6 +363,29 @@ class CypherSpec extends SparkSpec {
     assert(g2.edges.filter($"relationship" === "LIKES").count() == 2L)
   }
 
+  test("GraphStats computes label and triple counts") {
+    import graft.model.GraphStats
+    val st = GraphStats.compute(g)
+    assert(st.labelCounts("Person") == 3 && st.labelCounts("Company") == 1)
+    assert(st.tripleCounts(("Person", "KNOWS", "Person")) == 3)
+    assert(st.tripleCounts(("Person", "WORKS_AT", "Company")) == 2)
+    assert(st.totalNodes == 4 && st.totalEdges == 5)
+    assert(st.tripleCard(None, Seq("KNOWS"), Some("Engineer")) == 2.0) // B->C, A->C
+  }
+
+  test("stats-based anchor selection keeps results correct both ways") {
+    val gs = g.copy(statsKey = Some("cypher-spec-fixture"))
+    // written big-end-first: the planner should anchor at Company (1 node)
+    // — either way the results must be identical to the forward form
+    val wide = QueryEngine.execute(
+      "MATCH (x)-[:WORKS_AT]->(c:Company) RETURN x.name AS n ORDER BY n", gs)
+      .as[String].collect().toSeq
+    val narrow = QueryEngine.execute(
+      "MATCH (c:Company)<-[:WORKS_AT]-(x) RETURN x.name AS n ORDER BY n", gs)
+      .as[String].collect().toSeq
+    assert(wide == Seq("Alice", "Carol") && narrow == wide)
+  }
+
   test("SET and REMOVE node labels") {
     val (g2, s2) = QueryEngine.executeWrite(
       "MATCH (p:Person {name: 'Alice'}) SET p:Admin:Owner", g)
