@@ -582,26 +582,33 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     // anonymous nodes get their fresh() name recorded here so a named
     // path's node list refers to the real interior columns
     var nodeVarsInOrder = Seq(headVar)
+    var edgeVarsInOrder = Seq.empty[String]
     for ((rel, node) <- path.rels.zip(path.nodes.tail)) {
       val tgtVar = node.variable.getOrElse(fresh())
+      val relVar = rel.variable.getOrElse(fresh())
       df =
         if (rel.isVarLength)
           expandVarLength(df, cur, rel, node, tgtVar, vars, path.pathVar, path.allPaths)
-        else expandOne(df, cur, rel, node, tgtVar, vars)
+        else expandOne(df, cur, rel, node, tgtVar, vars, relVar,
+          keepEdgeId = path.pathVar.isDefined)
       rel.variable.foreach(v => vars += v)
       vars += tgtVar
       nodeVarsInOrder :+= tgtVar
+      edgeVarsInOrder :+= relVar
       cur = tgtVar
     }
     var pset = Set.empty[String]
     path.pathVar.foreach { p =>
       pset += p
       if (path.rels.forall(!_.isVarLength)) {
-        // fixed-length named path: length and node-id list are static shape
+        // fixed-length named path: length, node-id and edge-id lists are
+        // static shape (reference paths carry both, record.rs:85-89)
         df = df.withColumn(s"${p}__length", lit(path.rels.length))
           .withColumn(s"${p}__nodes", array(nodeVarsInOrder.map(v => col(s"${v}__id")): _*))
+          .withColumn(s"${p}__edges", array(edgeVarsInOrder.map(v => col(s"${v}__id")): _*))
       }
-      // var-length named paths get p__length/p__nodes inside expandVarLength
+      // var-length named paths get p__length/p__nodes/p__edges inside
+      // expandVarLength
     }
     (df, vars, pset)
   }
@@ -639,8 +646,8 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
   }
 
   private def expandOne(df: DataFrame, srcVar: String, rel: RelPat,
-                        node: NodePat, tgtVar: String, bound: Set[String]): DataFrame = {
-    val relVar = rel.variable.getOrElse(fresh())
+                        node: NodePat, tgtVar: String, bound: Set[String],
+                        relVar: String, keepEdgeId: Boolean = false): DataFrame = {
     val e = orientedEdges(rel, relVar)
     var joined = df.join(e, col(s"${srcVar}__id") === col("__from"))
     if (bound.contains(tgtVar)) {
@@ -652,7 +659,9 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     }
     val out = joined.drop("__from", "__to")
     if (rel.variable.isDefined) out
-    else out.drop(out.columns.filter(_.startsWith(s"${relVar}__")): _*)
+    else out.drop(out.columns.filter(c => c.startsWith(s"${relVar}__") &&
+      // a named path needs the anonymous hop's edge id for p__edges
+      !(keepEdgeId && c == s"${relVar}__id")): _*)
   }
 
   private def expandVarLength(df: DataFrame, srcVar: String, rel: RelPat,
@@ -664,10 +673,10 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     // (`[*1..2 {weight: 5}]` — same filter expandOne/orientedEdges applies)
     for ((k, value) <- rel.props) e = e.filter(col(k) === toCol(value))
     e = rel.dir match {
-      case Out => e
-      case In => e.select(col("dst").as("src"), col("src").as("dst"))
-      case Undirected => e.select(col("src"), col("dst"))
-        .unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      case Out => e.select(col("src"), col("dst"), col("id"))
+      case In => e.select(col("dst").as("src"), col("src").as("dst"), col("id"))
+      case Undirected => e.select(col("src"), col("dst"), col("id"))
+        .unionAll(e.select(col("dst").as("src"), col("src").as("dst"), col("id")))
     }
     val starts = df.select(col(s"${srcVar}__id").as("__s")).distinct()
     val needPath = pathVar.isDefined
@@ -681,7 +690,8 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
       else Traversals.varLengthExpand(e, starts, "__s", rel.minHops, maxHops)
     val pairs0 = raw.select(Seq(col("start").as("__vfrom"), col("node").as("__vto")) ++
       (if (needPath) Seq(col("hops").as(s"${pathVar.get}__length"),
-        col("path").as(s"${pathVar.get}__nodes")) else Nil): _*)
+        col("path").as(s"${pathVar.get}__nodes"),
+        col("epath").as(s"${pathVar.get}__edges")) else Nil): _*)
     var joined = df.join(pairs0, col(s"${srcVar}__id") === col("__vfrom"))
     if (bound.contains(tgtVar)) {
       joined = joined.filter(col("__vto") === col(s"${tgtVar}__id"))
@@ -840,9 +850,10 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         case Var(p) if pathVars.contains(p) => col(s"${p}__nodes")
         case e => toCol(e)
       }
-      case "relationships" =>
-        throw new IllegalArgumentException(
-          "relationships(path) is not supported (paths carry node ids + length)")
+      case "relationships" => args.head match {
+        case Var(p) if pathVars.contains(p) => col(s"${p}__edges")
+        case e => toCol(e)
+      }
       case "length" | "char_length" | "character_length" => args.head match {
         case Var(p) if pathVars.contains(p) => col(s"${p}__length")
         case e => length(toCol(e)) // strings

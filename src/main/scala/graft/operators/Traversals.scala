@@ -122,18 +122,26 @@ object Traversals {
   }
 
   /** varLengthExpand variant that also materializes ONE witness path per
-    * (start, node) — the lexicographically-smallest node-id sequence among
-    * the shortest (BFS min-depth) paths, so results are deterministic.
-    * Returns (start, node, hops, path: array<long> = [start .. node]).
+    * (start, node) — the lexicographically-smallest (node-id sequence,
+    * edge-id sequence) among the shortest (BFS min-depth) paths, so results
+    * are deterministic. Returns (start, node, hops, path: array<long> =
+    * [start .. node], epath: array<long> = the traversed edge ids — the
+    * reference's paths carry BOTH, `record.rs:85-89`). When the input has
+    * no `id` column, epath is an empty array per row.
     * Powers named paths / `shortestPath()` (`operator.rs:7527-7714`,
-    * `ast.rs:204-208`): `length(p)` = hops, `nodes(p)` = path. */
+    * `ast.rs:204-208`): `length(p)` = hops, `nodes(p)` = path,
+    * `relationships(p)` = epath. */
   def varLengthExpandPaths(edges: DataFrame, starts: DataFrame, startCol: String,
                            minHops: Int, maxHops: Int): DataFrame = {
     require(minHops >= 0 && maxHops >= minHops, "need 0 <= min <= max")
-    val e = edges.select(col("src").cast("long").as("_src"), col("dst").cast("long").as("_dst"))
+    val hasId = edges.columns.contains("id")
+    val eid = if (hasId) col("id").cast("long") else lit(null).cast("long")
+    val e = edges.select(col("src").cast("long").as("_src"),
+        col("dst").cast("long").as("_dst"), eid.as("_eid"))
       .localCheckpoint(true)
     val start0 = starts.select(col(startCol).cast("long").as("start")).distinct()
-      .select(col("start"), col("start").as("node"), array(col("start")).as("path"))
+      .select(col("start"), col("start").as("node"), array(col("start")).as("path"),
+        array().cast("array<long>").as("epath"))
       .localCheckpoint(true)
     var visited: DataFrame = start0.select("start", "node")
     var frontier: DataFrame = start0
@@ -143,9 +151,12 @@ object Traversals {
     while (h <= maxHops && !done) {
       val next = frontier.join(e, frontier("node") === e("_src"))
         .select(col("start"), col("_dst").as("node"),
-          concat(col("path"), array(col("_dst"))).as("path"))
+          concat(col("path"), array(col("_dst"))).as("path"),
+          (if (hasId) concat(col("epath"), array(col("_eid"))) else col("epath")).as("epath"))
         .join(visited, Seq("start", "node"), "left_anti")
-        .groupBy(col("start"), col("node")).agg(min(col("path")).as("path"))
+        .groupBy(col("start"), col("node"))
+        .agg(min(struct(col("path"), col("epath"))).as("_w"))
+        .select(col("start"), col("node"), col("_w.path").as("path"), col("_w.epath").as("epath"))
         .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
@@ -173,10 +184,14 @@ object Traversals {
   def varLengthExpandAllPaths(edges: DataFrame, starts: DataFrame, startCol: String,
                               minHops: Int, maxHops: Int): DataFrame = {
     require(minHops >= 0 && maxHops >= minHops, "need 0 <= min <= max")
-    val e = edges.select(col("src").cast("long").as("_src"), col("dst").cast("long").as("_dst"))
+    val hasId = edges.columns.contains("id")
+    val eid = if (hasId) col("id").cast("long") else lit(null).cast("long")
+    val e = edges.select(col("src").cast("long").as("_src"),
+        col("dst").cast("long").as("_dst"), eid.as("_eid"))
       .localCheckpoint(true)
     val start0 = starts.select(col(startCol).cast("long").as("start")).distinct()
-      .select(col("start"), col("start").as("node"), array(col("start")).as("path"))
+      .select(col("start"), col("start").as("node"), array(col("start")).as("path"),
+        array().cast("array<long>").as("epath"))
       .localCheckpoint(true)
     var visited: DataFrame = start0.select("start", "node")
     var frontier: DataFrame = start0
@@ -184,11 +199,15 @@ object Traversals {
     var h = 1
     var done = false
     while (h <= maxHops && !done) {
+      // distinct NODE sequences (path identity is by node ids — parallel
+      // edges collapse); per node sequence, the min edge-id witness
       val next = frontier.join(e, frontier("node") === e("_src"))
         .select(col("start"), col("_dst").as("node"),
-          concat(col("path"), array(col("_dst"))).as("path"))
+          concat(col("path"), array(col("_dst"))).as("path"),
+          (if (hasId) concat(col("epath"), array(col("_eid"))) else col("epath")).as("epath"))
         .join(visited, Seq("start", "node"), "left_anti")
-        .dropDuplicates("start", "node", "path")
+        .groupBy(col("start"), col("node"), col("path"))
+        .agg(min(col("epath")).as("epath"))
         .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {

@@ -63,6 +63,13 @@ object CypherQueries {
         |RETURN id(c) AS cid, nodes(p)[1] AS mid, id(l) AS lid, length(p) AS len
         |ORDER BY cid, mid, lid""".stripMargin) _),
 
+    // relationships(p): named paths carry edge ids too (record.rs:85-89)
+    "q_cypher_path_rels" -> (run(
+      """MATCH p = (c:Customer)-[:PLACED]->(o:Order)
+        |WHERE id(c) < 3
+        |RETURN id(c) AS cid, relationships(p)[0] AS eid
+        |ORDER BY cid, eid""".stripMargin) _),
+
     // string predicates in WHERE
     "q_cypher_where_str" -> (run(
       """MATCH (p:Part)
@@ -401,6 +408,8 @@ object CypherQueries {
         | CAST(100000000 + l_orderkey*8 + l_linenumber AS BIGINT) AS lid, 2 AS len
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE o_custkey < 3 ORDER BY cid, mid, lid""".stripMargin,
+    "q_cypher_path_rels" ->
+      "SELECT CAST(o_custkey AS BIGINT) AS cid, CAST(o_orderkey + 10000000 AS BIGINT) AS eid FROM orders WHERE o_custkey < 3 ORDER BY 1, 2",
     "q_cypher_where_str" ->
       "SELECT CAST(p_partkey + 1000000000 AS BIGINT) AS pid, p_name AS name FROM part WHERE starts_with(p_name, 'a') OR contains(p_name, 'ol') ORDER BY pid",
     "q_cypher_distinct" ->

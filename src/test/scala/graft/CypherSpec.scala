@@ -354,6 +354,15 @@ class CypherSpec extends SparkSpec {
     assert(r == Seq(3L, 3L))
   }
 
+  test("relationships(p) returns the traversed edge ids") {
+    val r = run("MATCH p = (a:Person {name: 'Alice'})-[:KNOWS]->()-[:WORKS_AT]->(c:Company) " +
+      "RETURN relationships(p) AS eids").as[Seq[Long]].collect().toSeq
+    assert(r == Seq(Seq(12L, 14L))) // Alice-KNOWS->Carol, Carol-WORKS_AT->Acme
+    val vr = run("MATCH p = (b:Person {name: 'Bob'})-[:KNOWS*1..2]->(x) " +
+      "RETURN relationships(p) AS eids").as[Seq[Long]].collect().toSeq
+    assert(vr == Seq(Seq(11L))) // Bob-KNOWS->Carol; Carol has no out-KNOWS
+  }
+
   test("CREATE with two relationship paths allocates distinct edge ids") {
     val (g2, _) = QueryEngine.executeWrite(
       "MATCH (a:Person {name: 'Alice'}), (b:Person {name: 'Bob'}) " +
