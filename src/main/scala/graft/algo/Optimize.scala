@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   * bounded by the label's cardinality, the same in-memory commitment it
   * makes collecting node costs.
   *
-  * Three representative kernels (the reference's default + two families):
-  * Jaya (move toward best / away from worst, parameter-free), SA (gaussian
-  * perturbation + geometric cooling), TLBO (teacher + learner phases).
+  * Thirteen kernel families (the reference ships ~15 base families plus
+  * variants, `crates/samyama-optimization/src/algorithms/` — 30 files), each
+  * implemented from its standard published formulation: Jaya (the
+  * reference's default), SA, TLBO, PSO, DE (rand/1/bin), GWO, HS, ABC, GA
+  * (real-coded), Firefly, Cuckoo (Lévy flights), Bat, Rao-1. All share the
+  * restart-parallel harness and the (fitness, seed) deterministic winner.
   */
 object Optimize {
 
@@ -91,6 +94,243 @@ object Optimize {
               val fc = obj(cand)
               if (fc < fit(k)) { pop(k) = cand; fit(k) = fc }
             }
+          }
+        }
+        val bi = fit.indices.minBy(fit)
+        (fit(bi), pop(bi))
+
+      case "pso" => // particle swarm, global-best with constriction weights
+        val w = 0.729; val c1 = 1.49445; val c2 = 1.49445
+        val vmax = 0.2 * (upper - lower)
+        val pop = Array.fill(popSize)(randX())
+        val vel = Array.fill(popSize)(Array.fill(obj.dim)(0.0))
+        val pBest = pop.map(_.clone()); val pFit = pop.map(obj(_))
+        var gi = pFit.indices.minBy(pFit)
+        for (_ <- 1 to maxIter) {
+          for (k <- pop.indices) {
+            for (d <- 0 until obj.dim) {
+              val v = w * vel(k)(d) +
+                c1 * rnd.nextDouble() * (pBest(k)(d) - pop(k)(d)) +
+                c2 * rnd.nextDouble() * (pBest(gi)(d) - pop(k)(d))
+              vel(k)(d) = math.max(-vmax, math.min(vmax, v))
+              pop(k)(d) = obj.clamp(pop(k)(d) + vel(k)(d))
+            }
+            val f = obj(pop(k))
+            if (f < pFit(k)) {
+              pFit(k) = f; pBest(k) = pop(k).clone()
+              if (f < pFit(gi)) gi = k
+            }
+          }
+        }
+        (pFit(gi), pBest(gi))
+
+      case "de" => // differential evolution, rand/1/bin
+        val fW = 0.5; val cr = 0.9
+        val pop = Array.fill(popSize)(randX())
+        val fit = pop.map(obj(_))
+        for (_ <- 1 to maxIter) {
+          for (k <- pop.indices) {
+            val a = rnd.nextInt(popSize); val b = rnd.nextInt(popSize)
+            val c = rnd.nextInt(popSize)
+            val jr = rnd.nextInt(obj.dim)
+            val cand = Array.tabulate(obj.dim) { d =>
+              if (d == jr || rnd.nextDouble() < cr)
+                obj.clamp(pop(a)(d) + fW * (pop(b)(d) - pop(c)(d)))
+              else pop(k)(d)
+            }
+            val fc = obj(cand)
+            if (fc < fit(k)) { pop(k) = cand; fit(k) = fc }
+          }
+        }
+        val bi = fit.indices.minBy(fit)
+        (fit(bi), pop(bi))
+
+      case "gwo" => // grey wolf: average of alpha/beta/delta-guided moves
+        val pop = Array.fill(popSize)(randX())
+        val fit = pop.map(obj(_))
+        for (it <- 1 to maxIter) {
+          val order = fit.indices.sortBy(fit)
+          val (al, be, de) = (pop(order(0)), pop(order(1)), pop(order(2)))
+          val a = 2.0 * (1.0 - it.toDouble / maxIter)
+          for (k <- pop.indices) {
+            val cand = Array.tabulate(obj.dim) { d =>
+              def lead(l: Array[Double]): Double = {
+                val aa = 2 * a * rnd.nextDouble() - a
+                val cc = 2 * rnd.nextDouble()
+                l(d) - aa * math.abs(cc * l(d) - pop(k)(d))
+              }
+              obj.clamp((lead(al) + lead(be) + lead(de)) / 3.0)
+            }
+            val fc = obj(cand)
+            if (fc < fit(k)) { pop(k) = cand; fit(k) = fc }
+          }
+        }
+        val bi = fit.indices.minBy(fit)
+        (fit(bi), pop(bi))
+
+      case "hs" => // harmony search: memory consideration + pitch adjust
+        val hmcr = 0.9; val par = 0.3; val bw = 0.05 * (upper - lower)
+        val mem = Array.fill(popSize)(randX())
+        val fit = mem.map(obj(_))
+        for (_ <- 1 to maxIter * popSize / 2) {
+          val cand = Array.tabulate(obj.dim) { d =>
+            if (rnd.nextDouble() < hmcr) {
+              var v = mem(rnd.nextInt(popSize))(d)
+              if (rnd.nextDouble() < par) v += (2 * rnd.nextDouble() - 1) * bw
+              obj.clamp(v)
+            } else lower + rnd.nextDouble() * (upper - lower)
+          }
+          val fc = obj(cand)
+          val wi = fit.indices.maxBy(fit)
+          if (fc < fit(wi)) { mem(wi) = cand; fit(wi) = fc }
+        }
+        val bi = fit.indices.minBy(fit)
+        (fit(bi), mem(bi))
+
+      case "abc" => // artificial bee colony: employed/onlooker/scout phases
+        val limit = 20
+        val pop = Array.fill(popSize)(randX())
+        val fit = pop.map(obj(_))
+        val trials = Array.fill(popSize)(0)
+        def neighbor(k: Int): Unit = {
+          val o = rnd.nextInt(popSize)
+          val d = rnd.nextInt(obj.dim)
+          val cand = pop(k).clone()
+          cand(d) = obj.clamp(cand(d) + (2 * rnd.nextDouble() - 1) * (cand(d) - pop(o)(d)))
+          val fc = obj(cand)
+          if (fc < fit(k)) { pop(k) = cand; fit(k) = fc; trials(k) = 0 }
+          else trials(k) += 1
+        }
+        for (_ <- 1 to maxIter) {
+          for (k <- pop.indices) neighbor(k) // employed
+          for (_ <- pop.indices) { // onlookers: fitness-proportional choice
+            val weights = fit.map(f => 1.0 / (1.0 + math.max(f, 0.0)))
+            val total = weights.sum
+            var pick = rnd.nextDouble() * total; var k = 0
+            while (k < popSize - 1 && pick > weights(k)) { pick -= weights(k); k += 1 }
+            neighbor(k)
+          }
+          for (k <- pop.indices if trials(k) > limit) { // scouts
+            pop(k) = randX(); fit(k) = obj(pop(k)); trials(k) = 0
+          }
+        }
+        val bi = fit.indices.minBy(fit)
+        (fit(bi), pop(bi))
+
+      case "ga" => // real-coded GA: tournament + blend crossover + mutation
+        var pop = Array.fill(popSize)(randX())
+        var fit = pop.map(obj(_))
+        for (_ <- 1 to maxIter) {
+          def tourney(): Array[Double] = {
+            val a = rnd.nextInt(popSize); val b = rnd.nextInt(popSize)
+            if (fit(a) < fit(b)) pop(a) else pop(b)
+          }
+          val elite = pop(fit.indices.minBy(fit)).clone()
+          val next = Array.fill(popSize - 1) {
+            val (p1, p2) = (tourney(), tourney())
+            Array.tabulate(obj.dim) { d =>
+              val g = rnd.nextDouble()
+              var v = g * p1(d) + (1 - g) * p2(d) // blend crossover
+              if (rnd.nextDouble() < 0.1)
+                v += rnd.nextGaussian() * 0.1 * (upper - lower) // mutation
+              obj.clamp(v)
+            }
+          } :+ elite
+          pop = next
+          fit = pop.map(obj(_))
+        }
+        val bi = fit.indices.minBy(fit)
+        (fit(bi), pop(bi))
+
+      case "firefly" => // move toward brighter fireflies, intensity decays
+        val beta0 = 1.0; val gamma = 1.0 / math.pow(upper - lower, 2)
+        val alpha0 = 0.1 * (upper - lower)
+        val pop = Array.fill(popSize)(randX())
+        val fit = pop.map(obj(_))
+        for (it <- 1 to maxIter) {
+          val alpha = alpha0 * math.pow(0.97, it)
+          for (k <- pop.indices; o <- pop.indices if fit(o) < fit(k)) {
+            var r2 = 0.0
+            for (d <- 0 until obj.dim) { val dd = pop(k)(d) - pop(o)(d); r2 += dd * dd }
+            val beta = beta0 * math.exp(-gamma * r2)
+            for (d <- 0 until obj.dim)
+              pop(k)(d) = obj.clamp(pop(k)(d) + beta * (pop(o)(d) - pop(k)(d)) +
+                alpha * (rnd.nextDouble() - 0.5))
+            fit(k) = obj(pop(k))
+          }
+        }
+        val bi = fit.indices.minBy(fit)
+        (fit(bi), pop(bi))
+
+      case "cuckoo" => // cuckoo search: Lévy flights + nest abandonment
+        val pa = 0.25
+        // Mantegna sigma for beta = 1.5 (closed-form constant)
+        val levyBeta = 1.5; val sigma = 0.6966
+        val pop = Array.fill(popSize)(randX())
+        val fit = pop.map(obj(_))
+        for (_ <- 1 to maxIter) {
+          val bi = fit.indices.minBy(fit)
+          for (k <- pop.indices) {
+            val cand = Array.tabulate(obj.dim) { d =>
+              val step = sigma * rnd.nextGaussian() /
+                math.pow(math.abs(rnd.nextGaussian()) + 1e-12, 1.0 / levyBeta)
+              obj.clamp(pop(k)(d) + 0.01 * step * (pop(k)(d) - pop(bi)(d)))
+            }
+            val fc = obj(cand)
+            val o = rnd.nextInt(popSize)
+            if (fc < fit(o)) { pop(o) = cand; fit(o) = fc }
+          }
+          for (k <- pop.indices if rnd.nextDouble() < pa) { // abandon worst nests
+            val a = rnd.nextInt(popSize); val b = rnd.nextInt(popSize)
+            for (d <- 0 until obj.dim)
+              pop(k)(d) = obj.clamp(pop(k)(d) + rnd.nextDouble() * (pop(a)(d) - pop(b)(d)))
+            fit(k) = obj(pop(k))
+          }
+        }
+        val b2 = fit.indices.minBy(fit)
+        (fit(b2), pop(b2))
+
+      case "bat" => // bat algorithm: frequency tuning + loudness/pulse rate
+        val fMin = 0.0; val fMax = 2.0
+        var loud = 1.0; var pulse = 0.5
+        val pop = Array.fill(popSize)(randX())
+        val vel = Array.fill(popSize)(Array.fill(obj.dim)(0.0))
+        val fit = pop.map(obj(_))
+        var bi = fit.indices.minBy(fit)
+        for (it <- 1 to maxIter) {
+          loud = math.pow(0.97, it)
+          pulse = 0.5 * (1 - math.exp(-0.1 * it))
+          for (k <- pop.indices) {
+            val freq = fMin + (fMax - fMin) * rnd.nextDouble()
+            val cand = Array.tabulate(obj.dim) { d =>
+              vel(k)(d) += (pop(k)(d) - pop(bi)(d)) * freq
+              obj.clamp(pop(k)(d) + vel(k)(d))
+            }
+            val local =
+              if (rnd.nextDouble() > pulse)
+                Array.tabulate(obj.dim)(d =>
+                  obj.clamp(pop(bi)(d) + 0.01 * rnd.nextGaussian() * loud * (upper - lower)))
+              else cand
+            val fc = obj(local)
+            if (fc < fit(k) && rnd.nextDouble() < loud) {
+              pop(k) = local; fit(k) = fc
+              if (fc < fit(bi)) bi = k
+            }
+          }
+        }
+        (fit(bi), pop(bi))
+
+      case "rao" | "rao1" => // Rao-1: parameter-free best-worst move
+        val pop = Array.fill(popSize)(randX())
+        val fit = pop.map(obj(_))
+        for (_ <- 1 to maxIter) {
+          val bi = fit.indices.minBy(fit)
+          val wi = fit.indices.maxBy(fit)
+          for (k <- pop.indices) {
+            val cand = Array.tabulate(obj.dim)(d =>
+              obj.clamp(pop(k)(d) + rnd.nextDouble() * (pop(bi)(d) - pop(wi)(d))))
+            val fc = obj(cand)
+            if (fc < fit(k)) { pop(k) = cand; fit(k) = fc }
           }
         }
         val bi = fit.indices.minBy(fit)

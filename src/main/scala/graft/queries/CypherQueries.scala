@@ -245,6 +245,13 @@ object CypherQueries {
         |YIELD algorithm, feasible, beats_uniform
         |RETURN algorithm, feasible, beats_uniform""".stripMargin) _),
 
+    // a second or.solve kernel family through the same CALL surface (the
+    // reference dispatches ~30 metaheuristics by name; 13 families here)
+    "q_cypher_or_solve_de" -> (run(
+      """CALL algo.or.solve('Supplier', 'balance', 'DE', 20)
+        |YIELD algorithm, feasible, beats_uniform
+        |RETURN algorithm, feasible, beats_uniform""".stripMargin) _),
+
     // FOREACH write clause (cypher.pest:44): body folded over the list with
     // the loop variable bound by substitution
     "q_cypher_foreach" -> ((s: SparkSession, d: String) => {
@@ -344,6 +351,8 @@ object CypherQueries {
       "SELECT * FROM (VALUES (9000000001, 'marker'), (9000000002, 'marker'), (9000000003, 'marker')) t(mid, name) ORDER BY mid",
     "q_cypher_or_solve" ->
       "SELECT 'Jaya' AS algorithm, true AS feasible, true AS beats_uniform",
+    "q_cypher_or_solve_de" ->
+      "SELECT 'DE' AS algorithm, true AS feasible, true AS beats_uniform",
     "q_cypher_write_merge_rel" ->
       "SELECT CAST(count(*) AS BIGINT) AS n FROM customer WHERE c_custkey < 3",
     "q_cypher_write_create" ->
