@@ -28,18 +28,97 @@ object Multimodal {
       StructField("height", IntegerType),
       StructField("duration_ms", LongType))), nullable = true)))
 
-  /** Build a media table from the documents fixture: the UTF-8 bytes stand in
-    * for an undecodable payload (deterministic, schema-faithful). */
-  def mediaFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id").as("media_id"),
-      encode(col("text"), "UTF-8").as("payload"),
-      struct(
-        lit("image").as("kind"),
-        lit("raw").as("format"),
-        (pmod(col("doc_id"), lit(64)) + 16).cast("int").as("width"),
-        (pmod(col("doc_id"), lit(48)) + 16).cast("int").as("height"),
-        lit(null).cast("long").as("duration_ms")).as("meta"))
+  /** Build a media table from the documents fixture: each payload is a REAL
+    * BMP file — a valid 54-byte BITMAPINFOHEADER (deterministic per-row
+    * dimensions) followed by the document's UTF-8 bytes standing in for
+    * pixel data. Downstream decode then parses an actual image container,
+    * not a blessed column. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("body"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, body0) =>
+        val body = if (body0 == null) Array.empty[Byte] else body0
+        val w = (((id % 64) + 64) % 64 + 16).toInt
+        val h = (((id % 48) + 48) % 48 + 16).toInt
+        (id, bmpWrap(w, h, body), w, h)
+      }
+      .toDF("media_id", "payload", "_w", "_h")
+      .select(col("media_id"), col("payload"),
+        struct(
+          lit("image").as("kind"),
+          lit("bmp").as("format"),
+          col("_w").as("width"),
+          col("_h").as("height"),
+          lit(null).cast("long").as("duration_ms")).as("meta"))
+  }
+
+  /** A minimal valid BMP container: 14-byte file header + 40-byte
+    * BITMAPINFOHEADER (BI_RGB, 24bpp), then `body` as the pixel data. */
+  private[graft] def bmpWrap(w: Int, h: Int, body: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](54 + body.length)
+    def putLE32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xFF).toByte; out(off + 1) = ((v >> 8) & 0xFF).toByte
+      out(off + 2) = ((v >> 16) & 0xFF).toByte; out(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putLE32(2, 54 + body.length) // file size
+    putLE32(10, 54)              // pixel-data offset
+    putLE32(14, 40)              // DIB header size
+    putLE32(18, w); putLE32(22, h)
+    out(26) = 1                  // planes (u16 LE)
+    out(28) = 24                 // bits per pixel (u16 LE)
+    putLE32(34, body.length)     // image size
+    System.arraycopy(body, 0, out, 54, body.length)
+    out
+  }
+
+  final case class ImageHeader(media_id: Long, format: String, width: Int, height: Int)
+
+  /** REAL header-only image decode, partition-wise: sniffs the container by
+    * magic bytes and parses the dimensions out of the payload — BMP
+    * (BITMAPINFOHEADER, LE), PNG (IHDR, BE), GIF (logical screen, LE),
+    * JPEG (SOFn scan). Unknown/truncated payloads decode to
+    * ("unknown", -1, -1) instead of failing the batch. Full pixel decode
+    * stays behind stubDecodeFeatures (codecs aren't in this container). */
+  def decodeImageHeaders(media: DataFrame): Dataset[ImageHeader] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val b = if (bytes == null) Array.empty[Byte] else bytes
+        def u8(i: Int): Int = b(i) & 0xFF
+        def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+        def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+        def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+        def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+        val hdr =
+          if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+            ImageHeader(id, "bmp", le32(18), le32(22))
+          else if (b.length >= 24 && le32(0) == 0x474E5089) // \x89PNG little-endian view
+            ImageHeader(id, "png", be32(16), be32(20))
+          else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+            ImageHeader(id, "gif", le16(6), le16(8))
+          else if (b.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+            // JPEG: walk markers to the first SOFn frame header
+            var i = 2
+            var out: ImageHeader = null
+            while (out == null && i + 9 < b.length) {
+              if (u8(i) != 0xFF) i += 1
+              else {
+                val m = u8(i + 1)
+                if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
+                  out = ImageHeader(id, "jpeg", be16(i + 7), be16(i + 5))
+                else if (m == 0xD8 || (m >= 0xD0 && m <= 0xD9)) i += 2
+                else i += 2 + (if (i + 3 < b.length) be16(i + 2) else b.length)
+              }
+            }
+            if (out == null) ImageHeader(id, "unknown", -1, -1) else out
+          } else ImageHeader(id, "unknown", -1, -1)
+        hdr
+      })
+  }
 
   final case class MediaFeatures(media_id: Long, byte_len: Long,
                                  checksum: Long, feature: Array[Float])

@@ -176,6 +176,16 @@ object PipelineQueries {
           col("meta.width").as("w"), col("meta.height").as("h"))
         .orderBy(col("media_id"))),
 
+    // multimodal: REAL header-only decode — the builder wraps each payload
+    // in a valid BMP container; the decoder recovers the dimensions by
+    // parsing the BYTES (magic sniff + BITMAPINFOHEADER fields), which the
+    // oracle reproduces arithmetically
+    "q_multimodal_header" -> ((s, d) =>
+      Multimodal.decodeImageHeaders(Multimodal.mediaFromDocuments(t(s, d, "documents")))
+        .toDF()
+        .select(col("media_id"), col("format"), col("width"), col("height"))
+        .orderBy(col("media_id"))),
+
     // multimodal: resize plan (metadata math)
     "q_multimodal_resize" -> ((s, d) =>
       Multimodal.resizePlan(Multimodal.mediaFromDocuments(t(s, d, "documents")), 32)
@@ -340,7 +350,9 @@ object PipelineQueries {
     "q_winnow" ->
       "SELECT doc_id, true AS robust FROM documents ORDER BY 1",
     "q_multimodal_decode" ->
-      "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len, true AS deterministic FROM documents ORDER BY 1",
+      "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) + 54 AS BIGINT) AS byte_len, true AS deterministic FROM documents ORDER BY 1",
+    "q_multimodal_header" ->
+      "SELECT doc_id AS media_id, 'bmp' AS format, CAST(doc_id % 64 + 16 AS INTEGER) AS width, CAST(doc_id % 48 + 16 AS INTEGER) AS height FROM documents ORDER BY 1",
     "q_token_count" ->
       """SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens FROM documents ORDER BY doc_id""",
     "q_quality_score" -> QualityOracle,
@@ -348,7 +360,7 @@ object PipelineQueries {
     "q_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp FROM documents ORDER BY doc_id""",
     "q_multimodal_meta" ->
-      "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len, CAST(doc_id % 64 + 16 AS INTEGER) AS w, CAST(doc_id % 48 + 16 AS INTEGER) AS h FROM documents ORDER BY 1",
+      "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) + 54 AS INTEGER) AS byte_len, CAST(doc_id % 64 + 16 AS INTEGER) AS w, CAST(doc_id % 48 + 16 AS INTEGER) AS h FROM documents ORDER BY 1",
     "q_multimodal_resize" ->
       "WITH m AS (SELECT doc_id AS media_id, CAST(doc_id % 64 + 16 AS INTEGER) AS w, CAST(doc_id % 48 + 16 AS INTEGER) AS h FROM documents) SELECT media_id, w, h, CAST(round(w * least(1.0, 32.0 / greatest(w, h))) AS INTEGER) AS out_w, CAST(round(h * least(1.0, 32.0 / greatest(w, h))) AS INTEGER) AS out_h FROM m ORDER BY 1",
     "q_events_window" ->

@@ -86,4 +86,39 @@ class DedupTextSpec extends SparkSpec {
       .as[Int].collect()
     assert(sk.forall(_ > 0))
   }
+
+  test("decodeImageHeaders parses BMP, PNG, GIF, JPEG containers from bytes") {
+    import graft.multimodal.Multimodal
+    def png(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](24)
+      Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0D, 0x0A, 0x1A, 0x0A)
+        .zipWithIndex.foreach { case (v, i) => b(i) = v.toByte }
+      def be32(off: Int, v: Int): Unit = {
+        b(off) = (v >>> 24).toByte; b(off + 1) = (v >>> 16).toByte
+        b(off + 2) = (v >>> 8).toByte; b(off + 3) = v.toByte
+      }
+      be32(16, w); be32(20, h); b
+    }
+    def gif(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](10)
+      "GIF89a".getBytes("US-ASCII").zipWithIndex.foreach { case (v, i) => b(i) = v }
+      b(6) = (w & 0xFF).toByte; b(7) = ((w >> 8) & 0xFF).toByte
+      b(8) = (h & 0xFF).toByte; b(9) = ((h >> 8) & 0xFF).toByte; b
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] =
+      Array(0xFF, 0xD8, 0xFF, 0xC0, 0x00, 0x11, 0x08,
+        (h >> 8) & 0xFF, h & 0xFF, (w >> 8) & 0xFF, w & 0xFF, 0x00).map(_.toByte)
+    val rows = Seq(
+      (1L, Multimodal.bmpWrap(100, 50, Array[Byte](1, 2, 3))),
+      (2L, png(640, 480)), (3L, gif(320, 200)), (4L, jpeg(1920, 1080)),
+      (5L, Array[Byte](0, 1, 2)))
+      .toDF("media_id", "payload")
+    val got = Multimodal.decodeImageHeaders(rows).collect()
+      .map(hh => hh.media_id -> ((hh.format, hh.width, hh.height))).toMap
+    assert(got(1L) == (("bmp", 100, 50)))
+    assert(got(2L) == (("png", 640, 480)))
+    assert(got(3L) == (("gif", 320, 200)))
+    assert(got(4L) == (("jpeg", 1920, 1080)))
+    assert(got(5L) == (("unknown", -1, -1)))
+  }
 }
