@@ -283,7 +283,8 @@ object Algorithms {
     * subgraphs (the reference is likewise single-machine in-memory here).
     * Input columns: src, dst, cap. Returns one row (max_flow). */
   def maxFlow(edges: DataFrame, source: Long, sink: Long,
-              maxAugment: Int = 500, collectThreshold: Long = 200000L): DataFrame = {
+              maxAugment: Int = 500, collectThreshold: Long = 200000L,
+              maxVisited: Long = 5000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val eps = 1e-9
@@ -377,7 +378,14 @@ object Algorithms {
       }
       if (!reachedSink) { found = false; live.unpersist(false) }
       else {
-        // walk sink -> source through the collected parent cone (O(reach))
+        // walk sink -> source through the collected parent cone (O(reach)).
+        // The cone is the BFS reach, which on an unbounded input can exceed
+        // the driver — enforce the documented contract (maxFlow runs on
+        // network-extraction-bounded subgraphs) instead of OOMing.
+        val reach = visited.count()
+        require(reach <= maxVisited,
+          s"maxFlow BFS cone has $reach vertices (> maxVisited=$maxVisited); " +
+            "bound the extracted network or raise maxVisited")
         val parents = visited.collect()
           .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
         var cur = sink

@@ -128,13 +128,37 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
           require(df != null, "correlated CALL { WITH ... } needs a preceding MATCH")
           require(imports.forall(entityVars.contains),
             s"CALL {} imports must be node/relationship variables bound in the outer scope, got $imports")
-          require(inner.ret.orderBy.isEmpty && inner.ret.skip.isEmpty &&
-            inner.ret.limit.isEmpty,
-            "ORDER BY/SKIP/LIMIT inside a correlated CALL {} is unsupported")
           val retPlus = inner.ret.copy(items = inner.ret.items ++
-            imports.map(v => ReturnItem(Fn("id", Seq(Var(v))), Some(s"__call_${v}__id"))))
+            imports.map(v => ReturnItem(Fn("id", Seq(Var(v))), Some(s"__call_${v}__id"))),
+            orderBy = Seq.empty, skip = None, limit = None)
           val (se, sp, ss) = (entityVars, pathVars, scalarVars)
-          val sub = translateSingle(SingleQuery(restClauses, retPlus))
+          val sub0 = translateSingle(SingleQuery(restClauses, retPlus))
+          // per-binding SKIP/LIMIT (top-k per key): a window rank partitioned
+          // by the imported ids — one shuffle, no global sort, the classic
+          // distributed top-k-per-key shape
+          val sub =
+            if (inner.ret.limit.isEmpty && inner.ret.skip.isEmpty) sub0
+            else {
+              require(inner.ret.orderBy.nonEmpty,
+                "SKIP/LIMIT inside a correlated CALL {} needs ORDER BY (per-binding top-k)")
+              val names = inner.ret.items.map(_.name).toSet
+              val ordCols = inner.ret.orderBy.map { o =>
+                val c = o.expr match {
+                  case Var(n) if names.contains(n) => col(n)
+                  case e if names.contains(Render.name(e)) => col(Render.name(e))
+                  case _ => throw new IllegalArgumentException(
+                    "ORDER BY inside a correlated CALL {} must reference returned items")
+                }
+                if (o.asc) c.asc else c.desc
+              }
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(imports.map(v => col(s"__call_${v}__id")): _*)
+                .orderBy(ordCols: _*)
+              val lo = inner.ret.skip.getOrElse(0L)
+              val hi = inner.ret.limit.map(l => lo + l).getOrElse(Long.MaxValue)
+              sub0.withColumn("__rn", row_number().over(w))
+                .filter(col("__rn") > lo && col("__rn") <= hi).drop("__rn")
+            }
           entityVars = se; pathVars = sp
           scalarVars = ss ++ inner.ret.items.map(_.name)
           val cond = imports.map(v => col(s"${v}__id") === col(s"__call_${v}__id")).reduce(_ && _)

@@ -277,6 +277,15 @@ object CypherQueries {
         |RETURN id(n) AS nid, n_cust
         |ORDER BY nid""".stripMargin) _),
 
+    // correlated CALL {} with per-binding top-k (ORDER BY + LIMIT inside the
+    // subquery = top 2 orders per customer, decorrelated to a window rank)
+    "q_cypher_call_subquery_topk" -> (run(
+      """MATCH (c:Customer)
+        |WHERE id(c) < 10
+        |CALL { WITH c MATCH (c)-[:PLACED]->(o:Order) RETURN o.balance AS bal ORDER BY bal DESC LIMIT 2 }
+        |RETURN id(c) AS cid, bal
+        |ORDER BY cid, bal""".stripMargin) _),
+
     // Cypher write statements (reference cypher.pest create/merge/set/delete)
     // executed as batch transforms; checked by reading the mutated graph
     "q_cypher_write_create" -> ((s: SparkSession, d: String) => {
@@ -402,6 +411,11 @@ object CypherQueries {
       "SELECT CAST(count(*) AS BIGINT) AS n_major FROM nation WHERE n_nationkey >= 2 AND n_nationkey < 5",
     "q_cypher_call_subquery_corr" ->
       "SELECT CAST(1200000000 + n_nationkey AS BIGINT) AS nid, (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust FROM nation ORDER BY 1",
+    "q_cypher_call_subquery_topk" ->
+      """SELECT cid, bal FROM (
+        | SELECT CAST(o_custkey AS BIGINT) AS cid, o_totalprice AS bal,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rn
+        | FROM orders WHERE o_custkey < 10) WHERE rn <= 2 ORDER BY cid, bal""".stripMargin,
     "q_cypher_pattern_comp" ->
       """SELECT CAST(c_custkey AS BIGINT) AS cid,
         | coalesce((SELECT list(o_totalprice ORDER BY o_totalprice) FROM orders WHERE o_custkey = c_custkey), CAST([] AS DOUBLE[])) AS order_totals

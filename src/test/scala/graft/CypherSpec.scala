@@ -325,6 +325,14 @@ class CypherSpec extends SparkSpec {
     assert(r == Seq(("Alice", "Bob"), ("Alice", "Carol"), ("Bob", "Carol")))
   }
 
+  test("correlated CALL subquery with per-binding ORDER BY + LIMIT") {
+    val r = run("MATCH (a:Person) CALL { WITH a MATCH (a)-[r:KNOWS]->(b) " +
+      "RETURN b.name AS bn ORDER BY bn LIMIT 1 } RETURN a.name AS name, bn ORDER BY name")
+      .as[(String, String)].collect().toSeq
+    // Alice knows Bob+Carol -> keeps only 'Bob'; Bob knows Carol
+    assert(r == Seq(("Alice", "Bob"), ("Bob", "Carol")))
+  }
+
   test("CALL procedure after MATCH joins the yielded frame") {
     val r = run("MATCH (c:Company) CALL algo.bfs(1, 5, 'KNOWS') YIELD id, dist " +
       "RETURN c.name AS cn, id, dist ORDER BY id")

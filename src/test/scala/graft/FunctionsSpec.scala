@@ -60,7 +60,8 @@ class FunctionsSpec extends SparkSpec {
     val docs = Seq((1L, "abc"), (2L, "defg")).toDF("doc_id", "text")
     val media = Multimodal.mediaFromDocuments(docs)
     val f = Multimodal.stubDecodeFeatures(media, 4).collect().sortBy(_.media_id)
-    assert(f.map(_.byte_len).toSeq == Seq(3L, 4L))
+    // payloads are valid BMP containers: 54-byte header + the text bytes
+    assert(f.map(_.byte_len).toSeq == Seq(57L, 58L))
     assert(f.forall(_.feature.length == 4))
     val again = Multimodal.stubDecodeFeatures(media, 4).collect().sortBy(_.media_id)
     assert(f.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
