@@ -1036,9 +1036,17 @@ object QueryEngine {
     }
   }
 
+  /** EXPLAIN / PROFILE prefix (reference `cypher.pest:9` explain_clause):
+    * returns the plan as one row instead of executing. */
+  private val ExplainRe = "(?is)^\\s*(EXPLAIN|PROFILE)\\b(.*)".r
+
   def execute(cypher: String, g: PropertyGraph,
               params: Map[String, Any] = Map.empty): DataFrame =
     cypher match {
+      case ExplainRe(_, rest) =>
+        val spark = g.nodes.sparkSession
+        import spark.implicits._
+        Seq(explain(rest, g, params)).toDF("plan")
       case DdlRe(_*) => ddl(g.nodes.sparkSession, cypher, Map.empty)
       case _ =>
         val ast = CypherParser.parse(cypher)

@@ -380,6 +380,12 @@ class CypherSpec extends SparkSpec {
     assert(g2.edges.filter($"relationship" === "LIKES").count() == 2L)
   }
 
+  test("EXPLAIN prefix returns the plan instead of executing") {
+    val r = run("EXPLAIN MATCH (a:Person) RETURN a.name AS n")
+      .as[String].head()
+    assert(r.contains("AST:") && r.contains("Physical Plan"))
+  }
+
   test("GraphStats computes label and triple counts") {
     import graft.model.GraphStats
     val st = GraphStats.compute(g)
