@@ -357,6 +357,12 @@ class CypherSpec extends SparkSpec {
     assert(r == Seq(("Alice", 1), ("Bob", 1), ("Carol", 0)))
   }
 
+  test("pattern comprehension inside WHERE") {
+    val r = run("MATCH (a:Person) WHERE size([(a)-[:KNOWS]->(b) | b.name]) >= 2 " +
+      "RETURN a.name AS name").as[String].collect().toSeq
+    assert(r == Seq("Alice"))
+  }
+
   test("bracketed expression list still parses as a literal") {
     val r = run("RETURN [(1+2), 3] AS xs").as[Seq[Long]].head()
     assert(r == Seq(3L, 3L))
