@@ -202,9 +202,13 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     // bare CALL without RETURN: emit the yielded frame as-is
     if (sq.ret.items.isEmpty) return df
 
-    // RETURN: implicit grouping if any item aggregates
-    val (dfL, items) = lowerItems(df, sq.ret.items)
-    df = dfL
+    applyReturn(df, sq.ret)
+  }
+
+  /** Apply a RETURN spec to the current frame (implicit grouping when any
+    * item aggregates), using the active variable scope. */
+  private def applyReturn(df0: DataFrame, ret: ReturnSpec): DataFrame = {
+    val (df, items) = lowerItems(df0, ret.items)
     val hasAgg = items.exists(i => isAggregate(i.expr))
     var out =
       if (hasAgg) {
@@ -216,11 +220,19 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
       } else df.select(items.map(i => toCol(i.expr).as(i.name)): _*)
 
-    if (sq.ret.distinct) out = out.distinct()
-    if (sq.ret.orderBy.nonEmpty) out = out.orderBy(orderCols(sq.ret.orderBy, items): _*)
-    sq.ret.skip.foreach(n => out = out.offset(n.toInt))
-    sq.ret.limit.foreach(n => out = out.limit(n.toInt))
+    if (ret.distinct) out = out.distinct()
+    if (ret.orderBy.nonEmpty) out = out.orderBy(orderCols(ret.orderBy, items): _*)
+    ret.skip.foreach(n => out = out.offset(n.toInt))
+    ret.limit.foreach(n => out = out.limit(n.toInt))
     out
+  }
+
+  /** Project a RETURN over an externally-built variable frame (columns
+    * follow the `v__col` convention) — powers `CREATE/MERGE ... RETURN`
+    * in the write path. */
+  def projectExternal(df: DataFrame, vars: Set[String], ret: ReturnSpec): DataFrame = {
+    entityVars = vars; pathVars = Set.empty; scalarVars = Set.empty
+    applyReturn(df, ret)
   }
 
   /** Resolve ORDER BY expressions against the projection's output names. */
@@ -1050,7 +1062,10 @@ object QueryEngine {
       case DdlRe(_*) => ddl(g.nodes.sparkSession, cypher, Map.empty)
       case _ =>
         val ast = CypherParser.parse(cypher)
-        if (WriteTranslator.isWrite(ast)) WriteTranslator.execute(ast, g, params).summary
+        if (WriteTranslator.isWrite(ast)) {
+          val r = WriteTranslator.execute(ast, g, params)
+          r.rows.getOrElse(r.summary)
+        }
         else new Translator(g, params).translate(ast)
     }
 

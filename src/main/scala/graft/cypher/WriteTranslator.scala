@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   * Shape: `[MATCH ... [WHERE ...]]* <one write clause>`. Variable bindings
   * for the write clause are computed by the READ translator on a synthesized
   * `RETURN id(v), ...` query, so SET/DELETE expressions get the full read
-  * expression surface for free. RETURN after a write is not supported (the
-  * reference's write statements return summaries too).
+  * expression surface for free. `CREATE ... RETURN` / node-`MERGE ...
+  * RETURN` project the written entities (cypher.pest return_clause?); the
+  * other write clauses return summaries only.
   */
 object WriteTranslator {
 
-  final case class WriteResult(graph: PropertyGraph, summary: DataFrame)
+  final case class WriteResult(graph: PropertyGraph, summary: DataFrame,
+                               rows: Option[DataFrame] = None)
 
   def isWrite(q: Query): Boolean = q.first.clauses.exists(isWriteClause)
 
@@ -61,7 +63,10 @@ object WriteTranslator {
   def execute(q: Query, g: PropertyGraph, params: Map[String, Any]): WriteResult = {
     require(q.unions.isEmpty, "UNION of write statements is unsupported")
     val sq = q.first
-    require(sq.ret.items.isEmpty, "RETURN after a write clause is unsupported")
+    // RETURN after CREATE / node-MERGE (cypher.pest merge_stmt/create_stmt
+    // return_clause?) is supported via projectExternal below; other write
+    // clauses return summaries only (as the reference's write path does)
+    val ret = sq.ret
     val (readClauses, rest) = sq.clauses.span(c => !isWriteClause(c))
     require(rest.size == 1, "exactly one write clause per statement")
     val matches = readClauses.collect { case m: MatchClause => m }
@@ -113,6 +118,16 @@ object WriteTranslator {
     val nodeTypes = g.nodes.schema.fields.map(f => f.name -> f.dataType).toMap
     val edgeTypes = g.edges.schema.fields.map(f => f.name -> f.dataType).toMap
 
+    def prefixed(df: DataFrame, v: String): DataFrame =
+      df.select(df.columns.map(c => col(c).as(s"${v}__$c")): _*)
+    /** RETURN after a write: project the spec over the written entities'
+      * frame (v__col convention) against the MUTATED graph. */
+    def projectRows(gr: PropertyGraph, frame: DataFrame, vars: Set[String]): Option[DataFrame] =
+      if (ret.items.isEmpty) None
+      else Some(new Translator(gr, params).projectExternal(frame, vars, ret))
+    def noReturn(what: String): Unit =
+      require(ret.items.isEmpty, s"RETURN after $what is unsupported (summaries only)")
+
     /** One literal node row aligned to the node schema. */
     def nodeRow(n: NodePat, id: Long): DataFrame = {
       val propCols = n.props
@@ -137,6 +152,7 @@ object WriteTranslator {
         var cur = g
         var nCreated = 0L
         var rCreated = 0L
+        var createdNodeVars = Seq.empty[(String, Long)]
         var nextId = maxNodeId() + 1
         // edge-id high-water mark across ALL paths of this CREATE: computing
         // maxEdgeId() per path against the ORIGINAL graph would hand every
@@ -151,6 +167,7 @@ object WriteTranslator {
               .collect { case num: Number => num.longValue() }
               .getOrElse { val i = nextId; nextId += 1; i }
             cur = GraphMutations.createNodes(cur, nodeRow(n, id))
+            n.variable.foreach(v => createdNodeVars :+= ((v, id)))
             nCreated += 1
           } else {
             // edge create between two MATCH-bound node variables
@@ -184,10 +201,21 @@ object WriteTranslator {
             cur = GraphMutations.createEdges(cur, rows)
           }
         }
-        WriteResult(cur, summary(created = nCreated, relCreated = rCreated))
+        val createdRows =
+          if (ret.items.isEmpty) None
+          else {
+            require(createdNodeVars.nonEmpty,
+              "RETURN after CREATE needs created node variables")
+            val frame = createdNodeVars.map { case (v, id) =>
+              prefixed(cur.nodes.filter(col("id") === id), v)
+            }.reduce(_ crossJoin _)
+            projectRows(cur, frame, createdNodeVars.map(_._1).toSet)
+          }
+        WriteResult(cur, summary(created = nCreated, relCreated = rCreated), createdRows)
 
       // ---------- MERGE ----------
       case MergeClause(path, onCreate, onMatch) if path.rels.nonEmpty =>
+        noReturn("relationship MERGE")
         // relationship MERGE between MATCH-bound endpoints: insert-if-absent
         // by (src, dst, type) anti-join — idempotent by construction
         require(path.rels.size == 1 && path.nodes.size == 2,
@@ -249,12 +277,24 @@ object WriteTranslator {
           }).reduceOption(_ && _).getOrElse(lit(true))
         val existing = g.nodes.filter(pred).select(col("id"))
         val exists = existing.limit(1).count() > 0
+        def mergeRows(gr: PropertyGraph, idsOrId: Either[DataFrame, Long]): Option[DataFrame] =
+          if (ret.items.isEmpty) None
+          else {
+            val v = n.variable.getOrElse(throw new IllegalArgumentException(
+              "RETURN after MERGE needs a bound pattern variable"))
+            val matchedNodes = idsOrId match {
+              case Left(ids) => gr.nodes.join(ids.select(col("id")), Seq("id"), "left_semi")
+              case Right(id) => gr.nodes.filter(col("id") === id)
+            }
+            projectRows(gr, prefixed(matchedNodes, v), Set(v))
+          }
         if (exists) {
           val assigns = onMatch.map { case (Prop(_, k), e) => k -> constCol(e).cast(nodeTypes(k)) }.toMap
           // join-based overwrite: a non-selective MERGE predicate must not
           // collect every matched id into the driver + plan (OOM at scale)
           val res = GraphMutations.setNodePropsByIds(g, existing, assigns)
-          WriteResult(res, summary(propsSet = assigns.size.toLong * existing.count()))
+          WriteResult(res, summary(propsSet = assigns.size.toLong * existing.count()),
+            mergeRows(res, Left(existing)))
         } else {
           val id = n.props.collectFirst { case ("id", e) => constVal(e) }
             .collect { case num: Number => num.longValue() }
@@ -264,12 +304,14 @@ object WriteTranslator {
             val c = constCol(e)
             row = row.withColumn(k, nodeTypes.get(k).map(c.cast).getOrElse(c))
           }
-          WriteResult(GraphMutations.createNodes(g, row),
-            summary(created = 1, propsSet = onCreate.size.toLong))
+          val res = GraphMutations.createNodes(g, row)
+          WriteResult(res, summary(created = 1, propsSet = onCreate.size.toLong),
+            mergeRows(res, Right(id)))
         }
 
       // ---------- SET / REMOVE ----------
       case SetClause(assigns, labelSets) =>
+        noReturn("SET")
         var cur = g
         var nSet = 0L
         var nLbl = 0L
@@ -307,6 +349,7 @@ object WriteTranslator {
         WriteResult(cur, summary(propsSet = nSet, labelsAdded = nLbl))
 
       case RemoveClause(props, labelRemoves) =>
+        noReturn("REMOVE")
         var cur = g
         var nSet = 0L
         var nLbl = 0L
@@ -333,6 +376,7 @@ object WriteTranslator {
 
       // ---------- DELETE ----------
       case DeleteClause(vars, detach) =>
+        noReturn("DELETE")
         var cur = g
         var nDel = 0L
         var rDel = 0L
@@ -350,6 +394,7 @@ object WriteTranslator {
 
       // ---------- FOREACH ----------
       case ForeachClause(v, listExpr, body) =>
+        noReturn("FOREACH")
         // fold the body over the (constant / $param) list, binding the loop
         // variable by literal substitution — each element's writes see the
         // previous element's graph, like the reference's sequential apply

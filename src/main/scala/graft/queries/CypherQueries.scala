@@ -294,6 +294,11 @@ object CypherQueries {
       QueryEngine.execute(
         "MATCH (n:Nation) RETURN id(n) AS nid, n.name AS name ORDER BY nid", g2)
     }),
+    // CREATE ... RETURN (cypher.pest create_stmt return_clause?): the
+    // created node projects directly from the write statement
+    "q_cypher_create_return" -> (run(
+      "CREATE (n:Nation {id: 1200000099, name: 'atlantis', balance: 7.5}) " +
+        "RETURN id(n) AS nid, n.name AS name, n.balance AS bal") _),
     "q_cypher_write_set" -> ((s: SparkSession, d: String) => {
       val (g2, _) = QueryEngine.executeWrite(
         "MATCH (n:Nation) WHERE id(n) < 1200000003 SET n.name = 'REDACTED'",
@@ -409,6 +414,8 @@ object CypherQueries {
         |SELECT start, node FROM (SELECT start, node FROM h1 UNION SELECT start, node FROM h2) ORDER BY start, node""".stripMargin,
     "q_cypher_write_label" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_major FROM nation WHERE n_nationkey >= 2 AND n_nationkey < 5",
+    "q_cypher_create_return" ->
+      "SELECT CAST(1200000099 AS BIGINT) AS nid, 'atlantis' AS name, 7.5 AS bal",
     "q_cypher_call_subquery_corr" ->
       "SELECT CAST(1200000000 + n_nationkey AS BIGINT) AS nid, (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) AS n_cust FROM nation ORDER BY 1",
     "q_cypher_call_subquery_topk" ->

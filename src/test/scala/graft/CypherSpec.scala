@@ -415,6 +415,24 @@ class CypherSpec extends SparkSpec {
     assert(wide == Seq("Alice", "Carol") && narrow == wide)
   }
 
+  test("CREATE ... RETURN projects the created nodes") {
+    val r = run("CREATE (n:Person {id: 99, name: 'Dave', age: 40}) " +
+      "RETURN n.name AS name, n.age AS age")
+      .as[(String, Long)].collect().toSeq
+    assert(r == Seq(("Dave", 40L)))
+  }
+
+  test("MERGE ... RETURN projects the merged node post-mutation") {
+    val matched = run("MERGE (n:Person {name: 'Alice'}) ON MATCH SET n.age = 31 " +
+      "RETURN n.name AS name, n.age AS age")
+      .as[(String, Long)].collect().toSeq
+    assert(matched == Seq(("Alice", 31L)))
+    val created = run("MERGE (n:Person {name: 'Zed', id: 77}) ON CREATE SET n.age = 20 " +
+      "RETURN id(n) AS nid, n.age AS age")
+      .as[(Long, Long)].collect().toSeq
+    assert(created == Seq((77L, 20L)))
+  }
+
   test("SET and REMOVE node labels") {
     val (g2, s2) = QueryEngine.executeWrite(
       "MATCH (p:Person {name: 'Alice'}) SET p:Admin:Owner", g)
