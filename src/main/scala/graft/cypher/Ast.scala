@@ -39,6 +39,9 @@ object Ast {
   /** [(a)-[:R]->(b) WHERE pred | proj] pattern comprehension (ast.rs:392):
     * per outer row, the list of proj values over the pattern's matches. */
   final case class PatternComp(path: PathPat, where: Option[Expr], proj: Expr) extends Expr
+  /** {k: v, ...} map literal — CALL config maps, datetime components
+    * (`property.rs:90` Map values; `operator.rs:6622` config-map CALLs). */
+  final case class MapLit(entries: Seq[(String, Expr)]) extends Expr
 
   sealed trait Direction
   case object Out extends Direction

@@ -41,10 +41,21 @@ object CypherParser {
         val s = i
         while (i < n && (src(i).isLetterOrDigit || src(i) == '_')) i += 1
         out += TId(src.substring(s, i))
-      } else if (c.isDigit) {
+      } else if (c.isDigit ||
+          (c == '.' && i + 1 < n && src(i + 1).isDigit &&
+            // `.5` literal, but not the `..` range operator or `x.1`-style
+            (out.isEmpty || !out.last.isInstanceOf[TId]))) {
         val s = i
         while (i < n && (src(i).isDigit || src(i) == '.') &&
           !(src(i) == '.' && i + 1 < n && src(i + 1) == '.')) i += 1
+        // scientific exponent: 1e-07, 1.5E10, 6e+3
+        if (i < n && (src(i) == 'e' || src(i) == 'E') && i + 1 < n &&
+            (src(i + 1).isDigit ||
+              ((src(i + 1) == '+' || src(i + 1) == '-') && i + 2 < n && src(i + 2).isDigit))) {
+          i += 1
+          if (src(i) == '+' || src(i) == '-') i += 1
+          while (i < n && src(i).isDigit) i += 1
+        }
         out += TNum(src.substring(s, i))
       } else if (c == '\'' || c == '"') {
         val quote = c
@@ -59,7 +70,7 @@ object CypherParser {
         out += TStr(sb.toString)
       } else {
         val two = if (i + 1 < n) src.substring(i, i + 2) else ""
-        if (Set("<=", ">=", "<>", "->", "<-", "..", "=~").contains(two)) {
+        if (Set("<=", ">=", "<>", "->", "<-", "..", "=~", "!=", "==").contains(two)) {
           out += TSym(two); i += 2
         } else { out += TSym(c.toString); i += 1 }
       }
@@ -364,6 +375,14 @@ object CypherParser {
     private def propValue(): Expr = {
       def atom(): Expr =
         if (isSym("$")) { eatSym("$"); Param(ident()) }
+        else if (isSym("[")) { // list literal value, e.g. {embedding: [0.1, 0.2]}
+          eatSym("[")
+          val items = ArrayBuffer[Expr]()
+          if (!isSym("]")) { do items += propValue() while (trySym(",")) }
+          eatSym("]")
+          ListLit(items.toSeq)
+        }
+        else if (isSym("{")) MapLit(propMap()) // nested map value
         else peek match {
           case Some(TId(t)) if !Seq("true", "false", "null").contains(t.toLowerCase) =>
             next(); Var(t)
@@ -379,13 +398,13 @@ object CypherParser {
     }
 
     private def literal(): Lit = next() match {
-      case TNum(t) => if (t.contains('.')) Lit(t.toDouble) else Lit(t.toLong)
+      case TNum(t) => if (t.exists(c => c == '.' || c == 'e' || c == 'E')) Lit(t.toDouble) else Lit(t.toLong)
       case TStr(t) => Lit(t)
       case TId(t) if t.equalsIgnoreCase("true") => Lit(true)
       case TId(t) if t.equalsIgnoreCase("false") => Lit(false)
       case TId(t) if t.equalsIgnoreCase("null") => Lit(null)
       case TSym("-") => next() match {
-        case TNum(t) => if (t.contains('.')) Lit(-t.toDouble) else Lit(-t.toLong)
+        case TNum(t) => if (t.exists(c => c == '.' || c == 'e' || c == 'E')) Lit(-t.toDouble) else Lit(-t.toLong)
         case t => throw ParseError(s"expected number after -, got ${t.text}", pos)
       }
       case t => throw ParseError(s"expected literal, got ${t.text}", pos)
@@ -460,8 +479,13 @@ object CypherParser {
       var l = addSub()
       var done = false
       while (!done) {
-        if (isSym("=") || isSym("<>") || isSym("<") || isSym("<=") || isSym(">") || isSym(">=")) {
-          val op = next().text
+        if (isSym("=") || isSym("<>") || isSym("<") || isSym("<=") || isSym(">") || isSym(">=") ||
+            isSym("!=") || isSym("==")) {
+          // `!=`/`==` are reference-grammar aliases of `<>`/`=` (cypher.pest
+          // comparison_op)
+          val op = next().text match {
+            case "!=" => "<>"; case "==" => "="; case o => o
+          }
           l = Bin(op, l, addSub())
         } else if (isSym("=~")) {
           next(); l = StrPred("REGEX", l, addSub())
@@ -532,10 +556,11 @@ object CypherParser {
       if (trySym("$")) return Param(ident())
       if (trySym("(")) { val e = expr(); eatSym(")"); return e }
       if (isSym("[")) return listLitOrComprehension()
+      if (isSym("{")) return MapLit(propMap()) // {k: v, ...} map literal
       if (isKw("CASE")) return caseExpr()
       if (isKw("EXISTS") && isSymAt(1, "{")) return existsSubquery()
       next() match {
-        case TNum(t) => if (t.contains('.')) Lit(t.toDouble) else Lit(t.toLong)
+        case TNum(t) => if (t.exists(c => c == '.' || c == 'e' || c == 'E')) Lit(t.toDouble) else Lit(t.toLong)
         case TStr(t) => Lit(t)
         case TId(t) if t.equalsIgnoreCase("true") => Lit(true)
         case TId(t) if t.equalsIgnoreCase("false") => Lit(false)

@@ -295,6 +295,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     case Param(n) => params.getOrElse(n,
       throw new IllegalArgumentException(s"missing parameter $$$n"))
     case ListLit(items) => items.map(evalConst)
+    case MapLit(entries) => entries.map { case (k, v) => k -> evalConst(v) }.toMap
     case other => throw new IllegalArgumentException(s"CALL argument must be constant, got $other")
   }
 
@@ -305,20 +306,47 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     * `build_view(edge_type?)` projection). */
   private def callProcedure(c: CallClause): DataFrame = {
     import graft.algo.Algorithms
-    val argv = c.args.map(evalConst)
-    def numArg(i: Int, dflt: Double): Double = argv.lift(i) match {
-      case Some(n: Number) => n.doubleValue()
-      case Some(other) => throw new IllegalArgumentException(s"expected number, got $other")
-      case None => dflt
-    }
+    val argvAll = c.args.map(evalConst)
+    // the reference's primary convention passes ONE config map
+    // (operator.rs:6622); positional args remain supported alongside it
+    val conf: Map[String, Any] = argvAll.collectFirst {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+    }.getOrElse(Map.empty)
+    val argv = argvAll.filterNot(_.isInstanceOf[Map[_, _]])
+    def confNum(keys: Seq[String], dflt: => Double): Double =
+      keys.iterator.flatMap(conf.get).collectFirst { case n: Number => n.doubleValue() }
+        .getOrElse(dflt)
+    def confStr(keys: Seq[String]): Option[String] =
+      keys.iterator.flatMap(conf.get).collectFirst { case s: String => s }
+    // positional NUMERIC args index among themselves, so a leading label
+    // string (reference convention) doesn't shift them
+    val numArgs = argv.collect { case n: Number => n }
+    def numArg(i: Int, dflt: Double): Double =
+      numArgs.lift(i).map(_.doubleValue()).getOrElse(dflt)
     def longArg(i: Int): Long = numArg(i, Double.NaN) match {
       case d if d.isNaN => throw new IllegalArgumentException(s"missing argument $i of ${c.proc}")
       case d => d.toLong
     }
-    // a trailing string arg = edge-type restriction
-    def typedEdges: DataFrame = argv.lastOption match {
-      case Some(s: String) => g.edgesOfType(s.split(",").map(_.trim).filter(_.nonEmpty).toSeq: _*)
-      case _ => g.edges
+    // string args: (label, edgeTypes) when two, edge-type restriction when
+    // one (back-compatible); config-map `label`/`edgeType` override either
+    val strArgs = argv.collect { case s: String => s }
+    def nodeLabelOpt: Option[String] =
+      confStr(Seq("label", "nodeLabel")).orElse(
+        if (strArgs.size >= 2) strArgs.headOption else None)
+    def typedEdges: DataFrame = {
+      val et = confStr(Seq("edgeType", "relationshipType")).orElse(
+        if (strArgs.size >= 2) strArgs.lift(1) else strArgs.lastOption)
+      val e = et match {
+        case Some(s) => g.edgesOfType(s.split(",").map(_.trim).filter(_.nonEmpty).toSeq: _*)
+        case _ => g.edges
+      }
+      nodeLabelOpt match {
+        case Some(l) =>
+          val ids = g.nodesWithLabel(l).select(col("id"))
+          e.join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+            .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+        case None => e
+      }
     }
     def und: DataFrame = {
       val e = typedEdges.select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
@@ -327,10 +355,15 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     }
     c.proc.toLowerCase match {
       case "algo.pagerank" =>
-        Algorithms.pageRank(typedEdges, numArg(0, 20).toInt, numArg(1, 0.85))
-      case "algo.wcc" => Algorithms.wcc(typedEdges)
-      case "algo.cdlp" => Algorithms.cdlp(typedEdges, numArg(0, 10).toInt)
-      case "algo.scc" => Algorithms.scc(typedEdges, numArg(0, 10).toInt)
+        Algorithms.pageRank(typedEdges,
+          confNum(Seq("maxIterations", "iterations"), numArg(0, 20)).toInt,
+          confNum(Seq("dampingFactor", "damping"), numArg(1, 0.85)))
+      case "algo.wcc" =>
+        Algorithms.wcc(typedEdges, confNum(Seq("maxIterations"), 50).toInt)
+      case "algo.cdlp" =>
+        Algorithms.cdlp(typedEdges, confNum(Seq("maxIterations", "iterations"), numArg(0, 10)).toInt)
+      case "algo.scc" =>
+        Algorithms.scc(typedEdges, confNum(Seq("maxIterations"), numArg(0, 10)).toInt)
       case "algo.bfs" | "algo.shortestpath" =>
         Algorithms.bfs(typedEdges, longArg(0), numArg(1, 30).toInt)
       case "algo.sssp" | "algo.weightedpath" =>
@@ -346,17 +379,24 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
            else if (typedEdges.columns.contains("weight")) col("weight")
            else lit(1.0)).as("cap")), longArg(0), longArg(1))
       case "algo.or.solve" =>
-        // reference takes a config map (operator.rs:6622); positional here:
-        // (label, costProperty, algorithm = 'Jaya', minTotal = 0, budget = inf)
-        graft.algo.Optimize.orSolveNodes(g,
-          argv(0).asInstanceOf[String], argv(1).asInstanceOf[String],
-          argv.lift(2).collect { case s: String => s }.getOrElse("Jaya"),
-          minTotal = numArg(3, 0.0), budget = numArg(4, Double.NaN))
+        // reference convention: ONE config map (operator.rs:6622); the
+        // positional form (label, costProperty, algorithm, minTotal, budget)
+        // is also accepted
+        val label = confStr(Seq("label")).getOrElse(argv(0).asInstanceOf[String])
+        val costProp = confStr(Seq("cost_property", "costProperty", "property"))
+          .getOrElse(argv(1).asInstanceOf[String])
+        val algoName = confStr(Seq("algorithm"))
+          .orElse(argv.lift(2).collect { case s: String => s }).getOrElse("Jaya")
+        graft.algo.Optimize.orSolveNodes(g, label, costProp, algoName,
+          minTotal = confNum(Seq("min_total", "minTotal"), numArg(0, 0.0)),
+          budget = confNum(Seq("budget"), numArg(1, Double.NaN)),
+          popSize = confNum(Seq("population_size", "populationSize"), 30).toInt,
+          maxIter = confNum(Seq("max_iterations", "maxIterations"), 100).toInt)
       case "db.index.vector.querynodes" =>
         val idxName = argv.head.asInstanceOf[String]
         val (emb, idCol, vecCol) = vectorIndexes.getOrElse(idxName,
           throw new IllegalArgumentException(s"unknown vector index '$idxName'"))
-        val k = longArg(1).toInt
+        val k = longArg(0).toInt // first NUMERIC arg (name/vector aside)
         val q = argv(2).asInstanceOf[Seq[Any]].map {
           case n: Number => n.floatValue()
           case other => throw new IllegalArgumentException(s"non-numeric vector element $other")
@@ -756,6 +796,8 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
       }
     case Prop(v, k) => col(s"${v}__$k")
     case ListLit(items) => array(items.map(toCol): _*)
+    case MapLit(entries) => // {k: v} literal → named struct (heterogeneous ok)
+      struct(entries.map { case (k, v) => toCol(v).as(k) }: _*)
     case Index(l, i) =>
       val (c, ic) = (toCol(l), toCol(i))
       // Cypher indexing is 0-based; element_at is 1-based with negative wrap
@@ -947,6 +989,14 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
       case "exists" => toCol(args.head).isNotNull
       case "isempty" => CypherFunctions.isEmpty(a0)
       case "timestamp" => (unix_micros(current_timestamp()) / 1000).cast("long")
+      case "datetime" | "date" if args.headOption.exists(_.isInstanceOf[MapLit]) =>
+        // component map form (reference operator.rs:1196 date/datetime
+        // construction): datetime({year: 2026, month: 3, day: 4, ...})
+        val m = args.head.asInstanceOf[MapLit].entries.toMap
+        def comp(k: String, d: Int): Column = m.get(k).map(toCol).getOrElse(lit(d))
+        val ts = make_timestamp(comp("year", 1970), comp("month", 1), comp("day", 1),
+          comp("hour", 0), comp("minute", 0), comp("second", 0).cast("decimal(8,6)"))
+        if (name == "date") ts.cast("date") else ts
       case "date" => if (args.isEmpty) current_date() else to_date(a0)
       case "datetime" => if (args.isEmpty) current_timestamp() else to_timestamp(a0)
       case "duration" => args.head match {

@@ -386,6 +386,40 @@ class CypherSpec extends SparkSpec {
     assert(g2.edges.filter($"relationship" === "LIKES").count() == 2L)
   }
 
+  test("numeric literal forms: scientific, leading-dot, != and ==") {
+    val r = run("RETURN 1e-2 AS a, 1.5E2 AS b, 6e+1 AS c, 2 != 3 AS d, 2 == 2 AS e")
+      .as[(Double, Double, Double, Boolean, Boolean)].head()
+    assert(r == ((0.01, 150.0, 60.0, true, true)))
+    val z = run("CREATE (n:Num {id: 50, z: .5}) RETURN n.z AS z").as[Double].head()
+    assert(z == 0.5)
+  }
+
+  test("list-valued properties in CREATE maps") {
+    val r = run("CREATE (n:Doc {id: 51, vec: [0.1, 0.2, 0.3]}) RETURN n.vec AS v")
+      .as[Seq[Double]].head()
+    assert(r == Seq(0.1, 0.2, 0.3))
+  }
+
+  test("CALL with a config map and label restriction (reference convention)") {
+    val pr = run("CALL algo.pageRank({maxIterations: 2, dampingFactor: 0.85}, 'KNOWS') " +
+      "YIELD id, rank RETURN count(id) AS n").as[Long].head()
+    assert(pr == 3L) // KNOWS subgraph vertices
+    val wcc = run("CALL algo.wcc('Person', 'KNOWS') YIELD id, component " +
+      "RETURN count(DISTINCT component) AS n").as[Long].head()
+    assert(wcc == 1L) // Alice/Bob/Carol one component; Acme excluded by label
+    val os = run("CALL algo.or.solve({label: 'Person', cost_property: 'age', " +
+      "algorithm: 'PSO', min_total: 1.0, max_iterations: 50}) " +
+      "YIELD algorithm, feasible RETURN algorithm, feasible")
+      .as[(String, Boolean)].head()
+    assert(os == (("PSO", true)))
+  }
+
+  test("datetime from a component map") {
+    val dt = run("RETURN toString(datetime({year: 2026, month: 3, day: 4})) AS d")
+      .as[String].head()
+    assert(dt.startsWith("2026-03-04"))
+  }
+
   test("EXPLAIN prefix returns the plan instead of executing") {
     val r = run("EXPLAIN MATCH (a:Person) RETURN a.name AS n")
       .as[String].head()
