@@ -31,6 +31,9 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
   private var anonCount = 0
   private def fresh(): String = { anonCount += 1; s"_a$anonCount" }
 
+  private lazy val nodePropKeys: Set[String] = g.nodes.columns.toSet
+  private lazy val edgePropKeys: Set[String] = g.edges.columns.toSet
+
   /** Cardinality stats for anchor selection — present when the loader set a
     * statsKey (computed once per dataset per JVM, see GraphStats). */
   private lazy val stats: Option[graft.model.GraphStats] =
@@ -38,6 +41,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
 
   // scope state while translating one SingleQuery
   private var entityVars: Set[String] = Set.empty  // node/edge vars (v__* columns)
+  private var edgeEntityVars: Set[String] = Set.empty // subset of entityVars bound to RELATIONSHIPS
   private var pathVars: Set[String] = Set.empty    // named paths (p__length/p__nodes)
   private var scalarVars: Set[String] = Set.empty  // UNWIND / WITH scalar columns
   private var lambdaEnv: Map[String, Column] = Map.empty
@@ -53,7 +57,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
   private def spark = g.nodes.sparkSession
 
   private def translateSingle(sq: SingleQuery): DataFrame = {
-    entityVars = Set.empty; pathVars = Set.empty; scalarVars = Set.empty
+    entityVars = Set.empty; edgeEntityVars = Set.empty; pathVars = Set.empty; scalarVars = Set.empty
     var df: DataFrame = null
 
     for (clause <- sq.clauses) clause match {
@@ -119,9 +123,9 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
           // uncorrelated: the inner query runs on its own scope; its result
           // cross-joins the outer frame (translateSingle mutates scope
           // state, so save/restore around the recursion)
-          val (se, sp, ss) = (entityVars, pathVars, scalarVars)
+          val (se, sp, ss, sev) = (entityVars, pathVars, scalarVars, edgeEntityVars)
           val sub = translateSingle(inner)
-          entityVars = se; pathVars = sp
+          entityVars = se; pathVars = sp; edgeEntityVars = sev
           scalarVars = ss ++ sub.columns
           df = if (df == null) sub else df.crossJoin(sub)
         } else {
@@ -131,7 +135,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
           val retPlus = inner.ret.copy(items = inner.ret.items ++
             imports.map(v => ReturnItem(Fn("id", Seq(Var(v))), Some(s"__call_${v}__id"))),
             orderBy = Seq.empty, skip = None, limit = None)
-          val (se, sp, ss) = (entityVars, pathVars, scalarVars)
+          val (se, sp, ss, sev) = (entityVars, pathVars, scalarVars, edgeEntityVars)
           val sub0 = translateSingle(SingleQuery(restClauses, retPlus))
           // per-binding SKIP/LIMIT (top-k per key): a window rank partitioned
           // by the imported ids — one shuffle, no global sort, the classic
@@ -159,7 +163,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
               sub0.withColumn("__rn", row_number().over(w))
                 .filter(col("__rn") > lo && col("__rn") <= hi).drop("__rn")
             }
-          entityVars = se; pathVars = sp
+          entityVars = se; pathVars = sp; edgeEntityVars = sev
           scalarVars = ss ++ inner.ret.items.map(_.name)
           val cond = imports.map(v => col(s"${v}__id") === col(s"__call_${v}__id")).reduce(_ && _)
           // an all-aggregate subquery yields a row even for bindings with
@@ -255,6 +259,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
   private def projectWith(df: DataFrame, items: Seq[ReturnItem]): DataFrame = {
     val hasAgg = items.exists(i => isAggregate(i.expr))
     var newEntity = Set.empty[String]
+    var newEdge = Set.empty[String]
     var newPath = Set.empty[String]
     var newScalar = Set.empty[String]
 
@@ -264,7 +269,9 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
 
     def itemCols(i: ReturnItem): Seq[Column] = i.expr match {
       case Var(n) if entityVars.contains(n) =>
-        val out = i.alias.getOrElse(n); newEntity += out; carryCols(n, out)
+        val out = i.alias.getOrElse(n); newEntity += out
+        if (edgeEntityVars.contains(n)) newEdge += out
+        carryCols(n, out)
       case Var(n) if pathVars.contains(n) =>
         val out = i.alias.getOrElse(n); newPath += out; carryCols(n, out)
       case e =>
@@ -281,7 +288,8 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
         else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
       }
-    entityVars = newEntity; pathVars = newPath; scalarVars = newScalar
+    entityVars = newEntity; edgeEntityVars = newEdge; pathVars = newPath
+    scalarVars = newScalar
     res
   }
 
@@ -429,11 +437,11 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         val flag = s"__exists_$existsCount"
         val outerEntities = entityVars
         // translate the pattern in an isolated scope
-        val savedE = entityVars; val savedP = pathVars
+        val savedE = entityVars; val savedP = pathVars; val savedEV = edgeEntityVars
         val (sub0, svars, _) = translateClause(MatchClause(paths, optional = false, where = None))
         entityVars = svars; pathVars = Set.empty
         val sub = where.map(wx => applyWhere(sub0, wx)).getOrElse(sub0)
-        entityVars = savedE; pathVars = savedP
+        entityVars = savedE; pathVars = savedP; edgeEntityVars = savedEV
         val anchors = (outerEntities intersect svars).toSeq
         if (anchors.isEmpty) {
           val flagDf = sub.limit(1).agg((count(lit(1)) > 0).as(flag))
@@ -461,13 +469,13 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         existsCount += 1
         val listName = s"__pc_$existsCount"
         val outerEntities = entityVars
-        val savedE = entityVars; val savedP = pathVars
+        val savedE = entityVars; val savedP = pathVars; val savedEV = edgeEntityVars
         val (sub0, svars, spaths) =
           translateClause(MatchClause(Seq(path), optional = false, where = where))
         entityVars = svars; pathVars = spaths
         val sub = where.map(wx => applyWhere(sub0, wx)).getOrElse(sub0)
         val valCol = toCol(proj)
-        entityVars = savedE; pathVars = savedP
+        entityVars = savedE; pathVars = savedP; edgeEntityVars = savedEV
         val anchors = (outerEntities intersect svars).toSeq
         if (anchors.isEmpty) {
           val listDf = sub.agg(sort_array(collect_list(valCol)).as(listName))
@@ -667,7 +675,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
           expandVarLength(df, cur, rel, node, tgtVar, vars, path.pathVar, path.allPaths)
         else expandOne(df, cur, rel, node, tgtVar, vars, relVar,
           keepEdgeId = path.pathVar.isDefined)
-      rel.variable.foreach(v => vars += v)
+      rel.variable.foreach { v => vars += v; edgeEntityVars += v }
       vars += tgtVar
       nodeVarsInOrder :+= tgtVar
       edgeVarsInOrder :+= relVar
@@ -700,16 +708,30 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
       case l +: rest =>
         rest.foldLeft(g.nodesWithLabel(l))((d, l2) => d.filter(array_contains(col("labels"), l2)))
     }
-    for ((k, value) <- n.props) df = df.filter(col(k) === toCol(value))
+    for ((k, value) <- n.props) {
+      // schema-free: a pattern key absent from the node schema matches
+      // nothing (missing property = NULL, NULL = x -> NULL)
+      val lhs = if (nodePropKeys.contains(k)) col(k) else lit(null)
+      df = df.filter(lhs === toCol(value))
+    }
     var out = prefixAll(df, v)
-    for (c <- pushFilters.getOrElse(v, Nil)) out = out.filter(toCol(c))
+    // pushed single-variable filters run BEFORE translateClause publishes
+    // the variable to the scope — bind it temporarily so Prop(v, k)
+    // resolves schema-aware (absent keys -> NULL, not an analysis error)
+    val savedEnt = entityVars
+    entityVars += v
+    try for (c <- pushFilters.getOrElse(v, Nil)) out = out.filter(toCol(c))
+    finally entityVars = savedEnt
     out
   }
 
   /** Oriented candidate edges for one hop: (__from, __to, <relVar>__*). */
   private def orientedEdges(rel: RelPat, relVar: String): DataFrame = {
     var e = g.edgesOfType(rel.types: _*)
-    for ((k, value) <- rel.props) e = e.filter(col(k) === toCol(value))
+    for ((k, value) <- rel.props) {
+      val lhs = if (edgePropKeys.contains(k)) col(k) else lit(null)
+      e = e.filter(lhs === toCol(value))
+    }
     val pre = prefixAll(e, relVar)
     def orient(from: String, to: String) =
       pre.withColumn("__from", col(s"${relVar}__$from"))
@@ -747,7 +769,10 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     var e = g.edgesOfType(rel.types: _*)
     // relationship property predicates apply to EVERY traversed edge
     // (`[*1..2 {weight: 5}]` — same filter expandOne/orientedEdges applies)
-    for ((k, value) <- rel.props) e = e.filter(col(k) === toCol(value))
+    for ((k, value) <- rel.props) {
+      val lhs = if (edgePropKeys.contains(k)) col(k) else lit(null)
+      e = e.filter(lhs === toCol(value))
+    }
     e = rel.dir match {
       case Out => e.select(col("src"), col("dst"), col("id"))
       case In => e.select(col("dst").as("src"), col("src").as("dst"), col("id"))
@@ -794,7 +819,14 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
       lambdaEnv.get(n).getOrElse {
         if (scalarVars.contains(n)) col(n) else col(s"${n}__id")
       }
-    case Prop(v, k) => col(s"${v}__$k")
+    case Prop(v, k) =>
+      // schema-free Cypher (property.rs:8-14): a property key absent from
+      // the variable's entity schema reads as NULL, never an analysis error
+      val known =
+        if (edgeEntityVars.contains(v)) edgePropKeys
+        else if (entityVars.contains(v)) nodePropKeys
+        else null // scalar / lambda var: legacy resolution
+      if (known == null || known.contains(k)) col(s"${v}__$k") else lit(null)
     case ListLit(items) => array(items.map(toCol): _*)
     case MapLit(entries) => // {k: v} literal → named struct (heterogeneous ok)
       struct(entries.map { case (k, v) => toCol(v).as(k) }: _*)
