@@ -34,6 +34,28 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
   private lazy val nodePropKeys: Set[String] = g.nodes.columns.toSet
   private lazy val edgePropKeys: Set[String] = g.edges.columns.toSet
 
+  /** Conservative static integral-type check (for Cypher's Integer/Integer
+    * integer division). Unknown shapes -> false (double division). */
+  private def isIntegral(e: Expr): Boolean = e match {
+    case Lit(_: Long) | Lit(_: Int) => true
+    case Param(n) => params.get(n).exists {
+      case _: Long | _: Int | _: Short | _: Byte => true; case _ => false
+    }
+    case Prop(v, k) =>
+      val schema = if (edgeEntityVars.contains(v)) g.edges.schema else g.nodes.schema
+      schema.fields.find(_.name == k).exists(f => f.dataType match {
+        case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      })
+    case Fn(n, _, _) if Set("id", "size", "length", "count", "tointeger",
+      "sign", "timestamp").contains(n.toLowerCase) => true
+    case Bin(op, l, r) if Seq("+", "-", "*", "%", "/").contains(op) =>
+      isIntegral(l) && isIntegral(r)
+    case CaseExpr(_, bs, d) => (bs.map(_._2) ++ d.toSeq).forall(isIntegral)
+    case _ => false
+  }
+
   /** Cardinality stats for anchor selection — present when the loader set a
     * statsKey (computed once per dataset per JVM, see GraphStats). */
   private lazy val stats: Option[graft.model.GraphStats] =
@@ -854,7 +876,12 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         case "+" => a + b
         case "-" => a - b
         case "*" => a * b
-        case "/" => a / b
+        case "/" =>
+          // Cypher / the reference (operator.rs:2616 arithmetic_div):
+          // Integer / Integer is INTEGER division; Spark's `/` is always
+          // double. Use IntegralDivide when both sides are statically
+          // integral, the double division otherwise.
+          if (isIntegral(l) && isIntegral(r)) call_function("div", a, b) else a / b
         case "%" => a % b
         case "^" => pow(a, b)
         case "AND" => a && b

@@ -386,6 +386,15 @@ class CypherSpec extends SparkSpec {
     assert(g2.edges.filter($"relationship" === "LIKES").count() == 2L)
   }
 
+  test("integer division matches the reference (Integer/Integer -> Integer)") {
+    val r = run("RETURN 3/2 AS a, 7/2.0 AS b, -3/2 AS c")
+      .as[(Long, Double, Long)].head()
+    assert(r == ((1L, 3.5, -1L)))
+    val p = run("MATCH (n:Person {name: 'Carol'}) RETURN n.age/2 AS h")
+      .as[Long].head()
+    assert(p == 17L) // age 35, integer division
+  }
+
   test("numeric literal forms: scientific, leading-dot, != and ==") {
     val r = run("RETURN 1e-2 AS a, 1.5E2 AS b, 6e+1 AS c, 2 != 3 AS d, 2 == 2 AS e")
       .as[(Double, Double, Double, Boolean, Boolean)].head()
