@@ -56,6 +56,23 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     case _ => false
   }
 
+  /** Static string-type check: `String + String` is concatenation in the
+    * reference (operator.rs Add on String pairs), not numeric addition. */
+  private def isString(e: Expr): Boolean = e match {
+    case Lit(_: String) => true
+    case Param(n) => params.get(n).exists(_.isInstanceOf[String])
+    case Prop(v, k) =>
+      val schema = if (edgeEntityVars.contains(v)) g.edges.schema else g.nodes.schema
+      schema.fields.find(_.name == k)
+        .exists(_.dataType == org.apache.spark.sql.types.StringType)
+    case Fn(n, _, _) if Set("tostring", "toupper", "touppercase", "tolower",
+      "tolowercase", "trim", "ltrim", "rtrim", "substring", "replace",
+      "reverse", "left", "right", "type").contains(n.toLowerCase) => true
+    case Bin("+", l, r) => isString(l) || isString(r)
+    case CaseExpr(_, bs, d) => (bs.map(_._2) ++ d.toSeq).exists(isString)
+    case _ => false
+  }
+
   /** Cardinality stats for anchor selection — present when the loader set a
     * statsKey (computed once per dataset per JVM, see GraphStats). */
   private lazy val stats: Option[graft.model.GraphStats] =
@@ -873,7 +890,9 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         case "<=" => a <= b
         case ">" => a > b
         case ">=" => a >= b
-        case "+" => a + b
+        case "+" =>
+          // String + String concatenates (reference Add on String pairs)
+          if (isString(l) && isString(r)) concat(a, b) else a + b
         case "-" => a - b
         case "*" => a * b
         case "/" =>

@@ -386,6 +386,12 @@ class CypherSpec extends SparkSpec {
     assert(g2.edges.filter($"relationship" === "LIKES").count() == 2L)
   }
 
+  test("string + string concatenates") {
+    val r = run("MATCH (p:Person {name: 'Alice'}) RETURN p.name + '!' AS s, 'x' + 'y' AS t")
+      .as[(String, String)].head()
+    assert(r == (("Alice!", "xy")))
+  }
+
   test("integer division matches the reference (Integer/Integer -> Integer)") {
     val r = run("RETURN 3/2 AS a, 7/2.0 AS b, -3/2 AS c")
       .as[(Long, Double, Long)].head()
