@@ -245,6 +245,13 @@ object CypherQueries {
         |YIELD algorithm, feasible, beats_uniform
         |RETURN algorithm, feasible, beats_uniform""".stripMargin) _),
 
+    // config-map CALL convention (reference operator.rs:6622): same WCC as
+    // q_wcc but dispatched via CALL with an options map
+    "q_cypher_call_wcc" -> (run(
+      """CALL algo.wcc({edgeType: 'IN_NATION,IN_REGION'})
+        |YIELD id, component
+        |RETURN id, component ORDER BY id""".stripMargin) _),
+
     // a second or.solve kernel family through the same CALL surface (the
     // reference dispatches ~30 metaheuristics by name; 13 families here)
     "q_cypher_or_solve_de" -> (run(
@@ -383,6 +390,8 @@ object CypherQueries {
       "SELECT 'INTEGER' AS t_int, 'FLOAT' AS t_flt, 'STRING' AS t_str, 'BOOLEAN' AS t_bool, 'LIST' AS t_list, '12:34:56.000' AS t_time, 'INTERVAL ''1 03:30:00'' DAY TO SECOND' AS dur",
     // same traversal as q_bfs — the CALL surface must agree with the Scala API
     "q_cypher_call_bfs" -> GraphQueries.oracles("q_bfs"),
+    // same kernel as q_wcc — the config-map CALL must agree with the Scala API
+    "q_cypher_call_wcc" -> GraphQueries.oracles("q_wcc"),
     "q_cypher_call_knn" ->
       "SELECT e.vec_id AS id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 10",
     "q_cypher_match_agg" ->

@@ -36,8 +36,11 @@ object PipelineQueries {
       val emb = t(s, d, "embeddings")
       val qs = emb.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      // bucket the corpus ONCE (typed kernel), probe it per query
+      val dim = qs.head._2.length
+      val bucketed = VectorSearch.lshBucketed(emb, "vec_id", "embedding", dim)
       qs.map { case (qid, v) =>
-        VectorSearch.knnApprox(emb, "vec_id", "embedding", v, 1, v.length)
+        VectorSearch.knnApproxBucketed(bucketed, "vec_id", "embedding", v, 1, dim)
           .select(lit(qid).as("qid"), col("vec_id").as("id"),
             CypherFunctions.roundC(col("score"), 4).as("score"))
       }.reduce(_ unionAll _).orderBy(col("qid"))
@@ -50,8 +53,10 @@ object PipelineQueries {
       val cents = VectorSearch.kmeansCentroids(emb, "embedding", 16, 64)
       val qs = emb.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      // assign cells ONCE (typed kernel), probe per query
+      val assigned = VectorSearch.ivfAssigned(emb, "vec_id", "embedding", cents)
       qs.map { case (qid, v) =>
-        VectorSearch.knnIvf(emb, "vec_id", "embedding", v, 1, cents, nprobe = 2)
+        VectorSearch.knnIvfAssigned(assigned, "vec_id", "embedding", v, 1, cents, nprobe = 2)
           .select(lit(qid).as("qid"), col("vec_id").as("id"),
             CypherFunctions.roundC(col("score"), 4).as("score"))
       }.reduce(_ unionAll _).orderBy(col("qid"))

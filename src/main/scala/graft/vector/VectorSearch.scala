@@ -107,28 +107,72 @@ object VectorSearch {
       when(dot(vecCol, typedlit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** Approximate k-NN: restrict the scan to the query's LSH bucket(s) across
-    * `numTables` independent hash tables, then exact re-rank. At 100 TB the
-    * bucketed table is written out partitioned by (table, bucket) so a query
-    * touches only matching partitions. */
-  def knnApprox(emb: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
-                k: Int, dim: Int, numBits: Int = 12, numTables: Int = 4,
-                seed: Long = 42L): DataFrame = {
+  /** Per-row sign-LSH buckets for ALL tables in one typed-kernel pass
+    * (HOF plane dots are interpreted per element — see Dedup; a primitive
+    * loop is ~50× faster), eagerly checkpointed. Columns: idCol, vecCol
+    * (float→double widened), `_buckets` array<long> indexed by table. At
+    * 100 TB this table is written out partitioned by (table, bucket) so a
+    * probe reads only matching partitions. */
+  def lshBucketed(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  numBits: Int = 12, numTables: Int = 4, seed: Long = 42L): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val planesAll = (0 until numTables).map(t => hyperplanes(dim, numBits, seed + t)).toArray
+    val bc = spark.sparkContext.broadcast(planesAll)
+    emb.select(col(idCol).cast("long").as("_kid"), col(vecCol).cast("array<double>").as("_kv"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, vSeq) =>
+        val v = vSeq.toArray
+        val bs = bc.value.map { planes =>
+          var b = 0L; var i = 0
+          while (i < planes.length) {
+            val p = planes(i); var d = 0.0; var k2 = 0
+            while (k2 < p.length) { d += p(k2) * v(k2); k2 += 1 }
+            if (d >= 0) b |= (1L << i)
+            i += 1
+          }
+          b
+        }.toSeq
+        (id, vSeq, bs)
+      }
+      .toDF(idCol, vecCol, "_buckets")
+      .localCheckpoint(true)
+  }
+
+  /** The query vector's bucket per table (driver-side, same plane math). */
+  def queryBuckets(query: Seq[Float], dim: Int, numBits: Int, numTables: Int,
+                   seed: Long): Seq[Long] = {
     val qArr = query.map(_.toDouble).toArray
-    val cands = (0 until numTables).map { t =>
+    (0 until numTables).map { t =>
       val planes = hyperplanes(dim, numBits, seed + t)
-      val qBucket = planes.zipWithIndex.map { case (p, i) =>
-        val d = p.zip(qArr).map { case (x, y) => x * y }.sum
+      planes.zipWithIndex.map { case (p, i) =>
+        var d = 0.0; var k = 0
+        while (k < p.length) { d += p(k) * qArr(k); k += 1 }
         if (d >= 0) 1L << i else 0L
       }.sum
-      // compact HOF buckets: the probe scans the whole corpus, and
-      // numTables x numBits unrolled dots would explode codegen (see
-      // lshBucketCompact) — at scale the bucketed table is precomputed
-      // and partitioned anyway, so the probe reads only matching partitions
-      emb.filter(lshBucketCompact(col(vecCol), planes) === lit(qBucket))
-    }.reduce(_ unionAll _).dropDuplicates(idCol)
-    knnExact(cands, idCol, vecCol, query, k)
+    }
   }
+
+  /** Approximate k-NN over a pre-bucketed corpus (see lshBucketed):
+    * candidates collide with the query in ANY table; exact re-rank. */
+  def knnApproxBucketed(bucketed: DataFrame, idCol: String, vecCol: String,
+                        query: Seq[Float], k: Int, dim: Int, numBits: Int = 12,
+                        numTables: Int = 4, seed: Long = 42L): DataFrame = {
+    val qb = queryBuckets(query, dim, numBits, numTables, seed)
+    val cond = qb.zipWithIndex
+      .map { case (b, t) => element_at(col("_buckets"), t + 1) === lit(b) }
+      .reduce(_ || _)
+    knnExact(bucketed.filter(cond), idCol, vecCol, query, k)
+  }
+
+  /** Approximate k-NN: restrict the scan to the query's LSH bucket(s) across
+    * `numTables` independent hash tables, then exact re-rank. One-shot form
+    * of lshBucketed + knnApproxBucketed (batch callers bucket once). */
+  def knnApprox(emb: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
+                k: Int, dim: Int, numBits: Int = 12, numTables: Int = 4,
+                seed: Long = 42L): DataFrame =
+    knnApproxBucketed(lshBucketed(emb, idCol, vecCol, dim, numBits, numTables, seed),
+      idCol, vecCol, query, k, dim, numBits, numTables, seed)
 
   /** IVF-style two-level search: assign vectors to nprobe nearest of
     * `centroids` (small, broadcast), scan only those cells. Centroids come
@@ -161,17 +205,46 @@ object VectorSearch {
     math.sqrt(s)
   }
 
-  def knnIvf(emb: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
-             k: Int, centroids: Array[Array[Double]], nprobe: Int = 3): DataFrame = {
+  /** Assign each vector to its nearest centroid in one typed-kernel pass
+    * (eager checkpoint) — the IVF cell table. At 100 TB this is written out
+    * partitioned by cell. */
+  def ivfAssigned(emb: DataFrame, idCol: String, vecCol: String,
+                  centroids: Array[Array[Double]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    emb.select(col(idCol).cast("long").as("_kid"), col(vecCol).cast("array<double>").as("_kv"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, vSeq) =>
+        val v = vSeq.toArray
+        val cs = bc.value
+        var best = 0; var bestD = Double.MaxValue
+        var i = 0
+        while (i < cs.length) {
+          val c = cs(i); var d = 0.0; var k = 0
+          while (k < c.length) { val x = v(k) - c(k); d += x * x; k += 1 }
+          if (d < bestD) { bestD = d; best = i }
+          i += 1
+        }
+        (id, vSeq, best)
+      }
+      .toDF(idCol, vecCol, "_cell")
+      .localCheckpoint(true)
+  }
+
+  /** IVF probe over a pre-assigned corpus: scan only the nprobe nearest
+    * cells, exact re-rank. */
+  def knnIvfAssigned(assigned: DataFrame, idCol: String, vecCol: String,
+                     query: Seq[Float], k: Int, centroids: Array[Array[Double]],
+                     nprobe: Int = 3): DataFrame = {
     val qArr = query.map(_.toDouble).toArray
     val probes = centroids.indices.sortBy(i => l2(qArr, centroids(i))).take(nprobe).toSet
-    // compact HOF distances (one array literal per centroid): kCells x dim
-    // unrolled terms would make the assignment plan megabytes of generated
-    // code; assignment is a once-per-corpus pass, interpretation is fine
-    val cellExpr = centroids.zipWithIndex.map { case (c, i) =>
-      struct(l2Distance(col(vecCol), typedlit(c.toSeq)).as("d"), lit(i).as("cell"))
-    }
-    val withCell = emb.withColumn("_cell", array_min(array(cellExpr: _*)).getField("cell"))
-    knnExact(withCell.filter(col("_cell").isin(probes.toSeq: _*)), idCol, vecCol, query, k)
+    knnExact(assigned.filter(col("_cell").isin(probes.toSeq: _*)), idCol, vecCol, query, k)
   }
+
+  /** One-shot IVF search (batch callers assign once via ivfAssigned). */
+  def knnIvf(emb: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
+             k: Int, centroids: Array[Array[Double]], nprobe: Int = 3): DataFrame =
+    knnIvfAssigned(ivfAssigned(emb, idCol, vecCol, centroids),
+      idCol, vecCol, query, k, centroids, nprobe)
 }
