@@ -183,12 +183,20 @@ object CypherQueries {
 
     // pattern comprehension (reference ast.rs:392): per-customer list of
     // order totals collected inline — lowered to a grouped left join, empty
-    // list for customers without orders
-    "q_cypher_pattern_comp" -> (run(
-      """MATCH (c:Customer)
-        |WHERE id(c) < 10
-        |RETURN id(c) AS cid, [(c)-[:PLACED]->(o) | o.balance] AS order_totals
-        |ORDER BY cid""".stripMargin) _),
+    // list for customers without orders. The array result is scalarized
+    // (sorted + fixed-precision + joined) so the cross-engine compare never
+    // has to hash an array column — the q_collect_list precedent.
+    "q_cypher_pattern_comp" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      run(
+        """MATCH (c:Customer)
+          |WHERE id(c) < 10
+          |RETURN id(c) AS cid, [(c)-[:PLACED]->(o) | o.balance] AS order_totals
+          |ORDER BY cid""".stripMargin)(s, d)
+        .withColumn("order_totals",
+          array_join(transform(sort_array(col("order_totals")),
+            x => format_string("%.4f", x)), ","))
+    }),
 
     // allShortestPaths(): ALL distinct min-depth node sequences, one row per
     // path (reference operator.rs:7534 all_paths) — customers reach a part
@@ -434,7 +442,7 @@ object CypherQueries {
         | FROM orders WHERE o_custkey < 10) WHERE rn <= 2 ORDER BY cid, bal""".stripMargin,
     "q_cypher_pattern_comp" ->
       """SELECT CAST(c_custkey AS BIGINT) AS cid,
-        | coalesce((SELECT list(o_totalprice ORDER BY o_totalprice) FROM orders WHERE o_custkey = c_custkey), CAST([] AS DOUBLE[])) AS order_totals
+        | coalesce((SELECT string_agg(format('{:.4f}', o_totalprice), ',' ORDER BY o_totalprice) FROM orders WHERE o_custkey = c_custkey), '') AS order_totals
         |FROM customer WHERE c_custkey < 10 ORDER BY cid""".stripMargin,
     "q_cypher_allshortest" ->
       """SELECT cid, pid, count(*) AS n_paths FROM (
