@@ -236,13 +236,17 @@ object WriteTranslator {
         val missing = pairs.join(typed.select(col("src").as("_src"), col("dst").as("_dst")),
           Seq("_src", "_dst"), "left_anti")
         val base = maxEdgeId()
-        val w = Window.orderBy(col("_src"), col("_dst"))
         val createProps = (r.props ++ onCreate.map { case (Prop(_, k), e) => k -> e })
           .map { case (k, e) =>
             val c = constCol(e)
             edgeTypes.get(k).map(c.cast).getOrElse(c).as(k)
           }
-        val rows = missing.withColumn("id", lit(base) + row_number().over(w).cast("long"))
+        // partition-parallel id assignment: max-id offset + monotonically
+        // increasing ids (unique per statement, sparse by design) — a
+        // Window.orderBy here would serialize every new edge through one
+        // partition, the wrong shape for bulk ingest
+        val rows = missing.withColumn("id",
+          lit(base) + lit(1L) + monotonically_increasing_id())
           .select(Seq(col("id"), col("_src").cast("long").as("src"),
             col("_dst").cast("long").as("dst"),
             lit(relType).as("relationship")) ++ createProps: _*)
