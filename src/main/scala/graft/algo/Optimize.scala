@@ -382,16 +382,25 @@ object Optimize {
     * and `beats_uniform` are the engine-independent contract: the solution
     * meets Σx ≥ minTotal and costs less than the uniform allocation
     * x = minTotal/dim, which any functioning solver must. */
+  /** (id, cost) pairs of `label` in deterministic id order — the variable
+    * order of the solve. Label-bounded collect: the same in-memory commitment
+    * the reference makes building its cost vector. */
+  private def labelCosts(g: graft.model.PropertyGraph, label: String,
+                         costProp: String): (Array[Long], Array[Double]) = {
+    val rows = g.nodesWithLabel(label)
+      .select(col("id"), coalesce(col(costProp).cast("double"), lit(1.0)).as("c"))
+      .orderBy(col("id"))
+      .collect()
+    (rows.map(_.getLong(0)), rows.map(_.getDouble(1)))
+  }
+
   def orSolveNodes(g: graft.model.PropertyGraph, label: String, costProp: String,
                    algorithm: String = "Jaya", lower: Double = 0.0, upper: Double = 1.0,
                    minTotal: Double = 0.0, budget: Double = Double.NaN,
                    popSize: Int = 30, maxIter: Int = 100, starts: Int = 8): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
-    val costs = g.nodesWithLabel(label)
-      .select(col("id"), coalesce(col(costProp).cast("double"), lit(1.0)).as("c"))
-      .orderBy(col("id")) // deterministic variable order
-      .collect().map(_.getDouble(1))
+    val (_, costs) = labelCosts(g, label, costProp)
     val r = orSolve(spark, costs, algorithm, lower, upper, minTotal, budget,
       popSize, maxIter, starts)
     val tot = r.solution.sum
@@ -402,5 +411,27 @@ object Optimize {
     Seq((r.algorithm, r.fitness, r.iterations,
       tot >= minTotal - 1e-6, r.fitness < uniformFitness))
       .toDF("algorithm", "fitness", "iterations", "feasible", "beats_uniform")
+  }
+
+  /** Write-back form (reference `operator.rs:6617-6767` dispatches a MUTATING
+    * algorithm op over `src/optimization/cypher_problem.rs` — the solution is
+    * written onto the nodes, so `CALL algo.or.solve(...)` followed by
+    * `MATCH (n) RETURN n.<writeProp>` works): solves over the label's cost
+    * vector, then joins the per-node allocation back as `writeProp`, keyed by
+    * the SAME deterministic id order the cost vector was built from. Returns
+    * the mutated graph and the number of properties written. */
+  def orSolveNodesWrite(g: graft.model.PropertyGraph, label: String, costProp: String,
+                        writeProp: String, algorithm: String = "Jaya",
+                        lower: Double = 0.0, upper: Double = 1.0,
+                        minTotal: Double = 0.0, budget: Double = Double.NaN,
+                        popSize: Int = 30, maxIter: Int = 100,
+                        starts: Int = 8): (graft.model.PropertyGraph, Long) = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val (ids, costs) = labelCosts(g, label, costProp)
+    val r = orSolve(spark, costs, algorithm, lower, upper, minTotal, budget,
+      popSize, maxIter, starts)
+    val values = ids.zip(r.solution).toSeq.toDF("id", writeProp)
+    (graft.model.GraphMutations.setNodePropValues(g, values, writeProp), ids.length.toLong)
   }
 }

@@ -28,8 +28,19 @@ object WriteTranslator {
   private def isWriteClause(c: Clause): Boolean = c match {
     case _: CreateClause | _: MergeClause | _: SetClause | _: RemoveClause |
          _: DeleteClause | _: ForeachClause => true
+    case call: CallClause => isOrSolveWrite(call)
     case _ => false
   }
+
+  /** `CALL algo.or.solve({..., writeProperty: 'p'})` is a WRITE in the
+    * reference (`operator.rs:6617-6767` dispatches a mutating algorithm op):
+    * the solution vector lands on the nodes as property `p`. */
+  private def isOrSolveWrite(c: CallClause): Boolean =
+    c.proc.equalsIgnoreCase("algo.or.solve") && c.args.exists {
+      case MapLit(entries) =>
+        entries.exists { case (k, _) => k == "writeProperty" || k == "write_property" }
+      case _ => false
+    }
 
   /** Substitute `Var(name)` with a literal throughout an expression tree —
     * how FOREACH binds its loop variable per element. */
@@ -212,6 +223,31 @@ object WriteTranslator {
             projectRows(cur, frame, createdNodeVars.map(_._1).toSet)
           }
         WriteResult(cur, summary(created = nCreated, relCreated = rCreated), createdRows)
+
+      // ---------- CALL algo.or.solve write-back ----------
+      case c: CallClause =>
+        noReturn("CALL algo.or.solve write-back")
+        val conf = c.args.collectFirst { case MapLit(entries) =>
+          entries.map { case (k, v) => k -> constVal(v) }.toMap
+        }.getOrElse(Map.empty[String, Any])
+        def cNum(keys: Seq[String], dflt: Double): Double =
+          keys.iterator.flatMap(conf.get).collectFirst { case n: Number => n.doubleValue() }
+            .getOrElse(dflt)
+        def cStr(keys: Seq[String]): Option[String] =
+          keys.iterator.flatMap(conf.get).collectFirst { case s: String => s }
+        val label = cStr(Seq("label")).getOrElse(throw new IllegalArgumentException(
+          "or.solve write-back needs a 'label' config key"))
+        val writeProp = cStr(Seq("writeProperty", "write_property")).get
+        val (g2, nWritten) = graft.algo.Optimize.orSolveNodesWrite(
+          g, label,
+          cStr(Seq("cost_property", "costProperty", "property")).getOrElse("cost"),
+          writeProp,
+          cStr(Seq("algorithm")).getOrElse("Jaya"),
+          minTotal = cNum(Seq("min_total", "minTotal"), 0.0),
+          budget = cNum(Seq("budget"), Double.NaN),
+          popSize = cNum(Seq("population_size", "populationSize"), 30).toInt,
+          maxIter = cNum(Seq("max_iterations", "maxIterations"), 100).toInt)
+        WriteResult(g2, summary(propsSet = nWritten))
 
       // ---------- MERGE ----------
       case MergeClause(path, onCreate, onMatch) if path.rels.nonEmpty =>

@@ -116,6 +116,23 @@ object GraphMutations {
     setEdgePropsByIds(g, ids, keys.map(k => k -> lit(null).cast(types(k))).toMap)
   }
 
+  /** SET one node property to PER-ID values: `values` is (id, value) rows.
+    * Nodes absent from `values` keep their current value (NULL when the
+    * property is new — schema-free semantics). Unlike [[setNodePropsByIds]],
+    * which overwrites existing columns with one shared expression, this adds
+    * the column when it doesn't exist yet. One left join — partition-parallel,
+    * broadcastable when the value set is small. */
+  def setNodePropValues(g: PropertyGraph, values: DataFrame, prop: String): PropertyGraph = {
+    val v = values.toDF("_vid", "_vval")
+    val joined = g.nodes.join(v, col("id") === col("_vid"), "left")
+    val base = g.nodes.columns
+    val cols =
+      if (base.contains(prop))
+        base.map(c => if (c == prop) coalesce(col("_vval"), col(c)).as(c) else col(c))
+      else base.map(col) :+ col("_vval").as(prop)
+    PropertyGraph(joined.select(cols.toIndexedSeq: _*), g.edges)
+  }
+
   /** SET n:Label / REMOVE n:Label on an id-set DataFrame — array_union /
     * array_remove on the multi-label column (reference `cypher.pest:56-57`;
     * nodes may carry multiple labels, `node.rs:107`). */

@@ -253,6 +253,26 @@ object CypherQueries {
         |YIELD algorithm, feasible, beats_uniform
         |RETURN algorithm, feasible, beats_uniform""".stripMargin) _),
 
+    // or.solve WRITE-BACK (reference operator.rs:6617-6767 dispatches a
+    // MUTATING algorithm op — the solution lands on the nodes, so a following
+    // MATCH reads it): CALL writes sp.alloc, the read-back checks the
+    // engine-independent contract — coverage (every Supplier got a value),
+    // feasibility (Σ alloc ≥ minTotal), bounds (0 ≤ alloc ≤ 1)
+    "q_cypher_or_solve_write" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      val (g2, _) = QueryEngine.executeWrite(
+        """CALL algo.or.solve({label: 'Supplier', costProperty: 'balance',
+          |                    minTotal: 20, writeProperty: 'alloc'})""".stripMargin,
+        GraphLoader.tpch(s, d))
+      QueryEngine.execute(
+        """MATCH (sp:Supplier) WHERE sp.alloc IS NOT NULL
+          |RETURN count(sp) AS n_written, sum(sp.alloc) AS total,
+          |       min(sp.alloc) AS lo, max(sp.alloc) AS hi""".stripMargin, g2)
+        .select(col("n_written"),
+          (col("total") >= lit(20.0 - 1e-6)).as("feasible"),
+          (col("lo") >= 0.0 && col("hi") <= 1.0).as("in_bounds"))
+    }),
+
     // config-map CALL convention (reference operator.rs:6622): same WCC as
     // q_wcc but dispatched via CALL with an options map
     "q_cypher_call_wcc" -> (run(
@@ -382,6 +402,8 @@ object CypherQueries {
       "SELECT 'Jaya' AS algorithm, true AS feasible, true AS beats_uniform",
     "q_cypher_or_solve_de" ->
       "SELECT 'DE' AS algorithm, true AS feasible, true AS beats_uniform",
+    "q_cypher_or_solve_write" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_written, true AS feasible, true AS in_bounds FROM supplier",
     "q_cypher_write_merge_rel" ->
       "SELECT CAST(count(*) AS BIGINT) AS n FROM customer WHERE c_custkey < 3",
     "q_cypher_write_create" ->
