@@ -1160,8 +1160,14 @@ object QueryEngine {
   private val DdlRe =
     "(?is)^\\s*(SHOW\\s+(?:INDEXES?|CONSTRAINTS)|CREATE\\s+(?:VECTOR\\s+)?INDEX|DROP\\s+INDEX|CREATE\\s+CONSTRAINT)\\b.*".r
 
+  /** `CREATE CONSTRAINT ON (n:Label) ASSERT n.prop IS UNIQUE`
+    * (reference `cypher.pest:21` create_constraint_stmt). */
+  private val UniqueConstraintRe =
+    "(?is)^\\s*CREATE\\s+CONSTRAINT\\s+ON\\s*\\(\\s*\\w+\\s*:\\s*(\\w+)\\s*\\)\\s*ASSERT\\s+\\w+\\.(\\w+)\\s+IS\\s+UNIQUE\\s*$".r
+
   private def ddl(spark: org.apache.spark.sql.SparkSession, stmt: String,
-                  indexes: Map[String, (DataFrame, String, String)]): DataFrame = {
+                  indexes: Map[String, (DataFrame, String, String)],
+                  constraints: Set[(String, String)] = Set.empty): DataFrame = {
     import spark.implicits._
     val norm = stmt.trim.toUpperCase.replaceAll("\\s+", " ")
     if (norm.startsWith("SHOW INDEX")) {
@@ -1169,7 +1175,9 @@ object QueryEngine {
         (("<label-scan>", "LOOKUP", "ONLINE")) // per-label tables, always on
       rows.toDF("name", "type", "state")
     } else if (norm.startsWith("SHOW CONSTRAINTS")) {
-      Seq.empty[(String, String)].toDF("name", "type")
+      constraints.toSeq.sorted
+        .map { case (l, p) => (s"unique_${l}_$p", "UNIQUENESS", l, p) }
+        .toDF("name", "type", "label", "property")
     } else {
       Seq((norm.split(" ").take(3).mkString(" ").toLowerCase, "ok"))
         .toDF("statement", "status")
@@ -1187,7 +1195,7 @@ object QueryEngine {
         val spark = g.nodes.sparkSession
         import spark.implicits._
         Seq(explain(rest, g, params)).toDF("plan")
-      case DdlRe(_*) => ddl(g.nodes.sparkSession, cypher, Map.empty)
+      case DdlRe(_*) => ddl(g.nodes.sparkSession, cypher, Map.empty, g.constraints)
       case _ =>
         val ast = CypherParser.parse(cypher)
         if (WriteTranslator.isWrite(ast)) {
@@ -1197,13 +1205,20 @@ object QueryEngine {
         else new Translator(g, params).translate(ast)
     }
 
-  /** Execute a write statement (CREATE / MERGE / SET / REMOVE / DELETE),
-    * returning the mutated graph alongside the summary row. */
+  /** Execute a write statement (CREATE / MERGE / SET / REMOVE / DELETE, or
+    * CREATE CONSTRAINT — which registers a unique constraint enforced by
+    * every later node insert), returning the mutated graph alongside the
+    * summary row. */
   def executeWrite(cypher: String, g: PropertyGraph,
-                   params: Map[String, Any] = Map.empty): (PropertyGraph, DataFrame) = {
-    val r = WriteTranslator.execute(CypherParser.parse(cypher), g, params)
-    (r.graph, r.summary)
-  }
+                   params: Map[String, Any] = Map.empty): (PropertyGraph, DataFrame) =
+    cypher match {
+      case UniqueConstraintRe(label, prop) =>
+        val g2 = g.copy(constraints = g.constraints + ((label, prop)))
+        (g2, ddl(g.nodes.sparkSession, cypher, Map.empty, g2.constraints))
+      case _ =>
+        val r = WriteTranslator.execute(CypherParser.parse(cypher), g, params)
+        (r.graph, r.summary)
+    }
 
   /** Execute with vector indexes registered for
     * `CALL db.index.vector.queryNodes(name, k, $vec)`

@@ -304,7 +304,7 @@ object WriteTranslator {
           }: _*)
           // per-entity property writes, Neo4j-style: assignments × matched edges
           nSet = assigns.size.toLong * matched.count()
-          cur = graft.model.PropertyGraph(cur.nodes, updated)
+          cur = graft.model.PropertyGraph(cur.nodes, updated, constraints = cur.constraints)
         }
         WriteResult(cur, summary(relCreated = nNew, propsSet = nSet))
 
@@ -383,8 +383,8 @@ object WriteTranslator {
               when(col("_hit"), col(s"_v$idx").cast(types(c))).otherwise(col(c)).as(c)
             else col(c)
           }: _*)
-          cur = if (isNode) PropertyGraph(updated, cur.edges)
-                else PropertyGraph(cur.nodes, updated)
+          cur = if (isNode) PropertyGraph(updated, cur.edges, constraints = cur.constraints)
+                else PropertyGraph(cur.nodes, updated, constraints = cur.constraints)
         }
         WriteResult(cur, summary(propsSet = nSet, labelsAdded = nLbl))
 

@@ -30,12 +30,14 @@ object GraphMutations {
   /** CREATE nodes (reference `operator.rs:5157-6167`). Caller is responsible
     * for id-space discipline; duplicate ids are NOT checked (use mergeNodes
     * for insert-if-absent). */
-  def createNodes(g: PropertyGraph, rows: DataFrame): PropertyGraph =
-    PropertyGraph(g.nodes.unionByName(rows, allowMissingColumns = true), g.edges)
+  def createNodes(g: PropertyGraph, rows: DataFrame): PropertyGraph = {
+    checkUnique(g, rows)
+    derived(g, g.nodes.unionByName(rows, allowMissingColumns = true), g.edges)
+  }
 
   /** CREATE edges. */
   def createEdges(g: PropertyGraph, rows: DataFrame): PropertyGraph =
-    PropertyGraph(g.nodes, g.edges.unionByName(rows, allowMissingColumns = true))
+    derived(g, g.nodes, g.edges.unionByName(rows, allowMissingColumns = true))
 
   /** MERGE nodes by id (reference `operator.rs:7304-7424`):
     * existing nodes whose id appears in `incoming` get `onMatchSet` applied;
@@ -48,7 +50,8 @@ object GraphMutations {
     val matched = applySet(g.nodes.join(incIds, Seq("id"), "left_semi"), lit(true), onMatchSet)
     val created = applySet(
       incoming.join(g.nodes.select(col("id")), Seq("id"), "left_anti"), lit(true), onCreateSet)
-    PropertyGraph(
+    checkUnique(g, created)
+    derived(g,
       untouched.unionByName(matched).unionByName(created, allowMissingColumns = true),
       g.edges)
   }
@@ -64,12 +67,12 @@ object GraphMutations {
       else g.edges
         .join(idc.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
         .join(idc.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
-    PropertyGraph(n, e)
+    derived(g, n, e)
   }
 
   /** DELETE edges by id set. */
   def deleteEdges(g: PropertyGraph, ids: DataFrame): PropertyGraph =
-    PropertyGraph(g.nodes,
+    derived(g, g.nodes,
       g.edges.join(ids.select(ids.columns.head).toDF("id").distinct(), Seq("id"), "left_anti"))
 
   /** SET node properties where `pred` holds (reference `operator.rs:7090-7228`).
@@ -77,12 +80,12 @@ object GraphMutations {
     * PRE-update values (statement semantics, not sequential withColumn). */
   def setNodeProps(g: PropertyGraph, pred: Column,
                    assigns: Map[String, Column]): PropertyGraph =
-    PropertyGraph(applySet(g.nodes, pred, assigns), g.edges)
+    derived(g, applySet(g.nodes, pred, assigns), g.edges)
 
   /** SET edge properties where `pred` holds. */
   def setEdgeProps(g: PropertyGraph, pred: Column,
                    assigns: Map[String, Column]): PropertyGraph =
-    PropertyGraph(g.nodes, applySet(g.edges, pred, assigns))
+    derived(g, g.nodes, applySet(g.edges, pred, assigns))
 
   /** REMOVE node properties where `pred` holds — NULL of the column's type. */
   def removeNodeProps(g: PropertyGraph, pred: Column, keys: Seq[String]): PropertyGraph = {
@@ -97,12 +100,12 @@ object GraphMutations {
     * inlining an `isin` (which at scale is both an OOM and a giant plan). */
   def setNodePropsByIds(g: PropertyGraph, ids: DataFrame,
                         assigns: Map[String, Column]): PropertyGraph =
-    PropertyGraph(applySetByIds(g.nodes, ids, assigns), g.edges)
+    derived(g, applySetByIds(g.nodes, ids, assigns), g.edges)
 
   /** SET edge properties on an id-set DataFrame (join-based, scale-safe). */
   def setEdgePropsByIds(g: PropertyGraph, ids: DataFrame,
                         assigns: Map[String, Column]): PropertyGraph =
-    PropertyGraph(g.nodes, applySetByIds(g.edges, ids, assigns))
+    derived(g, g.nodes, applySetByIds(g.edges, ids, assigns))
 
   /** REMOVE node properties on an id-set DataFrame — typed NULL overwrite. */
   def removeNodePropsByIds(g: PropertyGraph, ids: DataFrame, keys: Seq[String]): PropertyGraph = {
@@ -130,7 +133,7 @@ object GraphMutations {
       if (base.contains(prop))
         base.map(c => if (c == prop) coalesce(col("_vval"), col(c)).as(c) else col(c))
       else base.map(col) :+ col("_vval").as(prop)
-    PropertyGraph(joined.select(cols.toIndexedSeq: _*), g.edges)
+    derived(g, joined.select(cols.toIndexedSeq: _*), g.edges)
   }
 
   /** SET n:Label / REMOVE n:Label on an id-set DataFrame — array_union /
@@ -143,6 +146,34 @@ object GraphMutations {
       else array_remove(col("labels"), label)
     setNodePropsByIds(g, ids, Map("labels" -> newLabels))
   }
+
+  /** Mutations derive a NEW graph: the per-label index and stats key are
+    * dropped (stale after a write) but registered constraints carry over. */
+  private def derived(g: PropertyGraph, n: DataFrame, e: DataFrame): PropertyGraph =
+    PropertyGraph(n, e, constraints = g.constraints)
+
+  /** Unique-constraint check before node insert (reference
+    * `src/index/manager.rs:117-126` check_unique_constraint): for every
+    * registered (label, property) the incoming rows carry, fail loudly when
+    * a value already exists on a node of that label or is duplicated within
+    * the batch itself. One semi-join + one aggregate per applicable
+    * constraint — nothing runs when no constraint matches the batch. */
+  private def checkUnique(g: PropertyGraph, rows: DataFrame): Unit =
+    g.constraints.foreach { case (label, prop) =>
+      if (rows.columns.contains(prop) && rows.columns.contains("labels")) {
+        val incoming = rows
+          .filter(array_contains(col("labels"), label) && col(prop).isNotNull)
+          .select(col(prop).as("_v"))
+        val existing = g.nodesWithLabel(label)
+          .filter(col(prop).isNotNull).select(col(prop).as("_v"))
+        val clash = incoming.join(existing, Seq("_v"), "left_semi")
+          .unionAll(incoming.groupBy(col("_v")).agg(count(lit(1)).as("_n"))
+            .filter(col("_n") > 1).select(col("_v")))
+          .limit(1).collect()
+        if (clash.nonEmpty) throw new IllegalStateException(
+          s"unique constraint violation: :$label($prop) already has value '${clash.head.get(0)}'")
+      }
+    }
 
   private def applySet(df: DataFrame, pred: Column, assigns: Map[String, Column]): DataFrame =
     if (assigns.isEmpty) df

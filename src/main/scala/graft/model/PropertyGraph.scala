@@ -25,7 +25,8 @@ import org.apache.spark.sql.functions._
   */
 final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
                                byLabel: Map[String, DataFrame] = Map.empty,
-                               statsKey: Option[String] = None) {
+                               statsKey: Option[String] = None,
+                               constraints: Set[(String, String)] = Set.empty) {
 
   /** Nodes carrying `label` — the reference's label_index scan
     * (`src/graph/store.rs:558`). When the loader registered a per-label

@@ -253,6 +253,24 @@ object CypherQueries {
         |YIELD algorithm, feasible, beats_uniform
         |RETURN algorithm, feasible, beats_uniform""".stripMargin) _),
 
+    // unique-constraint ENFORCEMENT (reference src/index/manager.rs:99-126
+    // check_unique_constraint): CREATE CONSTRAINT registers the (label,
+    // property) pair; a constrained MERGE of an existing value dedups
+    // (no-op); a constrained CREATE of a duplicate fails loudly
+    "q_cypher_unique_constraint" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      val g0 = GraphLoader.tpch(s, d)
+      val (g1, _) = QueryEngine.executeWrite(
+        "CREATE CONSTRAINT ON (n:Nation) ASSERT n.name IS UNIQUE", g0)
+      // MERGE on an existing name: matched, nothing created
+      val (g2, _) = QueryEngine.executeWrite("MERGE (n:Nation {name: 'NATION_0'})", g1)
+      val dupThrew =
+        try { QueryEngine.executeWrite("CREATE (n:Nation {id: 1200000777, name: 'NATION_0'})", g2); false }
+        catch { case _: IllegalStateException => true }
+      QueryEngine.execute("MATCH (x:Nation) RETURN count(x) AS n_nations", g2)
+        .select(col("n_nations"), lit(dupThrew).as("dup_create_throws"))
+    }),
+
     // or.solve WRITE-BACK (reference operator.rs:6617-6767 dispatches a
     // MUTATING algorithm op — the solution lands on the nodes, so a following
     // MATCH reads it): CALL writes sp.alloc, the read-back checks the
@@ -404,6 +422,8 @@ object CypherQueries {
       "SELECT 'DE' AS algorithm, true AS feasible, true AS beats_uniform",
     "q_cypher_or_solve_write" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_written, true AS feasible, true AS in_bounds FROM supplier",
+    "q_cypher_unique_constraint" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_nations, true AS dup_create_throws FROM nation",
     "q_cypher_write_merge_rel" ->
       "SELECT CAST(count(*) AS BIGINT) AS n FROM customer WHERE c_custkey < 3",
     "q_cypher_write_create" ->

@@ -505,4 +505,32 @@ class CypherSpec extends SparkSpec {
     assert(nulled == Seq(10L)) // only Alice->Bob; other edges keep since
     assert(g2.nodes.count() == 4L && g2.nodes.filter($"name".isNull).count() == 0L)
   }
+
+  test("unique constraint: duplicate CREATE throws, MERGE dedups, SHOW lists") {
+    val (g2, _) = QueryEngine.executeWrite(
+      "CREATE CONSTRAINT ON (n:Person) ASSERT n.name IS UNIQUE", g)
+    assert(g2.constraints == Set(("Person", "name")))
+    // SHOW CONSTRAINTS lists the registration
+    val shown = QueryEngine.execute("SHOW CONSTRAINTS", g2)
+      .select("label", "property").as[(String, String)].collect().toSeq
+    assert(shown == Seq(("Person", "name")))
+    // duplicate CREATE under the constraint fails loudly
+    val ex = intercept[IllegalStateException] {
+      QueryEngine.executeWrite("CREATE (n:Person {id: 99, name: 'Alice'})", g2)
+    }
+    assert(ex.getMessage.contains("unique constraint violation"))
+    // a fresh value still inserts
+    val (g3, _) = QueryEngine.executeWrite("CREATE (n:Person {id: 99, name: 'Zed'})", g2)
+    assert(g3.nodes.count() == 5L)
+    // constrained MERGE of an existing value is a no-op
+    val (g4, s4) = QueryEngine.executeWrite("MERGE (n:Person {name: 'Alice'})", g3)
+    assert(g4.nodes.count() == 5L)
+    assert(s4.select("nodes_created").as[Long].head() == 0L)
+    // a different label is NOT constrained
+    val (g5, _) = QueryEngine.executeWrite("CREATE (n:Company {id: 98, name: 'Alice'})", g2)
+    assert(g5.nodes.count() == 5L)
+    // without any constraint the duplicate CREATE still succeeds
+    val (g6, _) = QueryEngine.executeWrite("CREATE (n:Person {id: 97, name: 'Alice'})", g)
+    assert(g6.nodes.count() == 5L)
+  }
 }
