@@ -253,6 +253,27 @@ object CypherQueries {
         |YIELD algorithm, feasible, beats_uniform
         |RETURN algorithm, feasible, beats_uniform""".stripMargin) _),
 
+    // NSGA-II through the same CALL surface (reference nsga2.rs — the one
+    // qualitatively multi-objective solver): Pareto front over
+    // (cost, −allocation); contract = non-trivial front whose hypervolume
+    // strictly contains the uniform allocation's
+    "q_cypher_or_solve_nsga2" -> (run(
+      """CALL algo.or.solve({label: 'Supplier', costProperty: 'balance',
+        |                    algorithm: 'NSGA2', minTotal: 20})
+        |YIELD algorithm, has_front, beats_uniform
+        |RETURN algorithm, has_front, beats_uniform""".stripMargin) _),
+
+    // two of the newer single-objective families (reference rao.rs variants /
+    // samp_jaya.rs) through the same contract
+    "q_cypher_or_solve_rao2" -> (run(
+      """CALL algo.or.solve('Supplier', 'balance', 'Rao2', 20)
+        |YIELD algorithm, feasible, beats_uniform
+        |RETURN algorithm, feasible, beats_uniform""".stripMargin) _),
+    "q_cypher_or_solve_sampjaya" -> (run(
+      """CALL algo.or.solve('Supplier', 'balance', 'SampJaya', 20)
+        |YIELD algorithm, feasible, beats_uniform
+        |RETURN algorithm, feasible, beats_uniform""".stripMargin) _),
+
     // unique-constraint ENFORCEMENT (reference src/index/manager.rs:99-126
     // check_unique_constraint): CREATE CONSTRAINT registers the (label,
     // property) pair; a constrained MERGE of an existing value dedups
@@ -424,6 +445,12 @@ object CypherQueries {
       "SELECT CAST(count(*) AS BIGINT) AS n_written, true AS feasible, true AS in_bounds FROM supplier",
     "q_cypher_unique_constraint" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_nations, true AS dup_create_throws FROM nation",
+    "q_cypher_or_solve_nsga2" ->
+      "SELECT 'NSGA2' AS algorithm, true AS has_front, true AS beats_uniform",
+    "q_cypher_or_solve_rao2" ->
+      "SELECT 'Rao2' AS algorithm, true AS feasible, true AS beats_uniform",
+    "q_cypher_or_solve_sampjaya" ->
+      "SELECT 'SampJaya' AS algorithm, true AS feasible, true AS beats_uniform",
     "q_cypher_write_merge_rel" ->
       "SELECT CAST(count(*) AS BIGINT) AS n FROM customer WHERE c_custkey < 3",
     "q_cypher_write_create" ->

@@ -97,18 +97,34 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1.0), (10L, 11L, 2.0)))
   }
 
-  test("or.solve: all thirteen kernel families find a near-greedy allocation") {
+  test("or.solve: all seventeen kernel families find a near-greedy allocation") {
     // costs (1, 10, 100), need total >= 1, x in [0,1]: optimum fills the
     // cheapest variable -> fitness ~1; uniform (1/3 each) costs 37
     val costs = Array(1.0, 10.0, 100.0)
     for (alg <- Seq("Jaya", "SA", "TLBO", "PSO", "DE", "GWO", "HS", "ABC",
-        "GA", "Firefly", "Cuckoo", "Bat", "Rao")) {
+        "GA", "Firefly", "Cuckoo", "Bat", "Rao", "Rao2", "Rao3", "QOJaya",
+        "SampJaya")) {
       val r = graft.algo.Optimize.orSolve(spark, costs, alg,
         minTotal = 1.0, maxIter = 200, starts = 4)
       assert(r.solution.sum >= 1.0 - 1e-6, s"$alg infeasible")
       assert(r.fitness < 37.0, s"$alg fitness ${r.fitness} not better than uniform")
       assert(r.fitness >= 1.0 - 1e-6, s"$alg fitness ${r.fitness} below the optimum")
     }
+  }
+
+  test("or.solve NSGA-II: Pareto front spans the cost/allocation trade-off") {
+    import graft.model.PropertyGraph
+    val nodes = (1L to 6L).map(i => (i, Seq("Item"), i * 10.0)).toDF("id", "labels", "cost")
+    val edges = Seq.empty[(Long, Long, Long, String)].toDF("id", "src", "dst", "relationship")
+    val df = graft.algo.Optimize.orSolveParetoNodes(
+      PropertyGraph(nodes, edges), "Item", "cost", minTotal = 2.0,
+      popSize = 30, maxIter = 40, starts = 2)
+    val row = df.head()
+    assert(row.getAs[String]("algorithm") == "NSGA2")
+    assert(row.getAs[Long]("front_size") >= 2L, "front collapsed to a point")
+    assert(row.getAs[Boolean]("has_front"))
+    assert(row.getAs[Boolean]("beats_uniform"))
+    assert(row.getAs[Double]("hypervolume") > 0.0)
   }
 
   test("pca: first component of a line cloud explains ~all variance") {
