@@ -196,6 +196,52 @@ object GraphQueries {
         .select(col("src"), col("dst")).orderBy(col("src"))
     }),
 
+    // PG → RDF → PG roundtrip (reference src/rdf/: mapping.rs direct
+    // mapping, N-Triples serialization): export the Customer/Nation/Region
+    // subgraph as typed triples + reified edges, serialize to N-Triples
+    // lines, parse + import back, and prove node and edge sets survive
+    // byte-exactly. All pure DataFrame transforms — no driver loops.
+    "q_rdf_roundtrip" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      val nodes = g.nodesWithLabel("Customer")
+        .unionByName(g.nodesWithLabel("Nation")).unionByName(g.nodesWithLabel("Region"))
+      val ids = nodes.select(col("id"))
+      val edges = g.edgesOfType("IN_NATION", "IN_REGION")
+        .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      val sub = graft.model.PropertyGraph(nodes, edges)
+      val base = "http://graft.local/"
+      val lines = graft.rdf.Rdf.toNTriples(graft.rdf.Rdf.exportTriples(sub, base))
+      // materialize the parsed triples and the reimported tables ONCE —
+      // the comparison below runs several actions, and without the lineage
+      // cut each would re-run the whole export→serialize→parse→pivot chain
+      val triples = graft.rdf.Rdf.parseNTriples(lines).localCheckpoint(true)
+      val back = graft.rdf.Rdf.importGraph(triples, base)
+      def optCol(df: org.apache.spark.sql.DataFrame, c: String, t: String) =
+        (if (df.columns.contains(c)) col(c) else lit(null)).cast(t).as(c)
+      def canonN(df: org.apache.spark.sql.DataFrame) = df.select(col("id"),
+        concat_ws(";", sort_array(col("labels"))).as("labels"),
+        optCol(df, "name", "string"), optCol(df, "balance", "double"))
+      def canonE(df: org.apache.spark.sql.DataFrame) = df.select(col("id"),
+        col("src"), col("dst"), col("relationship"), optCol(df, "weight", "double"))
+      val (aN, bN) = (canonN(sub.nodes), canonN(back.nodes))
+      val (aE, bE) = (canonE(sub.edges), canonE(back.edges))
+      import s.implicits._
+      // set differences AND row counts in ONE action (tagged union + one
+      // aggregate) — every extra action re-runs the import pivots; identical
+      // subplans inside the single job dedupe via ReusedExchange
+      val m = aN.exceptAll(bN).select(lit("node_diff").as("t"))
+        .unionAll(bN.exceptAll(aN).select(lit("node_diff").as("t")))
+        .unionAll(aE.exceptAll(bE).select(lit("edge_diff").as("t")))
+        .unionAll(bE.exceptAll(aE).select(lit("edge_diff").as("t")))
+        .unionAll(bN.select(lit("n_nodes").as("t")))
+        .unionAll(bE.select(lit("n_edges").as("t")))
+        .groupBy(col("t")).count().as[(String, Long)].collect().toMap
+      Seq((m.getOrElse("n_nodes", 0L), m.getOrElse("n_edges", 0L),
+        !m.contains("node_diff"), !m.contains("edge_diff")))
+        .toDF("n_nodes", "n_edges", "nodes_roundtrip", "edges_roundtrip")
+    }),
+
     // §2.10 algo.mst (reference mst.rs:41) — Borůvka on the nation trade
     // graph (edge weight = #trades between the two nations); (w,a,b)
     // tie-break makes the forest unique, so the oracle's Prim chain (24
@@ -364,6 +410,10 @@ object GraphQueries {
     "q_cdlp" -> cdlpOracle(5),
     "q_snapshot_roundtrip" ->
       "SELECT CAST(n_nationkey + 1200000000 AS BIGINT) AS src, CAST(n_regionkey + 1300000000 AS BIGINT) AS dst FROM nation ORDER BY 1",
+    "q_rdf_roundtrip" ->
+      """SELECT CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM nation) + (SELECT count(*) FROM region) AS BIGINT) AS n_nodes,
+        | CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM nation) AS BIGINT) AS n_edges,
+        | true AS nodes_roundtrip, true AS edges_roundtrip""".stripMargin,
     "q_mst" -> mstOracle(24),
     "q_maxflow" ->
       """SELECT round(sum(least(20, tot)), 1) AS max_flow FROM (
