@@ -83,7 +83,26 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
   private var edgeEntityVars: Set[String] = Set.empty // subset of entityVars bound to RELATIONSHIPS
   private var pathVars: Set[String] = Set.empty    // named paths (p__length/p__nodes)
   private var scalarVars: Set[String] = Set.empty  // UNWIND / WITH scalar columns
+  // scalar vars bound to MAP values (map literal through WITH/UNWIND) with
+  // their statically-known key set: Prop on one resolves via getField, and
+  // an absent key reads as NULL (schema-free semantics)
+  private var structVars: Map[String, Set[String]] = Map.empty
   private var lambdaEnv: Map[String, Column] = Map.empty
+
+  /** Statically-known map keys of an expression, when it is map-valued. */
+  private def mapKeysOf(e: Expr): Option[Set[String]] = e match {
+    case MapLit(entries) => Some(entries.map(_._1).toSet)
+    case Var(n) => structVars.get(n)
+    case _ => None
+  }
+
+  /** Map keys of the ELEMENTS of a list expression (for UNWIND). */
+  private def elemMapKeysOf(e: Expr): Option[Set[String]] = e match {
+    case ListLit(items) =>
+      val ks = items.flatMap(mapKeysOf)
+      if (ks.nonEmpty && ks.size == items.size) Some(ks.flatten.toSet) else None
+    case _ => None
+  }
 
   def translate(q: Query): DataFrame = {
     val base = translateSingle(q.first)
@@ -97,6 +116,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
 
   private def translateSingle(sq: SingleQuery): DataFrame = {
     entityVars = Set.empty; edgeEntityVars = Set.empty; pathVars = Set.empty; scalarVars = Set.empty
+    structVars = Map.empty
     var df: DataFrame = null
 
     for (clause <- sq.clauses) clause match {
@@ -131,6 +151,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         val src = if (df == null) spark.range(1).toDF() else df
         df = src.withColumn(v, explode(toCol(listExpr)))
         scalarVars += v
+        elemMapKeysOf(listExpr).foreach(ks => structVars += v -> ks)
 
       case WithClause(distinct, items, where, orderBy, skip, limit) =>
         if (df == null) df = spark.range(1).toDF()
@@ -301,6 +322,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     var newEdge = Set.empty[String]
     var newPath = Set.empty[String]
     var newScalar = Set.empty[String]
+    var newStructs = Map.empty[String, Set[String]]
 
     def carryCols(v: String, out: String): Seq[Column] =
       df.columns.filter(_.startsWith(s"${v}__")).toSeq
@@ -314,7 +336,9 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
       case Var(n) if pathVars.contains(n) =>
         val out = i.alias.getOrElse(n); newPath += out; carryCols(n, out)
       case e =>
-        newScalar += i.name; Seq(toCol(e).as(i.name))
+        newScalar += i.name
+        mapKeysOf(e).foreach(ks => newStructs += i.name -> ks)
+        Seq(toCol(e).as(i.name))
     }
 
     val res =
@@ -329,6 +353,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
       }
     entityVars = newEntity; edgeEntityVars = newEdge; pathVars = newPath
     scalarVars = newScalar
+    structVars = newStructs
     res
   }
 
@@ -869,8 +894,14 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
       val known =
         if (edgeEntityVars.contains(v)) edgePropKeys
         else if (entityVars.contains(v)) nodePropKeys
-        else null // scalar / lambda var: legacy resolution
-      if (known == null || known.contains(k)) col(s"${v}__$k") else lit(null)
+        else null // scalar / lambda var
+      if (known != null) { if (known.contains(k)) col(s"${v}__$k") else lit(null) }
+      else structVars.get(v) match {
+        // map-typed scalar (map literal through WITH/UNWIND): field access,
+        // NULL when the key is absent — same schema-free semantics
+        case Some(keys) => if (keys.contains(k)) col(v).getField(k) else lit(null)
+        case None => col(s"${v}__$k")
+      }
     case ListLit(items) => array(items.map(toCol): _*)
     case MapLit(entries) => // {k: v} literal → named struct (heterogeneous ok)
       struct(entries.map { case (k, v) => toCol(v).as(k) }: _*)

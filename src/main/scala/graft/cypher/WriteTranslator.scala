@@ -358,8 +358,11 @@ object WriteTranslator {
         labelSets.groupBy(_._1).foreach { case (v, ls) =>
           require(!edgeVars.contains(v), "SET :Label applies to node variables")
           val ids = readFrame(Seq(ReturnItem(Fn("id", Seq(Var(v))), Some("_id")))).distinct()
-          nLbl += ids.count() * ls.size
           ls.foreach { case (_, l) =>
+            // Neo4j-style counter: only labels actually ADDED count — a
+            // re-run of SET n:L on already-labeled nodes reports 0
+            nLbl += cur.nodes.join(ids, col("id") === col("_id"), "left_semi")
+              .filter(!array_contains(col("labels"), l)).count()
             cur = GraphMutations.setNodeLabelByIds(cur, ids, l, add = true)
           }
         }
@@ -396,8 +399,10 @@ object WriteTranslator {
         labelRemoves.groupBy(_._1).foreach { case (v, ls) =>
           require(!edgeVars.contains(v), "REMOVE :Label applies to node variables")
           val ids = readFrame(Seq(ReturnItem(Fn("id", Seq(Var(v))), Some("_id")))).distinct()
-          nLbl += ids.count() * ls.size
           ls.foreach { case (_, l) =>
+            // counter counts labels actually REMOVED (present before)
+            nLbl += cur.nodes.join(ids, col("id") === col("_id"), "left_semi")
+              .filter(array_contains(col("labels"), l)).count()
             cur = GraphMutations.setNodeLabelByIds(cur, ids, l, add = false)
           }
         }
@@ -412,7 +417,7 @@ object WriteTranslator {
               GraphMutations.removeEdgePropsByIds(cur, ids, ps.map(_.key))
             else GraphMutations.removeNodePropsByIds(cur, ids, ps.map(_.key))
         }
-        WriteResult(cur, summary(propsSet = nSet))
+        WriteResult(cur, summary(propsSet = nSet, labelsRemoved = nLbl))
 
       // ---------- DELETE ----------
       case DeleteClause(vars, detach) =>

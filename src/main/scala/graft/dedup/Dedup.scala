@@ -231,7 +231,7 @@ object Dedup {
         // would broadcast anyway (n·d·8 B — the same memory class as a
         // broadcast-hash-join table), and a primitive-loop dot is ~50× faster
         // per candidate than a dim-term codegen expression tree. Past the
-        // broadcast budget, fall back to broadcast-hint joins + expression dot.
+        // broadcast budget, fall back to shuffle joins + expression dot.
         val nRows = withB.count()
         if (nRows * dim <= 6L * 1000 * 1000) { // ~50 MB of doubles
           val vecMap: Map[Long, (Array[Double], Double)] = withB
@@ -250,9 +250,12 @@ object Dedup {
             .toDF("i", "j", "cosine")
             .filter(col("cosine") >= threshold)
         } else {
+          // past the driver-map budget the vector table is by definition too
+          // big to broadcast — NO broadcast hints here: shuffle joins on the
+          // candidate ids (AQE may still pick a broadcast if stats allow)
           cand
-            .join(broadcast(withB.select(col(idCol).as("i"), col(vecCol).as("va"), col("_n").as("na"))), Seq("i"))
-            .join(broadcast(withB.select(col(idCol).as("j"), col(vecCol).as("vb"), col("_n").as("nb"))), Seq("j"))
+            .join(withB.select(col(idCol).as("i"), col(vecCol).as("va"), col("_n").as("na")), Seq("i"))
+            .join(withB.select(col(idCol).as("j"), col(vecCol).as("vb"), col("_n").as("nb")), Seq("j"))
             .select(col("i"), col("j"),
               (VectorSearch.dot(col("va"), col("vb"), dim) / (col("na") * col("nb"))).as("cosine"))
             .filter(col("cosine") >= threshold)

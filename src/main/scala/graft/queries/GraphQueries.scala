@@ -46,8 +46,19 @@ object GraphQueries {
     * cache/checkpoint blocks between queries by design, and a file survives
     * that — exactly like a real shared table.) */
   private def copurchaseShared(s: SparkSession, d: String): DataFrame = {
+    // key the MV by a CONTENT fingerprint of the input (file names + sizes +
+    // mtimes), not just the path: regenerating the dataset at the same path
+    // invalidates the cache automatically, and concurrent JVMs on different
+    // inputs never collide on a directory
+    val src = new java.io.File(d, "lineitem.parquet")
+    val parts: Array[java.io.File] =
+      if (src.isDirectory) Option(src.listFiles()).getOrElse(Array.empty) else Array(src)
+    val fp = java.lang.Long.toHexString(
+      parts.sortBy(_.getName).foldLeft(1125899906842597L) { (h, f) =>
+        31 * (31 * (31 * h + f.getName.hashCode) + f.length()) + f.lastModified()
+      })
     val dir = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_mv/copurchase_${math.abs(d.hashCode).toHexString}")
+      s"${System.getProperty("java.io.tmpdir")}/graft_mv/copurchase_${math.abs(d.hashCode).toHexString}_$fp")
     if (!new java.io.File(dir, "_SUCCESS").exists())
       copurchase(s, d).write.mode("overwrite").parquet(dir.getPath)
     s.read.parquet(dir.getPath)

@@ -506,6 +506,31 @@ class CypherSpec extends SparkSpec {
     assert(g2.nodes.count() == 4L && g2.nodes.filter($"name".isNull).count() == 0L)
   }
 
+  test("label counters count only actual changes (idempotent re-run reports 0)") {
+    val (g2, s2) = QueryEngine.executeWrite("MATCH (p:Person) SET p:Member", g)
+    assert(s2.select("labels_added").as[Long].head() == 3L)
+    // Carol is already an Engineer: re-adding counts only Alice and Bob
+    val (g3, s3) = QueryEngine.executeWrite("MATCH (p:Person) SET p:Engineer", g2)
+    assert(s3.select("labels_added").as[Long].head() == 2L)
+    // idempotent re-run: nothing newly added
+    val (_, s4) = QueryEngine.executeWrite("MATCH (p:Person) SET p:Member", g3)
+    assert(s4.select("labels_added").as[Long].head() == 0L)
+    // REMOVE counts only labels actually present (and reports in summary)
+    val (_, s5) = QueryEngine.executeWrite("MATCH (p:Person) REMOVE p:Engineer", g3)
+    assert(s5.select("labels_removed").as[Long].head() == 3L)
+    val (_, s6) = QueryEngine.executeWrite("MATCH (p:Person) REMOVE p:Owner", g3)
+    assert(s6.select("labels_removed").as[Long].head() == 0L)
+  }
+
+  test("map literal through WITH and UNWIND: field access plus absent-key NULL") {
+    val r = run("WITH {a: 1, b: 'x'} AS m RETURN m.a AS a, m.b AS b, m.nope AS c")
+      .as[(Long, String, Option[String])].collect().toSeq
+    assert(r == Seq((1L, "x", None)))
+    val u = run("UNWIND [{v: 10}, {v: 20}] AS m RETURN m.v AS v ORDER BY v")
+      .as[Long].collect().toSeq
+    assert(u == Seq(10L, 20L))
+  }
+
   test("unique constraint: duplicate CREATE throws, MERGE dedups, SHOW lists") {
     val (g2, _) = QueryEngine.executeWrite(
       "CREATE CONSTRAINT ON (n:Person) ASSERT n.name IS UNIQUE", g)
