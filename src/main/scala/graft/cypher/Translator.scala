@@ -672,7 +672,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
   }
 
   /** Reverse a linear path (flipping every hop's direction). */
-  private def reversePath(p: PathPat): PathPat =
+  private[cypher] def reversePath(p: PathPat): PathPat =
     p.copy(nodes = p.nodes.reverse,
       rels = p.rels.reverse.map(r => r.copy(dir = r.dir match {
         case Out => In; case In => Out; case Undirected => Undirected
@@ -683,7 +683,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     * each hop's expected intermediate size from the (label, type, label)
     * triple counts, scaled by the surviving fraction of source bindings and
     * a fixed 0.1 selectivity per property-equality predicate. */
-  private def pathCost(p: PathPat, st: graft.model.GraphStats): Double = {
+  private[cypher] def pathCost(p: PathPat, st: graft.model.GraphStats): Double = {
     def card(n: NodePat): Double =
       math.max(1.0, st.nodeCard(n.labels.headOption) * math.pow(0.1, n.props.size))
     var rows = card(p.nodes.head)
