@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale soak: union-scales the sf0.1 fixtures into N disjoint copies
+  * and times the six iterative kernels plus both LSH dedup paths at 1× and
+  * N×, printing per-operator ratios. Near-linear ratios certify no hidden
+  * driver-side loop or lineage bottleneck survives at scale.
+  *
+  * Scaling is SIMILARITY-PRESERVING so an N× input is a real N× problem,
+  * not an N²-pair blowup:
+  *   - graphs: id offsets → N disjoint isomorphic components (same
+  *     convergence depth, N× the per-round work); BFS/SSSP additionally get
+  *     one bridge edge per copy so a single source reaches all N copies.
+  *   - text: a per-copy alphabet rotation (a bijection on shingle space)
+  *     keeps within-copy Jaccard exact and makes copies mutually disjoint.
+  *   - embeddings: a per-copy sign-flip pattern on dimensions keeps
+  *     within-copy cosine EXACT (signs cancel in the dot product) and
+  *     decorrelates copies.
+  *
+  * Scaled inputs are materialized to parquet first, so timings measure the
+  * operator over a columnar leaf — the honest at-scale shape.
+  */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scaleN = sys.env.getOrElse("SPARK_GRAFT_SOAK_SCALE", "10").toInt
+    val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ui.retainedExecutions", "2")
+      .config("spark.sql.maxPlanStringLength", "32768")
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_soak"
+    val off = 10000000000L
+
+    // ---------- scaled fixtures (materialized, untimed) ----------
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val cop = {
+      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
+      val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("b"))
+      a.join(b, "ok").filter(col("a") < col("b")).select(col("a"), col("b")).distinct()
+    }
+    val minNode = cop.agg(min(col("a"))).first().getLong(0)
+    def edgesPath(n: Int, bridged: Boolean): String = {
+      val path = s"$tmp/edges_x${n}_$bridged"
+      val copies = (0 until n).map(k =>
+        cop.select((col("a") + k * off).as("src"), (col("b") + k * off).as("dst")))
+      val base = copies.reduce(_ unionAll _)
+      val all =
+        if (!bridged || n == 1) base
+        else base.unionAll((0 until n - 1)
+          .map(k => (minNode + k * off, minNode + (k + 1) * off))
+          .toDF("src", "dst"))
+      all.write.mode("overwrite").parquet(path)
+      path
+    }
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def docsPath(n: Int): String = {
+      val path = s"$tmp/docs_x$n"
+      (0 until n).map { k =>
+        val rot = alpha.drop(k % 26) + alpha.take(k % 26)
+        docs.select((col("doc_id") + k * off).as("doc_id"),
+          translate(col("text"), alpha, rot).as("text"))
+      }.reduce(_ unionAll _).write.mode("overwrite").parquet(path)
+      path
+    }
+
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+    def embPath(n: Int): String = {
+      val path = s"$tmp/emb_x$n"
+      (0 until n).map { k =>
+        emb.map { case (id, v) =>
+          (id + k * off, v.zipWithIndex.map { case (x, i) =>
+            if (((k >> (i % 4)) & 1) == 1) -x else x })
+        }.toDF("vec_id", "embedding")
+      }.reduce(_ unionAll _).write.mode("overwrite").parquet(path)
+      path
+    }
+
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc(); Thread.sleep(50)
+    }
+    def time(f: => Long): (Double, Long) = {
+      isolate()
+      val t0 = System.nanoTime()
+      val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    val edgeCacheMap = scala.collection.mutable.Map.empty[(Int, Boolean), String]
+    def edgeCache(n: Int, b: Boolean): String =
+      edgeCacheMap.getOrElseUpdate((n, b), edgesPath(n, b))
+    val docCacheMap = scala.collection.mutable.Map.empty[Int, String]
+    def docCache(n: Int): String = docCacheMap.getOrElseUpdate(n, docsPath(n))
+    val embCacheMap = scala.collection.mutable.Map.empty[Int, String]
+    def embCache(n: Int): String = embCacheMap.getOrElseUpdate(n, embPath(n))
+
+    // ---------- operators ----------
+    import graft.algo.Algorithms
+    def und(e: DataFrame): DataFrame =
+      e.select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+        .select(col("a").as("src"), col("b").as("dst"))
+    val ops: Seq[(String, Int => Long)] = Seq(
+      "pagerank" -> { n => Algorithms.pageRank(spark.read.parquet(edgeCache(n, false)), 10, 0.85).count() },
+      "wcc" -> { n => Algorithms.wcc(spark.read.parquet(edgeCache(n, false)), 50).count() },
+      "cdlp" -> { n => Algorithms.cdlp(spark.read.parquet(edgeCache(n, false)), 10).count() },
+      "scc" -> { n => Algorithms.scc(spark.read.parquet(edgeCache(n, false)), 10).count() },
+      "bfs" -> { n => Algorithms.bfs(spark.read.parquet(edgeCache(n, true)), minNode, 60).count() },
+      "sssp" -> { n => Algorithms.sssp(spark.read.parquet(edgeCache(n, true))
+        .withColumn("weight", lit(1.0)), minNode, 60).count() },
+      "minhash_lsh" -> { n => graft.dedup.Dedup.minHashLshPairs(
+        spark.read.parquet(docCache(n)), "doc_id", "text",
+        k = 5, numHashes = 64, bands = 16, threshold = 0.4).count() },
+      "embedding_lsh" -> { n => graft.dedup.Dedup.embeddingNearDupPairs(
+        spark.read.parquet(embCache(n)), "vec_id", "embedding", 0.9,
+        lshBits = 8, lshTables = 40).count() })
+
+    val rows = ops.map { case (name, f) =>
+      val (t1, r1) = time(f(1))
+      val (tN, rN) = time(f(scaleN))
+      val ratio = tN / math.max(t1, 1e-9)
+      System.err.println(f"[soak] $name%-14s 1x ${t1}%7.2fs ($r1%9d rows)  ${scaleN}x ${tN}%7.2fs ($rN%9d rows)  ratio ${ratio}%5.2f")
+      (name, t1, tN, ratio, r1, rN)
+    }
+    val js = rows.map { case (n, t1, tN, ra, r1, rN) =>
+      s"""{"op":"$n","t1":$t1,"t$scaleN":$tN,"ratio":$ra,"rows1":$r1,"rows$scaleN":$rN}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"soak","scale":$scaleN,"sf":"$sf","ops":$js}""")
+    spark.stop()
+  }
+}
