@@ -17,16 +17,18 @@ import org.apache.spark.sql.functions._
   * bounded by the label's cardinality, the same in-memory commitment it
   * makes collecting node costs.
   *
-  * Seventeen single-objective kernel families (the reference ships ~15 base
+  * Twenty-one single-objective kernel families (the reference ships ~15 base
   * families plus variants, `crates/samyama-optimization/src/algorithms/` —
   * 30 files), each implemented from its standard published formulation: Jaya
   * (the reference's default), SA, TLBO, PSO, DE (rand/1/bin), GWO, HS, ABC,
   * GA (real-coded), Firefly, Cuckoo (Lévy flights), Bat, Rao-1/-2/-3,
-  * QO-Jaya (quasi-oppositional), SAMP-Jaya (self-adaptive multi-population).
-  * All share the restart-parallel harness and the (fitness, seed)
-  * deterministic winner. NSGA-II (`nsga2.rs` — the reference's
-  * multi-objective capability) runs through the same restart-parallel
-  * harness with a cross-start non-dominated merge; see [[orSolveParetoNodes]].
+  * QO-Jaya (quasi-oppositional), SAMP-Jaya (self-adaptive multi-population),
+  * FPA (flower pollination), GSA (gravitational search), BMR and BWR
+  * (best-mean/worst-random). All share the restart-parallel harness and the
+  * (fitness, seed) deterministic winner. NSGA-II (`nsga2.rs` — the
+  * reference's multi-objective capability) runs through the same
+  * restart-parallel harness with a cross-start non-dominated merge; see
+  * [[orSolveParetoNodes]].
   */
 object Optimize {
 
@@ -431,6 +433,100 @@ object Optimize {
           m = if (cur < prevBest) math.min(m + 1, math.max(popSize / 4, 1))
               else math.max(m - 1, 1)
           prevBest = cur
+        }
+        val bi = fit.indices.minBy(fit)
+        (fit(bi), pop(bi))
+
+      case "fpa" => // flower pollination (Yang 2012): Lévy global pollination
+        // with switch probability p, uniform local pollination otherwise
+        val p = 0.8
+        val levyBeta = 1.5; val sigma = 0.6966 // Mantegna sigma for beta=1.5
+        val pop = Array.fill(popSize)(randX())
+        val fit = pop.map(obj(_))
+        var bi = fit.indices.minBy(fit)
+        for (_ <- 1 to maxIter) {
+          for (k <- pop.indices) {
+            val cand =
+              if (rnd.nextDouble() < p) Array.tabulate(obj.dim) { d =>
+                val step = sigma * rnd.nextGaussian() /
+                  math.pow(math.abs(rnd.nextGaussian()) + 1e-12, 1.0 / levyBeta)
+                obj.clamp(pop(k)(d) + 0.1 * step * (pop(bi)(d) - pop(k)(d)))
+              }
+              else {
+                val a = rnd.nextInt(popSize); val b = rnd.nextInt(popSize)
+                val eps = rnd.nextDouble()
+                Array.tabulate(obj.dim)(d => obj.clamp(pop(k)(d) + eps * (pop(a)(d) - pop(b)(d))))
+              }
+            val fc = obj(cand)
+            if (fc < fit(k)) {
+              pop(k) = cand; fit(k) = fc
+              if (fc < fit(bi)) bi = k
+            }
+          }
+        }
+        (fit(bi), pop(bi))
+
+      case "gsa" => // gravitational search (Rashedi et al. 2009): fitness-
+        // proportional masses attract agents; gravity decays over iterations
+        val g0 = 1.0; val eps = 1e-12
+        val pop = Array.fill(popSize)(randX())
+        val vel = Array.fill(popSize)(Array.fill(obj.dim)(0.0))
+        val fit = pop.map(obj(_))
+        for (it <- 1 to maxIter) {
+          val gC = g0 * math.exp(-20.0 * it / maxIter)
+          val fMin = fit.min; val fMax = fit.max
+          val m = fit.map(f => (fMax - f + eps) / math.max(fMax - fMin, eps))
+          val mSum = m.sum
+          // kbest shrinks linearly: all agents attract early, only the best late
+          val kbest = math.max(1, (popSize * (1.0 - 0.75 * it.toDouble / maxIter)).toInt)
+          val leaders = fit.indices.sortBy(fit).take(kbest)
+          for (k <- pop.indices) {
+            val acc = Array.fill(obj.dim)(0.0)
+            leaders.foreach { l =>
+              if (l != k) {
+                var r2 = 0.0
+                for (d <- 0 until obj.dim) { val dd = pop(l)(d) - pop(k)(d); r2 += dd * dd }
+                val r = math.sqrt(r2) + eps
+                val pull = gC * (m(l) / mSum) / r
+                for (d <- 0 until obj.dim) acc(d) += rnd.nextDouble() * pull * (pop(l)(d) - pop(k)(d))
+              }
+            }
+            for (d <- 0 until obj.dim) {
+              vel(k)(d) = rnd.nextDouble() * vel(k)(d) + acc(d) * (upper - lower)
+              pop(k)(d) = obj.clamp(pop(k)(d) + vel(k)(d))
+            }
+            fit(k) = obj(pop(k))
+          }
+        }
+        val bi = fit.indices.minBy(fit)
+        (fit(bi), pop(bi))
+
+      case "bmr" | "bwr" => // Rao & collaborators 2024, metaphor-free
+        // Best-Mean-Random / Best-Worst-Random: exploit toward best vs mean
+        // (BMR) or away from worst (BWR), with occasional bound reinit
+        val isBwr = algorithm.equalsIgnoreCase("bwr")
+        val pop = Array.fill(popSize)(randX())
+        val fit = pop.map(obj(_))
+        for (_ <- 1 to maxIter) {
+          val bi = fit.indices.minBy(fit)
+          val wi = fit.indices.maxBy(fit)
+          val mean = Array.tabulate(obj.dim)(d => pop.map(_(d)).sum / popSize)
+          for (k <- pop.indices) {
+            val cand =
+              if (rnd.nextDouble() > 0.5) Array.tabulate(obj.dim) { d =>
+                val t = 1 + rnd.nextInt(2)
+                val rIdx = pop(rnd.nextInt(popSize))(d)
+                if (isBwr)
+                  obj.clamp(pop(k)(d) + rnd.nextDouble() * (pop(bi)(d) - t * rIdx)
+                    - rnd.nextDouble() * (pop(wi)(d) - rIdx))
+                else
+                  obj.clamp(pop(k)(d) + rnd.nextDouble() * (pop(bi)(d) - t * mean(d))
+                    + rnd.nextDouble() * (pop(bi)(d) - rIdx))
+              }
+              else randX() // published reinit branch keeps diversity
+            val fc = obj(cand)
+            if (fc < fit(k)) { pop(k) = cand; fit(k) = fc }
+          }
         }
         val bi = fit.indices.minBy(fit)
         (fit(bi), pop(bi))
