@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   * typed metadata struct; decode/feature-extraction runs partition-wise so a
   * 100 TB corpus streams through executors without driver involvement.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode step is a clearly-marked deterministic STUB — the Spark-side
-  * plumbing (schema, batching, partitioning, null handling) is real and
-  * tested, and a production build swaps `stubDecode*` for a JNI/FFmpeg/etc.
-  * call with the same signature.
+  * Codec status: header decode (BMP/PNG/GIF/JPEG dimension parse) and FULL
+  * 24bpp BMP pixel decode ([[decodeBmpPixels]]) are REAL pure-JVM
+  * implementations. Compressed-format pixel decode (PNG/JPEG/audio/video)
+  * is not available in this environment, so that step is a clearly-marked
+  * deterministic STUB ([[stubDecodeFeatures]]) — the Spark-side plumbing
+  * (schema, batching, partitioning, null handling) is real and tested, and
+  * a production build swaps the stub for a JNI/FFmpeg/etc. call with the
+  * same signature.
   */
 object Multimodal {
 
@@ -74,6 +77,45 @@ object Multimodal {
     out
   }
 
+  /** A COMPLETE valid 24bpp BMP with deterministic pixels — image pixel
+    * (r, c) channel ch (BGR order) = (id·7 + r·5 + c·3 + ch·11) mod 256,
+    * stored bottom-up with the spec's 4-byte row stride. A closed-form
+    * pixel function makes full pixel decode ORACLE-ABLE: an engine-
+    * independent SQL query can recompute any pixel statistic. */
+  def syntheticBmp(id: Long, w: Int, h: Int): Array[Byte] = {
+    val stride = (w * 3 + 3) & ~3
+    val px = new Array[Byte](stride * h)
+    var r = 0
+    while (r < h) {
+      val rowOff = (h - 1 - r) * stride // image row r stored bottom-up
+      var c = 0
+      while (c < w) {
+        var ch = 0
+        while (ch < 3) {
+          px(rowOff + c * 3 + ch) = ((id * 7 + r * 5 + c * 3 + ch * 11) % 256).toByte
+          ch += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+    bmpWrap(w, h, px)
+  }
+
+  /** Media table of full synthetic BMPs keyed by an id column (same
+    * deterministic dimensions as [[mediaFromDocuments]]). */
+  def syntheticBmpMedia(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(ids.columns.head).cast("long")).as[Long]
+      .map { id =>
+        val w = (((id % 64) + 64) % 64 + 16).toInt
+        val h = (((id % 48) + 48) % 48 + 16).toInt
+        (id, syntheticBmp(id, w, h))
+      }
+      .toDF("media_id", "payload")
+  }
+
   final case class ImageHeader(media_id: Long, format: String, width: Int, height: Int)
 
   /** REAL header-only image decode, partition-wise: sniffs the container by
@@ -117,6 +159,63 @@ object Multimodal {
             if (out == null) ImageHeader(id, "unknown", -1, -1) else out
           } else ImageHeader(id, "unknown", -1, -1)
         hdr
+      })
+  }
+
+  final case class BmpPixels(media_id: Long, width: Int, height: Int,
+                             mean_b: Double, mean_g: Double, mean_r: Double,
+                             tl_b: Int, tl_g: Int, tl_r: Int)
+
+  /** REAL pixel decode for 24bpp BI_RGB BMPs — a pure-JVM codec, no external
+    * libs: parses the pixel-array offset, dimensions, bpp and compression
+    * from the header, walks the bottom-up (or top-down when height < 0) BGR
+    * rows honoring the 4-byte row stride, and emits per-channel means plus
+    * the top-left pixel (order-sensitive: a decoder that ignored bottom-up
+    * storage would read the wrong row for it). Runs partition-wise
+    * (`mapPartitions` — the typed-kernel decode seam); non-BMP, compressed,
+    * or truncated payloads are dropped rather than failing the batch. */
+  def decodeBmpPixels(media: DataFrame): Dataset[BmpPixels] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val b = if (bytes == null) Array.empty[Byte] else bytes
+        def u8(i: Int): Int = b(i) & 0xFF
+        def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+        def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+        if (b.length < 54 || b(0) != 'B' || b(1) != 'M') None
+        else {
+          val off = le32(10)
+          val w = le32(18)
+          val hRaw = le32(22)
+          val bpp = le16(28)
+          val compression = le32(30)
+          val h = math.abs(hRaw)
+          val topDown = hRaw < 0
+          val stride = (w * 3 + 3) & ~3
+          if (bpp != 24 || compression != 0 || w <= 0 || h == 0 ||
+              off.toLong + stride.toLong * h > b.length) None
+          else {
+            val sums = Array(0L, 0L, 0L)
+            var r = 0
+            while (r < h) {
+              val rowOff = off + (if (topDown) r else h - 1 - r) * stride
+              var c = 0
+              while (c < w) {
+                sums(0) += u8(rowOff + c * 3)
+                sums(1) += u8(rowOff + c * 3 + 1)
+                sums(2) += u8(rowOff + c * 3 + 2)
+                c += 1
+              }
+              r += 1
+            }
+            val n = w.toLong * h
+            val tl = off + (if (topDown) 0 else (h - 1) * stride) // image (0,0)
+            Some(BmpPixels(id, w, h,
+              sums(0).toDouble / n, sums(1).toDouble / n, sums(2).toDouble / n,
+              u8(tl), u8(tl + 1), u8(tl + 2)))
+          }
+        }
       })
   }
 

@@ -211,6 +211,23 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // multimodal: REAL full-pixel decode — a pure-JVM 24bpp BMP codec walks
+    // the bottom-up BGR rows honoring the 4-byte stride. The fixture's
+    // pixels follow a closed-form function of (id, row, col, channel), so
+    // the oracle recomputes the channel means and the ORDER-SENSITIVE
+    // top-left pixel arithmetically: a decoder that ignored bottom-up
+    // storage or row padding would mismatch
+    "q_multimodal_pixels" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 50).select(col("doc_id"))
+      Multimodal.decodeBmpPixels(Multimodal.syntheticBmpMedia(ids)).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          CypherFunctions.roundC(col("mean_b"), 4).as("mean_b"),
+          CypherFunctions.roundC(col("mean_g"), 4).as("mean_g"),
+          CypherFunctions.roundC(col("mean_r"), 4).as("mean_r"),
+          col("tl_b"), col("tl_g"), col("tl_r"))
+        .orderBy(col("media_id"))
+    }),
+
     // pca (reference pca.rs:154): top-4 components of the embedding corpus.
     // Cross-engine check: total variance (the covariance trace) is exact SQL;
     // the eigen side is pinned by engine-independent invariants computed on
@@ -356,6 +373,20 @@ object PipelineQueries {
       "SELECT doc_id, true AS robust FROM documents ORDER BY 1",
     "q_multimodal_decode" ->
       "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) + 54 AS BIGINT) AS byte_len, true AS deterministic FROM documents ORDER BY 1",
+    "q_multimodal_pixels" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id % 64 + 16 AS w, doc_id % 48 + 16 AS h
+        |             FROM documents WHERE doc_id < 50),
+        |px AS (SELECT id, w, h, rr.g AS r, cc.g AS c
+        |       FROM ids, generate_series(0, 63) AS rr(g), generate_series(0, 79) AS cc(g)
+        |       WHERE rr.g < h AND cc.g < w)
+        |SELECT CAST(id AS BIGINT) AS media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        | round(avg((id*7 + r*5 + c*3) % 256), 4) AS mean_b,
+        | round(avg((id*7 + r*5 + c*3 + 11) % 256), 4) AS mean_g,
+        | round(avg((id*7 + r*5 + c*3 + 22) % 256), 4) AS mean_r,
+        | CAST((min(id)*7) % 256 AS INTEGER) AS tl_b,
+        | CAST((min(id)*7 + 11) % 256 AS INTEGER) AS tl_g,
+        | CAST((min(id)*7 + 22) % 256 AS INTEGER) AS tl_r
+        |FROM px GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "q_multimodal_header" ->
       "SELECT doc_id AS media_id, 'bmp' AS format, CAST(doc_id % 64 + 16 AS INTEGER) AS width, CAST(doc_id % 48 + 16 AS INTEGER) AS height FROM documents ORDER BY 1",
     "q_token_count" ->
