@@ -630,15 +630,23 @@ object Optimize {
     (graft.model.GraphMutations.setNodePropValues(g, values, writeProp), ids.length.toLong)
   }
 
-  // ---------- NSGA-II (Pareto bi-objective; reference nsga2.rs) ----------
+  // ---------- Pareto bi-objective families (reference nsga2.rs,
+  // motlbo.rs, mo_rao_de.rs) ----------
 
-  /** One NSGA-II run (Deb et al. 2002, standard machinery: non-dominated
-    * sorting, crowding distance, binary tournament, SBX crossover, polynomial
-    * mutation) over two minimization objectives — total cost Σcᵢxᵢ and
-    * negated total allocation −Σxᵢ. Returns the final front's objective
-    * pairs. */
-  private def nsga2Front(costs: Array[Double], lower: Double, upper: Double,
-                         popSize: Int, maxIter: Int, seed: Long): Array[(Double, Double)] = {
+  /** One Pareto-front run over two minimization objectives — total cost
+    * Σcᵢxᵢ and negated total allocation −Σxᵢ. The non-dominated-sorting +
+    * crowding-distance + (μ+λ) truncation machinery (Deb et al. 2002) is
+    * shared; `variant` selects the variation operator:
+    *   - "nsga2"   — binary tournament + SBX crossover + polynomial mutation
+    *   - "motlbo"  — multi-objective TLBO: teacher pull toward a front-0
+    *                 individual minus TF·mean, then a learner move along a
+    *                 random pair ordered by (rank, crowding)
+    *   - "moraode" — alternating Rao-1 best-worst moves (best/worst by
+    *                 (rank, crowding)) and DE rand/1/bin mutants
+    * Returns the final front's objective pairs. */
+  private def paretoFront(costs: Array[Double], lower: Double, upper: Double,
+                          popSize: Int, maxIter: Int, seed: Long,
+                          variant: String): Array[(Double, Double)] = {
     val rnd = new scala.util.Random(seed)
     val dim = costs.length
     def clamp(v: Double) = math.max(lower, math.min(upper, v))
@@ -694,31 +702,71 @@ object Optimize {
     val etaC = 15.0; val etaM = 20.0; val pm = 1.0 / math.max(dim, 1)
     for (_ <- 1 to maxIter) {
       val (rank, crowd) = rankAndCrowd(fs)
-      def tourney(): Array[Double] = {
-        val a = rnd.nextInt(pop.length); val b = rnd.nextInt(pop.length)
-        if (rank(a) < rank(b) || (rank(a) == rank(b) && crowd(a) > crowd(b))) pop(a) else pop(b)
-      }
-      val offspring = Array.fill(popSize) {
-        val p1 = tourney(); val p2 = tourney()
-        val child = Array.tabulate(dim) { d =>
-          val v =
-            if (rnd.nextDouble() < 0.5) { // SBX blend
+      // (rank asc, crowding desc) — the MOO "better than" used by every variant
+      def beats(a: Int, b: Int): Boolean =
+        rank(a) < rank(b) || (rank(a) == rank(b) && crowd(a) > crowd(b))
+      val front0 = fs.indices.filter(rank(_) == 0)
+      def leader(): Int = front0(rnd.nextInt(front0.size)) // a random front-0 member
+      val offspring: Array[Array[Double]] = variant match {
+        case "motlbo" =>
+          val mean = Array.tabulate(dim)(d => pop.map(_(d)).sum / popSize)
+          Array.tabulate(popSize) { k =>
+            val t = pop(leader())
+            val tf = 1 + rnd.nextInt(2)
+            val taught = Array.tabulate(dim)(d =>
+              clamp(pop(k)(d) + rnd.nextDouble() * (t(d) - tf * mean(d))))
+            // learner move along a random pair ordered by (rank, crowding)
+            val o = rnd.nextInt(popSize)
+            val (from, to) = if (beats(o, k)) (pop(k), pop(o)) else (pop(o), pop(k))
+            Array.tabulate(dim)(d =>
+              clamp(taught(d) + rnd.nextDouble() * (to(d) - from(d))))
+          }
+        case "moraode" =>
+          // "worst" = max rank, then min crowding
+          val wi = fs.indices.maxBy(i => (rank(i), -crowd(i)))
+          Array.tabulate(popSize) { k =>
+            if (k % 2 == 0) { // Rao-1 move with MOO best/worst
+              val bi = leader()
+              Array.tabulate(dim)(d =>
+                clamp(pop(k)(d) + rnd.nextDouble() * (pop(bi)(d) - pop(wi)(d))))
+            } else { // DE rand/1/bin
+              val a = rnd.nextInt(popSize); val b = rnd.nextInt(popSize)
+              val c = rnd.nextInt(popSize)
+              val jr = rnd.nextInt(dim)
+              Array.tabulate(dim) { d =>
+                if (d == jr || rnd.nextDouble() < 0.9)
+                  clamp(pop(a)(d) + 0.5 * (pop(b)(d) - pop(c)(d)))
+                else pop(k)(d)
+              }
+            }
+          }
+        case _ => // NSGA-II: tournament + SBX + polynomial mutation
+          def tourney(): Array[Double] = {
+            val a = rnd.nextInt(pop.length); val b = rnd.nextInt(pop.length)
+            if (beats(a, b)) pop(a) else pop(b)
+          }
+          Array.fill(popSize) {
+            val p1 = tourney(); val p2 = tourney()
+            val child = Array.tabulate(dim) { d =>
+              val v =
+                if (rnd.nextDouble() < 0.5) { // SBX blend
+                  val u = rnd.nextDouble()
+                  val beta =
+                    if (u <= 0.5) math.pow(2 * u, 1 / (etaC + 1))
+                    else math.pow(1.0 / (2 * (1 - u)), 1 / (etaC + 1))
+                  0.5 * ((1 + beta) * p1(d) + (1 - beta) * p2(d))
+                } else p1(d)
+              clamp(v)
+            }
+            for (d <- 0 until dim if rnd.nextDouble() < pm) { // polynomial mutation
               val u = rnd.nextDouble()
-              val beta =
-                if (u <= 0.5) math.pow(2 * u, 1 / (etaC + 1))
-                else math.pow(1.0 / (2 * (1 - u)), 1 / (etaC + 1))
-              0.5 * ((1 + beta) * p1(d) + (1 - beta) * p2(d))
-            } else p1(d)
-          clamp(v)
-        }
-        for (d <- 0 until dim if rnd.nextDouble() < pm) { // polynomial mutation
-          val u = rnd.nextDouble()
-          val delta =
-            if (u < 0.5) math.pow(2 * u, 1 / (etaM + 1)) - 1
-            else 1 - math.pow(2 * (1 - u), 1 / (etaM + 1))
-          child(d) = clamp(child(d) + delta * (upper - lower))
-        }
-        child
+              val delta =
+                if (u < 0.5) math.pow(2 * u, 1 / (etaM + 1)) - 1
+                else 1 - math.pow(2 * (1 - u), 1 / (etaM + 1))
+              child(d) = clamp(child(d) + delta * (upper - lower))
+            }
+            child
+          }
       }
       val allPop = pop ++ offspring
       val allF = fs ++ offspring.map(evalF)
@@ -745,23 +793,29 @@ object Optimize {
     hv
   }
 
-  /** The NSGA-II CALL surface (reference `nsga2.rs` — the one qualitatively
-    * multi-objective capability): Pareto front over (total cost, −total
-    * allocation), restart-parallel like the single-objective harness — each
-    * seeded run is a partition task, fronts merge on the driver through one
-    * final non-dominated filter. The engine-independent contract YIELDed:
-    * a non-trivial front (≥2 trade-off points) whose hypervolume strictly
+  /** The multi-objective CALL surface (reference `nsga2.rs`, `motlbo.rs`,
+    * `mo_rao_de.rs`): Pareto front over (total cost, −total allocation),
+    * restart-parallel like the single-objective harness — each seeded run is
+    * a partition task, fronts merge on the driver through one final
+    * non-dominated filter. The engine-independent contract YIELDed: a
+    * non-trivial front (≥2 trade-off points) whose hypervolume strictly
     * contains the uniform allocation x = minTotal/dim. */
   def orSolveParetoNodes(g: graft.model.PropertyGraph, label: String, costProp: String,
+                         algorithm: String = "NSGA2",
                          minTotal: Double = 0.0, lower: Double = 0.0, upper: Double = 1.0,
                          popSize: Int = 40, maxIter: Int = 60,
                          starts: Int = 8, seed: Long = 42L): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
+    val variant = algorithm.toLowerCase.replace("-", "") match {
+      case "motlbo" => "motlbo"
+      case "moraode" | "moraode1" | "morao" => "moraode"
+      case _ => "nsga2"
+    }
     val (_, costs) = labelCosts(g, label, costProp)
     val bCosts = spark.sparkContext.broadcast(costs)
     val merged = spark.sparkContext.range(0, starts.toLong, 1, starts)
-      .map(s => nsga2Front(bCosts.value, lower, upper, popSize, maxIter, seed + s))
+      .map(s => paretoFront(bCosts.value, lower, upper, popSize, maxIter, seed + s, variant))
       .collect().flatten.sortBy(p => (p._1, p._2))
     var bestB = Double.PositiveInfinity
     val front = merged.filter { case (_, b) => val keep = b < bestB; if (keep) bestB = b; keep }
@@ -769,7 +823,7 @@ object Optimize {
     val hv = hypervolume2(front, ref)
     val u = math.max(lower, math.min(upper, minTotal / math.max(costs.length, 1)))
     val uniHv = hypervolume2(Array((costs.map(_ * u).sum, -u * costs.length)), ref)
-    Seq(("NSGA2", front.length.toLong, hv, front.length >= 2, hv > uniHv))
+    Seq((algorithm, front.length.toLong, hv, front.length >= 2, hv > uniHv))
       .toDF("algorithm", "front_size", "hypervolume", "has_front", "beats_uniform")
   }
 }

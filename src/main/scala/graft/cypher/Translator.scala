@@ -459,8 +459,9 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
           .getOrElse(argv(1).asInstanceOf[String])
         val algoName = confStr(Seq("algorithm"))
           .orElse(argv.lift(2).collect { case s: String => s }).getOrElse("Jaya")
-        if (algoName.equalsIgnoreCase("NSGA2") || algoName.equalsIgnoreCase("NSGA-II"))
-          graft.algo.Optimize.orSolveParetoNodes(g, label, costProp,
+        val paretoNames = Set("nsga2", "nsgaii", "motlbo", "moraode", "morao")
+        if (paretoNames.contains(algoName.toLowerCase.replace("-", "")))
+          graft.algo.Optimize.orSolveParetoNodes(g, label, costProp, algoName,
             minTotal = confNum(Seq("min_total", "minTotal"), numArg(0, 0.0)),
             popSize = confNum(Seq("population_size", "populationSize"), 40).toInt,
             maxIter = confNum(Seq("max_iterations", "maxIterations"), 60).toInt)

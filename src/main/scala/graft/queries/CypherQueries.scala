@@ -263,6 +263,19 @@ object CypherQueries {
         |YIELD algorithm, has_front, beats_uniform
         |RETURN algorithm, has_front, beats_uniform""".stripMargin) _),
 
+    // the other two MOO families (reference motlbo.rs / mo_rao_de.rs)
+    // through the same Pareto harness and contract
+    "q_cypher_or_solve_motlbo" -> (run(
+      """CALL algo.or.solve({label: 'Supplier', costProperty: 'balance',
+        |                    algorithm: 'MOTLBO', minTotal: 20})
+        |YIELD algorithm, has_front, beats_uniform
+        |RETURN algorithm, has_front, beats_uniform""".stripMargin) _),
+    "q_cypher_or_solve_moraode" -> (run(
+      """CALL algo.or.solve({label: 'Supplier', costProperty: 'balance',
+        |                    algorithm: 'MORaoDE', minTotal: 20})
+        |YIELD algorithm, has_front, beats_uniform
+        |RETURN algorithm, has_front, beats_uniform""".stripMargin) _),
+
     // two of the newer single-objective families (reference rao.rs variants /
     // samp_jaya.rs) through the same contract
     "q_cypher_or_solve_rao2" -> (run(
@@ -447,6 +460,10 @@ object CypherQueries {
       "SELECT CAST(count(*) AS BIGINT) AS n_nations, true AS dup_create_throws FROM nation",
     "q_cypher_or_solve_nsga2" ->
       "SELECT 'NSGA2' AS algorithm, true AS has_front, true AS beats_uniform",
+    "q_cypher_or_solve_motlbo" ->
+      "SELECT 'MOTLBO' AS algorithm, true AS has_front, true AS beats_uniform",
+    "q_cypher_or_solve_moraode" ->
+      "SELECT 'MORaoDE' AS algorithm, true AS has_front, true AS beats_uniform",
     "q_cypher_or_solve_rao2" ->
       "SELECT 'Rao2' AS algorithm, true AS feasible, true AS beats_uniform",
     "q_cypher_or_solve_sampjaya" ->

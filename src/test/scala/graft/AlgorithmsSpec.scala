@@ -112,19 +112,21 @@ class AlgorithmsSpec extends SparkSpec {
     }
   }
 
-  test("or.solve NSGA-II: Pareto front spans the cost/allocation trade-off") {
+  test("Pareto families: NSGA-II, MOTLBO, MO-Rao-DE span the trade-off") {
     import graft.model.PropertyGraph
     val nodes = (1L to 6L).map(i => (i, Seq("Item"), i * 10.0)).toDF("id", "labels", "cost")
     val edges = Seq.empty[(Long, Long, Long, String)].toDF("id", "src", "dst", "relationship")
-    val df = graft.algo.Optimize.orSolveParetoNodes(
-      PropertyGraph(nodes, edges), "Item", "cost", minTotal = 2.0,
-      popSize = 30, maxIter = 40, starts = 2)
-    val row = df.head()
-    assert(row.getAs[String]("algorithm") == "NSGA2")
-    assert(row.getAs[Long]("front_size") >= 2L, "front collapsed to a point")
-    assert(row.getAs[Boolean]("has_front"))
-    assert(row.getAs[Boolean]("beats_uniform"))
-    assert(row.getAs[Double]("hypervolume") > 0.0)
+    for (alg <- Seq("NSGA2", "MOTLBO", "MORaoDE")) {
+      val df = graft.algo.Optimize.orSolveParetoNodes(
+        PropertyGraph(nodes, edges), "Item", "cost", alg, minTotal = 2.0,
+        popSize = 30, maxIter = 40, starts = 2)
+      val row = df.head()
+      assert(row.getAs[String]("algorithm") == alg)
+      assert(row.getAs[Long]("front_size") >= 2L, s"$alg front collapsed to a point")
+      assert(row.getAs[Boolean]("has_front"), alg)
+      assert(row.getAs[Boolean]("beats_uniform"), alg)
+      assert(row.getAs[Double]("hypervolume") > 0.0, alg)
+    }
   }
 
   test("pca: first component of a line cloud explains ~all variance") {
