@@ -17,14 +17,14 @@ import org.apache.spark.sql.functions._
   * bounded by the label's cardinality, the same in-memory commitment it
   * makes collecting node costs.
   *
-  * Twenty-one single-objective kernel families (the reference ships ~15 base
-  * families plus variants, `crates/samyama-optimization/src/algorithms/` —
-  * 30 files), each implemented from its standard published formulation: Jaya
-  * (the reference's default), SA, TLBO, PSO, DE (rand/1/bin), GWO, HS, ABC,
-  * GA (real-coded), Firefly, Cuckoo (Lévy flights), Bat, Rao-1/-2/-3,
-  * QO-Jaya (quasi-oppositional), SAMP-Jaya (self-adaptive multi-population),
-  * FPA (flower pollination), GSA (gravitational search), BMR and BWR
-  * (best-mean/worst-random). All share the restart-parallel harness and the
+  * Twenty-five single-objective kernel families (the reference ships ~15
+  * base families plus variants, `crates/samyama-optimization/src/algorithms/`
+  * — 30 files), each implemented from its standard published formulation:
+  * Jaya (the reference's default), SA, TLBO, ITLBO, GOTLBO, PSO, DE
+  * (rand/1/bin), GWO, HS, ABC, GA (real-coded), Firefly, Cuckoo (Lévy
+  * flights), Bat, Rao-1/-2/-3, QO-Jaya and QO-Rao (quasi-oppositional),
+  * SAMP-Jaya (self-adaptive multi-population), FPA (flower pollination),
+  * GSA (gravitational search), BMR, BWR and BMWR (best-mean/worst-random). All share the restart-parallel harness and the
   * (fitness, seed) deterministic winner. NSGA-II (`nsga2.rs` — the
   * reference's multi-objective capability) runs through the same
   * restart-parallel harness with a cross-start non-dominated merge; see
@@ -433,6 +433,107 @@ object Optimize {
           m = if (cur < prevBest) math.min(m + 1, math.max(popSize / 4, 1))
               else math.max(m - 1, 1)
           prevBest = cur
+        }
+        val bi = fit.indices.minBy(fit)
+        (fit(bi), pop(bi))
+
+      case "qorao" => // quasi-oppositional Rao-1: the QO-Jaya machinery
+        // (QO init + QO jumping) around the parameter-free Rao-1 move
+        def quasiOppositeR(x: Array[Double]): Array[Double] = Array.tabulate(obj.dim) { d =>
+          val c = (lower + upper) / 2.0
+          val o = lower + upper - x(d)
+          val (a, b) = if (c < o) (c, o) else (o, c)
+          a + rnd.nextDouble() * (b - a)
+        }
+        def keepBestR(cands: Array[Array[Double]]): (Array[Array[Double]], Array[Double]) = {
+          val scored = cands.map(x => (obj(x), x)).sortBy(_._1).take(popSize)
+          (scored.map(_._2), scored.map(_._1))
+        }
+        var (pop, fit) = keepBestR(Array.fill(popSize)(randX()).flatMap(x => Seq(x, quasiOppositeR(x))))
+        for (_ <- 1 to maxIter) {
+          val bi = fit.indices.minBy(fit)
+          val wi = fit.indices.maxBy(fit)
+          for (k <- pop.indices) {
+            val cand = Array.tabulate(obj.dim)(d =>
+              obj.clamp(pop(k)(d) + rnd.nextDouble() * (pop(bi)(d) - pop(wi)(d))))
+            val fc = obj(cand)
+            if (fc < fit(k)) { pop(k) = cand; fit(k) = fc }
+          }
+          if (rnd.nextDouble() < 0.3) { // QO jumping
+            val r = keepBestR(pop ++ pop.map(quasiOppositeR))
+            pop = r._1; fit = r._2
+          }
+        }
+        val bi = fit.indices.minBy(fit)
+        (fit(bi), pop(bi))
+
+      case "itlbo" | "gotlbo" => // improved / generalized-oppositional TLBO:
+        // the TLBO teacher+learner phases plus, per the published variants,
+        // an elite-replacement step (ITLBO, Rao & Patel 2013) or
+        // opposition-based generation jumping (GOTLBO, Chen et al. 2016)
+        val isGo = algorithm.equalsIgnoreCase("gotlbo")
+        var pop = Array.fill(popSize)(randX())
+        var fit = pop.map(obj(_))
+        val nElite = math.max(1, popSize / 10)
+        for (_ <- 1 to maxIter) {
+          val bi = fit.indices.minBy(fit)
+          val mean = Array.tabulate(obj.dim)(d => pop.map(_(d)).sum / popSize)
+          for (k <- pop.indices) { // teacher phase
+            val tf = 1 + rnd.nextInt(2)
+            val cand = Array.tabulate(obj.dim)(d =>
+              obj.clamp(pop(k)(d) + rnd.nextDouble() * (pop(bi)(d) - tf * mean(d))))
+            val fc = obj(cand)
+            if (fc < fit(k)) { pop(k) = cand; fit(k) = fc }
+          }
+          for (k <- pop.indices) { // learner phase
+            val o = rnd.nextInt(popSize)
+            if (o != k) {
+              val (from, to) = if (fit(o) < fit(k)) (pop(k), pop(o)) else (pop(o), pop(k))
+              val cand = Array.tabulate(obj.dim)(d =>
+                obj.clamp(pop(k)(d) + rnd.nextDouble() * (to(d) - from(d))))
+              val fc = obj(cand)
+              if (fc < fit(k)) { pop(k) = cand; fit(k) = fc }
+            }
+          }
+          if (isGo) {
+            if (rnd.nextDouble() < 0.3) { // generalized-opposition jumping
+              val kj = rnd.nextDouble()
+              val jumped = pop.map(x => Array.tabulate(obj.dim)(d =>
+                obj.clamp(kj * (lower + upper) - x(d))))
+              val scored = (pop ++ jumped).map(x => (obj(x), x)).sortBy(_._1).take(popSize)
+              pop = scored.map(_._2); fit = scored.map(_._1)
+            }
+          } else { // ITLBO elite replacement: worst learners become elites
+            val order = fit.indices.sortBy(fit)
+            val elites = order.take(nElite).map(pop(_).clone())
+            order.takeRight(nElite).zip(elites).foreach { case (w, e) =>
+              pop(w) = e; fit(w) = obj(e)
+            }
+          }
+        }
+        val b2 = fit.indices.minBy(fit)
+        (fit(b2), pop(b2))
+
+      case "bmwr" => // Best-Mean-Worst-Random (Rao 2024 BMR/BWR family):
+        // both the mean pull and the worst repulsion in one move
+        val pop = Array.fill(popSize)(randX())
+        val fit = pop.map(obj(_))
+        for (_ <- 1 to maxIter) {
+          val bi = fit.indices.minBy(fit)
+          val wi = fit.indices.maxBy(fit)
+          val mean = Array.tabulate(obj.dim)(d => pop.map(_(d)).sum / popSize)
+          for (k <- pop.indices) {
+            val cand =
+              if (rnd.nextDouble() > 0.5) Array.tabulate(obj.dim) { d =>
+                val t = 1 + rnd.nextInt(2)
+                val rIdx = pop(rnd.nextInt(popSize))(d)
+                obj.clamp(pop(k)(d) + rnd.nextDouble() * (pop(bi)(d) - t * mean(d))
+                  - rnd.nextDouble() * (pop(wi)(d) - rIdx))
+              }
+              else randX()
+            val fc = obj(cand)
+            if (fc < fit(k)) { pop(k) = cand; fit(k) = fc }
+          }
         }
         val bi = fit.indices.minBy(fit)
         (fit(bi), pop(bi))

@@ -97,13 +97,14 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1.0), (10L, 11L, 2.0)))
   }
 
-  test("or.solve: all twenty-one kernel families find a near-greedy allocation") {
+  test("or.solve: all twenty-five kernel families find a near-greedy allocation") {
     // costs (1, 10, 100), need total >= 1, x in [0,1]: optimum fills the
     // cheapest variable -> fitness ~1; uniform (1/3 each) costs 37
     val costs = Array(1.0, 10.0, 100.0)
     for (alg <- Seq("Jaya", "SA", "TLBO", "PSO", "DE", "GWO", "HS", "ABC",
         "GA", "Firefly", "Cuckoo", "Bat", "Rao", "Rao2", "Rao3", "QOJaya",
-        "SampJaya", "FPA", "GSA", "BMR", "BWR")) {
+        "SampJaya", "FPA", "GSA", "BMR", "BWR", "QORao", "ITLBO", "GOTLBO",
+        "BMWR")) {
       val r = graft.algo.Optimize.orSolve(spark, costs, alg,
         minTotal = 1.0, maxIter = 200, starts = 4)
       assert(r.solution.sum >= 1.0 - 1e-6, s"$alg infeasible")
