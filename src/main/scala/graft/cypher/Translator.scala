@@ -1268,11 +1268,28 @@ object QueryEngine {
       case _ => new Translator(g, params, indexes).translate(CypherParser.parse(cypher))
     }
 
-  /** Our planner's view + Catalyst's — reference EXPLAIN analog. */
+  /** Our planner's view + Catalyst's — reference EXPLAIN analog. Write
+    * statements (EXPLAIN CREATE/MERGE/SET/...) explain WITHOUT executing:
+    * the AST plus the write-path description (the reference's EXPLAIN also
+    * skips execution, `cypher.pest:9`). */
   def explain(cypher: String, g: PropertyGraph,
               params: Map[String, Any] = Map.empty): String = {
     val ast = CypherParser.parse(cypher)
-    val df = new Translator(g, params).translate(ast)
-    s"AST: $ast\n\n${df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))}"
+    if (WriteTranslator.isWrite(ast)) {
+      val writeKinds = ast.first.clauses.collect {
+        case _: CreateClause => "Create"
+        case _: MergeClause => "Merge"
+        case _: SetClause => "SetProperty"
+        case _: RemoveClause => "RemoveProperty"
+        case _: DeleteClause => "Delete"
+        case _: ForeachClause => "Foreach"
+        case c: CallClause => c.proc
+      }
+      s"AST: $ast\n\nWrite statement (${writeKinds.mkString(", ")}) — " +
+        "executes as batch DataFrame transforms through the write path; not executed by EXPLAIN"
+    } else {
+      val df = new Translator(g, params).translate(ast)
+      s"AST: $ast\n\n${df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))}"
+    }
   }
 }

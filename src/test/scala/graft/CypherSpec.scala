@@ -506,6 +506,13 @@ class CypherSpec extends SparkSpec {
     assert(g2.nodes.count() == 4L && g2.nodes.filter($"name".isNull).count() == 0L)
   }
 
+  test("EXPLAIN on a write statement describes without executing") {
+    val out = run("EXPLAIN CREATE (n:Person {id: 99, name: 'Zed'})")
+      .as[String].head()
+    assert(out.contains("Write statement") && out.contains("Create"))
+    assert(g.nodes.count() == 4L) // nothing was written
+  }
+
   test("label counters count only actual changes (idempotent re-run reports 0)") {
     val (g2, s2) = QueryEngine.executeWrite("MATCH (p:Person) SET p:Member", g)
     assert(s2.select("labels_added").as[Long].head() == 3L)
