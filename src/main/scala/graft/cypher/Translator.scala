@@ -1195,16 +1195,17 @@ object QueryEngine {
     * DROP INDEX parse, validate, and return a status row without side
     * effects, and SHOW INDEXES lists the registered vector indexes. */
   private val DdlRe =
-    "(?is)^\\s*(SHOW\\s+(?:INDEXES?|CONSTRAINTS)|CREATE\\s+(?:VECTOR\\s+)?INDEX|DROP\\s+INDEX|CREATE\\s+CONSTRAINT)\\b.*".r
+    ("(?is)^\\s*(SHOW\\s+(?:INDEXES?|CONSTRAINTS|LABELS|RELATIONSHIP\\s+TYPES|PROPERTY\\s+KEYS)|" +
+      "CREATE\\s+(?:VECTOR\\s+)?INDEX|DROP\\s+INDEX|CREATE\\s+CONSTRAINT)\\b.*").r
 
   /** `CREATE CONSTRAINT ON (n:Label) ASSERT n.prop IS UNIQUE`
     * (reference `cypher.pest:21` create_constraint_stmt). */
   private val UniqueConstraintRe =
     "(?is)^\\s*CREATE\\s+CONSTRAINT\\s+ON\\s*\\(\\s*\\w+\\s*:\\s*(\\w+)\\s*\\)\\s*ASSERT\\s+\\w+\\.(\\w+)\\s+IS\\s+UNIQUE\\s*$".r
 
-  private def ddl(spark: org.apache.spark.sql.SparkSession, stmt: String,
-                  indexes: Map[String, (DataFrame, String, String)],
-                  constraints: Set[(String, String)] = Set.empty): DataFrame = {
+  private def ddl(g: PropertyGraph, stmt: String,
+                  indexes: Map[String, (DataFrame, String, String)]): DataFrame = {
+    val spark = g.nodes.sparkSession
     import spark.implicits._
     val norm = stmt.trim.toUpperCase.replaceAll("\\s+", " ")
     if (norm.startsWith("SHOW INDEX")) {
@@ -1212,9 +1213,22 @@ object QueryEngine {
         (("<label-scan>", "LOOKUP", "ONLINE")) // per-label tables, always on
       rows.toDF("name", "type", "state")
     } else if (norm.startsWith("SHOW CONSTRAINTS")) {
-      constraints.toSeq.sorted
+      g.constraints.toSeq.sorted
         .map { case (l, p) => (s"unique_${l}_$p", "UNIQUENESS", l, p) }
         .toDF("name", "type", "label", "property")
+    } else if (norm.startsWith("SHOW LABELS")) {
+      // reference ShowLabelsOperator (operator.rs:5654)
+      g.nodes.select(explode(col("labels")).as("label")).distinct().orderBy(col("label"))
+    } else if (norm.startsWith("SHOW RELATIONSHIP TYPES")) {
+      // reference ShowRelationshipTypesOperator (operator.rs:5694)
+      g.edges.select(col("relationship").as("relationshipType")).distinct()
+        .orderBy(col("relationshipType"))
+    } else if (norm.startsWith("SHOW PROPERTY KEYS")) {
+      // reference ShowPropertyKeysOperator (operator.rs:5734): union of node
+      // and edge property keys — SCHEMA introspection, no data scan
+      val reserved = Set("id", "labels", "src", "dst", "relationship")
+      (g.nodes.columns ++ g.edges.columns).filterNot(reserved).distinct.sorted
+        .toSeq.toDF("propertyKey")
     } else {
       Seq((norm.split(" ").take(3).mkString(" ").toLowerCase, "ok"))
         .toDF("statement", "status")
@@ -1232,7 +1246,7 @@ object QueryEngine {
         val spark = g.nodes.sparkSession
         import spark.implicits._
         Seq(explain(rest, g, params)).toDF("plan")
-      case DdlRe(_*) => ddl(g.nodes.sparkSession, cypher, Map.empty, g.constraints)
+      case DdlRe(_*) => ddl(g, cypher, Map.empty)
       case _ =>
         val ast = CypherParser.parse(cypher)
         if (WriteTranslator.isWrite(ast)) {
@@ -1251,7 +1265,7 @@ object QueryEngine {
     cypher match {
       case UniqueConstraintRe(label, prop) =>
         val g2 = g.copy(constraints = g.constraints + ((label, prop)))
-        (g2, ddl(g.nodes.sparkSession, cypher, Map.empty, g2.constraints))
+        (g2, ddl(g2, cypher, Map.empty))
       case _ =>
         val r = WriteTranslator.execute(CypherParser.parse(cypher), g, params)
         (r.graph, r.summary)
@@ -1264,7 +1278,7 @@ object QueryEngine {
                          params: Map[String, Any],
                          indexes: Map[String, (DataFrame, String, String)]): DataFrame =
     cypher match {
-      case DdlRe(_*) => ddl(g.nodes.sparkSession, cypher, indexes)
+      case DdlRe(_*) => ddl(g, cypher, indexes)
       case _ => new Translator(g, params, indexes).translate(CypherParser.parse(cypher))
     }
 

@@ -287,6 +287,12 @@ object CypherQueries {
         |YIELD algorithm, feasible, beats_uniform
         |RETURN algorithm, feasible, beats_uniform""".stripMargin) _),
 
+    // introspection surface (reference ShowLabels/RelationshipTypes/
+    // PropertyKeys operators, operator.rs:5654-5785)
+    "q_cypher_show_labels" -> (run("SHOW LABELS") _),
+    "q_cypher_show_reltypes" -> (run("SHOW RELATIONSHIP TYPES") _),
+    "q_cypher_show_propkeys" -> (run("SHOW PROPERTY KEYS") _),
+
     // unique-constraint ENFORCEMENT (reference src/index/manager.rs:99-126
     // check_unique_constraint): CREATE CONSTRAINT registers the (label,
     // property) pair; a constrained MERGE of an existing value dedups
@@ -458,6 +464,12 @@ object CypherQueries {
       "SELECT CAST(count(*) AS BIGINT) AS n_written, true AS feasible, true AS in_bounds FROM supplier",
     "q_cypher_unique_constraint" ->
       "SELECT CAST(count(*) AS BIGINT) AS n_nations, true AS dup_create_throws FROM nation",
+    "q_cypher_show_labels" ->
+      "SELECT * FROM (VALUES ('Customer'), ('Lineitem'), ('Nation'), ('Order'), ('Part'), ('Region'), ('Supplier')) t(label) ORDER BY 1",
+    "q_cypher_show_reltypes" ->
+      "SELECT * FROM (VALUES ('CONTAINS'), ('HAS_PART'), ('IN_NATION'), ('IN_REGION'), ('PLACED'), ('SUPPLIED_BY')) t(relationshipType) ORDER BY 1",
+    "q_cypher_show_propkeys" ->
+      "SELECT * FROM (VALUES ('balance'), ('name'), ('weight')) t(propertyKey) ORDER BY 1",
     "q_cypher_or_solve_nsga2" ->
       "SELECT 'NSGA2' AS algorithm, true AS has_front, true AS beats_uniform",
     "q_cypher_or_solve_motlbo" ->
