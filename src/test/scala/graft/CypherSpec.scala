@@ -506,6 +506,24 @@ class CypherSpec extends SparkSpec {
     assert(g2.nodes.count() == 4L && g2.nodes.filter($"name".isNull).count() == 0L)
   }
 
+  test("constraints survive unrelated mutations (DELETE then duplicate CREATE)") {
+    val (g2, _) = QueryEngine.executeWrite(
+      "CREATE CONSTRAINT ON (n:Person) ASSERT n.name IS UNIQUE", g)
+    val (g3, _) = QueryEngine.executeWrite(
+      "MATCH (c:Company {name: 'Acme'}) DETACH DELETE c", g2)
+    assert(g3.constraints == Set(("Person", "name")))
+    intercept[IllegalStateException] {
+      QueryEngine.executeWrite("CREATE (n:Person {id: 88, name: 'Bob'})", g3)
+    }
+  }
+
+  test("SHOW LABELS and SHOW PROPERTY KEYS introspect the fixture") {
+    val labels = run("SHOW LABELS").as[String].collect().toSeq
+    assert(labels == Seq("Company", "Engineer", "Person"))
+    val keys = run("SHOW PROPERTY KEYS").as[String].collect().toSeq
+    assert(keys == Seq("age", "city", "name", "since"))
+  }
+
   test("EXPLAIN on a write statement describes without executing") {
     val out = run("EXPLAIN CREATE (n:Person {id: 99, name: 'Zed'})")
       .as[String].head()

@@ -37,6 +37,17 @@ class RdfSpec extends SparkSpec {
       Set(30L, 25L, 1990L).map(v => "\"" + v + "\"^^<http://www.w3.org/2001/XMLSchema#long>"))
   }
 
+  test("roundtrip of a graph with no edges and no non-null props") {
+    val nodes = Seq((7L, Seq("Lonely"), null.asInstanceOf[String], null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "labels", "name", "age")
+    val edges = Seq.empty[(Long, Long, Long, String)].toDF("id", "src", "dst", "relationship")
+    val g2 = PropertyGraph(nodes, edges)
+    val back = Rdf.importGraph(Rdf.parseNTriples(Rdf.toNTriples(Rdf.exportTriples(g2, "http://ex.org/"))), "http://ex.org/")
+    assert(back.nodes.select("id").as[Long].collect().toSeq == Seq(7L))
+    assert(back.nodes.select("labels").as[Seq[String]].head() == Seq("Lonely"))
+    assert(back.edges.count() == 0L)
+  }
+
   test("roundtrip preserves ids, labels, typed props, edges, nasty strings") {
     val base = "http://ex.org/"
     val back = Rdf.importGraph(Rdf.parseNTriples(Rdf.toNTriples(Rdf.exportTriples(g, base))), base)
