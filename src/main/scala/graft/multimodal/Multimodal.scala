@@ -9,14 +9,16 @@ import org.apache.spark.sql.types._
   * typed metadata struct; decode/feature-extraction runs partition-wise so a
   * 100 TB corpus streams through executors without driver involvement.
   *
-  * Codec status: header decode (BMP/PNG/GIF/JPEG dimension parse) and FULL
-  * 24bpp BMP pixel decode ([[decodeBmpPixels]]) are REAL pure-JVM
-  * implementations. Compressed-format pixel decode (PNG/JPEG/audio/video)
-  * is not available in this environment, so that step is a clearly-marked
-  * deterministic STUB ([[stubDecodeFeatures]]) — the Spark-side plumbing
-  * (schema, batching, partitioning, null handling) is real and tested, and
-  * a production build swaps the stub for a JNI/FFmpeg/etc. call with the
-  * same signature.
+  * Codec status: ALL image paths are REAL pure-JVM implementations — header
+  * decode (BMP/PNG/GIF/JPEG dimension parse from bytes), full 24bpp BMP pixel
+  * decode ([[decodeBmpPixels]], hand-rolled codec), and compressed-format
+  * pixel decode ([[decodeImagePixels]], `javax.imageio` — the JDK's
+  * `java.desktop` module ships PNG/JPEG/GIF/TIFF/BMP readers). Feature
+  * extraction ([[decodeFeatures]]) decodes pixels and emits channel
+  * statistics + a luminance histogram; payloads no reader accepts fall back
+  * to a deterministic content-hash feature rather than failing the batch.
+  * Audio/video decode (no JDK codec exists) would plug into the same
+  * `mapPartitions` seam.
   */
 object Multimodal {
 
@@ -122,8 +124,8 @@ object Multimodal {
     * magic bytes and parses the dimensions out of the payload — BMP
     * (BITMAPINFOHEADER, LE), PNG (IHDR, BE), GIF (logical screen, LE),
     * JPEG (SOFn scan). Unknown/truncated payloads decode to
-    * ("unknown", -1, -1) instead of failing the batch. Full pixel decode
-    * stays behind stubDecodeFeatures (codecs aren't in this container). */
+    * ("unknown", -1, -1) instead of failing the batch. (Full pixel decode:
+    * [[decodeBmpPixels]] / [[decodeImagePixels]].) */
   def decodeImageHeaders(media: DataFrame): Dataset[ImageHeader] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -194,7 +196,7 @@ object Multimodal {
           val topDown = hRaw < 0
           val stride = (w * 3 + 3) & ~3
           if (bpp != 24 || compression != 0 || w <= 0 || h == 0 ||
-              off.toLong + stride.toLong * h > b.length) None
+              off < 54 || off.toLong + stride.toLong * h > b.length) None
           else {
             val sums = Array(0L, 0L, 0L)
             var r = 0
@@ -219,28 +221,143 @@ object Multimodal {
       })
   }
 
-  final case class MediaFeatures(media_id: Long, byte_len: Long,
-                                 checksum: Long, feature: Array[Float])
+  /** A COMPLETE PNG with the SAME closed-form pixel function as
+    * [[syntheticBmp]] — channel ch of image pixel (r, c) in BGR order =
+    * (id·7 + r·5 + c·3 + ch·11) mod 256 — encoded through the JDK's real PNG
+    * writer (`javax.imageio`). PNG is lossless, so the q_multimodal_pixels
+    * arithmetic oracle carries over unchanged to the compressed format. */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var r = 0
+    while (r < h) {
+      var c = 0
+      while (c < w) {
+        val bl = ((id * 7 + r * 5 + c * 3) % 256).toInt
+        val g = ((id * 7 + r * 5 + c * 3 + 11) % 256).toInt
+        val rd = ((id * 7 + r * 5 + c * 3 + 22) % 256).toInt
+        img.setRGB(c, r, (rd << 16) | (g << 8) | bl)
+        c += 1
+      }
+      r += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
-  /** STUB decode + feature-extract, partition-wise.
-    *
-    * Real implementation would decode `payload` (image/audio lib) and emit a
-    * model-ready feature tensor; here the "feature" is a deterministic hash
-    * fold of the bytes — same shape, same batching, zero codec deps. The
-    * mapPartitions boundary is exactly where a vectorized/batched native
-    * decoder plugs in. */
-  def stubDecodeFeatures(media: DataFrame, featureDim: Int = 8): Dataset[MediaFeatures] = {
+  /** Media table of full synthetic PNGs (dimensions as [[syntheticBmpMedia]]). */
+  def syntheticPngMedia(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(ids.columns.head).cast("long")).as[Long]
+      .map { id =>
+        val w = (((id % 64) + 64) % 64 + 16).toInt
+        val h = (((id % 48) + 48) % 48 + 16).toInt
+        (id, syntheticPng(id, w, h))
+      }
+      .toDF("media_id", "payload")
+  }
+
+  /** REAL compressed-format pixel decode, partition-wise: `javax.imageio`
+    * (PNG/JPEG/GIF/TIFF/BMP readers ship in the JDK's `java.desktop` module)
+    * reads the payload into a BufferedImage; per-channel means and the
+    * top-left pixel come off the decoded raster — the same output contract
+    * as [[decodeBmpPixels]], so the arithmetic oracle applies to lossless
+    * formats. Undecodable payloads are dropped rather than failing the
+    * batch. Disk-cache is off (`setUseCache(false)`) so decode is pure
+    * in-memory work on the executor. */
+  def decodeImagePixels(media: DataFrame): Dataset[BmpPixels] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          val b = if (bytes == null) Array.empty[Byte] else bytes
+          val img =
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+            catch { case _: Exception => None }
+          img.filter(im => im.getWidth > 0 && im.getHeight > 0).map { im =>
+            val w = im.getWidth; val h = im.getHeight
+            var sb = 0L; var sg = 0L; var sr = 0L
+            var r = 0
+            while (r < h) {
+              var c = 0
+              while (c < w) {
+                val px = im.getRGB(c, r)
+                sr += (px >> 16) & 0xFF; sg += (px >> 8) & 0xFF; sb += px & 0xFF
+                c += 1
+              }
+              r += 1
+            }
+            val n = w.toLong * h
+            val tl = im.getRGB(0, 0)
+            BmpPixels(id, w, h, sb.toDouble / n, sg.toDouble / n, sr.toDouble / n,
+              tl & 0xFF, (tl >> 8) & 0xFF, (tl >> 16) & 0xFF)
+          }
+        }
+      }
+  }
+
+  final case class MediaFeatures(media_id: Long, byte_len: Long,
+                                 checksum: Long, feature: Array[Float])
+
+  /** REAL decode + feature-extract, partition-wise: `javax.imageio` decodes
+    * the payload and the feature is a model-ready channel-statistics vector —
+    * [w/4096, h/4096, meanR/255, meanG/255, meanB/255, then a luminance
+    * histogram filling the remaining dims]. The checksum folds the decoded
+    * pixel stream (decode-order-deterministic, partition-layout-independent).
+    * Payloads no JDK reader accepts (e.g. truncated pixel arrays, audio/video
+    * containers) fall back to the same fold over raw bytes with feature[0..]
+    * derived from the hash — flagged by checksum sign, never failing the
+    * batch. A production audio/video decoder plugs into this exact seam. */
+  def decodeFeatures(media: DataFrame, featureDim: Int = 8): Dataset[MediaFeatures] = {
+    require(featureDim >= 6, s"featureDim must be >= 6, got $featureDim")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
           val b = if (bytes == null) Array.empty[Byte] else bytes
-          var cs = 1125899906842597L // deterministic FNV-ish fold — STUB, not a codec
-          b.foreach(x => cs = cs * 31 + x)
-          val feat = Array.tabulate(featureDim)(i =>
-            (((cs >>> (i * 8)) & 0xFF).toFloat / 255f))
-          MediaFeatures(id, b.length.toLong, cs, feat)
+          val img =
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+            catch { case _: Exception => None }
+          img.filter(im => im.getWidth > 0 && im.getHeight > 0) match {
+            case Some(im) =>
+              val w = im.getWidth; val h = im.getHeight
+              val histDim = featureDim - 5
+              val hist = new Array[Long](histDim)
+              var sb = 0L; var sg = 0L; var sr = 0L
+              var cs = 1125899906842597L
+              var r = 0
+              while (r < h) {
+                var c = 0
+                while (c < w) {
+                  val px = im.getRGB(c, r)
+                  val rd = (px >> 16) & 0xFF; val g = (px >> 8) & 0xFF; val bl = px & 0xFF
+                  sr += rd; sg += g; sb += bl
+                  cs = cs * 31 + (px & 0xFFFFFF)
+                  // integer luma (BT.601 weights scaled by 256)
+                  hist(((rd * 77 + g * 150 + bl * 29) >> 8) * histDim / 256) += 1L
+                  c += 1
+                }
+                r += 1
+              }
+              val n = (w.toLong * h).toFloat
+              val feat = new Array[Float](featureDim)
+              feat(0) = w / 4096f; feat(1) = h / 4096f
+              feat(2) = sr / n / 255f; feat(3) = sg / n / 255f; feat(4) = sb / n / 255f
+              var i = 0
+              while (i < histDim) { feat(5 + i) = hist(i) / n; i += 1 }
+              MediaFeatures(id, b.length.toLong, cs & Long.MaxValue, feat)
+            case None =>
+              var cs = 1125899906842597L
+              b.foreach(x => cs = cs * 31 + x)
+              val feat = Array.tabulate(featureDim)(i =>
+                (((cs >>> (i * 8)) & 0xFF).toFloat / 255f))
+              MediaFeatures(id, b.length.toLong, cs | Long.MinValue, feat)
+          }
         }
       }
   }

@@ -196,14 +196,15 @@ object PipelineQueries {
       Multimodal.resizePlan(Multimodal.mediaFromDocuments(t(s, d, "documents")), 32)
         .orderBy(col("media_id"))),
 
-    // multimodal: partition-wise stub decode — oracle checks byte_len against
-    // DuckDB plus that the checksum is partition-layout-independent (the same
-    // payload decoded under a different partitioning folds identically)
+    // multimodal: partition-wise REAL decode + feature extraction
+    // (javax.imageio) — oracle checks byte_len against DuckDB plus that the
+    // checksum is partition-layout-independent (the same payload decoded
+    // under a different partitioning folds identically)
     "q_multimodal_decode" -> ((s, d) => {
       val media = Multimodal.mediaFromDocuments(t(s, d, "documents"))
-      val f1 = Multimodal.stubDecodeFeatures(media).toDF()
+      val f1 = Multimodal.decodeFeatures(media).toDF()
         .select(col("media_id"), col("byte_len"), col("checksum"))
-      val f2 = Multimodal.stubDecodeFeatures(media.repartition(7)).toDF()
+      val f2 = Multimodal.decodeFeatures(media.repartition(7)).toDF()
         .select(col("media_id"), col("checksum").as("checksum2"))
       f1.join(f2, "media_id")
         .select(col("media_id"), col("byte_len"),
@@ -220,6 +221,23 @@ object PipelineQueries {
     "q_multimodal_pixels" -> ((s, d) => {
       val ids = t(s, d, "documents").filter(col("doc_id") < 50).select(col("doc_id"))
       Multimodal.decodeBmpPixels(Multimodal.syntheticBmpMedia(ids)).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          CypherFunctions.roundC(col("mean_b"), 4).as("mean_b"),
+          CypherFunctions.roundC(col("mean_g"), 4).as("mean_g"),
+          CypherFunctions.roundC(col("mean_r"), 4).as("mean_r"),
+          col("tl_b"), col("tl_g"), col("tl_r"))
+        .orderBy(col("media_id"))
+    }),
+
+    // multimodal: REAL compressed-format pixel decode — the fixture pixels
+    // follow the same closed-form function as q_multimodal_pixels but are
+    // encoded through the JDK's actual PNG writer; decode goes through
+    // javax.imageio's PNG reader (zlib/DEFLATE inflate + defilter). PNG is
+    // lossless, so the identical arithmetic oracle pins every statistic —
+    // this is a true codec roundtrip, not a header parse
+    "q_multimodal_pixels_png" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 50).select(col("doc_id"))
+      Multimodal.decodeImagePixels(Multimodal.syntheticPngMedia(ids)).toDF()
         .select(col("media_id"), col("width"), col("height"),
           CypherFunctions.roundC(col("mean_b"), 4).as("mean_b"),
           CypherFunctions.roundC(col("mean_g"), 4).as("mean_g"),
@@ -374,6 +392,20 @@ object PipelineQueries {
     "q_multimodal_decode" ->
       "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) + 54 AS BIGINT) AS byte_len, true AS deterministic FROM documents ORDER BY 1",
     "q_multimodal_pixels" ->
+      """WITH ids AS (SELECT doc_id AS id, doc_id % 64 + 16 AS w, doc_id % 48 + 16 AS h
+        |             FROM documents WHERE doc_id < 50),
+        |px AS (SELECT id, w, h, rr.g AS r, cc.g AS c
+        |       FROM ids, generate_series(0, 63) AS rr(g), generate_series(0, 79) AS cc(g)
+        |       WHERE rr.g < h AND cc.g < w)
+        |SELECT CAST(id AS BIGINT) AS media_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        | round(avg((id*7 + r*5 + c*3) % 256), 4) AS mean_b,
+        | round(avg((id*7 + r*5 + c*3 + 11) % 256), 4) AS mean_g,
+        | round(avg((id*7 + r*5 + c*3 + 22) % 256), 4) AS mean_r,
+        | CAST((min(id)*7) % 256 AS INTEGER) AS tl_b,
+        | CAST((min(id)*7 + 11) % 256 AS INTEGER) AS tl_g,
+        | CAST((min(id)*7 + 22) % 256 AS INTEGER) AS tl_r
+        |FROM px GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "q_multimodal_pixels_png" ->
       """WITH ids AS (SELECT doc_id AS id, doc_id % 64 + 16 AS w, doc_id % 48 + 16 AS h
         |             FROM documents WHERE doc_id < 50),
         |px AS (SELECT id, w, h, rr.g AS r, cc.g AS c

@@ -56,15 +56,53 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(one.select(CypherFunctions.cot(lit(math.Pi / 4))).as[Double].head() - 1.0) < 1e-12)
   }
 
-  test("multimodal stub decode keeps schema and determinism") {
+  test("multimodal decodeFeatures keeps schema and determinism") {
     val docs = Seq((1L, "abc"), (2L, "defg")).toDF("doc_id", "text")
     val media = Multimodal.mediaFromDocuments(docs)
-    val f = Multimodal.stubDecodeFeatures(media, 4).collect().sortBy(_.media_id)
+    val f = Multimodal.decodeFeatures(media, 6).collect().sortBy(_.media_id)
     // payloads are valid BMP containers: 54-byte header + the text bytes
     assert(f.map(_.byte_len).toSeq == Seq(57L, 58L))
-    assert(f.forall(_.feature.length == 4))
-    val again = Multimodal.stubDecodeFeatures(media, 4).collect().sortBy(_.media_id)
+    assert(f.forall(_.feature.length == 6))
+    val again = Multimodal.decodeFeatures(media, 6).collect().sortBy(_.media_id)
     assert(f.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
+  }
+
+  test("decodeFeatures on a real PNG: channel means land in the feature vector") {
+    val ids = Seq(3L).toDF("id")
+    val media = Multimodal.syntheticPngMedia(ids)
+    val f = Multimodal.decodeFeatures(media, 8).collect().head
+    // decoded path flags checksum non-negative; fallback path sets the sign bit
+    assert(f.checksum >= 0L)
+    val px = Multimodal.decodeImagePixels(media).collect().head
+    assert(math.abs(f.feature(2) - px.mean_r / 255.0) < 1e-5)
+    assert(math.abs(f.feature(4) - px.mean_b / 255.0) < 1e-5)
+    // luminance histogram sums to 1
+    assert(math.abs(f.feature.drop(5).map(_.toDouble).sum - 1.0) < 1e-4)
+  }
+
+  test("decodeImagePixels matches the hand-rolled BMP codec and the closed form") {
+    val ids = Seq(5L, 17L).toDF("id")
+    val viaImageIo = Multimodal.decodeImagePixels(Multimodal.syntheticPngMedia(ids))
+      .collect().sortBy(_.media_id)
+    val viaBmp = Multimodal.decodeBmpPixels(Multimodal.syntheticBmpMedia(ids))
+      .collect().sortBy(_.media_id)
+    assert(viaImageIo.toSeq == viaBmp.toSeq) // two independent codecs agree
+    val p = viaImageIo.head // id=5: closed form (5*7 + r*5 + c*3 + ch*11) % 256
+    assert((p.tl_b, p.tl_g, p.tl_r) == (35, 46, 57))
+  }
+
+  test("decodeImagePixels reads JPEG dimensions; corrupt payloads are dropped not thrown") {
+    val img = new java.awt.image.BufferedImage(20, 10, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    // corrupt BMP: negative pixel-array offset must not crash the partition
+    val badBmp = Multimodal.bmpWrap(4, 4, new Array[Byte](64))
+    badBmp(10) = -1; badBmp(11) = -1; badBmp(12) = -1; badBmp(13) = -1
+    val media = Seq((1L, bos.toByteArray), (2L, "not an image".getBytes), (3L, badBmp))
+      .toDF("media_id", "payload")
+    val got = Multimodal.decodeImagePixels(media).collect()
+    assert(got.length >= 1 && got.exists(p => p.media_id == 1L && p.width == 20 && p.height == 10))
+    assert(Multimodal.decodeBmpPixels(media.filter($"media_id" === 3L)).collect().isEmpty)
   }
 
   test("batch sessionize splits on gap") {
