@@ -17,16 +17,18 @@ import org.apache.spark.sql.functions._
   * bounded by the label's cardinality, the same in-memory commitment it
   * makes collecting node costs.
   *
-  * Twenty-five single-objective kernel families (the reference ships ~15
+  * Twenty-seven single-objective kernel families (the reference ships ~15
   * base families plus variants, `crates/samyama-optimization/src/algorithms/`
   * — 30 files), each implemented from its standard published formulation:
   * Jaya (the reference's default), SA, TLBO, ITLBO, GOTLBO, PSO, DE
   * (rand/1/bin), GWO, HS, ABC, GA (real-coded), Firefly, Cuckoo (Lévy
   * flights), Bat, Rao-1/-2/-3, QO-Jaya and QO-Rao (quasi-oppositional),
   * SAMP-Jaya (self-adaptive multi-population), FPA (flower pollination),
-  * GSA (gravitational search), BMR, BWR and BMWR (best-mean/worst-random). All share the restart-parallel harness and the
-  * (fitness, seed) deterministic winner. NSGA-II (`nsga2.rs` — the
-  * reference's multi-objective capability) runs through the same
+  * GSA (gravitational search), BMR, BWR and BMWR (best-mean/worst-random),
+  * SAPHR (self-adaptive hybrid Rao) and EHR-Jaya (rank-split Jaya/Rao-1).
+  * All share the restart-parallel harness and the (fitness, seed)
+  * deterministic winner. The multi-objective families — NSGA-II, MO-TLBO,
+  * MO-Rao-DE, and the MO-BMR/BWR/BMWR trio — run through the same
   * restart-parallel harness with a cross-start non-dominated merge; see
   * [[orSolveParetoNodes]].
   */
@@ -632,6 +634,79 @@ object Optimize {
         val bi = fit.indices.minBy(fit)
         (fit(bi), pop(bi))
 
+      case "saphr" => // SAPHR — self-adaptive population hybrid Rao (Water
+        // Resources Management 2025, doi:10.1007/s11269-025-04186-7;
+        // reference algorithms/saphr.rs): the three Rao moves compete — each
+        // individual picks a variant proportionally to its Laplace-smoothed
+        // success count, with epsilon-greedy exploration; greedy acceptance
+        // credits the winning variant
+        val epsilon = 0.2
+        val pop = Array.fill(popSize)(randX())
+        val fit = pop.map(obj(_))
+        val success = Array(1.0, 1.0, 1.0)
+        for (_ <- 1 to maxIter) {
+          val bi = fit.indices.minBy(fit)
+          val wi = fit.indices.maxBy(fit)
+          val best = pop(bi); val worst = pop(wi)
+          for (k <- pop.indices) {
+            val chosen =
+              if (rnd.nextDouble() < epsilon) rnd.nextInt(3)
+              else {
+                val pick = rnd.nextDouble() * success.sum
+                if (pick < success(0)) 0
+                else if (pick < success(0) + success(1)) 1
+                else 2
+              }
+            val l = rnd.nextInt(popSize)
+            val kFitter = fit(k) <= fit(l)
+            val cand = Array.tabulate(obj.dim) { d =>
+              val (hi, lo) = if (kFitter) (pop(k)(d), pop(l)(d)) else (pop(l)(d), pop(k)(d))
+              val move = chosen match {
+                case 0 => // Rao-1: parameter-free best-worst pull
+                  rnd.nextDouble() * (best(d) - worst(d))
+                case 1 => // Rao-2: best-worst pull + |.|-ordered interaction
+                  rnd.nextDouble() * (best(d) - worst(d)) +
+                    rnd.nextDouble() * (math.abs(hi) - math.abs(lo))
+                case _ => // Rao-3: |worst| pull + mixed interaction
+                  rnd.nextDouble() * (best(d) - math.abs(worst(d))) +
+                    rnd.nextDouble() * (math.abs(hi) - lo)
+              }
+              obj.clamp(pop(k)(d) + move)
+            }
+            val fc = obj(cand)
+            if (fc < fit(k)) { pop(k) = cand; fit(k) = fc; success(chosen) += 1.0 }
+          }
+        }
+        val bi = fit.indices.minBy(fit)
+        (fit(bi), pop(bi))
+
+      case "ehrjaya" => // EHR-Jaya — rank-classified hybrid Jaya + Rao-1
+        // (Wang et al. 2022, EAAI; reference algorithms/ehrjaya.rs): each
+        // iteration ranks the population; the high-performing top half takes
+        // the Rao-1 best-worst pull, the low-performing bottom half takes the
+        // Jaya best-pull/worst-push; greedy acceptance
+        var pop = Array.fill(popSize)(randX())
+        var fit = pop.map(obj(_))
+        val half = popSize / 2
+        for (_ <- 1 to maxIter) {
+          val order = fit.indices.sortBy(fit).toArray
+          pop = order.map(pop); fit = order.map(fit)
+          val best = pop(0); val worst = pop(popSize - 1)
+          for (k <- pop.indices) {
+            val r1 = rnd.nextDouble(); val r2 = rnd.nextDouble()
+            val cand = Array.tabulate(obj.dim) { d =>
+              val xv = pop(k)(d)
+              if (k < half) obj.clamp(xv + r1 * (best(d) - worst(d)))
+              else obj.clamp(xv + r1 * (best(d) - math.abs(xv))
+                - r2 * (worst(d) - math.abs(xv)))
+            }
+            val fc = obj(cand)
+            if (fc < fit(k)) { pop(k) = cand; fit(k) = fc }
+          }
+        }
+        val bi = fit.indices.minBy(fit)
+        (fit(bi), pop(bi))
+
       case _ => // Jaya (the reference's default)
         val pop = Array.fill(popSize)(randX())
         val fit = pop.map(obj(_))
@@ -841,6 +916,55 @@ object Optimize {
               }
             }
           }
+        case v @ ("mobmr" | "mobwr" | "mobmwr") =>
+          // MO-BMR / MO-BWR / MO-BMWR (Rao 2025/2026, MDPI Metals 15/9/1057 +
+          // Energies 19/1/34 + JMMP 9/8/249; reference
+          // algorithms/mo_bmwr_family.rs): the metaphor-free
+          // best-mean/worst-random move against a random front-0 elite and a
+          // random worst-rank member, with the paper's three extra offspring
+          // sources — bound-reinit diversity, Gaussian local exploration
+          // around elites, and per-objective edge boosting of the front
+          val maxRank = rank.max
+          val worstPool = fs.indices.filter(rank(_) == maxRank)
+          val mean = Array.tabulate(dim)(d => pop.map(_(d)).sum / popSize)
+          val localStep = 0.05; val edgeBoostProb = 0.2
+          val base = Array.tabulate(popSize) { k =>
+            if (rnd.nextDouble() > 0.5) {
+              val bestRef = pop(leader())
+              val worstRef = pop(worstPool(rnd.nextInt(worstPool.size)))
+              val t = 1 + rnd.nextInt(2)
+              var rk = rnd.nextInt(popSize)
+              if (rk == k && popSize > 1) rk = (rk + 1) % popSize
+              val rv = pop(rk)
+              val r1 = rnd.nextDouble(); val r2 = rnd.nextDouble(); val r5 = rnd.nextDouble()
+              Array.tabulate(dim) { d =>
+                val delta = v match {
+                  case "mobmr" => r1 * (bestRef(d) - t * mean(d)) + r2 * (bestRef(d) - rv(d))
+                  case "mobwr" => r1 * (bestRef(d) - t * rv(d)) - r2 * (worstRef(d) - rv(d))
+                  case _ => r1 * (bestRef(d) - t * mean(d)) + r2 * (bestRef(d) - rv(d)) -
+                    r5 * (worstRef(d) - rv(d))
+                }
+                clamp(pop(k)(d) + delta)
+              }
+            } else { // published bound-reinit branch keeps diversity
+              val r3 = rnd.nextDouble()
+              Array.fill(dim)(clamp(upper - (upper - lower) * r3))
+            }
+          }
+          val local = Array.fill(math.max(popSize / 10, 1)) { // explore near elites
+            val e = pop(leader())
+            Array.tabulate(dim)(d =>
+              clamp(e(d) + localStep * (upper - lower) * rnd.nextGaussian()))
+          }
+          val edges = // occasionally push the per-objective extremes outward
+            if (rnd.nextDouble() < edgeBoostProb)
+              Array.tabulate(2) { m =>
+                val ei = front0.minBy(i => if (m == 0) fs(i)._1 else fs(i)._2)
+                Array.tabulate(dim)(d =>
+                  clamp(pop(ei)(d) + 0.5 * localStep * (upper - lower) * rnd.nextGaussian()))
+              }
+            else Array.empty[Array[Double]]
+          base ++ local ++ edges
         case _ => // NSGA-II: tournament + SBX + polynomial mutation
           def tourney(): Array[Double] = {
             val a = rnd.nextInt(pop.length); val b = rnd.nextInt(pop.length)
@@ -911,6 +1035,9 @@ object Optimize {
     val variant = algorithm.toLowerCase.replace("-", "") match {
       case "motlbo" => "motlbo"
       case "moraode" | "moraode1" | "morao" => "moraode"
+      case "mobmr" => "mobmr"
+      case "mobwr" => "mobwr"
+      case "mobmwr" => "mobmwr"
       case _ => "nsga2"
     }
     val (_, costs) = labelCosts(g, label, costProp)

@@ -459,7 +459,8 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
           .getOrElse(argv(1).asInstanceOf[String])
         val algoName = confStr(Seq("algorithm"))
           .orElse(argv.lift(2).collect { case s: String => s }).getOrElse("Jaya")
-        val paretoNames = Set("nsga2", "nsgaii", "motlbo", "moraode", "morao")
+        val paretoNames = Set("nsga2", "nsgaii", "motlbo", "moraode", "morao",
+          "mobmr", "mobwr", "mobmwr")
         if (paretoNames.contains(algoName.toLowerCase.replace("-", "")))
           graft.algo.Optimize.orSolveParetoNodes(g, label, costProp, algoName,
             minTotal = confNum(Seq("min_total", "minTotal"), numArg(0, 0.0)),

@@ -237,7 +237,8 @@ object WriteTranslator {
           keys.iterator.flatMap(conf.get).collectFirst { case s: String => s }
         val label = cStr(Seq("label")).getOrElse(throw new IllegalArgumentException(
           "or.solve write-back needs a 'label' config key"))
-        val writeProp = cStr(Seq("writeProperty", "write_property")).get
+        val writeProp = cStr(Seq("writeProperty", "write_property")).getOrElse(
+          throw new IllegalArgumentException("or.solve writeProperty must be a string"))
         val (g2, nWritten) = graft.algo.Optimize.orSolveNodesWrite(
           g, label,
           cStr(Seq("cost_property", "costProperty", "property")).getOrElse("cost"),

@@ -287,6 +287,24 @@ object CypherQueries {
         |YIELD algorithm, feasible, beats_uniform
         |RETURN algorithm, feasible, beats_uniform""".stripMargin) _),
 
+    // the last three reference families (saphr.rs — self-adaptive selection
+    // over the Rao-1/2/3 moves; ehrjaya.rs — rank-split Jaya/Rao-1 hybrid;
+    // mo_bmwr_family.rs — Pareto BMWR with elite seeding/local
+    // exploration/edge boosting), completing 29/29 solver coverage
+    "q_cypher_or_solve_saphr" -> (run(
+      """CALL algo.or.solve('Supplier', 'balance', 'SAPHR', 20)
+        |YIELD algorithm, feasible, beats_uniform
+        |RETURN algorithm, feasible, beats_uniform""".stripMargin) _),
+    "q_cypher_or_solve_ehrjaya" -> (run(
+      """CALL algo.or.solve('Supplier', 'balance', 'EHRJaya', 20)
+        |YIELD algorithm, feasible, beats_uniform
+        |RETURN algorithm, feasible, beats_uniform""".stripMargin) _),
+    "q_cypher_or_solve_mobmwr" -> (run(
+      """CALL algo.or.solve({label: 'Supplier', costProperty: 'balance',
+        |                    algorithm: 'MO-BMWR', minTotal: 20})
+        |YIELD algorithm, has_front, beats_uniform
+        |RETURN algorithm, has_front, beats_uniform""".stripMargin) _),
+
     // introspection surface (reference ShowLabels/RelationshipTypes/
     // PropertyKeys operators, operator.rs:5654-5785)
     "q_cypher_show_labels" -> (run("SHOW LABELS") _),
@@ -478,6 +496,12 @@ object CypherQueries {
       "SELECT 'MORaoDE' AS algorithm, true AS has_front, true AS beats_uniform",
     "q_cypher_or_solve_rao2" ->
       "SELECT 'Rao2' AS algorithm, true AS feasible, true AS beats_uniform",
+    "q_cypher_or_solve_saphr" ->
+      "SELECT 'SAPHR' AS algorithm, true AS feasible, true AS beats_uniform",
+    "q_cypher_or_solve_ehrjaya" ->
+      "SELECT 'EHRJaya' AS algorithm, true AS feasible, true AS beats_uniform",
+    "q_cypher_or_solve_mobmwr" ->
+      "SELECT 'MO-BMWR' AS algorithm, true AS has_front, true AS beats_uniform",
     "q_cypher_or_solve_sampjaya" ->
       "SELECT 'SampJaya' AS algorithm, true AS feasible, true AS beats_uniform",
     "q_cypher_write_merge_rel" ->

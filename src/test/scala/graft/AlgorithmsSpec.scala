@@ -97,14 +97,14 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1.0), (10L, 11L, 2.0)))
   }
 
-  test("or.solve: all twenty-five kernel families find a near-greedy allocation") {
+  test("or.solve: all twenty-seven kernel families find a near-greedy allocation") {
     // costs (1, 10, 100), need total >= 1, x in [0,1]: optimum fills the
     // cheapest variable -> fitness ~1; uniform (1/3 each) costs 37
     val costs = Array(1.0, 10.0, 100.0)
     for (alg <- Seq("Jaya", "SA", "TLBO", "PSO", "DE", "GWO", "HS", "ABC",
         "GA", "Firefly", "Cuckoo", "Bat", "Rao", "Rao2", "Rao3", "QOJaya",
         "SampJaya", "FPA", "GSA", "BMR", "BWR", "QORao", "ITLBO", "GOTLBO",
-        "BMWR")) {
+        "BMWR", "SAPHR", "EHRJaya")) {
       val r = graft.algo.Optimize.orSolve(spark, costs, alg,
         minTotal = 1.0, maxIter = 200, starts = 4)
       assert(r.solution.sum >= 1.0 - 1e-6, s"$alg infeasible")
@@ -113,11 +113,11 @@ class AlgorithmsSpec extends SparkSpec {
     }
   }
 
-  test("Pareto families: NSGA-II, MOTLBO, MO-Rao-DE span the trade-off") {
+  test("Pareto families: NSGA-II, MOTLBO, MO-Rao-DE, MO-BMR/BWR/BMWR span the trade-off") {
     import graft.model.PropertyGraph
     val nodes = (1L to 6L).map(i => (i, Seq("Item"), i * 10.0)).toDF("id", "labels", "cost")
     val edges = Seq.empty[(Long, Long, Long, String)].toDF("id", "src", "dst", "relationship")
-    for (alg <- Seq("NSGA2", "MOTLBO", "MORaoDE")) {
+    for (alg <- Seq("NSGA2", "MOTLBO", "MORaoDE", "MO-BMR", "MO-BWR", "MO-BMWR")) {
       val df = graft.algo.Optimize.orSolveParetoNodes(
         PropertyGraph(nodes, edges), "Item", "cost", alg, minTotal = 2.0,
         popSize = 30, maxIter = 40, starts = 2)
