@@ -3,7 +3,6 @@ package graft.cypher
 import Ast._
 import graft.model.{GraphMutations, PropertyGraph}
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cypher write statements (reference `cypher.pest` create/merge/set/delete
@@ -195,20 +194,26 @@ object WriteTranslator {
             val pairs = readFrame(Seq(
               ReturnItem(Fn("id", Seq(Var(a))), Some("_src")),
               ReturnItem(Fn("id", Seq(Var(b))), Some("_dst")))).distinct()
-            // bounded creates: the single-partition window only orders the
-            // newly created rows, never the graph
-            val w = Window.orderBy(col("_src"), col("_dst"))
             val propCols = r.props.map { case (k, e) =>
               val c = constCol(e)
               edgeTypes.get(k).map(c.cast).getOrElse(c).as(k)
             }
-            val rows = pairs.withColumn("id", lit(nextEdgeBase) + row_number().over(w).cast("long"))
+            // partition-parallel id assignment (same shape as the MERGE
+            // path): max-id offset + monotonically_increasing_id — bulk
+            // MATCH…CREATE is the natural ingest idiom and must not
+            // serialize through a single-partition Window sort. The
+            // localCheckpoint PINS the nondeterministic ids before they
+            // enter the graph lineage; ids are sparse by design
+            val rows = pairs.withColumn("id",
+              lit(nextEdgeBase) + lit(1L) + monotonically_increasing_id())
               .select(Seq(col("id"), col("_src").cast("long").as("src"),
                 col("_dst").cast("long").as("dst"),
                 lit(r.types.headOption.getOrElse("RELATED")).as("relationship")) ++ propCols: _*)
+              .localCheckpoint()
             val nRows = rows.count()
             rCreated += nRows
-            nextEdgeBase += nRows
+            if (nRows > 0)
+              nextEdgeBase = rows.agg(max(col("id"))).first().getLong(0)
             cur = GraphMutations.createEdges(cur, rows)
           }
         }
@@ -281,12 +286,16 @@ object WriteTranslator {
         // partition-parallel id assignment: max-id offset + monotonically
         // increasing ids (unique per statement, sparse by design) — a
         // Window.orderBy here would serialize every new edge through one
-        // partition, the wrong shape for bulk ingest
+        // partition, the wrong shape for bulk ingest. localCheckpoint PINS
+        // the nondeterministic id expression: without it every downstream
+        // action (summary count, later MATCHes, AQE replans, task retries)
+        // could re-evaluate it and hand the same edge different ids
         val rows = missing.withColumn("id",
           lit(base) + lit(1L) + monotonically_increasing_id())
           .select(Seq(col("id"), col("_src").cast("long").as("src"),
             col("_dst").cast("long").as("dst"),
             lit(relType).as("relationship")) ++ createProps: _*)
+          .localCheckpoint()
         val nNew = rows.count()
         var cur = GraphMutations.createEdges(g, rows)
         var nSet = 0L
