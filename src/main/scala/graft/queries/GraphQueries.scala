@@ -253,6 +253,39 @@ object GraphQueries {
         .toDF("n_nodes", "n_edges", "nodes_roundtrip", "edges_roundtrip")
     }),
 
+    // Turtle serialization roundtrip (reference
+    // src/rdf/serialization/turtle.rs — the reference ships four RDF
+    // formats): export Nation/Region+IN_REGION as triples, serialize to
+    // prefixed Turtle, parse back, and prove the (s,p,o) term set survives
+    // BYTE-exactly — serialize→parse is the format-specific machinery;
+    // triples→graph is shared with (and proven by) q_rdf_roundtrip
+    "q_rdf_turtle" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      val nodes = g.nodesWithLabel("Nation").unionByName(g.nodesWithLabel("Region"))
+      val ids = nodes.select(col("id"))
+      val edges = g.edgesOfType("IN_REGION")
+        .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      val sub = graft.model.PropertyGraph(nodes, edges)
+      val base = "http://graft.local/"
+      // cut BOTH lineages: orig appears in three branches of the tagged
+      // union below and back's parse feeds off orig's serialization — one
+      // checkpoint each keeps the compare a single cheap action
+      // (q_rdf_roundtrip's pattern)
+      val orig = graft.rdf.Rdf.exportTriples(sub, base).localCheckpoint(true)
+      // ...and the serialized lines too: parseTurtle reads them twice
+      // (prefix-directive collect + body parse)
+      val ttl = graft.rdf.Rdf.toTurtle(orig, base).localCheckpoint(true)
+      val back = graft.rdf.Rdf.parseTurtle(ttl).localCheckpoint(true)
+      import s.implicits._
+      val m = orig.exceptAll(back).select(lit("diff").as("t"))
+        .unionAll(back.exceptAll(orig).select(lit("diff").as("t")))
+        .unionAll(back.select(lit("n_triples").as("t")))
+        .groupBy(col("t")).count().as[(String, Long)].collect().toMap
+      Seq((m.getOrElse("n_triples", 0L), !m.contains("diff")))
+        .toDF("n_triples", "triples_roundtrip")
+    }),
+
     // §2.10 algo.mst (reference mst.rs:41) — Borůvka on the nation trade
     // graph (edge weight = #trades between the two nations); (w,a,b)
     // tie-break makes the forest unique, so the oracle's Prim chain (24
@@ -425,6 +458,11 @@ object GraphQueries {
       """SELECT CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM nation) + (SELECT count(*) FROM region) AS BIGINT) AS n_nodes,
         | CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM nation) AS BIGINT) AS n_edges,
         | true AS nodes_roundtrip, true AS edges_roundtrip""".stripMargin,
+    "q_rdf_turtle" ->
+      // 2 triples per node (label + name), 5 per edge (direct + 4 reification)
+      """SELECT CAST(2 * ((SELECT count(*) FROM nation) + (SELECT count(*) FROM region))
+        |   + 5 * (SELECT count(*) FROM nation) AS BIGINT) AS n_triples,
+        | true AS triples_roundtrip""".stripMargin,
     "q_mst" -> mstOracle(24),
     "q_maxflow" ->
       """SELECT round(sum(least(20, tot)), 1) AS max_flow FROM (

@@ -46,6 +46,17 @@ object Rdf {
   private def iri(prefix: String, c: Column): Column =
     concat(lit("<" + prefix), c, lit(">"))
 
+  /** IRI path-segment percent-encoding for label/type/key names: a name with
+    * a space, '>', or non-ASCII would otherwise emit an invalid N-Triples
+    * IRI that the whitespace-based term regex splits mid-term. `url_encode`
+    * is form-encoding (space → '+'), so '+' is patched to %20; the inverse
+    * is plain `url_decode`, which accepts %20. */
+  private def encSeg(c: Column): Column = regexp_replace(url_encode(c), "\\+", "%20")
+  private def decSeg(c: Column): Column = url_decode(c)
+  /** Scala-side twin of [[encSeg]] for schema-derived (driver-side) names. */
+  private def encSeg(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+
   /** XSD datatype for a Spark column type; None = not exportable (arrays,
     * structs, binaries — the multimodal columns stay in parquet). */
   private def xsdOf(dt: DataType): Option[String] = dt match {
@@ -70,18 +81,18 @@ object Rdf {
         .flatMap(f => xsdOf(f.dataType).map(x => (f.name, x)))
         .map { case (k, x) =>
           df.filter(col(k).isNotNull).select(subj.as("s"),
-            lit("<" + base + "prop/" + k + ">").as("p"), literal(col(k), x).as("o"))
+            lit("<" + base + "prop/" + encSeg(k) + ">").as("p"), literal(col(k), x).as("o"))
         }
 
     val labelT = g.nodes.select(nodeIri.as("s"), explode(col("labels")).as("_l"))
       .select(col("s"), lit("<" + RdfNs + "type>").as("p"),
-        iri(base + "label/", col("_l")).as("o"))
+        iri(base + "label/", encSeg(col("_l"))).as("o"))
     val nodePropT = propTriples(g.nodes, nodeIri, Set("id", "labels"))
 
     val srcIri = iri(base + "node/", col("src").cast("string"))
     val dstIri = iri(base + "node/", col("dst").cast("string"))
     val edgeIri = iri(base + "edge/", col("id").cast("string"))
-    val relIri = iri(base + "rel/", col("relationship"))
+    val relIri = iri(base + "rel/", encSeg(col("relationship")))
     val directT = g.edges.select(srcIri.as("s"), relIri.as("p"), dstIri.as("o"))
     val reifT = Seq(
       ("type", lit("<" + RdfNs + "Statement>")),
@@ -99,6 +110,86 @@ object Rdf {
     import triples.sparkSession.implicits._
     triples.select(concat(col("s"), lit(" "), col("p"), lit(" "), col("o"), lit(" ."))
       .as("line")).as[String]
+  }
+
+  /** Deterministic Turtle prefix table for a base IRI. */
+  private def turtlePrefixes(base: String): Seq[(String, String)] = Seq(
+    "rdf" -> RdfNs, "xsd" -> XsdNs,
+    "gn" -> (base + "node/"), "ge" -> (base + "edge/"),
+    "gl" -> (base + "label/"), "gr" -> (base + "rel/"),
+    "gp" -> (base + "prop/"))
+
+  /** Turtle PN_LOCAL subset our IRIs produce: alnum/_/% start, no final dot.
+    * Percent escapes are legal PN_LOCAL per the grammar, so encoded segments
+    * shorten cleanly; anything else stays a full `<IRI>`. */
+  private val SafeLocal = "[A-Za-z0-9_%](?:[A-Za-z0-9_.%-]*[A-Za-z0-9_%-])?"
+
+  /** Triples → Turtle text lines (reference
+    * `src/rdf/serialization/turtle.rs` — a rio_turtle formatter; here the
+    * @prefix header is seven literal rows and every body line is a
+    * partition-parallel projection that shortens matching IRIs to prefixed
+    * names and `rdf:type` to the grammar's `a` verb). One statement per
+    * line — valid Turtle, no subject grouping state needed. */
+  def toTurtle(triples: DataFrame, base: String): Dataset[String] = {
+    require(base.endsWith("/"), "base IRI must end with '/'")
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val prefixes = turtlePrefixes(base)
+    def shortenIri(c: Column): Column =
+      // longest namespace first so <base>node/… binds to gn:, not a base prefix
+      prefixes.sortBy { case (_, ns) => -ns.length }.foldRight(c) {
+        case ((pfx, ns), acc) =>
+          val q = java.util.regex.Pattern.quote(ns)
+          when(c.rlike("^<" + q + SafeLocal + ">$"),
+            concat(lit(pfx + ":"), regexp_extract(c, "^<" + q + "(" + SafeLocal + ")>$", 1)))
+            .otherwise(acc)
+      }
+    def term(c: Column): Column =
+      when(c.startsWith("\""), // typed literal: shorten only the datatype IRI
+        concat(regexp_extract(c, "^(\".*\")\\^\\^<", 1), lit("^^"),
+          shortenIri(regexp_extract(c, "(<[^>]*>)$", 1))))
+        .otherwise(shortenIri(c))
+    val pred = when(col("p") === lit("<" + RdfNs + "type>"), lit("a"))
+      .otherwise(term(col("p")))
+    val header = prefixes.map { case (p, ns) => s"@prefix $p: <$ns> ." }.toDS()
+    header.unionAll(triples.select(
+      concat(term(col("s")), lit(" "), pred, lit(" "), term(col("o")), lit(" ."))
+        .as("value")).as[String])
+  }
+
+  /** Turtle text lines → (s, p, o) term columns, inverting [[toTurtle]]:
+    * @prefix directives are collected (a handful of header rows, never
+    * data), prefixed names and `a` expand back to full IRI terms, typed
+    * literals expand their datatype. Accepts the line-oriented statement
+    * subset [[toTurtle]] emits. */
+  def parseTurtle(lines: Dataset[String]): DataFrame = {
+    val pfxRe = "^@prefix\\s+([A-Za-z0-9_]*):\\s+<([^>]*)>\\s*\\.\\s*$"
+    val prefixes = lines.toDF("line")
+      .filter(col("line").rlike(pfxRe))
+      .select(regexp_extract(col("line"), pfxRe, 1).as("p"),
+        regexp_extract(col("line"), pfxRe, 2).as("ns"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    def expandName(n: Column): Column = prefixes.foldRight(n) {
+      case ((pfx, ns), acc) =>
+        val q = java.util.regex.Pattern.quote(pfx)
+        when(n.rlike("^" + q + ":"),
+          concat(lit("<" + ns), regexp_replace(n, "^" + q + ":", ""), lit(">")))
+          .otherwise(acc)
+    }
+    def expand(c: Column): Column =
+      when(c === "a", lit("<" + RdfNs + "type>"))
+        .when(c.startsWith("\"") && c.rlike("\\^\\^[A-Za-z0-9_]*:\\S*$"),
+          concat(regexp_extract(c, "^(\".*\")\\^\\^", 1), lit("^^"),
+            expandName(regexp_extract(c, "\\^\\^([A-Za-z0-9_]*:\\S*)$", 1))))
+        .when(c.startsWith("\""), c)
+        .otherwise(expandName(c))
+    val re = "^(\\S+)\\s+(\\S+)\\s+(.+?)\\s*\\.\\s*$"
+    lines.toDF("line")
+      .filter(length(trim(col("line"))) > 0 && !col("line").rlike("^\\s*@prefix"))
+      .select(
+        expand(regexp_extract(col("line"), re, 1)).as("s"),
+        expand(regexp_extract(col("line"), re, 2)).as("p"),
+        expand(regexp_extract(col("line"), re, 3)).as("o"))
   }
 
   /** N-Triples text lines → (s, p, o) term columns. Subjects and predicates
@@ -124,7 +215,7 @@ object Rdf {
     val typeP = "<" + RdfNs + "type>"
     val litVal = unesc(regexp_extract(col("o"), "^\"(.*)\"\\^\\^<[^>]*>$", 1))
     val litDt = regexp_extract(col("o"), "\\^\\^<([^>]*)>$", 1)
-    val propKey = regexp_extract(col("p"), "prop/([^/>]+)>$", 1)
+    val propKey = decSeg(regexp_extract(col("p"), "prop/([^/>]+)>$", 1))
     def castBy(dtIri: String, c: Column): Column = dtIri.stripPrefix(XsdNs) match {
       case "long" | "integer" | "int" => c.cast("long")
       case "double" | "decimal" | "float" => c.cast("double")
@@ -154,7 +245,7 @@ object Rdf {
     }
 
     val labels = triples.filter(nodeS && col("p") === typeP)
-      .select(sId.as("id"), regexp_extract(col("o"), "label/([^/>]+)>$", 1).as("_l"))
+      .select(sId.as("id"), decSeg(regexp_extract(col("o"), "label/([^/>]+)>$", 1)).as("_l"))
       .groupBy(col("id")).agg(sort_array(collect_list(col("_l"))).as("labels"))
     val nodes = pivotProps("n", nodeS) match {
       case Some(p) => labels.join(p, Seq("id"), "full")
@@ -167,7 +258,7 @@ object Rdf {
         .select(sId.as("id"), oCol.as(as))
     val core = reifPart("subject", regexp_extract(col("o"), "/(-?\\d+)>$", 1).cast("long"), "src")
       .join(reifPart("object", regexp_extract(col("o"), "/(-?\\d+)>$", 1).cast("long"), "dst"), Seq("id"))
-      .join(reifPart("predicate", regexp_extract(col("o"), "rel/([^/>]+)>$", 1), "relationship"), Seq("id"))
+      .join(reifPart("predicate", decSeg(regexp_extract(col("o"), "rel/([^/>]+)>$", 1)), "relationship"), Seq("id"))
     val edges = pivotProps("e", edgeS) match {
       case Some(p) => core.join(p, Seq("id"), "left")
       case None => core

@@ -60,4 +60,49 @@ class RdfSpec extends SparkSpec {
     val bE = back.edges.select(col("id"), col("src"), col("dst"), col("relationship"), col("weight"))
     assert(aE.exceptAll(bE).isEmpty && bE.exceptAll(aE).isEmpty)
   }
+
+  test("labels/types/keys outside [A-Za-z0-9_] percent-encode and roundtrip") {
+    val nodes = Seq((1L, Seq("My Label>", "Ünïcode"), "x"), (2L, Seq("Plain"), "y"))
+      .toDF("id", "labels", "name")
+    val edges = Seq((10L, 1L, 2L, "HAS SPACE>"))
+      .toDF("id", "src", "dst", "relationship")
+    val g2 = PropertyGraph(nodes, edges)
+    val base = "http://ex.org/"
+    val lines = Rdf.toNTriples(Rdf.exportTriples(g2, base))
+    // encoded IRIs are whitespace-free, so the term regex never splits mid-IRI
+    assert(lines.filter(col("line").contains("label/My%20Label%3E")).count() == 1L)
+    val parsed = Rdf.parseNTriples(lines)
+    assert(parsed.filter(length(col("s")) === 0 || length(col("p")) === 0 ||
+      length(col("o")) === 0).count() == 0L)
+    val back = Rdf.importGraph(Rdf.parseNTriples(lines), base)
+    assert(back.nodes.filter(col("id") === 1L).select(sort_array(col("labels")))
+      .as[Seq[String]].head() == Seq("My Label>", "Ünïcode"))
+    assert(back.edges.select("relationship").as[String].head() == "HAS SPACE>")
+  }
+  test("Turtle roundtrip: prefixed serialize → parse is byte-exact on terms") {
+    val base = "http://ex.org/"
+    val orig = Rdf.exportTriples(g, base)
+    val ttl = Rdf.toTurtle(orig, base).collect()
+    assert(ttl.count(_.startsWith("@prefix")) == 7)
+    // body uses prefixed names and the 'a' verb
+    assert(ttl.exists(l => l.startsWith("gn:1 a gl:")))
+    assert(ttl.exists(_.contains("^^xsd:long")))
+    val back = Rdf.parseTurtle(Rdf.toTurtle(orig, base))
+    assert(orig.exceptAll(back).isEmpty && back.exceptAll(orig).isEmpty)
+  }
+
+  test("Turtle keeps unsafe local names as full IRIs and still roundtrips") {
+    val nodes = Seq((1L, Seq("Has Space", "dot.end."), "x"), (2L, Seq("Plain"), "y"))
+      .toDF("id", "labels", "name")
+    val edges = Seq((10L, 1L, 2L, "REL*STAR")).toDF("id", "src", "dst", "relationship")
+    val g2 = PropertyGraph(nodes, edges)
+    val base = "http://ex.org/"
+    val orig = Rdf.exportTriples(g2, base)
+    val back = Rdf.parseTurtle(Rdf.toTurtle(orig, base))
+    assert(orig.exceptAll(back).isEmpty && back.exceptAll(orig).isEmpty)
+    val g3 = Rdf.importGraph(back, base)
+    assert(g3.nodes.filter(col("id") === 1L).select(sort_array(col("labels")))
+      .as[Seq[String]].head() == Seq("Has Space", "dot.end."))
+    assert(g3.edges.select("relationship").as[String].head() == "REL*STAR")
+  }
 }
