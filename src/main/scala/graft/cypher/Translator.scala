@@ -471,6 +471,21 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
           budget = confNum(Seq("budget"), numArg(1, Double.NaN)),
           popSize = confNum(Seq("population_size", "populationSize"), 30).toInt,
           maxIter = confNum(Seq("max_iterations", "maxIterations"), 100).toInt)
+      case "db.schema.visualization" =>
+        // reference SchemaVisualizationOperator (operator.rs:5784-5833):
+        // distinct (source_label, relationship_type, target_label) triples.
+        // The reference bounds work by sampling 1000 edges per type; the
+        // distinct aggregation here is the exact, scale-safe shape — two
+        // label-dim joins feeding one hash aggregate
+        val srcL = g.nodes.select(col("id").as("src"),
+          explode(col("labels")).as("source_label"))
+        val dstL = g.nodes.select(col("id").as("dst"),
+          explode(col("labels")).as("target_label"))
+        g.edges.select(col("src"), col("dst"),
+            col("relationship").as("relationship_type"))
+          .join(srcL, "src").join(dstL, "dst")
+          .select(col("source_label"), col("relationship_type"), col("target_label"))
+          .distinct()
       case "db.index.vector.querynodes" =>
         val idxName = argv.head.asInstanceOf[String]
         val (emb, idCol, vecCol) = vectorIndexes.getOrElse(idxName,
@@ -1237,16 +1252,29 @@ object QueryEngine {
   }
 
   /** EXPLAIN / PROFILE prefix (reference `cypher.pest:9` explain_clause):
-    * returns the plan as one row instead of executing. */
+    * EXPLAIN returns the plan as one row without executing; PROFILE on a
+    * read statement executes it and appends rows + wall time (ADR-014). */
   private val ExplainRe = "(?is)^\\s*(EXPLAIN|PROFILE)\\b(.*)".r
 
   def execute(cypher: String, g: PropertyGraph,
               params: Map[String, Any] = Map.empty): DataFrame =
     cypher match {
-      case ExplainRe(_, rest) =>
+      case ExplainRe(kind, rest) =>
         val spark = g.nodes.sparkSession
         import spark.implicits._
-        Seq(explain(rest, g, params)).toDF("plan")
+        val ast = CypherParser.parse(rest)
+        if (kind.equalsIgnoreCase("PROFILE") && !WriteTranslator.isWrite(ast)) {
+          // reference ADR-014 (executor/mod.rs:198-215): PROFILE EXECUTES
+          // the query and appends row count + wall time to the plan text.
+          // Write statements stay explain-only — execute() cannot hand the
+          // mutated graph back, so running them here would drop the write
+          val df = new Translator(g, params).translate(ast)
+          val t0 = System.nanoTime()
+          val n = df.count()
+          val ms = (System.nanoTime() - t0) / 1e6
+          Seq(explain(rest, g, params) +
+            f"%n%n--- Profile ---%nRows: $n, Execution time: $ms%.3f ms").toDF("plan")
+        } else Seq(explain(rest, g, params)).toDF("plan")
       case DdlRe(_*) => ddl(g, cypher, Map.empty)
       case _ =>
         val ast = CypherParser.parse(cypher)

@@ -308,6 +308,29 @@ object CypherQueries {
     // introspection surface (reference ShowLabels/RelationshipTypes/
     // PropertyKeys operators, operator.rs:5654-5785)
     "q_cypher_show_labels" -> (run("SHOW LABELS") _),
+
+    // CALL db.schema.visualization() (reference operator.rs:5784-5833):
+    // distinct (source_label, relationship_type, target_label) triples —
+    // the TPC-H projection's 7-edge schema is fixed, so the oracle is exact
+    "q_cypher_schema_viz" -> (run(
+      """CALL db.schema.visualization()
+        |YIELD source_label, relationship_type, target_label
+        |RETURN source_label, relationship_type, target_label
+        |ORDER BY source_label, relationship_type, target_label""".stripMargin) _),
+
+    // PROFILE executes (reference ADR-014, executor/mod.rs:198-215 — runs
+    // the query and appends rows + wall time to the plan): the entry pins
+    // the engine-independent parts — profile section present, profiled row
+    // count correct, a timing figure reported
+    "q_cypher_profile" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      QueryEngine.execute(
+        "PROFILE MATCH (n:Nation) RETURN count(n) AS n", GraphLoader.tpch(s, d))
+        .select(
+          col("plan").contains("--- Profile ---").as("has_profile"),
+          regexp_extract(col("plan"), "Rows: (\\d+)", 1).cast("long").as("profiled_rows"),
+          col("plan").rlike("Execution time: \\d+\\.\\d+ ms").as("has_time"))
+    }),
     "q_cypher_show_reltypes" -> (run("SHOW RELATIONSHIP TYPES") _),
     "q_cypher_show_propkeys" -> (run("SHOW PROPERTY KEYS") _),
 
@@ -502,6 +525,15 @@ object CypherQueries {
       "SELECT 'EHRJaya' AS algorithm, true AS feasible, true AS beats_uniform",
     "q_cypher_or_solve_mobmwr" ->
       "SELECT 'MO-BMWR' AS algorithm, true AS has_front, true AS beats_uniform",
+    "q_cypher_schema_viz" ->
+      """SELECT * FROM (VALUES
+        | ('Customer', 'IN_NATION', 'Nation'), ('Customer', 'PLACED', 'Order'),
+        | ('Lineitem', 'HAS_PART', 'Part'), ('Lineitem', 'SUPPLIED_BY', 'Supplier'),
+        | ('Nation', 'IN_REGION', 'Region'), ('Order', 'CONTAINS', 'Lineitem'),
+        | ('Supplier', 'IN_NATION', 'Nation'))
+        | t(source_label, relationship_type, target_label) ORDER BY 1, 2, 3""".stripMargin,
+    "q_cypher_profile" ->
+      "SELECT true AS has_profile, CAST(1 AS BIGINT) AS profiled_rows, true AS has_time",
     "q_cypher_or_solve_sampjaya" ->
       "SELECT 'SampJaya' AS algorithm, true AS feasible, true AS beats_uniform",
     "q_cypher_write_merge_rel" ->

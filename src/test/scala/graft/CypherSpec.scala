@@ -441,6 +441,32 @@ class CypherSpec extends SparkSpec {
     assert(r.contains("AST:") && r.contains("Physical Plan"))
   }
 
+  test("PROFILE executes the read and appends rows + wall time") {
+    val r = run("PROFILE MATCH (a:Person) RETURN a.name AS n")
+      .as[String].head()
+    assert(r.contains("Physical Plan") && r.contains("--- Profile ---"))
+    assert(r.contains("Rows: 3")) // three Person rows actually counted
+    assert("Execution time: \\d+\\.\\d+ ms".r.findFirstIn(r).isDefined)
+    // PROFILE on a write stays explain-only (execute() cannot return the
+    // mutated graph, so running it would silently drop the write)
+    val w = run("PROFILE CREATE (n:Person {id: 99, name: 'Zed'})").as[String].head()
+    assert(w.contains("not executed"))
+    assert(g.nodes.count() == 4L)
+  }
+
+  test("CALL db.schema.visualization() emits the distinct label-type-label triples") {
+    val rows = run(
+      """CALL db.schema.visualization()
+        |YIELD source_label, relationship_type, target_label
+        |RETURN source_label, relationship_type, target_label
+        |ORDER BY source_label, relationship_type, target_label""".stripMargin)
+      .as[(String, String, String)].collect().toSeq
+    assert(rows.contains(("Person", "KNOWS", "Person")))
+    assert(rows.contains(("Person", "WORKS_AT", "Company")))
+    // Engineer is a second label on a Person node: triples fan out per label
+    assert(rows.exists(r => r._1 == "Engineer" || r._3 == "Engineer"))
+  }
+
   test("GraphStats computes label and triple counts") {
     import graft.model.GraphStats
     val st = GraphStats.compute(g)
