@@ -396,6 +396,10 @@ object WriteTranslator {
               when(col("_hit"), col(s"_v$idx").cast(types(c))).otherwise(col(c)).as(c)
             else col(c)
           }: _*)
+          // SET on a constrained node property is guarded like an insert
+          // (no-op when no registered constraint is touched)
+          if (isNode)
+            GraphMutations.checkUniqueAfterSet(cur, updated, as.map(_._1.key).toSet)
           cur = if (isNode) PropertyGraph(updated, cur.edges, constraints = cur.constraints)
                 else PropertyGraph(cur.nodes, updated, constraints = cur.constraints)
         }

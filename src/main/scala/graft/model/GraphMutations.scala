@@ -51,9 +51,12 @@ object GraphMutations {
     val created = applySet(
       incoming.join(g.nodes.select(col("id")), Seq("id"), "left_anti"), lit(true), onCreateSet)
     checkUnique(g, created)
-    derived(g,
-      untouched.unionByName(matched).unionByName(created, allowMissingColumns = true),
-      g.edges)
+    val merged = untouched.unionByName(matched).unionByName(created, allowMissingColumns = true)
+    // ON MATCH SET can rewrite a constrained property on existing nodes —
+    // guard the update like the insert (reference check_unique_constraint
+    // guards index updates too)
+    checkUniqueAfterSet(g, merged, onMatchSet.keySet)
+    derived(g, merged, g.edges)
   }
 
   /** DELETE nodes by id set; DETACH also removes incident edges
@@ -79,8 +82,11 @@ object GraphMutations {
     * All assignments are applied in one projection, so they observe the
     * PRE-update values (statement semantics, not sequential withColumn). */
   def setNodeProps(g: PropertyGraph, pred: Column,
-                   assigns: Map[String, Column]): PropertyGraph =
-    derived(g, applySet(g.nodes, pred, assigns), g.edges)
+                   assigns: Map[String, Column]): PropertyGraph = {
+    val updated = applySet(g.nodes, pred, assigns)
+    checkUniqueAfterSet(g, updated, assigns.keySet)
+    derived(g, updated, g.edges)
+  }
 
   /** SET edge properties where `pred` holds. */
   def setEdgeProps(g: PropertyGraph, pred: Column,
@@ -99,8 +105,11 @@ object GraphMutations {
     * conditional overwrite instead of collecting ids to the driver and
     * inlining an `isin` (which at scale is both an OOM and a giant plan). */
   def setNodePropsByIds(g: PropertyGraph, ids: DataFrame,
-                        assigns: Map[String, Column]): PropertyGraph =
-    derived(g, applySetByIds(g.nodes, ids, assigns), g.edges)
+                        assigns: Map[String, Column]): PropertyGraph = {
+    val updated = applySetByIds(g.nodes, ids, assigns)
+    checkUniqueAfterSet(g, updated, assigns.keySet)
+    derived(g, updated, g.edges)
+  }
 
   /** SET edge properties on an id-set DataFrame (join-based, scale-safe). */
   def setEdgePropsByIds(g: PropertyGraph, ids: DataFrame,
@@ -133,7 +142,9 @@ object GraphMutations {
       if (base.contains(prop))
         base.map(c => if (c == prop) coalesce(col("_vval"), col(c)).as(c) else col(c))
       else base.map(col) :+ col("_vval").as(prop)
-    derived(g, joined.select(cols.toIndexedSeq: _*), g.edges)
+    val updated = joined.select(cols.toIndexedSeq: _*)
+    checkUniqueAfterSet(g, updated, Set(prop))
+    derived(g, updated, g.edges)
   }
 
   /** SET n:Label / REMOVE n:Label on an id-set DataFrame — array_union /
@@ -172,6 +183,28 @@ object GraphMutations {
           .limit(1).collect()
         if (clash.nonEmpty) throw new IllegalStateException(
           s"unique constraint violation: :$label($prop) already has value '${clash.head.get(0)}'")
+      }
+    }
+
+  /** Unique-constraint check after a SET-style update (reference
+    * `index/manager.rs` guards index UPDATES as well as inserts): when an
+    * update touches a constrained property — or the labels column, which can
+    * move a node INTO a constrained label — verify the updated table has no
+    * duplicate non-null value for that (label, property). One aggregate per
+    * affected constraint; a no-op whenever no constraint is touched (the
+    * common case: the constraint set is empty). */
+  private[graft] def checkUniqueAfterSet(g: PropertyGraph, updated: DataFrame,
+                                         touched: Set[String]): Unit =
+    g.constraints.foreach { case (label, prop) =>
+      if ((touched.contains(prop) || touched.contains("labels")) &&
+          updated.columns.contains(prop) && updated.columns.contains("labels")) {
+        val dup = updated
+          .filter(array_contains(col("labels"), label) && col(prop).isNotNull)
+          .groupBy(col(prop)).agg(count(lit(1)).as("_n"))
+          .filter(col("_n") > 1).limit(1).collect()
+        if (dup.nonEmpty) throw new IllegalStateException(
+          s"unique constraint violation: update would duplicate :$label($prop) " +
+            s"value '${dup.head.get(0)}'")
       }
     }
 

@@ -543,6 +543,29 @@ class CypherSpec extends SparkSpec {
     }
   }
 
+  test("unique constraint guards SET updates, not just inserts") {
+    val (g2, _) = QueryEngine.executeWrite(
+      "CREATE CONSTRAINT ON (n:Person) ASSERT n.name IS UNIQUE", g)
+    // SET that duplicates an existing constrained value fails loudly
+    val ex = intercept[IllegalStateException] {
+      QueryEngine.executeWrite("MATCH (p:Person {name: 'Bob'}) SET p.name = 'Alice'", g2)
+        ._1.nodes.count()
+    }
+    assert(ex.getMessage.contains("unique constraint violation"))
+    // a non-duplicating SET still goes through
+    val (g3, _) = QueryEngine.executeWrite(
+      "MATCH (p:Person {name: 'Bob'}) SET p.name = 'Robert'", g2)
+    assert(g3.nodes.filter(org.apache.spark.sql.functions.col("name") === "Robert").count() == 1L)
+    // adding a label that moves a node INTO the constrained label is guarded:
+    // Company 'Acme' renamed to collide, then labeled Person → violation
+    val (g4, _) = QueryEngine.executeWrite(
+      "MATCH (c:Company) SET c.name = 'Alice'", g3) // Company not constrained
+    val ex2 = intercept[IllegalStateException] {
+      QueryEngine.executeWrite("MATCH (c:Company) SET c:Person", g4)._1.nodes.count()
+    }
+    assert(ex2.getMessage.contains("unique constraint violation"))
+  }
+
   test("SHOW LABELS and SHOW PROPERTY KEYS introspect the fixture") {
     val labels = run("SHOW LABELS").as[String].collect().toSeq
     assert(labels == Seq("Company", "Engineer", "Person"))
