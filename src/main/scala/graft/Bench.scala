@@ -82,7 +82,17 @@ object Bench {
       val measure =
         if (first < 0 || reps <= 1) first
         else {
-          val extraReps = if (first > 30.0) 1 else reps - 1
+          // adaptive reps: queries in the 2-30s band are the iterative
+          // kernels whose per-rep time is dominated by scheduling noise —
+          // min-of-3 under container load sits 10-45% above the true floor
+          // (round-5 measurement: pagerank/cdlp 3.9-4.4s at 3 reps vs
+          // 3.5/3.6s at 5 — the round-4 "drift" was estimator
+          // non-convergence, not a regression). Two extra reps there buy a
+          // converged min; >30s queries stay at 2 total.
+          val extraReps =
+            if (first > 30.0) 1
+            else if (first > 2.0) math.max(reps - 1, 4)
+            else reps - 1
           var runs = List(first)
           (1 to extraReps).foreach { _ =>
             val r = time(fn, gc = false)

@@ -47,7 +47,11 @@ object Algorithms {
     for (_ <- 1 to iterations) {
       // withDeg feeds BOTH the dangling-mass aggregate and the contribs join —
       // one eager leaf materialization (vertex-sized, small) instead of
-      // recomputing the rank+degree join twice or persist/unpersist churn
+      // recomputing the rank+degree join twice or persist/unpersist churn.
+      // (Round 5 measured the every-other-round cut here: the doubly-
+      // referenced recompute on uncut rounds costs MORE than the job
+      // boundary it saves — 4.45s vs 3.9s at sf0.1 — so unlike CDLP's
+      // single-consumer chain, this stays a per-round cut.)
       val withDeg = ranks.join(outDeg, col("id") === col("_degid"), "left")
         .select(col("id"), col("rank"), col("deg"))
         .localCheckpoint(true)
