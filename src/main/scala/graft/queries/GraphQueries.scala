@@ -286,6 +286,36 @@ object GraphQueries {
         .toDF("n_triples", "triples_roundtrip")
     }),
 
+    // RDF/XML + JSON-LD roundtrips (reference
+    // src/rdf/serialization/{rdfxml,jsonld}.rs — completing all four of the
+    // reference's RDF formats; note its JSON-LD PARSE is a declared stub,
+    // ours parses the emitted profile): both serialize→parse legs must
+    // return the exported (s,p,o) set byte-exactly, proven in one tagged
+    // union action
+    "q_rdf_formats" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      val nodes = g.nodesWithLabel("Nation").unionByName(g.nodesWithLabel("Region"))
+      val ids = nodes.select(col("id"))
+      val edges = g.edgesOfType("IN_REGION")
+        .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      val sub = graft.model.PropertyGraph(nodes, edges)
+      val base = "http://graft.local/"
+      val orig = graft.rdf.Rdf.exportTriples(sub, base).localCheckpoint(true)
+      val backX = graft.rdf.Rdf.parseRdfXml(graft.rdf.Rdf.toRdfXml(orig, base))
+      val backJ = graft.rdf.Rdf.parseJsonLd(graft.rdf.Rdf.toJsonLd(orig))
+      import s.implicits._
+      val m = orig.exceptAll(backX).select(lit("xml_diff").as("t"))
+        .unionAll(backX.exceptAll(orig).select(lit("xml_diff").as("t")))
+        .unionAll(orig.exceptAll(backJ).select(lit("jsonld_diff").as("t")))
+        .unionAll(backJ.exceptAll(orig).select(lit("jsonld_diff").as("t")))
+        .unionAll(orig.select(lit("n_triples").as("t")))
+        .groupBy(col("t")).count().as[(String, Long)].collect().toMap
+      Seq((m.getOrElse("n_triples", 0L),
+        !m.contains("xml_diff"), !m.contains("jsonld_diff")))
+        .toDF("n_triples", "xml_roundtrip", "jsonld_roundtrip")
+    }),
+
     // §2.10 algo.mst (reference mst.rs:41) — Borůvka on the nation trade
     // graph (edge weight = #trades between the two nations); (w,a,b)
     // tie-break makes the forest unique, so the oracle's Prim chain (24
@@ -463,6 +493,10 @@ object GraphQueries {
       """SELECT CAST(2 * ((SELECT count(*) FROM nation) + (SELECT count(*) FROM region))
         |   + 5 * (SELECT count(*) FROM nation) AS BIGINT) AS n_triples,
         | true AS triples_roundtrip""".stripMargin,
+    "q_rdf_formats" ->
+      """SELECT CAST(2 * ((SELECT count(*) FROM nation) + (SELECT count(*) FROM region))
+        |   + 5 * (SELECT count(*) FROM nation) AS BIGINT) AS n_triples,
+        | true AS xml_roundtrip, true AS jsonld_roundtrip""".stripMargin,
     "q_mst" -> mstOracle(24),
     "q_maxflow" ->
       """SELECT round(sum(least(20, tot)), 1) AS max_flow FROM (

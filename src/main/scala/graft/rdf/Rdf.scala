@@ -192,6 +192,146 @@ object Rdf {
         expand(regexp_extract(col("line"), re, 3)).as("o"))
   }
 
+  // ---------- RDF/XML (reference src/rdf/serialization/rdfxml.rs — a
+  // rio_xml formatter; here a line-oriented writer/parser pair) ----------
+
+  /** XML escape for attribute values and text content (& first). */
+  private def xmlEsc(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;"), "\"", "&quot;")
+
+  private def xmlUnesc(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "&quot;", "\""), "&gt;", ">"), "&lt;", "<"), "&amp;", "&")
+
+  /** Longest NCName-ish suffix of a predicate IRI — the XML element local
+    * name; the remainder is its namespace. RDF/XML genuinely cannot express
+    * a predicate with no such suffix (the classic "cannot split URI"
+    * limitation — Jena raises too); [[toRdfXml]] raises a clear error. */
+  private val NcNameSuffix = "([A-Za-z_][A-Za-z0-9_.-]*)$"
+
+  /** Triples → RDF/XML text lines: an <rdf:RDF> header/footer around one
+    * self-contained <rdf:Description> statement per triple (valid, if
+    * verbose, RDF/XML — subject grouping is an optional compaction). Each
+    * property element declares its own xmlns:p, so parsing needs no
+    * cross-line state and every body line is a partition-parallel
+    * projection. */
+  def toRdfXml(triples: DataFrame, base: String): Dataset[String] = {
+    require(base.endsWith("/"), "base IRI must end with '/'")
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val pIri = regexp_extract(col("p"), "^<(.*)>$", 1)
+    val local = regexp_extract(pIri, NcNameSuffix, 1)
+    val nsCol = xmlEsc(regexp_replace(pIri, NcNameSuffix, ""))
+    val subj = xmlEsc(regexp_extract(col("s"), "^<(.*)>$", 1))
+    val litVal = xmlEsc(regexp_extract(col("o"), "^\"(.*)\"\\^\\^<", 1))
+    val litDt = xmlEsc(regexp_extract(col("o"), "\\^\\^<([^>]*)>$", 1))
+    val oIri = xmlEsc(regexp_extract(col("o"), "^<(.*)>$", 1))
+    val localOk = when(length(local) > 0, local).otherwise(raise_error(concat(
+      lit("RDF/XML cannot split predicate IRI into namespace + XML name: "), col("p"))))
+    val line = when(col("o").startsWith("\""),
+      concat(lit("<rdf:Description rdf:about=\""), subj, lit("\"><p:"), localOk,
+        lit(" xmlns:p=\""), nsCol, lit("\" rdf:datatype=\""), litDt, lit("\">"),
+        litVal, lit("</p:"), localOk, lit("></rdf:Description>")))
+      .otherwise(
+        concat(lit("<rdf:Description rdf:about=\""), subj, lit("\"><p:"), localOk,
+          lit(" xmlns:p=\""), nsCol, lit("\" rdf:resource=\""), oIri,
+          lit("\"/></rdf:Description>")))
+    Seq("<?xml version=\"1.0\" encoding=\"UTF-8\"?>",
+      "<rdf:RDF xmlns:rdf=\"" + RdfNs + "\">").toDS()
+      .unionAll(triples.select(line.as("value")).as[String])
+      .unionAll(Seq("</rdf:RDF>").toDS())
+  }
+
+  /** RDF/XML text lines → (s, p, o) term columns, inverting [[toRdfXml]]
+    * (accepts its one-statement-per-line subset; header/footer lines are
+    * dropped). */
+  def parseRdfXml(lines: Dataset[String]): DataFrame = {
+    val litRe = "^<rdf:Description rdf:about=\"([^\"]*)\"><p:([^ >]+) xmlns:p=\"([^\"]*)\"" +
+      " rdf:datatype=\"([^\"]*)\">(.*)</p:[^>]*></rdf:Description>\\s*$"
+    val resRe = "^<rdf:Description rdf:about=\"([^\"]*)\"><p:([^ >]+) xmlns:p=\"([^\"]*)\"" +
+      " rdf:resource=\"([^\"]*)\"/></rdf:Description>\\s*$"
+    val body = lines.toDF("line").filter(col("line").rlike(litRe) || col("line").rlike(resRe))
+    def ext(re: String, i: Int) = regexp_extract(col("line"), re, i)
+    body.select(
+      concat(lit("<"), xmlUnesc(when(col("line").rlike(litRe), ext(litRe, 1))
+        .otherwise(ext(resRe, 1))), lit(">")).as("s"),
+      concat(lit("<"), xmlUnesc(when(col("line").rlike(litRe), ext(litRe, 3))
+        .otherwise(ext(resRe, 3))),
+        when(col("line").rlike(litRe), ext(litRe, 2)).otherwise(ext(resRe, 2)),
+        lit(">")).as("p"),
+      when(col("line").rlike(litRe),
+        concat(lit("\""), xmlUnesc(ext(litRe, 5)), lit("\"^^<"),
+          xmlUnesc(ext(litRe, 4)), lit(">")))
+        .otherwise(concat(lit("<"), xmlUnesc(ext(resRe, 4)), lit(">"))).as("o"))
+  }
+
+  // ---------- JSON-LD (reference src/rdf/serialization/jsonld.rs — the
+  // reference SERIALIZES expanded JSON-LD but its parse is a declared stub;
+  // here both directions work on the newline-delimited expanded node-object
+  // profile) ----------
+
+  /** JSON string escape (terms are already N-Triples-escaped, so no raw
+    * control chars remain — backslash and quote suffice). */
+  private def jsonEsc(c: Column): Column =
+    regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+
+  private def jsonUnesc(c: Column): Column = {
+    val sentinel = ""
+    regexp_replace(regexp_replace(regexp_replace(
+      c, "\\\\\\\\", sentinel), "\\\\\"", "\""), sentinel, "\\\\")
+  }
+
+  /** Triples → JSON-LD text lines: one expanded node object per line
+    * (the streaming/NDJSON profile — `{"@id": s, p: [{...}]}`), rdf:type as
+    * `@type`. Partition-parallel projection, no subject grouping state. */
+  def toJsonLd(triples: DataFrame): Dataset[String] = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val s = jsonEsc(regexp_extract(col("s"), "^<(.*)>$", 1))
+    val p = jsonEsc(regexp_extract(col("p"), "^<(.*)>$", 1))
+    val oIri = jsonEsc(regexp_extract(col("o"), "^<(.*)>$", 1))
+    val litVal = jsonEsc(regexp_extract(col("o"), "^\"(.*)\"\\^\\^<", 1))
+    val litDt = jsonEsc(regexp_extract(col("o"), "\\^\\^<([^>]*)>$", 1))
+    val line = when(col("p") === lit("<" + RdfNs + "type>"),
+      concat(lit("{\"@id\":\""), s, lit("\",\"@type\":[\""), oIri, lit("\"]}")))
+      .when(col("o").startsWith("\""),
+        concat(lit("{\"@id\":\""), s, lit("\",\""), p, lit("\":[{\"@value\":\""),
+          litVal, lit("\",\"@type\":\""), litDt, lit("\"}]}")))
+      .otherwise(
+        concat(lit("{\"@id\":\""), s, lit("\",\""), p, lit("\":[{\"@id\":\""),
+          oIri, lit("\"}]}")))
+    triples.select(line.as("value")).as[String]
+  }
+
+  /** JSON-LD text lines → (s, p, o) terms, inverting [[toJsonLd]] — a real
+    * parser for the emitted expanded-node-object profile (the reference's
+    * JSON-LD parse returns an error unconditionally,
+    * `serialization/jsonld.rs:15-20`). */
+  def parseJsonLd(lines: Dataset[String]): DataFrame = {
+    val str = "((?:[^\"\\\\]|\\\\.)*)" // JSON string body incl. escapes
+    val typeRe = "^\\{\"@id\":\"" + str + "\",\"@type\":\\[\"" + str + "\"\\]\\}\\s*$"
+    val litRe = "^\\{\"@id\":\"" + str + "\",\"" + str +
+      "\":\\[\\{\"@value\":\"" + str + "\",\"@type\":\"" + str + "\"\\}\\]\\}\\s*$"
+    val iriRe = "^\\{\"@id\":\"" + str + "\",\"" + str +
+      "\":\\[\\{\"@id\":\"" + str + "\"\\}\\]\\}\\s*$"
+    val body = lines.toDF("line")
+      .filter(col("line").rlike(typeRe) || col("line").rlike(litRe) || col("line").rlike(iriRe))
+    def ext(re: String, i: Int) = jsonUnesc(regexp_extract(col("line"), re, i))
+    body.select(
+      concat(lit("<"),
+        when(col("line").rlike(typeRe), ext(typeRe, 1))
+          .when(col("line").rlike(litRe), ext(litRe, 1))
+          .otherwise(ext(iriRe, 1)), lit(">")).as("s"),
+      when(col("line").rlike(typeRe), lit("<" + RdfNs + "type>"))
+        .when(col("line").rlike(litRe), concat(lit("<"), ext(litRe, 2), lit(">")))
+        .otherwise(concat(lit("<"), ext(iriRe, 2), lit(">"))).as("p"),
+      when(col("line").rlike(typeRe), concat(lit("<"), ext(typeRe, 2), lit(">")))
+        .when(col("line").rlike(litRe),
+          concat(lit("\""), ext(litRe, 3), lit("\"^^<"), ext(litRe, 4), lit(">")))
+        .otherwise(concat(lit("<"), ext(iriRe, 3), lit(">"))).as("o"))
+  }
+
   /** N-Triples text lines → (s, p, o) term columns. Subjects and predicates
     * are IRIs (no whitespace); the object is everything up to the final dot. */
   def parseNTriples(lines: Dataset[String]): DataFrame = {

@@ -91,6 +91,28 @@ class RdfSpec extends SparkSpec {
     assert(orig.exceptAll(back).isEmpty && back.exceptAll(orig).isEmpty)
   }
 
+  test("RDF/XML roundtrip: per-statement Descriptions, XML escaping, NCName split") {
+    val base = "http://ex.org/"
+    val orig = Rdf.exportTriples(g, base)
+    val xml = Rdf.toRdfXml(orig, base).collect()
+    assert(xml.exists(_.startsWith("<?xml")) && xml.contains("</rdf:RDF>"))
+    // the nasty name (quote, newline-escape, backslash) is XML-escaped in place
+    assert(xml.exists(l => l.contains("rdf:datatype") && l.contains("&quot;")))
+    val back = Rdf.parseRdfXml(Rdf.toRdfXml(orig, base))
+    assert(orig.exceptAll(back).isEmpty && back.exceptAll(orig).isEmpty)
+  }
+
+  test("JSON-LD roundtrip: expanded node objects, @type, escaped literals") {
+    val base = "http://ex.org/"
+    val orig = Rdf.exportTriples(g, base)
+    val jl = Rdf.toJsonLd(orig).collect()
+    assert(jl.forall(l => l.startsWith("{\"@id\":\"") && l.endsWith("}")))
+    assert(jl.exists(_.contains("\"@type\":[\"")))  // rdf:type → @type
+    assert(jl.exists(_.contains("\"@value\":\"")))  // typed literal
+    val back = Rdf.parseJsonLd(Rdf.toJsonLd(orig))
+    assert(orig.exceptAll(back).isEmpty && back.exceptAll(orig).isEmpty)
+  }
+
   test("Turtle keeps unsafe local names as full IRIs and still roundtrips") {
     val nodes = Seq((1L, Seq("Has Space", "dot.end."), "x"), (2L, Seq("Plain"), "y"))
       .toDF("id", "labels", "name")
