@@ -753,19 +753,50 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     // path's node list refers to the real interior columns
     var nodeVarsInOrder = Seq(headVar)
     var edgeVarsInOrder = Seq.empty[String]
-    for ((rel, node) <- path.rels.zip(path.nodes.tail)) {
+    val hops = path.rels.zip(path.nodes.tail)
+    var i = 0
+    while (i < hops.length) {
+      val (rel, node) = hops(i)
       val tgtVar = node.variable.getOrElse(fresh())
       val relVar = rel.variable.getOrElse(fresh())
-      df =
-        if (rel.isVarLength)
-          expandVarLength(df, cur, rel, node, tgtVar, vars, path.pathVar, path.allPaths)
-        else expandOne(df, cur, rel, node, tgtVar, vars, relVar,
-          keepEdgeId = path.pathVar.isDefined)
-      rel.variable.foreach { v => vars += v; edgeEntityVars += v }
-      vars += tgtVar
-      nodeVarsInOrder :+= tgtVar
-      edgeVarsInOrder :+= relVar
-      cur = tgtVar
+      // WCO cycle close (reference LeapfrogTrieJoin, `executor/leapfrog.rs`):
+      // when the hop after this one lands on an ALREADY-BOUND variable, the
+      // two hops form the closing wedge of a cycle. Lowering them as two
+      // binary joins materializes every 2-path through the middle node
+      // (O(sum of deg^2) rows) before the closing filter; instead intersect
+      // the middle candidates per row from two adjacency arrays — only true
+      // cycle rows ever exist as rows. See expandCycleClose for multiplicity.
+      val fuseNext: Option[(RelPat, String)] =
+        if (i + 1 < hops.length && !rel.isVarLength && rel.variable.isEmpty &&
+            path.pathVar.isEmpty && !vars.contains(tgtVar)) {
+          val (relB, nodeB) = hops(i + 1)
+          nodeB.variable match {
+            case Some(z) if vars.contains(z) && !relB.isVarLength &&
+              relB.variable.isEmpty && z != tgtVar => Some((relB, z))
+            case _ => None
+          }
+        } else None
+      fuseNext match {
+        case Some((relB, closeVar)) =>
+          df = expandCycleClose(df, cur, rel, node, tgtVar, relB, closeVar)
+          vars += tgtVar
+          nodeVarsInOrder ++= Seq(tgtVar, closeVar)
+          edgeVarsInOrder ++= Seq(relVar, fresh())
+          cur = closeVar
+          i += 2
+        case None =>
+          df =
+            if (rel.isVarLength)
+              expandVarLength(df, cur, rel, node, tgtVar, vars, path.pathVar, path.allPaths)
+            else expandOne(df, cur, rel, node, tgtVar, vars, relVar,
+              keepEdgeId = path.pathVar.isDefined)
+          rel.variable.foreach { v => vars += v; edgeEntityVars += v }
+          vars += tgtVar
+          nodeVarsInOrder :+= tgtVar
+          edgeVarsInOrder :+= relVar
+          cur = tgtVar
+          i += 1
+      }
     }
     var pset = Set.empty[String]
     path.pathVar.foreach { p =>
@@ -846,6 +877,46 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     else out.drop(out.columns.filter(c => c.startsWith(s"${relVar}__") &&
       // a named path needs the anonymous hop's edge id for p__edges
       !(keepEdgeId && c == s"${relVar}__id")): _*)
+  }
+
+  /** Fused lowering for the two closing hops of a cyclic pattern,
+    * (cur)-[relA]->(mid)-[relB]->(close, already bound) — the Spark-first
+    * analog of the reference's worst-case-optimal LeapfrogTrieJoin
+    * (`src/query/executor/leapfrog.rs`). Two binary joins would materialize
+    * every 2-path through `mid` (O(Σ inDeg·outDeg) wedge rows) before the
+    * closing filter; instead the relA out-adjacency of `cur` and the relB
+    * in-adjacency of `close` are built as sorted arrays (two O(m) map-side
+    * aggregates) and intersected per bound row, so middle candidates exist
+    * only as array cells and the row-intermediate is bounded by
+    * output + O(m). Cypher row multiplicity under parallel edges (one row
+    * per edge BINDING — homomorphism semantics, same as the unfused
+    * expandOne chain) is restored by two output-proportional joins back to
+    * the filtered edge sets. */
+  private def expandCycleClose(df: DataFrame, curVar: String, relA: RelPat,
+                               midNode: NodePat, midVar: String,
+                               relB: RelPat, closeVar: String): DataFrame = {
+    val eA = orientedEdges(relA, fresh())
+      .select(col("__from").as("__a_from"), col("__to").as("__a_to"))
+    val eB = orientedEdges(relB, fresh())
+      .select(col("__from").as("__b_from"), col("__to").as("__b_to"))
+    val outA = eA.groupBy(col("__a_from").as("__ka"))
+      .agg(sort_array(collect_set(col("__a_to"))).as("__na"))
+    val inB = eB.groupBy(col("__b_to").as("__kb"))
+      .agg(sort_array(collect_set(col("__b_from"))).as("__nb"))
+    var out = df
+      .join(outA, col(s"${curVar}__id") === col("__ka"))
+      .join(inB, col(s"${closeVar}__id") === col("__kb"))
+      .withColumn("__mid", explode(array_intersect(col("__na"), col("__nb"))))
+      .drop("__ka", "__na", "__kb", "__nb")
+    // middle node's label/property constraints + payload columns (same
+    // scanNode join the unfused hop would have done)
+    out = out.join(scanNode(midNode, midVar), col("__mid") === col(s"${midVar}__id"))
+    // exact multiplicity: one row per (A-edge, B-edge) binding pair
+    out = out.join(eA, col(s"${curVar}__id") === col("__a_from") &&
+        col("__mid") === col("__a_to"))
+      .join(eB, col("__mid") === col("__b_from") &&
+        col(s"${closeVar}__id") === col("__b_to"))
+    out.drop("__mid", "__a_from", "__a_to", "__b_from", "__b_to")
   }
 
   private def expandVarLength(df: DataFrame, srcVar: String, rel: RelPat,
