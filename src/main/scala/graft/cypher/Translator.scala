@@ -754,6 +754,28 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     var nodeVarsInOrder = Seq(headVar)
     var edgeVarsInOrder = Seq.empty[String]
     val hops = path.rels.zip(path.nodes.tail)
+    // cost gate for the WCO fusion below: the fused plan trades the binary
+    // plan's wedge intermediate (rows x fan-out of the wedge hop) for two
+    // O(m) adjacency aggregates plus two output-proportional back-joins —
+    // a constant overhead that only pays off when the wedge hop actually
+    // fans out. With triple stats, fuse iff the hop's average out-degree
+    // clears the breakeven (~4); without stats, fuse — the downside of a
+    // needless fusion is a bounded constant factor, the downside of a
+    // missed fusion grows with the square of the hub degree.
+    def fuseBeneficial(i: Int): Boolean = stats match {
+      case Some(st) =>
+        val src = path.nodes(i); val mid = path.nodes(i + 1)
+        val rel = path.rels(i)
+        val hopEdges = rel.dir match {
+          case Out => st.tripleCard(src.labels.headOption, rel.types, mid.labels.headOption)
+          case In => st.tripleCard(mid.labels.headOption, rel.types, src.labels.headOption)
+          case Undirected =>
+            st.tripleCard(src.labels.headOption, rel.types, mid.labels.headOption) +
+              st.tripleCard(mid.labels.headOption, rel.types, src.labels.headOption)
+        }
+        hopEdges / math.max(1.0, st.nodeCard(src.labels.headOption)) >= 4.0
+      case None => true
+    }
     var i = 0
     while (i < hops.length) {
       val (rel, node) = hops(i)
@@ -772,7 +794,8 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
           val (relB, nodeB) = hops(i + 1)
           nodeB.variable match {
             case Some(z) if vars.contains(z) && !relB.isVarLength &&
-              relB.variable.isEmpty && z != tgtVar => Some((relB, z))
+              relB.variable.isEmpty && z != tgtVar && fuseBeneficial(i) =>
+              Some((relB, z))
             case _ => None
           }
         } else None

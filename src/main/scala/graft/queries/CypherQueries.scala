@@ -96,10 +96,10 @@ object CypherQueries {
     // Spark-first analog of reference `executor/leapfrog.rs`): supplier
     // and customer must share the nation that closes the cycle
     "q_cypher_wco_cycle" -> (run(
-      "MATCH (c:Customer)-[:PLACED]->(o:Order)-[:CONTAINS]->(l:Lineitem)" +
-        "-[:SUPPLIED_BY]->(s:Supplier)-[:IN_NATION]->(n:Nation)<-[:IN_NATION]-(c) " +
-        "WHERE id(c) < 100 " +
-        "RETURN id(n) AS nid, count(*) AS n_paths ORDER BY nid") _),
+      "MATCH (o:Order)-[:CONTAINS]->(l1:Lineitem)-[:HAS_PART]->(p:Part)" +
+        "<-[:HAS_PART]-(l2:Lineitem)<-[:CONTAINS]-(o) " +
+        "WHERE id(o) < 10002000 " +
+        "RETURN count(*) AS n_pairs") _),
 
     // two comma patterns sharing a variable (join on c)
     "q_cypher_multipattern" -> (run(
@@ -629,17 +629,18 @@ object CypherQueries {
       "SELECT CASE WHEN o_totalprice > 200000 THEN 'high' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS bucket, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
     "q_cypher_multipattern" ->
       "SELECT CAST(1200000000 + c_nationkey AS BIGINT) AS nid, count(*) AS n_orders FROM customer JOIN orders ON o_custkey = c_custkey WHERE c_custkey < 50 GROUP BY 1 ORDER BY 1",
-    // the l1/l2 self-join mirrors the graph build: Lineitem NODES dedup on
-    // lineId but each lineitem ROW contributes one CONTAINS and one
-    // SUPPLIED_BY edge, so traversing through the node multiplies them
+    // the lineitem self-joins mirror the graph build: Lineitem NODES dedup
+    // on lineId but each lineitem ROW contributes one CONTAINS and one
+    // HAS_PART edge, so traversing through a node multiplies the per-row
+    // edges (l1b = HAS_PART edges of node l1; l2c = CONTAINS edges into
+    // node l2 from the bound order)
     "q_cypher_wco_cycle" ->
-      ("SELECT CAST(1200000000 + n.n_nationkey AS BIGINT) AS nid, count(*) AS n_paths " +
-        "FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey " +
+      ("SELECT count(*) AS n_pairs FROM orders o " +
         "JOIN lineitem l1 ON l1.l_orderkey = o.o_orderkey " +
-        "JOIN lineitem l2 ON l2.l_orderkey = l1.l_orderkey AND l2.l_linenumber = l1.l_linenumber " +
-        "JOIN supplier s ON s.s_suppkey = l2.l_suppkey " +
-        "JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_nationkey = c.c_nationkey " +
-        "WHERE c.c_custkey < 100 GROUP BY 1 ORDER BY 1"),
+        "JOIN lineitem l1b ON l1b.l_orderkey = l1.l_orderkey AND l1b.l_linenumber = l1.l_linenumber " +
+        "JOIN lineitem l2b ON l2b.l_partkey = l1b.l_partkey " +
+        "JOIN lineitem l2c ON l2c.l_orderkey = l2b.l_orderkey AND l2c.l_linenumber = l2b.l_linenumber AND l2c.l_orderkey = o.o_orderkey " +
+        "WHERE o.o_orderkey < 2000"),
     "q_cypher_unwind" ->
       "SELECT CAST(1200000000 + n_nationkey AS BIGINT) AS nid, CAST(i AS BIGINT) AS i FROM nation, (SELECT unnest([1, 2, 3]) AS i) t ORDER BY 1, 2",
     "q_cypher_skip_limit" ->

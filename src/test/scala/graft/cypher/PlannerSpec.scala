@@ -51,4 +51,26 @@ class PlannerSpec extends SparkSpec {
       .linesIterator.next()
     assert(firstLeaf.contains("n_nationkey"), s"anchor not at the Nation leaf:\n$plan")
   }
+
+  test("WCO fusion is stats-gated: high-fan wedge fuses, fan-1 wedge stays binary") {
+    val g = GraphLoader.tpch(spark, dir)
+    val tr1 = new Translator(g)
+    // wedge hop (p)<-[:HAS_PART]-(l2) fans out ~30 lineitems per part ->
+    // the closing hops fuse to the adjacency-intersect lowering
+    val fused = tr1.translate(CypherParser.parse(
+      "MATCH (o:Order)-[:CONTAINS]->(l1:Lineitem)-[:HAS_PART]->(p:Part)" +
+        "<-[:HAS_PART]-(l2:Lineitem)<-[:CONTAINS]-(o) RETURN count(*) AS n"))
+      .queryExecution.optimizedPlan.toString
+    assert(fused.contains("array_intersect"), "high-fan cycle close should fuse")
+
+    // wedge hop (s)-[:IN_NATION]->(n) has out-degree 1 -> the fusion's
+    // constant overhead cannot pay off, the gate keeps binary joins
+    val tr2 = new Translator(g)
+    val binary = tr2.translate(CypherParser.parse(
+      "MATCH (c:Customer)-[:PLACED]->(o:Order)-[:CONTAINS]->(l:Lineitem)" +
+        "-[:SUPPLIED_BY]->(s:Supplier)-[:IN_NATION]->(n:Nation)<-[:IN_NATION]-(c) " +
+        "RETURN count(*) AS n"))
+      .queryExecution.optimizedPlan.toString
+    assert(!binary.contains("array_intersect"), "fan-1 cycle close should not fuse")
+  }
 }
