@@ -68,6 +68,24 @@ class WcoSpec extends SparkSpec {
     assert(fused == unfused)
   }
 
+  test("fusion inside OPTIONAL MATCH keeps left-outer semantics") {
+    val q = "MATCH (x:V) OPTIONAL MATCH (x)-[:E]->(y:V)-%s->(z:V)-[:E]->(x) " +
+      "RETURN id(x) AS xid, count(z) AS n ORDER BY xid"
+    val fused = QueryEngine.execute(q.format("[:E]"), g).as[(Long, Long)].collect().toSeq
+    val unfused = QueryEngine.execute(q.format("[r:E]"), g).as[(Long, Long)].collect().toSeq
+    assert(fused == unfused)
+    // node 5 is isolated: the optional pattern must keep it with count 0
+    assert(fused.exists { case (x, n) => x == 5L && n == 0L })
+  }
+
+  test("fusion inside EXISTS keeps semi-join semantics") {
+    val q = "MATCH (x:V) WHERE EXISTS { (x)-[:E]->(y:V)-%s->(z:V)-[:E]->(x) } " +
+      "RETURN id(x) AS xid ORDER BY xid"
+    val fused = QueryEngine.execute(q.format("[:E]"), g).as[Long].collect().toSeq
+    val unfused = QueryEngine.execute(q.format("[r:E]"), g).as[Long].collect().toSeq
+    assert(fused == unfused && fused == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("the fused plan intersects adjacency arrays instead of a third edge join") {
     val df = QueryEngine.execute(
       "MATCH (a:V)-[:E]->(b:V)-[:E]->(c:V)-[:E]->(a) RETURN count(*) AS n", g)
