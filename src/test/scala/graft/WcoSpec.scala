@@ -68,6 +68,16 @@ class WcoSpec extends SparkSpec {
     assert(fused == unfused)
   }
 
+  test("mid-chain cycle close: the chain continues from the bound variable") {
+    // (x)-->(y)-->(z)-->(x) fuses hops 2-3, then the chain keeps expanding
+    // from the bound x
+    val q = "MATCH (x:V)-[:E]->(y:V)-%s->(z:V)-[:E]->(x)-[:E]->(w:V) " +
+      "RETURN id(x) AS xid, id(z) AS zid, id(w) AS wid ORDER BY xid, zid, wid"
+    val fused = QueryEngine.execute(q.format("[:E]"), g).as[(Long, Long, Long)].collect().toSeq
+    val unfused = QueryEngine.execute(q.format("[r:E]"), g).as[(Long, Long, Long)].collect().toSeq
+    assert(fused == unfused && fused.nonEmpty)
+  }
+
   test("fusion inside OPTIONAL MATCH keeps left-outer semantics") {
     val q = "MATCH (x:V) OPTIONAL MATCH (x)-[:E]->(y:V)-%s->(z:V)-[:E]->(x) " +
       "RETURN id(x) AS xid, count(z) AS n ORDER BY xid"
