@@ -127,9 +127,29 @@ object Soak {
         k = 5, numHashes = 64, bands = 16, threshold = 0.4).count() },
       "embedding_lsh" -> { n => graft.dedup.Dedup.embeddingNearDupPairs(
         spark.read.parquet(embCache(n)), "vec_id", "embedding", 0.9,
-        lshBits = 8, lshTables = 40).count() })
+        lshBits = 8, lshTables = 40).count() },
+      // WCO cycle-close fusion end-to-end through the Cypher surface:
+      // triangle census over the (disjoint-copy-scaled) co-purchase graph.
+      // Copies are isomorphic, so triangles — and the fused plan's
+      // adjacency arrays — scale linearly with N.
+      "wco_cycle" -> { n =>
+        val e = spark.read.parquet(edgeCache(n, false))
+        val nodes = e.select(col("src").as("id"))
+          .unionAll(e.select(col("dst").as("id"))).distinct()
+          .select(col("id"), array(lit("P")).as("labels"),
+            lit(null).cast("string").as("name"))
+        val edges = e.select(monotonically_increasing_id().as("id"),
+          col("src"), col("dst"), lit("CO").as("relationship"))
+        val g = graft.model.PropertyGraph(nodes, edges)
+        graft.cypher.QueryEngine.execute(
+          "MATCH (x:P)-[:CO]->(y:P)-[:CO]->(z:P)<-[:CO]-(x) RETURN count(*) AS n", g)
+          .collect()(0).getLong(0)
+      })
 
-    val rows = ops.map { case (name, f) =>
+    // SPARK_GRAFT_SOAK_ONLY=op1,op2 restricts the sweep (local iteration)
+    val onlyOps = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val rows = ops.filter(o => onlyOps.forall(_.contains(o._1))).map { case (name, f) =>
       val (t1, r1) = time(f(1))
       val (tN, rN) = time(f(scaleN))
       val ratio = tN / math.max(t1, 1e-9)
