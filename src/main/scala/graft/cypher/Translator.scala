@@ -773,7 +773,15 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
             st.tripleCard(src.labels.headOption, rel.types, mid.labels.headOption) +
               st.tripleCard(mid.labels.headOption, rel.types, src.labels.headOption)
         }
-        hopEdges / math.max(1.0, st.nodeCard(src.labels.headOption)) >= 4.0
+        // skew guard: the fused plan holds one adjacency array per key in
+        // executor memory, so an extreme hub (beyond ~4M neighbors, ~32 MB
+        // of packed longs) must stay on the streaming binary-join path —
+        // the same reason the reference's leapfrog streams sorted adjacency
+        // instead of materializing it
+        val degCap = 4e6
+        val relB = path.rels(i + 1)
+        hopEdges / math.max(1.0, st.nodeCard(src.labels.headOption)) >= 4.0 &&
+          st.maxDegree(rel.types) <= degCap && st.maxDegree(relB.types) <= degCap
       case None => true
     }
     var i = 0

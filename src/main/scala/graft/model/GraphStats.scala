@@ -20,7 +20,16 @@ import org.apache.spark.sql.functions._
 final class GraphStats(val labelCounts: Map[String, Long],
                        val tripleCounts: Map[(String, String, String), Long],
                        val totalNodes: Long,
-                       val totalEdges: Long) {
+                       val totalEdges: Long,
+                       val maxDegByType: Map[String, Long] = Map.empty) {
+
+  /** Max per-node degree (either direction) over the given edge types
+    * (empty = all types). Bounds the size of any per-node adjacency array a
+    * plan might build — the WCO fusion's skew guard. */
+  def maxDegree(types: Seq[String]): Double =
+    if (maxDegByType.isEmpty) 0.0
+    else if (types.isEmpty) maxDegByType.values.max.toDouble
+    else types.foldLeft(0L)((m, t) => math.max(m, maxDegByType.getOrElse(t, 0L))).toDouble
 
   /** Estimated node count for an optional label (None = any node). */
   def nodeCard(label: Option[String]): Double =
@@ -57,6 +66,14 @@ object GraphStats {
       .select(col("sl"), col("relationship"), explode(col("_dl")).as("dl"))
       .groupBy("sl", "relationship", "dl").count()
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
-    new GraphStats(lc, triples, g.nodes.count(), g.edges.count())
+    // max per-node degree per edge type, either direction — one extra
+    // aggregate pair in the once-per-dataset pass (the 100 TB shape is the
+    // same ANALYZE-style job)
+    val md = g.edges.select(col("relationship"), col("src").as("n"))
+      .unionAll(g.edges.select(col("relationship"), col("dst").as("n")))
+      .groupBy("relationship", "n").count()
+      .groupBy("relationship").agg(max("count").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    new GraphStats(lc, triples, g.nodes.count(), g.edges.count(), md)
   }
 }
