@@ -40,7 +40,9 @@ object WcoDemo {
     val edges = co.select(monotonically_increasing_id().as("id"),
       col("a").as("src"), col("b").as("dst"), lit("CO").as("relationship"))
       .localCheckpoint(true)
-    val g = PropertyGraph(nodes, edges)
+    // statsKey enables the fan/skew gate AND the simple-graph proof (the
+    // distinct() above makes maxMultiplicity 1, dropping the back-joins)
+    val g = PropertyGraph(nodes, edges, statsKey = Some(s"wco-demo:$sfDir"))
 
     def triangle(unfuse: Boolean): String = {
       val r = if (unfuse) "[r:CO]" else "[:CO]"

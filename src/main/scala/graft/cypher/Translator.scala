@@ -942,10 +942,19 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     // middle node's label/property constraints + payload columns (same
     // scanNode join the unfused hop would have done)
     out = out.join(scanNode(midNode, midVar), col("__mid") === col(s"${midVar}__id"))
-    // exact multiplicity: one row per (A-edge, B-edge) binding pair
-    out = out.join(eA, col(s"${curVar}__id") === col("__a_from") &&
+    // exact multiplicity: one row per (A-edge, B-edge) binding pair. When
+    // the stats catalog PROVES the type is simple (max parallel-edge
+    // multiplicity 1) the back-join can only multiply by one — skip it.
+    // Directed hops only: an undirected hop binds a reciprocal physical
+    // pair (a->b plus b->a) twice even in a simple graph, so it keeps the
+    // back-join regardless.
+    def simple(rel: RelPat): Boolean =
+      rel.dir != Undirected && stats.exists(_.maxMultiplicity(rel.types) <= 1.0)
+    if (!simple(relA))
+      out = out.join(eA, col(s"${curVar}__id") === col("__a_from") &&
         col("__mid") === col("__a_to"))
-      .join(eB, col("__mid") === col("__b_from") &&
+    if (!simple(relB))
+      out = out.join(eB, col("__mid") === col("__b_from") &&
         col(s"${closeVar}__id") === col("__b_to"))
     out.drop("__mid", "__a_from", "__a_to", "__b_from", "__b_to")
   }

@@ -21,7 +21,8 @@ final class GraphStats(val labelCounts: Map[String, Long],
                        val tripleCounts: Map[(String, String, String), Long],
                        val totalNodes: Long,
                        val totalEdges: Long,
-                       val maxDegByType: Map[String, Long] = Map.empty) {
+                       val maxDegByType: Map[String, Long] = Map.empty,
+                       val maxMultByType: Map[String, Long] = Map.empty) {
 
   /** Max per-node degree (either direction) over the given edge types
     * (empty = all types). Bounds the size of any per-node adjacency array a
@@ -30,6 +31,17 @@ final class GraphStats(val labelCounts: Map[String, Long],
     if (maxDegByType.isEmpty) 0.0
     else if (types.isEmpty) maxDegByType.values.max.toDouble
     else types.foldLeft(0L)((m, t) => math.max(m, maxDegByType.getOrElse(t, 0L))).toDouble
+
+  /** Max number of parallel (src, dst)-identical edges over the given types
+    * (empty = all). Unknown (no stats row) is reported as MaxValue so
+    * callers stay on the exact path; 1 proves the graph is simple for these
+    * types, letting the WCO fusion drop its multiplicity back-joins. */
+  def maxMultiplicity(types: Seq[String]): Double =
+    if (maxMultByType.isEmpty) Double.MaxValue
+    else if (types.isEmpty) maxMultByType.values.max.toDouble
+    else if (types.forall(maxMultByType.contains))
+      types.foldLeft(0L)((m, t) => math.max(m, maxMultByType(t))).toDouble
+    else Double.MaxValue
 
   /** Estimated node count for an optional label (None = any node). */
   def nodeCard(label: Option[String]): Double =
@@ -74,6 +86,9 @@ object GraphStats {
       .groupBy("relationship", "n").count()
       .groupBy("relationship").agg(max("count").as("m"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    new GraphStats(lc, triples, g.nodes.count(), g.edges.count(), md)
+    val mm = g.edges.groupBy(col("relationship"), col("src"), col("dst")).count()
+      .groupBy("relationship").agg(max("count").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    new GraphStats(lc, triples, g.nodes.count(), g.edges.count(), md, mm)
   }
 }

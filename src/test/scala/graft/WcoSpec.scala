@@ -96,6 +96,40 @@ class WcoSpec extends SparkSpec {
     assert(fused == unfused && fused == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("simple-graph stats drop the multiplicity back-joins; parallel edges keep them") {
+    // dense toy (complete digraph on 5 nodes: fan 20/5 = 4 clears the fan
+    // gate) so the STATS path fuses; maxMultiplicity=1 proves the graph
+    // simple, so the fused plan needs no back-joins
+    val ids = (1L to 5L)
+    val denseNodes = ids.map(i => (i, Seq("V"), s"n$i")).toDF("id", "labels", "name")
+    val denseEdges = (for { a <- ids; b <- ids if a != b } yield
+      (a * 100 + b, a, b, "E")).toDF("id", "src", "dst", "relationship")
+    val qTri = "MATCH (a:V)-[:E]->(b:V)-[:E]->(c:V)-[:E]->(a) RETURN count(*) AS n"
+    val qTriU = "MATCH (a:V)-[:E]->(b:V)-[r:E]->(c:V)-[:E]->(a) RETURN count(*) AS n"
+
+    def joinCount(df: org.apache.spark.sql.DataFrame): Int =
+      "Join Inner".r.findAllIn(df.queryExecution.optimizedPlan.toString).size
+
+    val simpleG = PropertyGraph(denseNodes, denseEdges,
+      statsKey = Some("wco-test-simple"))
+    val df = QueryEngine.execute(qTri, simpleG)
+    assert(df.queryExecution.optimizedPlan.toString.contains("array_intersect"))
+    assert(df.as[Long].head() ==
+      QueryEngine.execute(qTriU, simpleG).as[Long].head())
+
+    // with a parallel 1->2 edge the stat reads 2 -> the two multiplicity
+    // back-joins stay in the plan and the fused count still matches the
+    // binary lowering
+    val parG = PropertyGraph(denseNodes,
+      denseEdges.unionAll(Seq((999L, 1L, 2L, "E")).toDF("id", "src", "dst", "relationship")),
+      statsKey = Some("wco-test-par"))
+    val df2 = QueryEngine.execute(qTri, parG)
+    assert(joinCount(df2) == joinCount(df) + 2,
+      "parallel-edge stats should keep exactly the two back-joins")
+    assert(df2.as[Long].head() ==
+      QueryEngine.execute(qTriU, parG).as[Long].head())
+  }
+
   test("the fused plan intersects adjacency arrays instead of a third edge join") {
     val df = QueryEngine.execute(
       "MATCH (a:V)-[:E]->(b:V)-[:E]->(c:V)-[:E]->(a) RETURN count(*) AS n", g)
