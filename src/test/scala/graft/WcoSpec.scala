@@ -130,6 +130,28 @@ class WcoSpec extends SparkSpec {
       QueryEngine.execute(qTriU, parG).as[Long].head())
   }
 
+  test("randomized differential: fused == unfused on 8 random multigraphs") {
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 1 to 8) {
+      val n = 4 + rnd.nextInt(5)
+      val m = 8 + rnd.nextInt(20)
+      val nodes = (1L to n).map(i => (i, Seq("V"), s"n$i")).toDF("id", "labels", "name")
+      // parallel edges and self-loops both allowed
+      val edges = (1 to m).map { k =>
+        (1000L + k, 1L + rnd.nextInt(n), 1L + rnd.nextInt(n), "E")
+      }.toDF("id", "src", "dst", "relationship")
+      val rg = PropertyGraph(nodes, edges)
+      for (pat <- Seq(
+        "MATCH (a:V)-[:E]->(b:V)-%s->(c:V)-[:E]->(a) RETURN count(*) AS n",
+        "MATCH (a:V)-[:E]->(b:V)-%s->(a) RETURN count(*) AS n",
+        "MATCH (a:V)-[:E]-(b:V)-%s-(c:V)-[:E]-(a) RETURN count(*) AS n")) {
+        val fused = QueryEngine.execute(pat.format("[:E]"), rg).as[Long].head()
+        val unfused = QueryEngine.execute(pat.format("[r:E]"), rg).as[Long].head()
+        assert(fused == unfused, s"trial $trial pattern $pat: $fused != $unfused")
+      }
+    }
+  }
+
   test("the fused plan intersects adjacency arrays instead of a third edge join") {
     val df = QueryEngine.execute(
       "MATCH (a:V)-[:E]->(b:V)-[:E]->(c:V)-[:E]->(a) RETURN count(*) AS n", g)
