@@ -130,6 +130,37 @@ class WcoSpec extends SparkSpec {
       QueryEngine.execute(qTriU, parG).as[Long].head())
   }
 
+  test("relationship-property predicates apply to both fused hops") {
+    // weighted toy: only the w=1 edges may bind the filtered hops
+    val wNodes = (1L to 4L).map(i => (i, Seq("V"), s"n$i")).toDF("id", "labels", "name")
+    val wEdges = Seq(
+      (1L, 1L, 2L, "E", 1L), (2L, 2L, 3L, "E", 1L), (3L, 3L, 1L, "E", 1L),
+      (4L, 2L, 3L, "E", 2L), (5L, 3L, 1L, "E", 2L), (6L, 2L, 4L, "E", 1L),
+      (7L, 4L, 1L, "E", 1L)).toDF("id", "src", "dst", "relationship", "w")
+    val wg = PropertyGraph(wNodes, wEdges)
+    val q = "MATCH (a:V)-[:E]->(b:V)-%s {w: 1}]->(c:V)-[:E {w: 1}]->(a) " +
+      "RETURN count(*) AS n"
+    val fused = QueryEngine.execute(q.format("[:E"), wg).as[Long].head()
+    val unfused = QueryEngine.execute(q.format("[r:E"), wg).as[Long].head()
+    // the w=2 parallel copies of 2->3 / 3->1 must be filtered out of the
+    // two CONSTRAINED hops but still bind the unconstrained first hop —
+    // the named-rel variant runs the same filters through the binary path
+    assert(fused == unfused && fused > 0L)
+  }
+
+  test("direct 2-cycle (mutual edges) closes through the fused wedge") {
+    val ids = (1L to 4L)
+    val dn = ids.map(i => (i, Seq("V"), s"n$i")).toDF("id", "labels", "name")
+    val de = (for { a <- ids; b <- ids if a != b } yield
+      (a * 10 + b, a, b, "E")).toDF("id", "src", "dst", "relationship")
+    val dg = PropertyGraph(dn, de)
+    val q = "MATCH (a:V)-[:E]->(b:V)-%s->(a) RETURN count(*) AS n"
+    val fused = QueryEngine.execute(q.format("[:E]"), dg).as[Long].head()
+    val unfused = QueryEngine.execute(q.format("[r:E]"), dg).as[Long].head()
+    // complete digraph on 4 nodes: every ordered pair is a 2-cycle
+    assert(fused == 12L && fused == unfused)
+  }
+
   test("randomized differential: fused == unfused on 8 random multigraphs") {
     val rnd = new scala.util.Random(20260813L)
     for (trial <- 1 to 8) {
