@@ -1143,9 +1143,17 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     def toCol(e: Expr): Column = tr(e)
     def a0 = toCol(args(0)); def a1 = toCol(args(1))
     name match {
-      case "id" | "elementid" => args.head match {
+      case "id" => args.head match {
         case Var(n) if !scalarVars.contains(n) => col(s"${n}__id")
         case e => toCol(e)
+      }
+      // CY-24 elementId(): string form "node:<id>" / "edge:<id>"
+      // (reference `operator.rs:1489-1494`)
+      case "elementid" => args.head match {
+        case Var(n) if !scalarVars.contains(n) =>
+          concat(lit(if (edgeEntityVars.contains(n)) "edge:" else "node:"),
+            col(s"${n}__id").cast("string"))
+        case e => concat(lit("node:"), toCol(e).cast("string"))
       }
       case "labels" => args.head match { case Var(n) => col(s"${n}__labels"); case e => toCol(e) }
       case "type" => args.head match { case Var(n) => col(s"${n}__relationship"); case e => toCol(e) }
@@ -1170,7 +1178,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         case Var(p) if pathVars.contains(p) => col(s"${p}__nodes")
         case e => toCol(e)
       }
-      case "relationships" => args.head match {
+      case "relationships" | "rels" => args.head match {
         case Var(p) if pathVars.contains(p) => col(s"${p}__edges")
         case e => toCol(e)
       }
@@ -1198,6 +1206,13 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
       case "tointegerornull" => CypherFunctions.toIntegerOrNull(a0)
       case "tofloatornull" => CypherFunctions.toFloatOrNull(a0)
       case "tobooleanornull" => CypherFunctions.toBooleanOrNull(a0)
+      // scalar -> string; non-scalar (list/map) -> null (`operator.rs:1570`)
+      case "tostringornull" => args.head match {
+        case _: ListLit => lit(null).cast("string")
+        case _ => a0.cast("string")
+      }
+      case "isnan" =>
+        when(a0.isNull, lit(null)).otherwise(isnan(a0.cast("double")))
       case "size" => size(a0)            // lists (Cypher size)
       case "abs" => abs(a0)
       case "ceil" => ceil(a0)

@@ -101,6 +101,13 @@ object CypherQueries {
         "WHERE id(o) < 10002000 " +
         "RETURN count(*) AS n_pairs") _),
 
+    // CY-24 elementId() string form + isNaN + toStringOrNull
+    "q_cypher_fn_parity" -> (run(
+      """MATCH (n:Nation)
+        |RETURN elementId(n) AS eid, isNaN(sqrt(-1)) AS nan_t,
+        |       toStringOrNull(id(n)) AS sid
+        |ORDER BY eid""".stripMargin) _),
+
     // two comma patterns sharing a variable (join on c)
     "q_cypher_multipattern" -> (run(
       """MATCH (c:Customer)-[:PLACED]->(o:Order), (c)-[:IN_NATION]->(n:Nation)
@@ -629,6 +636,8 @@ object CypherQueries {
       "SELECT CASE WHEN o_totalprice > 200000 THEN 'high' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS bucket, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1",
     "q_cypher_multipattern" ->
       "SELECT CAST(1200000000 + c_nationkey AS BIGINT) AS nid, count(*) AS n_orders FROM customer JOIN orders ON o_custkey = c_custkey WHERE c_custkey < 50 GROUP BY 1 ORDER BY 1",
+    "q_cypher_fn_parity" ->
+      "SELECT 'node:' || CAST(CAST(1200000000 + n_nationkey AS BIGINT) AS VARCHAR) AS eid, true AS nan_t, CAST(CAST(1200000000 + n_nationkey AS BIGINT) AS VARCHAR) AS sid FROM nation ORDER BY 1",
     // the lineitem self-joins mirror the graph build: Lineitem NODES dedup
     // on lineId but each lineitem ROW contributes one CONTAINS and one
     // HAS_PART edge, so traversing through a node multiplies the per-row

@@ -21,6 +21,25 @@ class EdgeSemSpec extends SparkSpec {
     assert(n == 0L)
   }
 
+  test("elementId() returns the reference's node:/edge: string form") {
+    val r = QueryEngine.execute(
+      "MATCH (n:P)-[r:E]->() RETURN elementId(n) AS en, elementId(r) AS er", g)
+      .as[(String, String)].head()
+    assert(r == (("node:1", "edge:10")))
+  }
+
+  test("isNaN, toStringOrNull, rels alias") {
+    val r = QueryEngine.execute(
+      "MATCH (n:P) RETURN isNaN(sqrt(-1)) AS a, isNaN(1.5) AS b, " +
+        "toStringOrNull(42) AS c, toStringOrNull([1, 2]) AS d", g).collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getString(2) == "42" && r.isNullAt(3))
+    val p = QueryEngine.execute(
+      "MATCH p = (a:P)-[:E]->(b) RETURN rels(p) AS es", g)
+      .as[Seq[Long]].head()
+    assert(p == Seq(10L))
+  }
+
   test("CASE without ELSE yields null") {
     val r = QueryEngine.execute(
       "MATCH (n:P) RETURN CASE WHEN n.name = 'Z' THEN 1 END AS c", g).collect()(0)
