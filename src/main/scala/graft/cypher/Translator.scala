@@ -1229,6 +1229,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
       case "e" => lit(math.E)
       case "pi" => lit(math.Pi)
       case "sin" => sin(a0); case "cos" => cos(a0); case "tan" => tan(a0)
+      case "sinh" => sinh(a0); case "cosh" => cosh(a0); case "tanh" => tanh(a0)
       case "asin" => asin(a0); case "acos" => acos(a0); case "atan" => atan(a0)
       case "atan2" => atan2(a0, a1)
       case "cot" => CypherFunctions.cot(a0)

@@ -40,6 +40,13 @@ class EdgeSemSpec extends SparkSpec {
     assert(p == Seq(10L))
   }
 
+  test("hyperbolic functions") {
+    val r = QueryEngine.execute(
+      "MATCH (n:P) RETURN round(sinh(0.0), 4) AS a, round(cosh(0.0), 4) AS b, " +
+        "round(tanh(0.0), 4) AS c", g).as[(Double, Double, Double)].head()
+    assert(r == ((0.0, 1.0, 0.0)))
+  }
+
   test("CASE without ELSE yields null") {
     val r = QueryEngine.execute(
       "MATCH (n:P) RETURN CASE WHEN n.name = 'Z' THEN 1 END AS c", g).collect()(0)
