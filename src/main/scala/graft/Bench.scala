@@ -87,11 +87,13 @@ object Bench {
           // min-of-3 under container load sits 10-45% above the true floor
           // (round-5 measurement: pagerank/cdlp 3.9-4.4s at 3 reps vs
           // 3.5/3.6s at 5 — the round-4 "drift" was estimator
-          // non-convergence, not a regression). Two extra reps there buy a
-          // converged min; >30s queries stay at 2 total.
+          // non-convergence, not a regression). `reps` is a hard upper
+          // bound on total runs (the caller's request wins); >30s queries
+          // stay at 2 total. Estimator note: rounds ≤4 effectively ran
+          // min-of-5 in the 2-30s band regardless of reps — compare
+          // round-over-round numbers only at equal effective rep counts.
           val extraReps =
-            if (first > 30.0) 1
-            else if (first > 2.0) math.max(reps - 1, 4)
+            if (first > 30.0) math.min(1, reps - 1)
             else reps - 1
           var runs = List(first)
           (1 to extraReps).foreach { _ =>

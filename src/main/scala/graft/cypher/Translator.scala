@@ -1206,13 +1206,23 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
       case "tointegerornull" => CypherFunctions.toIntegerOrNull(a0)
       case "tofloatornull" => CypherFunctions.toFloatOrNull(a0)
       case "tobooleanornull" => CypherFunctions.toBooleanOrNull(a0)
-      // scalar -> string; non-scalar (list/map) -> null (`operator.rs:1570`)
-      case "tostringornull" => args.head match {
-        case _: ListLit => lit(null).cast("string")
-        case _ => a0.cast("string")
-      }
+      // scalar -> string; non-scalar (list/map/struct) -> null
+      // (`operator.rs:1570` returns null for ANY non-scalar). Detected by
+      // the expression's resolved DataType via typeof() — a constant per
+      // column, so the branch constant-folds — not by literal syntax.
+      case "tostringornull" =>
+        val tpe = call_function("typeof", a0)
+        when(tpe.startsWith("array") || tpe.startsWith("map") || tpe.startsWith("struct"),
+          lit(null).cast("string")).otherwise(a0.cast("string"))
+      // numeric (or numeric-castable) -> isnan; non-null non-numeric is a
+      // type error in the reference (extract_float) -> null, never false.
+      // Regex-guarded cast (ANSI-safe) accepting NaN/Infinity spellings so
+      // an actual double NaN survives the string round-trip.
       case "isnan" =>
-        when(a0.isNull, lit(null)).otherwise(isnan(a0.cast("double")))
+        val s = trim(a0.cast("string"))
+        val d = when(s.rlike("^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$")
+          || s.isin("NaN", "Infinity", "-Infinity"), s.cast("double"))
+        when(a0.isNull, lit(null)).otherwise(when(d.isNull, lit(null)).otherwise(isnan(d)))
       case "size" => size(a0)            // lists (Cypher size)
       case "abs" => abs(a0)
       case "ceil" => ceil(a0)

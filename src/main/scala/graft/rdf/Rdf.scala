@@ -119,10 +119,14 @@ object Rdf {
     "gl" -> (base + "label/"), "gr" -> (base + "rel/"),
     "gp" -> (base + "prop/"))
 
-  /** Turtle PN_LOCAL subset our IRIs produce: alnum/_/% start, no final dot.
-    * Percent escapes are legal PN_LOCAL per the grammar, so encoded segments
-    * shorten cleanly; anything else stays a full `<IRI>`. */
-  private val SafeLocal = "[A-Za-z0-9_%](?:[A-Za-z0-9_.%-]*[A-Za-z0-9_%-])?"
+  /** Turtle PN_LOCAL subset our IRIs produce: alnum/_/PLX start, no final
+    * dot. Percent escapes are legal PN_LOCAL only as full PLX (`%` HEX HEX)
+    * per the grammar — a bare `%` (possible in externally parsed triples)
+    * must stay a full `<IRI>`, so the percent branch requires two hex
+    * digits. */
+  private val SafePlx = "%[0-9A-Fa-f]{2}"
+  private val SafeLocal =
+    s"(?:[A-Za-z0-9_]|$SafePlx)(?:(?:[A-Za-z0-9_.-]|$SafePlx)*(?:[A-Za-z0-9_-]|$SafePlx))?"
 
   /** Triples → Turtle text lines (reference
     * `src/rdf/serialization/turtle.rs` — a rio_turtle formatter; here the

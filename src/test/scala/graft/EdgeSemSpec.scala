@@ -34,6 +34,15 @@ class EdgeSemSpec extends SparkSpec {
         "toStringOrNull(42) AS c, toStringOrNull([1, 2]) AS d", g).collect()(0)
     assert(r.getBoolean(0) && !r.getBoolean(1))
     assert(r.getString(2) == "42" && r.isNullAt(3))
+    // non-scalar detection is by TYPE, not literal syntax: a computed list
+    // (labels(n)) and a map literal are null too; a non-numeric input to
+    // isNaN is a type error -> null, never false (operator.rs extract_float)
+    val r2 = QueryEngine.execute(
+      "MATCH (n:P) RETURN toStringOrNull(labels(n)) AS a, " +
+        "toStringOrNull({k: 1}) AS b, isNaN(n.name) AS c, isNaN('2.5') AS d",
+      g).collect()(0)
+    assert(r2.isNullAt(0) && r2.isNullAt(1) && r2.isNullAt(2))
+    assert(!r2.getBoolean(3))
     val p = QueryEngine.execute(
       "MATCH p = (a:P)-[:E]->(b) RETURN rels(p) AS es", g)
       .as[Seq[Long]].head()

@@ -113,6 +113,19 @@ class RdfSpec extends SparkSpec {
     assert(orig.exceptAll(back).isEmpty && back.exceptAll(orig).isEmpty)
   }
 
+  test("Turtle shortens only full %HH escapes; a bare % stays a full IRI") {
+    // externally parsed triples can carry a '%' not followed by two hex
+    // digits — shortening would emit an invalid PN_LOCAL (PLX is %HH)
+    val base = "http://ex.org/"
+    val triples = Seq(
+      ("<http://ex.org/node/a%zz>", "<http://ex.org/prop/p>", "\"v\""),
+      ("<http://ex.org/node/a%41>", "<http://ex.org/prop/p>", "\"w\""))
+      .toDF("s", "p", "o")
+    val ttl = Rdf.toTurtle(triples, base).collect()
+    assert(ttl.exists(_.startsWith("<http://ex.org/node/a%zz> gp:p")))
+    assert(ttl.exists(_.startsWith("gn:a%41 gp:p")))
+  }
+
   test("Turtle keeps unsafe local names as full IRIs and still roundtrips") {
     val nodes = Seq((1L, Seq("Has Space", "dot.end."), "x"), (2L, Seq("Plain"), "y"))
       .toDF("id", "labels", "name")
