@@ -36,6 +36,9 @@ object Soak {
       .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the soak certifies the DISTRIBUTED formulations scale — pin them so
+    // the small-graph in-task fast path (LocalKernels) never routes here
+    spark.conf.set("spark.graft.algo.localSizeBytes", "0")
     import spark.implicits._
 
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_soak"

@@ -25,8 +25,17 @@ object Algorithms {
 
   /** PageRank (reference kernel `samyama-graph-algorithms/src/pagerank.rs:35`):
     * standard damped power iteration with dangling-mass redistribution.
-    * Returns (id, rank). */
+    * Returns (id, rank). Small inputs route to the in-task kernel
+    * ([[LocalKernels]]) — one job instead of ~2 per iteration; the
+    * distributed loop below is the at-scale path. */
   def pageRank(edges: DataFrame, iterations: Int = 20, damping: Double = 0.85): DataFrame = {
+    val (e, small) = LocalKernels.gate(edges)
+    if (small) LocalKernels.pageRank(e, iterations, damping)
+    else pageRankDistributed(e, iterations, damping)
+  }
+
+  private[graft] def pageRankDistributed(edges: DataFrame, iterations: Int = 20,
+                                         damping: Double = 0.85): DataFrame = {
     val spark = edges.sparkSession
     // hash-partition the edge table by join key ONCE (iterations reuse the
     // partitioning), and cut it to a LEAF with an eager localCheckpoint
@@ -80,8 +89,14 @@ object Algorithms {
 
   /** Weakly connected components (reference `community.rs:58` union-find) —
     * distributed min-label propagation to a fixpoint. Returns (id, component)
-    * where component = min node id in the component. */
+    * where component = min node id in the component. Small inputs route to
+    * the in-task union-find ([[LocalKernels]]). */
   def wcc(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val (e, small) = LocalKernels.gate(edges)
+    if (small) LocalKernels.wcc(e) else wccDistributed(e, maxIter)
+  }
+
+  private[graft] def wccDistributed(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val und = edges.select(col("src").as("_usrc"), col("dst").as("_udst"))
       .unionAll(edges.select(col("dst").as("_usrc"), col("src").as("_udst")))
       .distinct().localCheckpoint(true)
@@ -109,8 +124,14 @@ object Algorithms {
   /** Community detection by label propagation, CDLP
     * (reference `cdlp.rs:38`; Graphalytics spec): each round every vertex
     * adopts the most frequent label among its neighbors, ties broken by
-    * minimum label. Fixed iteration count for determinism. */
+    * minimum label. Fixed iteration count for determinism. Small inputs
+    * route to the in-task kernel ([[LocalKernels]]). */
   def cdlp(edges: DataFrame, iterations: Int = 10): DataFrame = {
+    val (e, small) = LocalKernels.gate(edges)
+    if (small) LocalKernels.cdlp(e, iterations) else cdlpDistributed(e, iterations)
+  }
+
+  private[graft] def cdlpDistributed(edges: DataFrame, iterations: Int = 10): DataFrame = {
     val und = edges.select(col("src").as("_usrc"), col("dst").as("_udst"))
       .unionAll(edges.select(col("dst").as("_usrc"), col("src").as("_udst")))
       .localCheckpoint(true)
@@ -154,8 +175,14 @@ object Algorithms {
     * orientation — each triangle has exactly one edge (u,v) whose endpoints'
     * common higher-neighbors contain its third corner, so summing
     * |adj⁺(u) ∩ adj⁺(v)| over oriented edges counts each triangle once.
-    * Input: undirected canonical edges (a<b). */
+    * Input: undirected canonical edges (a<b). Small inputs route to the
+    * in-task kernel ([[LocalKernels]]). */
   def triangleCount(undirected: DataFrame): DataFrame = {
+    val (u, small) = LocalKernels.gateSuperlinear(undirected)
+    if (small) LocalKernels.triangleCount(u) else triangleCountDistributed(u)
+  }
+
+  private[graft] def triangleCountDistributed(undirected: DataFrame): DataFrame = {
     // the input subplan (often an expensive projection like a co-purchase
     // self-join) is referenced several times downstream — Spark does NOT
     // dedupe common subplans, so materialize it once here
@@ -185,8 +212,14 @@ object Algorithms {
   /** Per-vertex triangle participation + local clustering coefficient
     * (reference `lcc.rs:29-42`): lcc = 2*tri / (deg*(deg-1)). Corner
     * attribution from the intersection rows: edge endpoints each get |ws|,
-    * every closing vertex w gets 1. */
+    * every closing vertex w gets 1. Small inputs route to the in-task
+    * kernel ([[LocalKernels]]). */
   def lcc(undirected: DataFrame): DataFrame = {
+    val (u, small) = LocalKernels.gateSuperlinear(undirected)
+    if (small) LocalKernels.lcc(u) else lccDistributed(u)
+  }
+
+  private[graft] def lccDistributed(undirected: DataFrame): DataFrame = {
     val e = undirected.select(col("a"), col("b")).localCheckpoint(true)
     val deg = e.select(col("a").as("id")).unionAll(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -205,8 +238,15 @@ object Algorithms {
   }
 
   /** Single-source shortest paths, unweighted BFS (reference
-    * `pathfinding.rs:19`). Returns (id, dist) for reachable vertices. */
+    * `pathfinding.rs:19`). Returns (id, dist) for reachable vertices.
+    * Small inputs route to the in-task kernel ([[LocalKernels]]). */
   def bfs(edges: DataFrame, source: Long, maxIter: Int = 30): DataFrame = {
+    val (e, small) = LocalKernels.gate(edges)
+    if (small) LocalKernels.bfs(e, source, maxIter)
+    else bfsDistributed(e, source, maxIter)
+  }
+
+  private[graft] def bfsDistributed(edges: DataFrame, source: Long, maxIter: Int = 30): DataFrame = {
     val e = edges.select(col("src").as("_esrc"), col("dst").as("_edst"))
       .localCheckpoint(true)
     var dist = e.sparkSession.range(1).select(lit(source).as("id"), lit(0).as("dist"))
@@ -233,8 +273,15 @@ object Algorithms {
   /** Weighted SSSP by distributed Bellman-Ford relaxation (reference
     * Dijkstra `pathfinding.rs:91` — Dijkstra's priority queue is inherently
     * sequential; Bellman-Ford is the scalable equivalent with identical
-    * results for non-negative weights). */
+    * results for non-negative weights). Small inputs route to the in-task
+    * kernel ([[LocalKernels]]). */
   def sssp(edges: DataFrame, source: Long, maxIter: Int = 30): DataFrame = {
+    val (e, small) = LocalKernels.gate(edges)
+    if (small) LocalKernels.sssp(e, source, maxIter)
+    else ssspDistributed(e, source, maxIter)
+  }
+
+  private[graft] def ssspDistributed(edges: DataFrame, source: Long, maxIter: Int = 30): DataFrame = {
     val e = edges.select(col("src").as("_esrc"), col("dst").as("_edst"),
       coalesce(col("weight"), lit(1.0)).as("w")).localCheckpoint(true)
     var dist = e.sparkSession.range(1).select(lit(source).cast("long").as("id"), lit(0.0).as("dist"))
@@ -424,6 +471,11 @@ object Algorithms {
     * Prim) must return the identical edge set.
     * Input columns: src, dst, weight. Returns MST edges (a, b, weight). */
   def mst(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    val (e, small) = LocalKernels.gate(edges)
+    if (small) LocalKernels.mst(e) else mstDistributed(e, maxRounds)
+  }
+
+  private[graft] def mstDistributed(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
     val spark = edges.sparkSession
     val e0 = edges.select(
         least(col("src"), col("dst")).cast("long").as("a"),

@@ -1,0 +1,534 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** In-task graph kernels for stats-gated small inputs.
+  *
+  * The distributed loops in [[Algorithms]] pay ~2 Spark jobs per iteration
+  * (eager checkpoint + action); on a graph that fits in ONE task that fixed
+  * scheduling cost dominates the actual compute by 10-50x. Exactly like a
+  * broadcast-join decision, the gate reads the optimizer's size estimate
+  * (free — no job) and routes small inputs to a single `mapPartitions` task
+  * running the classic array kernel ON AN EXECUTOR — nothing is collected
+  * to the driver, and the result is a regular DataFrame. Large inputs keep
+  * the shuffle-join formulation unchanged; the gate never counts a big
+  * input (no extra pass over 100 TB — the size estimate alone rejects it).
+  *
+  * The reference runs ALL of these as single-node CSR kernels
+  * (`crates/samyama-graph-algorithms/src`), so below the threshold
+  * this is the same-shape execution with identical semantics, not a
+  * capability downgrade; above it the distributed path is the only one
+  * that exists.
+  *
+  * Every kernel here replicates its distributed twin's OBSERVABLE semantics
+  * bit-for-bit on integer outputs (wcc/cdlp/bfs/mst/varlength) and to
+  * summation-order ULPs on floating outputs (pagerank/sssp — absorbed by
+  * the catalog's 4-6 decimal rounding, same slack the DuckDB oracles rely
+  * on). Differential specs in LocalKernelsSpec enforce this against the
+  * distributed implementations on random graphs.
+  */
+object LocalKernels {
+
+  /** Route to the in-task kernel? Two tiers:
+    * below `localSizeBytes` (default 64 MB) by plan estimate → local with
+    * zero extra work (the estimate is conservative: without CBO a Filter
+    * reports its child's full size). In the gray zone up to
+    * `localCountBytes` (default 2 GB) spend ONE cheap count job and accept
+    * up to `localMaxEdges` (default 4M ≈ 64 MB of id pairs in-task). Past
+    * that: distributed, and never counted. `localSizeBytes=0` disables the
+    * local path entirely (used by specs and the soak harness to pin the
+    * distributed formulation). */
+  def isSmall(df: DataFrame): Boolean = gate(df)._2
+
+  /** Like [[isSmall]] but when the gray zone forces a count, the input is
+    * localCheckpointed FIRST and the (possibly materialized) frame is
+    * returned for downstream use — an expensive derived input (e.g. a
+    * self-join edge projection) is computed once, shared by the count and
+    * whichever execution path wins, instead of twice. */
+  def gate(df: DataFrame): (DataFrame, Boolean) = {
+    val conf = df.sparkSession.conf
+    val sizeB = conf.get("spark.graft.algo.localSizeBytes", (64L << 20).toString).toLong
+    if (sizeB <= 0L) return (df, false)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= BigInt(sizeB)) (df, true)
+    else {
+      val countB = conf.get("spark.graft.algo.localCountBytes", (2L << 30).toString).toLong
+      val maxE = conf.get("spark.graft.algo.localMaxEdges", "4000000").toLong
+      if (est > BigInt(countB)) (df, false)
+      else {
+        val leaf = df.localCheckpoint(true)
+        (leaf, leaf.count() <= maxE)
+      }
+    }
+  }
+
+  /** Gate for SUPERLINEAR kernels (triangle counting / lcc are O(m^1.5)
+    * intersection work, not O(m) passes): a graph can be byte-small yet
+    * compute-heavy — the sf0.1 co-purchase graph is 1.3M edges over 2k
+    * nodes (avg degree ~1300), where the single-task intersection loses to
+    * the 32-way distributed plan. Much tighter caps: 1 MB fast tier /
+    * 200k-edge count tier (200k^1.5 ≈ 10^8 merge steps ≈ 0.1 s in-task). */
+  def isSmallSuperlinear(df: DataFrame): Boolean = gateSuperlinear(df)._2
+
+  /** [[gate]] with the superlinear caps. */
+  def gateSuperlinear(df: DataFrame): (DataFrame, Boolean) = {
+    val conf = df.sparkSession.conf
+    val sizeB = conf.get("spark.graft.algo.localSizeBytesSuperlinear", (1L << 20).toString).toLong
+    val base = conf.get("spark.graft.algo.localSizeBytes", (64L << 20).toString).toLong
+    if (sizeB <= 0L || base <= 0L) return (df, false)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= BigInt(sizeB)) (df, true)
+    else {
+      val countB = conf.get("spark.graft.algo.localCountBytes", (2L << 30).toString).toLong
+      val maxE = conf.get("spark.graft.algo.localMaxEdgesSuperlinear", "200000").toLong
+      if (est > BigInt(countB)) (df, false)
+      else {
+        val leaf = df.localCheckpoint(true)
+        (leaf, leaf.count() <= maxE)
+      }
+    }
+  }
+
+  // ---- in-task graph assembly -------------------------------------------
+
+  /** Growable primitive-long buffer (no boxing inside the task). */
+  private final class Longs(initial: Int = 1 << 12) {
+    private[this] var a = new Array[Long](initial)
+    var n = 0
+    def +=(v: Long): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n << 1)
+      a(n) = v; n += 1
+    }
+    def apply(i: Int): Long = a(i)
+  }
+
+  private final class Ints(initial: Int = 1 << 12) {
+    private[this] var a = new Array[Int](initial)
+    var n = 0
+    def +=(v: Int): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n << 1)
+      a(n) = v; n += 1
+    }
+    def result(): Array[Int] = java.util.Arrays.copyOf(a, n)
+  }
+
+  /** Vertex interner: external long id ↔ dense index. */
+  private final class Interner {
+    val idOf = mutable.LongMap.empty[Int]
+    val ids = new Longs()
+    def idx(v: Long): Int = idOf.getOrElse(v, {
+      val i = ids.n; idOf.update(v, i); ids += v; i
+    })
+    def n: Int = ids.n
+  }
+
+  /** CSR from (src-index, dst-index) pairs. Returns (offsets, targets). */
+  private def csr(n: Int, si: Array[Int], di: Array[Int]): (Array[Int], Array[Int]) = {
+    val off = new Array[Int](n + 1)
+    var k = 0
+    while (k < si.length) { off(si(k) + 1) += 1; k += 1 }
+    var i = 0
+    while (i < n) { off(i + 1) += off(i); i += 1 }
+    val tgt = new Array[Int](si.length)
+    val cur = java.util.Arrays.copyOf(off, n)
+    k = 0
+    while (k < si.length) { val s = si(k); tgt(cur(s)) = di(k); cur(s) += 1; k += 1 }
+    (off, tgt)
+  }
+
+  // ---- kernels ----------------------------------------------------------
+
+  /** Damped power iteration with dangling-mass redistribution — same
+    * update as [[Algorithms.pageRank]]'s distributed loop, same float
+    * association `(1-d)/n + d*(recv + dmass/n)`. */
+  def pageRank(edges: DataFrame, iterations: Int, damping: Double): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val vx = new Interner
+        val sb = new Ints(); val db = new Ints()
+        it.foreach { case (s, d) => sb += vx.idx(s); db += vx.idx(d) }
+        val (si, di) = (sb.result(), db.result())
+        val n = vx.n
+        if (n == 0) Iterator.empty
+        else {
+          val m = si.length
+          val deg = new Array[Int](n)
+          var k = 0
+          while (k < m) { deg(si(k)) += 1; k += 1 }
+          var rank = Array.fill(n)(1.0 / n)
+          var iter = 0
+          while (iter < iterations) {
+            var dmass = 0.0
+            var i = 0
+            while (i < n) { if (deg(i) == 0) dmass += rank(i); i += 1 }
+            val recv = new Array[Double](n)
+            k = 0
+            while (k < m) { recv(di(k)) += rank(si(k)) / deg(si(k)); k += 1 }
+            val nr = new Array[Double](n)
+            i = 0
+            while (i < n) {
+              nr(i) = (1 - damping) / n + damping * (recv(i) + dmass / n); i += 1
+            }
+            rank = nr; iter += 1
+          }
+          (0 until n).iterator.map(i => (vx.ids(i), rank(i)))
+        }
+      }.toDF("id", "rank")
+  }
+
+  /** Synchronous label propagation, both directions incident (duplicates
+    * kept), argmax frequency with min-label tie-break — the exact
+    * per-round rule of [[Algorithms.cdlp]]. */
+  def cdlp(edges: DataFrame, iterations: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val vx = new Interner
+        val sb = new Ints(); val db = new Ints()
+        // undirected incidence: every input edge contributes BOTH directions
+        it.foreach { case (s, d) =>
+          val a = vx.idx(s); val b = vx.idx(d)
+          sb += a; db += b
+          sb += b; db += a
+        }
+        val n = vx.n
+        if (n == 0) Iterator.empty
+        else {
+          // in-neighbor CSR (src of und edge is the label donor)
+          val (off, nbr) = csr(n, db.result(), sb.result())
+          var lbl = Array.tabulate(n)(i => vx.ids(i))
+          val cnt = mutable.LongMap.empty[Int]
+          var r = 0
+          while (r < iterations) {
+            val next = new Array[Long](n)
+            var v = 0
+            while (v < n) {
+              cnt.clear()
+              var k = off(v)
+              while (k < off(v + 1)) {
+                val l = lbl(nbr(k)); cnt.update(l, cnt.getOrElse(l, 0) + 1); k += 1
+              }
+              var best = lbl(v); var bestF = 0
+              cnt.foreach { case (l, f) =>
+                if (f > bestF || (f == bestF && l < best)) { best = l; bestF = f }
+              }
+              next(v) = best
+              v += 1
+            }
+            lbl = next; r += 1
+          }
+          (0 until n).iterator.map(i => (vx.ids(i), lbl(i)))
+        }
+      }.toDF("id", "label")
+  }
+
+  /** Connected components, component = min vertex id — union-find with the
+    * smaller ROOT id kept as root, which is exactly the fixpoint of
+    * [[Algorithms.wcc]]'s min-label propagation. */
+  def wcc(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val vx = new Interner
+        def find(x0: Int, p: Array[Int]): Int = {
+          var x = x0
+          while (p(x) != x) { p(x) = p(p(x)); x = p(x) }
+          x
+        }
+        val es = new Ints(); val ed = new Ints()
+        it.foreach { case (s, d) => es += vx.idx(s); ed += vx.idx(d) }
+        val n = vx.n
+        val p = Array.tabulate(n)(identity)
+        var k = 0
+        val (si, di) = (es.result(), ed.result())
+        while (k < si.length) {
+          val a = find(si(k), p); val b = find(di(k), p)
+          if (a != b) {
+            // root with the smaller EXTERNAL id wins → component = min id
+            if (vx.ids(a) < vx.ids(b)) p(b) = a else p(a) = b
+          }
+          k += 1
+        }
+        (0 until n).iterator.map(i => (vx.ids(i), vx.ids(find(i, p))))
+      }.toDF("id", "component")
+  }
+
+  /** Layered BFS over out-edges, depth capped at maxIter, source always
+    * present at dist 0 — mirrors [[Algorithms.bfs]]. */
+  def bfs(edges: DataFrame, source: Long, maxIter: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val vx = new Interner
+        val sb = new Ints(); val db = new Ints()
+        it.foreach { case (s, d) => sb += vx.idx(s); db += vx.idx(d) }
+        val src = vx.idx(source) // ensure present even with no incident edges
+        val n = vx.n
+        val (off, tgt) = csr(n, sb.result(), db.result())
+        val dist = Array.fill(n)(-1)
+        dist(src) = 0
+        var frontier = Array(src)
+        var depth = 0
+        while (frontier.nonEmpty && depth < maxIter) {
+          val next = new Ints(math.max(frontier.length, 16))
+          var i = 0
+          while (i < frontier.length) {
+            val v = frontier(i)
+            var k = off(v)
+            while (k < off(v + 1)) {
+              val w = tgt(k)
+              if (dist(w) < 0) { dist(w) = depth + 1; next += w }
+              k += 1
+            }
+            i += 1
+          }
+          frontier = next.result()
+          depth += 1
+        }
+        (0 until n).iterator.filter(dist(_) >= 0).map(i => (vx.ids(i), dist(i)))
+      }.toDF("id", "dist")
+  }
+
+  /** Synchronous (round-based) Bellman-Ford, `maxIter` rounds or fixpoint —
+    * the same bounded relaxation as [[Algorithms.sssp]], so intermediate
+    * states after a capped round count match too. Emits reachable vertices
+    * only; source always present at 0.0. */
+  def sssp(edges: DataFrame, source: Long, maxIter: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("src").cast("long"), col("dst").cast("long"),
+        coalesce(col("weight"), lit(1.0)).cast("double")).as[(Long, Long, Double)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val vx = new Interner
+        val sb = new Ints(); val db = new Ints(); val wb = mutable.ArrayBuffer.empty[Double]
+        it.foreach { case (s, d, w) => sb += vx.idx(s); db += vx.idx(d); wb += w }
+        val src = vx.idx(source)
+        val n = vx.n
+        val (si, di, w) = (sb.result(), db.result(), wb.toArray)
+        val inf = Double.MaxValue
+        var dist = Array.fill(n)(inf)
+        dist(src) = 0.0
+        var it2 = 0
+        var changed = true
+        while (changed && it2 < maxIter) {
+          changed = false
+          val nd = dist.clone() // synchronous: relax against the PREVIOUS round
+          var k = 0
+          while (k < si.length) {
+            val ds = dist(si(k))
+            if (ds != inf) {
+              val cand = ds + w(k)
+              if (cand < nd(di(k))) { nd(di(k)) = cand; changed = true }
+            }
+            k += 1
+          }
+          dist = nd; it2 += 1
+        }
+        (0 until n).iterator.filter(dist(_) != inf).map(i => (vx.ids(i), dist(i)))
+      }.toDF("id", "dist")
+  }
+
+  /** Kruskal over the canonicalized (min,max,min-weight) edge set with the
+    * (w,a,b) total order — the forest is unique under that order, so the
+    * output edge set is identical to [[Algorithms.mst]]'s Borůvka. */
+  def mst(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(
+        least(col("src"), col("dst")).cast("long"),
+        greatest(col("src"), col("dst")).cast("long"),
+        coalesce(col("weight"), lit(1.0)).cast("double"))
+      .as[(Long, Long, Double)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val minW = mutable.HashMap.empty[(Long, Long), Double]
+        it.foreach { case (a, b, w) =>
+          if (a != b) {
+            val k = (a, b)
+            val prev = minW.getOrElse(k, Double.MaxValue)
+            if (w < prev) minW.update(k, w)
+          }
+        }
+        val sorted = minW.iterator.map { case ((a, b), w) => (w, a, b) }.toArray
+        java.util.Arrays.sort(sorted, Ordering.Tuple3[Double, Long, Long])
+        val vx = new Interner
+        sorted.foreach { case (_, a, b) => vx.idx(a); vx.idx(b) }
+        val p = Array.tabulate(vx.n)(identity)
+        def find(x0: Int): Int = {
+          var x = x0
+          while (p(x) != x) { p(x) = p(p(x)); x = p(x) }
+          x
+        }
+        sorted.iterator.flatMap { case (w, a, b) =>
+          val ra = find(vx.idx(a)); val rb = find(vx.idx(b))
+          if (ra != rb) { p(ra) = rb; Iterator.single((a, b, w)) } else Iterator.empty
+        }
+      }.toDF("a", "b", "w")
+  }
+
+  /** Multi-source BFS emitting (start, node, hops) for hops in
+    * [minHops, maxHops] with per-start first-reach dedup — the exact row
+    * set of `Traversals.varLengthExpand`. Starts ride into the task as
+    * tagged rows (no driver collect). */
+  def varLengthExpand(edges: DataFrame, starts: DataFrame, startCol: String,
+                      minHops: Int, maxHops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"), lit(0))
+      .as[(Long, Long, Int)]
+    val s0 = starts.select(col(startCol).cast("long"), lit(0L), lit(1))
+      .distinct().as[(Long, Long, Int)]
+    e.unionAll(s0).repartition(1)
+      .mapPartitions { it =>
+        val vx = new Interner
+        val sb = new Ints(); val db = new Ints()
+        val startIds = new Longs(16)
+        it.foreach { case (a, b, t) =>
+          if (t == 0) { sb += vx.idx(a); db += vx.idx(b) }
+          else startIds += a
+        }
+        val (off, tgt) = csr(vx.n, sb.result(), db.result())
+        val n = vx.n
+        val seenAt = new Array[Int](n) // visit stamp per start (1-based)
+        (0 until startIds.n).iterator.flatMap { s =>
+          val startId = startIds(s)
+          val stamp = s + 1
+          val out = mutable.ArrayBuffer.empty[(Long, Long, Int)]
+          if (minHops == 0) out += ((startId, startId, 0))
+          vx.idOf.get(startId) match {
+            case None => // start not an edge endpoint: no hops ≥ 1 rows
+            case Some(sIdx) =>
+              seenAt(sIdx) = stamp
+              var frontier = Array(sIdx)
+              var h = 1
+              while (frontier.nonEmpty && h <= maxHops) {
+                val next = new Ints(16)
+                var i = 0
+                while (i < frontier.length) {
+                  val v = frontier(i)
+                  var k = off(v)
+                  while (k < off(v + 1)) {
+                    val w = tgt(k)
+                    if (seenAt(w) != stamp) {
+                      seenAt(w) = stamp
+                      next += w
+                      if (h >= minHops) out += ((startId, vx.ids(w), h))
+                    }
+                    k += 1
+                  }
+                  i += 1
+                }
+                frontier = next.result()
+                h += 1
+              }
+          }
+          out.iterator
+        }
+      }.toDF("start", "node", "hops")
+  }
+
+  /** Degree-oriented common-neighbor triangle total — replicates
+    * [[Algorithms.triangleCount]] including multigraph quirks (duplicate
+    * input rows orient and count per row; the common-neighbor set is
+    * DISTINCT values, as `array_intersect` dedups). One-row result. */
+  def triangleCount(undirected: DataFrame): DataFrame = {
+    val spark = undirected.sparkSession
+    import spark.implicits._
+    undirected.select(col("a").cast("long"), col("b").cast("long")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        Iterator.single(Tuple1(triangleSum(it)._1))
+      }.toDF("triangles")
+  }
+
+  /** Per-vertex triangles + clustering coefficient — replicates
+    * [[Algorithms.lcc]]'s corner attribution. */
+  def lcc(undirected: DataFrame): DataFrame = {
+    val spark = undirected.sparkSession
+    import spark.implicits._
+    undirected.select(col("a").cast("long"), col("b").cast("long")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val (_, vx, deg, tri) = triangleSum(it)
+        (0 until vx.n).iterator.map { i =>
+          val d = deg(i).toLong
+          val t = tri(i)
+          val l = if (d >= 2) t * 2.0 / (d * (d - 1)) else 0.0
+          (vx.ids(i), d, t, l)
+        }
+      }.toDF("id", "deg", "triangles", "lcc")
+  }
+
+  /** Shared oriented-intersection pass. Returns (total, interner,
+    * degree-with-duplicates, per-vertex triangle counts). */
+  private def triangleSum(it: Iterator[(Long, Long)])
+      : (Long, Interner, Array[Int], Array[Long]) = {
+    val vx = new Interner
+    val ea = new Ints(); val eb = new Ints()
+    it.foreach { case (a, b) => ea += vx.idx(a); eb += vx.idx(b) }
+    val n = vx.n
+    val (ia, ib) = (ea.result(), eb.result())
+    val deg = new Array[Int](n)
+    var k = 0
+    while (k < ia.length) { deg(ia(k)) += 1; deg(ib(k)) += 1; k += 1 }
+    // orientation: lower (deg, id) endpoint → higher; adjacency of the LO
+    // endpoint only, sorted by target id (matches sort_array(collect_list))
+    def lower(x: Int, y: Int): Boolean =
+      deg(x) < deg(y) || (deg(x) == deg(y) && vx.ids(x) < vx.ids(y))
+    val los = new Array[Int](ia.length); val his = new Array[Int](ia.length)
+    k = 0
+    while (k < ia.length) {
+      if (lower(ia(k), ib(k))) { los(k) = ia(k); his(k) = ib(k) }
+      else { los(k) = ib(k); his(k) = ia(k) }
+      k += 1
+    }
+    val (off, tgtRaw) = csr(n, los, his)
+    // sort each adjacency segment by external id
+    var v = 0
+    while (v < n) {
+      val seg = java.util.Arrays.copyOfRange(tgtRaw, off(v), off(v + 1))
+        .sortBy(i => vx.ids(i))
+      var i = 0
+      while (i < seg.length) { tgtRaw(off(v) + i) = seg(i); i += 1 }
+      v += 1
+    }
+    val tri = new Array[Long](n)
+    var total = 0L
+    // per oriented edge ROW: distinct common neighbors of adj(lo), adj(hi)
+    k = 0
+    while (k < los.length) {
+      val lo = los(k); val hi = his(k)
+      var i = off(lo); var j = off(hi)
+      var nw = 0L
+      var lastId = Long.MinValue
+      while (i < off(lo + 1) && j < off(hi + 1)) {
+        val xi = vx.ids(tgtRaw(i)); val xj = vx.ids(tgtRaw(j))
+        if (xi < xj) i += 1
+        else if (xi > xj) j += 1
+        else {
+          if (xi != lastId) { // distinct: array_intersect dedups
+            nw += 1; tri(tgtRaw(i)) += 1; lastId = xi
+          }
+          i += 1; j += 1
+        }
+      }
+      if (nw > 0) { tri(lo) += nw; tri(hi) += nw }
+      total += nw
+      k += 1
+    }
+    (total, vx, deg, tri)
+  }
+}

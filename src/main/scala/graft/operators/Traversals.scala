@@ -85,6 +85,17 @@ object Traversals {
   def varLengthExpand(edges: DataFrame, starts: DataFrame, startCol: String,
                       minHops: Int, maxHops: Int): DataFrame = {
     require(minHops >= 0 && maxHops >= minHops, "need 0 <= min <= max")
+    // small graph + small start set → in-task multi-source BFS, one job
+    // instead of ~1 per hop (graft.algo.LocalKernels has the gate details)
+    val (e, small) = graft.algo.LocalKernels.gate(edges.select(col("src"), col("dst")))
+    if (small && graft.algo.LocalKernels.isSmall(starts.select(col(startCol))))
+      return graft.algo.LocalKernels.varLengthExpand(e, starts, startCol, minHops, maxHops)
+    varLengthExpandDistributed(e, starts, startCol, minHops, maxHops)
+  }
+
+  private[graft] def varLengthExpandDistributed(
+      edges: DataFrame, starts: DataFrame, startCol: String,
+      minHops: Int, maxHops: Int): DataFrame = {
     // Each hop's frontier is materialized ONCE via eager localCheckpoint,
     // which also replaces its logical plan with a tiny LogicalRDD. That keeps
     // the per-hop plan (and the AQE plan-string events, which stringify the

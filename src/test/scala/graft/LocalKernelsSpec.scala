@@ -1,0 +1,137 @@
+package graft
+
+import graft.algo.{Algorithms, LocalKernels}
+import graft.operators.Traversals
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Differential tests: the in-task kernels must reproduce the distributed
+  * implementations' observable output — exactly for integer-valued results
+  * (wcc/cdlp/bfs/mst/varlength/triangles), to float tolerance for
+  * pagerank/sssp (summation order differs; the catalog rounds to 4-6
+  * decimals, far above the ULP drift). Random graphs with parallel edges,
+  * self-referencing structure, dangling nodes, and disconnected pieces. */
+class LocalKernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic random multigraph: n vertices, m directed edges
+  private def randGraph(seed: Long, n: Int, m: Int): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    // sparse ids (multiples of 7 plus offset) to catch id/index confusion
+    val ids = Array.tabulate(n)(i => 1000L + 7L * i)
+    Seq.fill(m)((ids(rnd.nextInt(n)), ids(rnd.nextInt(n))))
+      .toDF("src", "dst")
+  }
+
+  private def weighted(seed: Long, n: Int, m: Int): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val ids = Array.tabulate(n)(i => 500L + 3L * i)
+    Seq.fill(m)((ids(rnd.nextInt(n)), ids(rnd.nextInt(n)),
+      math.rint(rnd.nextDouble() * 100) / 10.0))
+      .toDF("src", "dst", "weight")
+  }
+
+  private def sortedRows(df: DataFrame): Array[String] =
+    df.collect().map(_.toString).sorted
+
+  test("gate: small inputs route local, localSizeBytes=0 pins distributed") {
+    val e = randGraph(1, 20, 60)
+    assert(LocalKernels.isSmall(e))
+    spark.conf.set("spark.graft.algo.localSizeBytes", "0")
+    try assert(!LocalKernels.isSmall(e))
+    finally spark.conf.unset("spark.graft.algo.localSizeBytes")
+  }
+
+  test("pageRank local == distributed (1e-9)") {
+    val e = randGraph(2, 40, 150)
+    val loc = LocalKernels.pageRank(e, 8, 0.85).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dist = Algorithms.pageRankDistributed(e, 8, 0.85).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(loc.keySet == dist.keySet)
+    loc.foreach { case (id, r) => assert(math.abs(r - dist(id)) < 1e-9, s"id $id") }
+    // ranks sum to ~1
+    assert(math.abs(loc.values.sum - 1.0) < 1e-9)
+  }
+
+  test("wcc local == distributed, exact") {
+    for (seed <- 3 to 5) {
+      val e = randGraph(seed, 60, 70) // sparse → several components
+      assert(sortedRows(LocalKernels.wcc(e)) ===
+        sortedRows(Algorithms.wccDistributed(e)))
+    }
+  }
+
+  test("cdlp local == distributed, exact (incl. parallel-edge frequency)") {
+    for (seed <- 6 to 8) {
+      val e = randGraph(seed, 30, 120) // dense-ish → duplicate edges matter
+      assert(sortedRows(LocalKernels.cdlp(e, 5)) ===
+        sortedRows(Algorithms.cdlpDistributed(e, 5)))
+    }
+  }
+
+  test("bfs local == distributed, exact (depth cap + unreachable)") {
+    val e = randGraph(9, 50, 90)
+    val src = e.select("src").as[Long].head()
+    for (cap <- Seq(2, 4, 30)) {
+      assert(sortedRows(LocalKernels.bfs(e, src, cap)) ===
+        sortedRows(Algorithms.bfsDistributed(e, src, cap)))
+    }
+    // isolated source: exactly the (source, 0) row
+    assert(sortedRows(LocalKernels.bfs(e, 99999L, 4)) === Array("[99999,0]"))
+  }
+
+  test("sssp local == distributed (bounded rounds, 1e-9)") {
+    val e = weighted(10, 40, 120)
+    val src = e.select("src").as[Long].head()
+    for (cap <- Seq(2, 6, 30)) {
+      val loc = LocalKernels.sssp(e, src, cap).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val dist = Algorithms.ssspDistributed(e, src, cap).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(loc.keySet == dist.keySet, s"cap $cap")
+      loc.foreach { case (id, d) => assert(math.abs(d - dist(id)) < 1e-9) }
+    }
+  }
+
+  test("mst local == distributed, exact (unique forest under (w,a,b) order)") {
+    for (seed <- 11 to 13) {
+      val e = weighted(seed, 30, 80)
+      assert(sortedRows(LocalKernels.mst(e)) ===
+        sortedRows(Algorithms.mstDistributed(e)))
+    }
+  }
+
+  test("triangleCount + lcc local == distributed, exact (multigraph rows kept)") {
+    val rnd = new scala.util.Random(14)
+    val ids = Array.tabulate(25)(i => 10L * i)
+    // canonical a<b undirected edges WITH duplicates
+    val und = Seq.fill(120)((ids(rnd.nextInt(25)), ids(rnd.nextInt(25))))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .toDF("a", "b")
+    assert(sortedRows(LocalKernels.triangleCount(und)) ===
+      sortedRows(Algorithms.triangleCountDistributed(und)))
+    assert(sortedRows(LocalKernels.lcc(und)) ===
+      sortedRows(Algorithms.lccDistributed(und)))
+  }
+
+  test("varLengthExpand local == distributed, exact (min/max hops, revisit)") {
+    val e = randGraph(15, 40, 100)
+    val starts = e.select(col("src")).limit(6)
+    for ((mn, mx) <- Seq((0, 2), (1, 3), (2, 4))) {
+      assert(sortedRows(LocalKernels.varLengthExpand(e, starts, "src", mn, mx)) ===
+        sortedRows(Traversals.varLengthExpandDistributed(e, starts, "src", mn, mx)),
+        s"range $mn..$mx")
+    }
+  }
+
+  test("public entry points route through the gate and stay correct") {
+    val e = randGraph(16, 30, 60)
+    // public call (small → local) equals the pinned-distributed run
+    val viaGate = sortedRows(Algorithms.wcc(e))
+    spark.conf.set("spark.graft.algo.localSizeBytes", "0")
+    try assert(viaGate === sortedRows(Algorithms.wcc(e)))
+    finally spark.conf.unset("spark.graft.algo.localSizeBytes")
+  }
+}
