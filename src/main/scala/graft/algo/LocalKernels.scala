@@ -440,6 +440,132 @@ object LocalKernels {
       }.toDF("start", "node", "hops")
   }
 
+  /** Lexicographic compare of long arrays (Spark's array ordering:
+    * element-wise, shorter strict prefix sorts first). */
+  private def cmpLongs(a: Array[Long], b: Array[Long]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = java.lang.Long.compare(a(i), b(i))
+      if (c != 0) return c
+      i += 1
+    }
+    Integer.compare(a.length, b.length)
+  }
+
+  /** One-witness shortest paths — the exact row set of
+    * `Traversals.varLengthExpandPaths`: per (start, node) the
+    * lexicographically-smallest (node-seq, edge-seq) among BFS min-depth
+    * paths. Starts ride in as tagged rows. */
+  def varLengthExpandPaths(edges: DataFrame, starts: DataFrame, startCol: String,
+                           minHops: Int, maxHops: Int): DataFrame =
+    pathExpand(edges, starts, startCol, minHops, maxHops, allPaths = false)
+
+  /** All-distinct-node-sequence shortest paths — the exact row set of
+    * `Traversals.varLengthExpandAllPaths`: every distinct min-depth node
+    * sequence per (start, node), min edge-id witness per sequence. */
+  def varLengthExpandAllPaths(edges: DataFrame, starts: DataFrame, startCol: String,
+                              minHops: Int, maxHops: Int): DataFrame =
+    pathExpand(edges, starts, startCol, minHops, maxHops, allPaths = true)
+
+  private def pathExpand(edges: DataFrame, starts: DataFrame, startCol: String,
+                         minHops: Int, maxHops: Int, allPaths: Boolean): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val hasId = edges.columns.contains("id")
+    val eidCol = if (hasId) col("id").cast("long") else lit(-1L)
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"), eidCol, lit(0))
+      .as[(Long, Long, Long, Int)]
+    val s0 = starts.select(col(startCol).cast("long"), lit(0L), lit(0L), lit(1))
+      .distinct().as[(Long, Long, Long, Int)]
+    e.unionAll(s0).repartition(1)
+      .mapPartitions { it =>
+        val vx = new Interner
+        val sb = new Ints(); val db = new Ints(); val eb = mutable.ArrayBuffer.empty[Long]
+        val startIds = new Longs(16)
+        it.foreach { case (a, b, eid, t) =>
+          if (t == 0) { sb += vx.idx(a); db += vx.idx(b); eb += eid }
+          else startIds += a
+        }
+        val (si, di, eids) = (sb.result(), db.result(), eb.toArray)
+        // CSR over edge INDICES so parallel edges keep their own eid
+        val n = vx.n
+        val off = new Array[Int](n + 1)
+        var k = 0
+        while (k < si.length) { off(si(k) + 1) += 1; k += 1 }
+        var i = 0
+        while (i < n) { off(i + 1) += off(i); i += 1 }
+        val eIdx = new Array[Int](si.length)
+        val cur = java.util.Arrays.copyOf(off, math.max(n, 1))
+        k = 0
+        while (k < si.length) { val s = si(k); eIdx(cur(s)) = k; cur(s) += 1; k += 1 }
+        val seenAt = new Array[Int](n)
+
+        (0 until startIds.n).iterator.flatMap { s =>
+          val startId = startIds(s)
+          val stamp = s + 1
+          val out = mutable.ArrayBuffer.empty[(Long, Long, Seq[Long], Seq[Long], Int)]
+          if (minHops == 0)
+            out += ((startId, startId, Seq(startId), Seq.empty[Long], 0))
+          vx.idOf.get(startId).foreach { sIdx =>
+            seenAt(sIdx) = stamp
+            // frontier rows: (nodeIdx, node-seq, edge-seq); paths mode keeps
+            // one row per node, allPaths one per distinct node-seq
+            var frontier = mutable.ArrayBuffer((sIdx, Array(startId), Array.empty[Long]))
+            var h = 1
+            while (frontier.nonEmpty && h <= maxHops) {
+              // per (node, node-seq): min edge-seq; paths mode additionally
+              // collapses to min (node-seq, edge-seq) per node afterwards
+              val best = mutable.HashMap.empty[(Int, Seq[Long]), (Array[Long], Array[Long])]
+              frontier.foreach { case (u, p, ep) =>
+                var j = off(u)
+                while (j < off(u + 1)) {
+                  val ke = eIdx(j)
+                  val w = di(ke)
+                  if (seenAt(w) != stamp) {
+                    val np = p :+ vx.ids(w)
+                    val nep = if (hasId) ep :+ eids(ke) else ep
+                    val key = (w, np.toSeq)
+                    best.get(key) match {
+                      case Some((_, oldEp)) if cmpLongs(nep, oldEp) >= 0 => ()
+                      case _ => best.update(key, (np, nep))
+                    }
+                  }
+                  j += 1
+                }
+              }
+              val entries0 = best.iterator.map { case ((w, _), (p, ep)) => (w, p, ep) }.toArray
+              val entries =
+                if (allPaths) entries0
+                else { // one witness per node: min (node-seq, edge-seq)
+                  val perNode = mutable.HashMap.empty[Int, (Array[Long], Array[Long])]
+                  entries0.foreach { case (w, p, ep) =>
+                    perNode.get(w) match {
+                      case Some((op, oep)) =>
+                        val c = cmpLongs(p, op)
+                        if (c < 0 || (c == 0 && cmpLongs(ep, oep) < 0)) perNode.update(w, (p, ep))
+                      case None => perNode.update(w, (p, ep))
+                    }
+                  }
+                  perNode.iterator.map { case (w, (p, ep)) => (w, p, ep) }.toArray
+                }
+              if (entries.isEmpty) frontier = mutable.ArrayBuffer.empty
+              else {
+                entries.foreach { case (w, _, _) => seenAt(w) = stamp }
+                if (h >= minHops)
+                  entries.foreach { case (w, p, ep) =>
+                    out += ((startId, vx.ids(w), p.toSeq, ep.toSeq, h))
+                  }
+                frontier = mutable.ArrayBuffer.from(entries)
+                h += 1
+              }
+            }
+          }
+          out.iterator
+        }
+      }.toDF("start", "node", "path", "epath", "hops")
+  }
+
   /** Degree-oriented common-neighbor triangle total — replicates
     * [[Algorithms.triangleCount]] including multigraph quirks (duplicate
     * input rows orient and count per row; the common-neighbor set is

@@ -145,6 +145,19 @@ object Traversals {
   def varLengthExpandPaths(edges: DataFrame, starts: DataFrame, startCol: String,
                            minHops: Int, maxHops: Int): DataFrame = {
     require(minHops >= 0 && maxHops >= minHops, "need 0 <= min <= max")
+    // small graph + start set → in-task witness-path BFS (LocalKernels);
+    // either way the gated (possibly pre-materialized) projection is used
+    val cols = if (edges.columns.contains("id"))
+      edges.select(col("src"), col("dst"), col("id")) else edges.select(col("src"), col("dst"))
+    val (g, small) = graft.algo.LocalKernels.gate(cols)
+    if (small && graft.algo.LocalKernels.isSmall(starts.select(col(startCol))))
+      return graft.algo.LocalKernels.varLengthExpandPaths(g, starts, startCol, minHops, maxHops)
+    varLengthExpandPathsDistributed(g, starts, startCol, minHops, maxHops)
+  }
+
+  private[graft] def varLengthExpandPathsDistributed(
+      edges: DataFrame, starts: DataFrame, startCol: String,
+      minHops: Int, maxHops: Int): DataFrame = {
     val hasId = edges.columns.contains("id")
     val eid = if (hasId) col("id").cast("long") else lit(null).cast("long")
     val e = edges.select(col("src").cast("long").as("_src"),
@@ -195,6 +208,18 @@ object Traversals {
   def varLengthExpandAllPaths(edges: DataFrame, starts: DataFrame, startCol: String,
                               minHops: Int, maxHops: Int): DataFrame = {
     require(minHops >= 0 && maxHops >= minHops, "need 0 <= min <= max")
+    // small graph + start set → in-task all-shortest BFS (LocalKernels)
+    val cols = if (edges.columns.contains("id"))
+      edges.select(col("src"), col("dst"), col("id")) else edges.select(col("src"), col("dst"))
+    val (g, small) = graft.algo.LocalKernels.gate(cols)
+    if (small && graft.algo.LocalKernels.isSmall(starts.select(col(startCol))))
+      return graft.algo.LocalKernels.varLengthExpandAllPaths(g, starts, startCol, minHops, maxHops)
+    varLengthExpandAllPathsDistributed(g, starts, startCol, minHops, maxHops)
+  }
+
+  private[graft] def varLengthExpandAllPathsDistributed(
+      edges: DataFrame, starts: DataFrame, startCol: String,
+      minHops: Int, maxHops: Int): DataFrame = {
     val hasId = edges.columns.contains("id")
     val eid = if (hasId) col("id").cast("long") else lit(null).cast("long")
     val e = edges.select(col("src").cast("long").as("_src"),

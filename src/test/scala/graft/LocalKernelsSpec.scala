@@ -126,6 +126,29 @@ class LocalKernelsSpec extends SparkSpec {
     }
   }
 
+  test("varLengthExpandPaths local == distributed, exact (witness path + parallel edges)") {
+    val rnd = new scala.util.Random(17)
+    val ids = Array.tabulate(30)(i => 100L + 5L * i)
+    // edges WITH ids and a few parallel duplicates (distinct eids)
+    val rows = Seq.tabulate(90)(k =>
+      (1000L + k, ids(rnd.nextInt(30)), ids(rnd.nextInt(30)))) ++
+      Seq((2001L, ids(0), ids(1)), (2002L, ids(0), ids(1))) // parallel pair
+    val e = rows.toDF("id", "src", "dst")
+    val starts = e.select(col("src")).limit(5)
+    for ((mn, mx) <- Seq((0, 2), (1, 3))) {
+      assert(sortedRows(LocalKernels.varLengthExpandPaths(e, starts, "src", mn, mx)) ===
+        sortedRows(Traversals.varLengthExpandPathsDistributed(e, starts, "src", mn, mx)),
+        s"paths $mn..$mx")
+      assert(sortedRows(LocalKernels.varLengthExpandAllPaths(e, starts, "src", mn, mx)) ===
+        sortedRows(Traversals.varLengthExpandAllPathsDistributed(e, starts, "src", mn, mx)),
+        s"allpaths $mn..$mx")
+    }
+    // no id column: epath stays empty on both paths
+    val eNoId = e.select("src", "dst")
+    assert(sortedRows(LocalKernels.varLengthExpandPaths(eNoId, starts, "src", 1, 2)) ===
+      sortedRows(Traversals.varLengthExpandPathsDistributed(eNoId, starts, "src", 1, 2)))
+  }
+
   test("public entry points route through the gate and stay correct") {
     val e = randGraph(16, 30, 60)
     // public call (small → local) equals the pinned-distributed run
