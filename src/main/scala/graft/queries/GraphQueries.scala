@@ -316,6 +316,34 @@ object GraphQueries {
         .toDF("n_triples", "xml_roundtrip", "jsonld_roundtrip")
     }),
 
+    // §1.5 SPARQL SELECT over the exported triples — BEYOND-PARITY: the
+    // reference's SPARQL parser is a declared stub (sparql/parser.rs:18-32);
+    // this executes a 4-pattern BGP + FILTER as ONE declarative join plan
+    // over the triple table (rdf/Sparql.scala)
+    "q_sparql_bgp" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      val nodes = g.nodesWithLabel("Customer").unionByName(g.nodesWithLabel("Nation"))
+      val ids = nodes.select(col("id"))
+      val edges = g.edgesOfType("IN_NATION")
+        .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      // four patterns scan the same triple table — one materialization
+      val triples = graft.rdf.Rdf
+        .exportTriples(graft.model.PropertyGraph(nodes, edges), "http://graft.local/")
+        .localCheckpoint(true)
+      graft.rdf.Sparql.execute(
+        """PREFIX gl: <http://graft.local/label/>
+          |PREFIX gp: <http://graft.local/prop/>
+          |PREFIX gr: <http://graft.local/rel/>
+          |SELECT ?cname ?nname WHERE {
+          |  ?c a gl:Customer .
+          |  ?c gp:name ?cname .
+          |  ?c gr:IN_NATION ?n .
+          |  ?n gp:name ?nname .
+          |  FILTER(?nname < "G")
+          |} ORDER BY ?cname ?nname""".stripMargin, triples)
+    }),
+
     // §2.10 algo.mst (reference mst.rs:41) — Borůvka on the nation trade
     // graph (edge weight = #trades between the two nations); (w,a,b)
     // tie-break makes the forest unique, so the oracle's Prim chain (24
@@ -497,6 +525,8 @@ object GraphQueries {
       """SELECT CAST(2 * ((SELECT count(*) FROM nation) + (SELECT count(*) FROM region))
         |   + 5 * (SELECT count(*) FROM nation) AS BIGINT) AS n_triples,
         | true AS xml_roundtrip, true AS jsonld_roundtrip""".stripMargin,
+    "q_sparql_bgp" ->
+      "SELECT c_name AS cname, n_name AS nname FROM customer JOIN nation ON n_nationkey = c_nationkey WHERE n_name < 'G' ORDER BY 1, 2",
     "q_mst" -> mstOracle(24),
     "q_maxflow" ->
       """SELECT round(sum(least(20, tot)), 1) AS max_flow FROM (

@@ -43,6 +43,9 @@ object Rdf {
       "\\\\t", "\t"), sentinel, "\\\\")
   }
 
+  /** [[unesc]] for sibling modules (SPARQL lexical-value extraction). */
+  private[rdf] def unescape(c: Column): Column = unesc(c)
+
   private def iri(prefix: String, c: Column): Column =
     concat(lit("<" + prefix), c, lit(">"))
 

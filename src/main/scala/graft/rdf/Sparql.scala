@@ -1,0 +1,257 @@
+package graft.rdf
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SPARQL basic-graph-pattern SELECT execution over the (s, p, o) triple
+  * DataFrame produced by [[Rdf.exportTriples]] / the format parsers.
+  *
+  * BEYOND-PARITY: the reference ships only a SPARQL parser stub that
+  * returns "not yet implemented" (`src/sparql/parser.rs:18-32`); here the
+  * subset that covers its documented intent actually executes:
+  *
+  *   PREFIX pfx: <iri>            (any number)
+  *   SELECT [DISTINCT] ?v ... | *
+  *   WHERE { triple patterns '.'-separated; FILTER(...) clauses }
+  *   ORDER BY ?v [ASC|DESC] ...   LIMIT n   OFFSET n
+  *
+  * Terms: variables `?v`, IRIs `<...>`, prefixed names `pfx:local`, plain
+  * and typed literals, and the `a` keyword for rdf:type. Filters: the six
+  * comparisons between a variable and a literal (numeric when the literal
+  * is numeric, else lexical), `regex(?v, "pat")`, and `&&`-conjunction.
+  *
+  * Spark-first execution: each triple pattern is a filtered projection of
+  * the triple table with variable positions renamed to the variable name;
+  * shared variables across patterns become inner equi-joins (Catalyst picks
+  * hash/broadcast and reorders); FILTER lowers to a `Column` predicate; the
+  * result projects the LEXICAL value of each selected variable (literal
+  * lexical form, or the IRI text). The whole query is ONE declarative plan —
+  * no per-pattern actions — so it scales exactly as far as the join plan
+  * does.
+  */
+object Sparql {
+
+  private val RdfType = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+
+  private sealed trait Term
+  private final case class V(name: String) extends Term
+  /** Constant in full N-Triples term syntax (`<iri>` or `"lit"^^<t>`). */
+  private final case class C(nt: String) extends Term
+
+  private final case class Pattern(s: Term, p: Term, o: Term)
+  private final case class Cond(v: String, op: String, lit: String, numeric: Boolean)
+
+  private final case class Query(
+      distinct: Boolean, select: Seq[String], patterns: Seq[Pattern],
+      filters: Seq[Cond], orderBy: Seq[(String, Boolean)],
+      limit: Option[Int], offset: Option[Int])
+
+  // ---- tokenizer ---------------------------------------------------------
+
+  private def tokenize(q: String): List[String] = {
+    val out = List.newBuilder[String]
+    var i = 0
+    val s = q
+    while (i < s.length) {
+      val ch = s(i)
+      if (ch.isWhitespace) i += 1
+      else if (ch == '<' && {
+        // IRI only when a '>' closes it with no whitespace inside —
+        // otherwise this '<' is the comparison operator
+        val j = s.indexOf('>', i)
+        j > 0 && !s.substring(i, j).exists(_.isWhitespace)
+      }) { val j = s.indexOf('>', i); out += s.substring(i, j + 1); i = j + 1 }
+      else if (ch == '<') {
+        if (i + 1 < s.length && s(i + 1) == '=') { out += "<="; i += 2 } else { out += "<"; i += 1 }
+      }
+      else if (ch == '"') {
+        var j = i + 1
+        while (j < s.length && !(s(j) == '"' && s(j - 1) != '\\')) j += 1
+        require(j < s.length, "unterminated literal")
+        var k = j + 1
+        if (k + 1 < s.length && s(k) == '^' && s(k + 1) == '^') {
+          k += 2
+          if (k < s.length && s(k) == '<') { val m = s.indexOf('>', k); k = m + 1 }
+          else { while (k < s.length && !s(k).isWhitespace && !"{}().,".contains(s(k))) k += 1 }
+        }
+        out += s.substring(i, k); i = k
+      }
+      else if ("{}().,".contains(ch)) { out += ch.toString; i += 1 }
+      else {
+        var j = i
+        while (j < s.length && !s(j).isWhitespace && !"{}(),".contains(s(j)) &&
+          !(s(j) == '.' && (j + 1 >= s.length || s(j + 1).isWhitespace))) j += 1
+        out += s.substring(i, j); i = j
+      }
+    }
+    out.result()
+  }
+
+  // ---- parser ------------------------------------------------------------
+
+  private def parse(q: String): Query = {
+    var toks = tokenize(q)
+    var prefixes = Map.empty[String, String]
+    def peek: String = toks.headOption.getOrElse("")
+    def next(): String = { val h = toks.head; toks = toks.tail; h }
+    def expect(t: String): Unit = {
+      val h = next(); require(h.equalsIgnoreCase(t), s"expected $t, got $h")
+    }
+
+    while (peek.equalsIgnoreCase("PREFIX")) {
+      next()
+      val p = next(); require(p.endsWith(":"), s"bad prefix decl $p")
+      val iri = next(); require(iri.startsWith("<") && iri.endsWith(">"), s"bad prefix IRI $iri")
+      prefixes += (p.dropRight(1) -> iri.substring(1, iri.length - 1))
+    }
+
+    def term(t: String, predPos: Boolean): Term = {
+      if (t == "a" && predPos) C(RdfType)
+      else if (t.startsWith("?")) V(t.drop(1))
+      else if (t.startsWith("<") || t.startsWith("\"")) C(t)
+      else if (t.contains(":")) {
+        val Array(p, l) = t.split(":", 2)
+        val ns = prefixes.getOrElse(p, sys.error(s"unknown prefix $p"))
+        C("<" + ns + l + ">")
+      } else sys.error(s"unsupported term $t")
+    }
+
+    expect("SELECT")
+    val distinct = peek.equalsIgnoreCase("DISTINCT")
+    if (distinct) next()
+    var select = Vector.empty[String]
+    var star = false
+    while (peek.startsWith("?") || peek == "*") {
+      val t = next(); if (t == "*") star = true else select :+= t.drop(1)
+    }
+    expect("WHERE"); expect("{")
+
+    var patterns = Vector.empty[Pattern]
+    var filters = Vector.empty[Cond]
+    while (peek != "}") {
+      if (peek.equalsIgnoreCase("FILTER")) {
+        next(); expect("(")
+        var done = false
+        while (!done) {
+          val a = next()
+          if (a.equalsIgnoreCase("regex")) {
+            expect("("); val v = next(); expect(","); val pat = next(); expect(")")
+            require(v.startsWith("?") && pat.startsWith("\""), "regex(?v, \"pat\")")
+            filters :+= Cond(v.drop(1), "regex", pat.substring(1, pat.lastIndexOf('"')), numeric = false)
+          } else {
+            val op = next()
+            val b = next()
+            require(a.startsWith("?"), s"FILTER operand must be a variable, got $a")
+            require(Set("=", "!=", "<", "<=", ">", ">=").contains(op), s"bad op $op")
+            val (lex, isNum) =
+              if (b.startsWith("\"")) {
+                val end = b.lastIndexOf('"')
+                (b.substring(1, end), b.contains("^^") &&
+                  (b.contains("long") || b.contains("double") || b.contains("integer") || b.contains("decimal")))
+              } else (b, b.matches("[+-]?[0-9.]+([eE][+-]?[0-9]+)?"))
+            filters :+= Cond(a.drop(1), op, lex, isNum)
+          }
+          if (peek == "&&") { next() } else { expect(")"); done = true }
+        }
+      } else {
+        val s0 = term(next(), predPos = false)
+        val p0 = term(next(), predPos = true)
+        val o0 = term(next(), predPos = false)
+        patterns :+= Pattern(s0, p0, o0)
+        if (peek == ".") next()
+      }
+    }
+    expect("}")
+
+    var orderBy = Vector.empty[(String, Boolean)]
+    if (peek.equalsIgnoreCase("ORDER")) {
+      next(); expect("BY")
+      while (peek.startsWith("?") || peek.equalsIgnoreCase("ASC") || peek.equalsIgnoreCase("DESC")) {
+        if (peek.equalsIgnoreCase("ASC") || peek.equalsIgnoreCase("DESC")) {
+          val desc = next().equalsIgnoreCase("DESC"); expect("(")
+          orderBy :+= (next().drop(1), !desc); expect(")")
+        } else orderBy :+= (next().drop(1), true)
+      }
+    }
+    var limit: Option[Int] = None
+    var offset: Option[Int] = None
+    while (peek.equalsIgnoreCase("LIMIT") || peek.equalsIgnoreCase("OFFSET")) {
+      val kw = next()
+      if (kw.equalsIgnoreCase("LIMIT")) limit = Some(next().toInt) else offset = Some(next().toInt)
+    }
+    require(toks.isEmpty, s"trailing tokens: $toks")
+
+    val vars = patterns.flatMap(p => Seq(p.s, p.p, p.o)).collect { case V(n) => n }.distinct
+    Query(distinct, if (star) vars else select, patterns, filters, orderBy, limit, offset)
+  }
+
+  // ---- execution ---------------------------------------------------------
+
+  /** Lexical value of an N-Triples term column: literal lexical form
+    * (unescaped) for literals, the IRI text for IRIs. */
+  private def lex(c: Column): Column =
+    when(c.startsWith("\""),
+      Rdf.unescape(regexp_extract(c, "^\"((?:[^\"\\\\]|\\\\.)*)\"", 1)))
+      .otherwise(regexp_extract(c, "^<(.*)>$", 1))
+
+  /** Execute a SPARQL SELECT over a triple DataFrame with columns s, p, o
+    * in N-Triples term syntax. Returns one string column per selected
+    * variable carrying its lexical value. */
+  def execute(query: String, triples: DataFrame): DataFrame = {
+    val q = parse(query)
+    require(q.patterns.nonEmpty, "empty basic graph pattern")
+
+    def bind(pat: Pattern): DataFrame = {
+      var df = triples
+      var proj = Vector.empty[Column]
+      var seen = Map.empty[String, String] // var -> bound column within this pattern
+      Seq(("s", pat.s), ("p", pat.p), ("o", pat.o)).foreach {
+        case (pos, C(nt)) => df = df.filter(col(pos) === nt)
+        case (pos, V(n)) =>
+          seen.get(n) match {
+            case Some(prev) => df = df.filter(col(pos) === col(prev)) // same var twice
+            case None => seen += (n -> pos); proj :+= col(pos).as(n)
+          }
+      }
+      df.select(proj: _*)
+    }
+
+    // inner equi-joins on shared variables, in written order — Catalyst
+    // reorders/broadcasts; disjoint patterns cross-join (standard BGP)
+    var bound = bind(q.patterns.head)
+    q.patterns.tail.foreach { pat =>
+      val b = bind(pat)
+      val shared = bound.columns.toSet.intersect(b.columns.toSet).toSeq
+      bound =
+        if (shared.nonEmpty) bound.join(b, shared)
+        else bound.crossJoin(b)
+    }
+
+    q.filters.foreach { f =>
+      val v = lex(col(f.v))
+      val pred: Column = f.op match {
+        case "regex" => v.rlike(f.lit)
+        case op =>
+          val (l, r): (Column, Column) =
+            if (f.numeric) (v.cast("double"), lit(f.lit.toDouble)) else (v, lit(f.lit))
+          op match {
+            case "=" => l === r
+            case "!=" => l =!= r
+            case "<" => l < r
+            case "<=" => l <= r
+            case ">" => l > r
+            case ">=" => l >= r
+          }
+      }
+      bound = bound.filter(pred)
+    }
+
+    var out = bound.select(q.select.map(v => lex(col(v)).as(v)): _*)
+    if (q.distinct) out = out.distinct()
+    if (q.orderBy.nonEmpty)
+      out = out.orderBy(q.orderBy.map { case (v, asc) => if (asc) col(v).asc else col(v).desc }: _*)
+    q.offset.foreach(n => out = out.offset(n))
+    q.limit.foreach(n => out = out.limit(n))
+    out
+  }
+}

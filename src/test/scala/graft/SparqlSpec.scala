@@ -1,0 +1,101 @@
+package graft
+
+import graft.model.PropertyGraph
+import graft.rdf.{Rdf, Sparql}
+import org.apache.spark.sql.functions._
+
+/** SPARQL BGP SELECT over exported triples (rdf/Sparql.scala) — the
+  * reference stubs its SPARQL parser; these prove ours executes. */
+class SparqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "http://ex.org/"
+  private lazy val g = PropertyGraph(
+    Seq(
+      (1L, Seq("P"), "alice", 10.0), (2L, Seq("P"), "bob", 20.0),
+      (3L, Seq("P"), "carol", 30.0), (4L, Seq("Q"), "dave", 40.0))
+      .toDF("id", "labels", "name", "balance"),
+    Seq((10L, 1L, 2L, "KNOWS"), (11L, 2L, 3L, "KNOWS"), (12L, 1L, 4L, "LIKES"))
+      .toDF("id", "src", "dst", "relationship"))
+  private lazy val triples = Rdf.exportTriples(g, base).localCheckpoint(true)
+
+  private val prefixes =
+    s"""PREFIX gl: <${base}label/>
+       |PREFIX gp: <${base}prop/>
+       |PREFIX gr: <${base}rel/>
+       |""".stripMargin
+
+  test("single pattern with `a` keyword and full-IRI equivalence") {
+    val byKeyword = Sparql.execute(
+      prefixes + "SELECT ?s WHERE { ?s a gl:P } ORDER BY ?s", triples)
+      .as[String].collect()
+    val byIri = Sparql.execute(
+      "SELECT ?s WHERE { ?s <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> " +
+        s"<${base}label/P> }} ORDER BY ?s".replace("}}", "}"), triples)
+      .as[String].collect()
+    assert(byKeyword.toSeq == Seq(s"${base}node/1", s"${base}node/2", s"${base}node/3"))
+    assert(byKeyword.toSeq == byIri.toSeq)
+  }
+
+  test("multi-pattern join on shared variables follows edges") {
+    val r = Sparql.execute(
+      prefixes +
+        """SELECT ?an ?bn WHERE {
+          |  ?a gr:KNOWS ?b .
+          |  ?a gp:name ?an .
+          |  ?b gp:name ?bn
+          |} ORDER BY ?an""".stripMargin, triples)
+      .as[(String, String)].collect()
+    assert(r.toSeq == Seq(("alice", "bob"), ("bob", "carol")))
+  }
+
+  test("FILTER: numeric compare on typed literal, string compare, regex, &&") {
+    val num = Sparql.execute(
+      prefixes + "SELECT ?n WHERE { ?s gp:balance ?b . ?s gp:name ?n . " +
+        "FILTER(?b >= \"20\"^^<http://www.w3.org/2001/XMLSchema#double> && ?b < 40) } ORDER BY ?n",
+      triples).as[String].collect()
+    assert(num.toSeq == Seq("bob", "carol"))
+    val re = Sparql.execute(
+      prefixes + "SELECT ?n WHERE { ?s gp:name ?n . FILTER(regex(?n, \"^[ab]\")) } ORDER BY ?n",
+      triples).as[String].collect()
+    assert(re.toSeq == Seq("alice", "bob"))
+  }
+
+  test("DISTINCT, LIMIT, OFFSET, DESC ordering") {
+    // DESC top-1 over all rdf:type objects: edge reification statements are
+    // typed rdf:Statement (w3.org sorts after ex.org)
+    val r = Sparql.execute(
+      prefixes + "SELECT DISTINCT ?t WHERE { ?s ?p ?o . ?s a ?t } ORDER BY DESC(?t) LIMIT 1",
+      triples).as[String].collect()
+    assert(r.toSeq == Seq("http://www.w3.org/1999/02/22-rdf-syntax-ns#Statement"))
+    val page = Sparql.execute(
+      prefixes + "SELECT ?n WHERE { ?s gp:name ?n } ORDER BY ?n LIMIT 2 OFFSET 1",
+      triples).as[String].collect()
+    assert(page.toSeq == Seq("bob", "carol"))
+  }
+
+  test("SELECT * binds every variable; same var twice in a pattern filters") {
+    val star = Sparql.execute(
+      prefixes + "SELECT * WHERE { ?a gr:KNOWS ?b } ORDER BY ?a", triples)
+    assert(star.columns.toSeq == Seq("a", "b"))
+    assert(star.count() == 2)
+    // ?x KNOWS ?x — nobody knows themselves
+    val selfRef = Sparql.execute(
+      prefixes + "SELECT ?x WHERE { ?x gr:KNOWS ?x }", triples)
+    assert(selfRef.count() == 0)
+  }
+
+  test("catalog shape: label + props + edge + filter as one plan") {
+    val r = Sparql.execute(
+      prefixes +
+        """SELECT ?an ?bn WHERE {
+          |  ?a a gl:P .
+          |  ?a gp:name ?an .
+          |  ?a gr:LIKES ?b .
+          |  ?b gp:name ?bn .
+          |  FILTER(?bn != "nobody")
+          |} ORDER BY ?an""".stripMargin, triples)
+      .as[(String, String)].collect()
+    assert(r.toSeq == Seq(("alice", "dave")))
+  }
+}
