@@ -471,19 +471,30 @@ object Algorithms {
     * Prim) must return the identical edge set.
     * Input columns: src, dst, weight. Returns MST edges (a, b, weight). */
   def mst(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
-    val (e, small) = LocalKernels.gate(edges)
-    if (small) LocalKernels.mst(e) else mstDistributed(e, maxRounds)
+    // canonicalize ONCE (both paths need it) and gate on the materialized
+    // canonical edge set — the raw input is often a multi-join whose
+    // join-multiplied size estimate would route a 300-edge graph to the
+    // distributed loop
+    val e0 = canonicalMinEdges(edges).localCheckpoint(true)
+    val (_, small) = LocalKernels.gate(e0) // leaf: the estimate is the real size
+    if (small)
+      LocalKernels.mst(e0.select(col("a").as("src"), col("b").as("dst"), col("w").as("weight")))
+    else mstCanonical(e0, maxRounds)
   }
 
-  private[graft] def mstDistributed(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
-    val spark = edges.sparkSession
-    val e0 = edges.select(
+  private def canonicalMinEdges(edges: DataFrame): DataFrame =
+    edges.select(
         least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"),
         coalesce(col("weight"), lit(1.0)).cast("double").as("w"))
       .filter(col("a") =!= col("b"))
       .groupBy("a", "b").agg(min("w").as("w"))
-      .localCheckpoint(true)
+
+  private[graft] def mstDistributed(edges: DataFrame, maxRounds: Int = 20): DataFrame =
+    mstCanonical(canonicalMinEdges(edges).localCheckpoint(true), maxRounds)
+
+  private def mstCanonical(e0: DataFrame, maxRounds: Int): DataFrame = {
+    val spark = e0.sparkSession
     var comp = e0.select(explode(array(col("a"), col("b"))).as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint(true)
     var mstEdges = spark.emptyDataFrame
