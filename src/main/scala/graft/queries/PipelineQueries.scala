@@ -137,6 +137,25 @@ object PipelineQueries {
       .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
       .orderBy(col("doc_id"))),
 
+    // text: repetition metrics (duplicate token/bigram fractions — the
+    // classic corpus-filter boilerplate signal, CCNet-style); pure codegen
+    // expressions, one scan
+    "q_text_repetition" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.dupTokenRatio(col("text")).as("dup_token_ratio"),
+        TextAnalysis.dupBigramRatio(col("text")).as("dup_bigram_ratio"))
+      .orderBy(col("doc_id"))),
+
+    // text: corpus document-frequency table (the IDF side of tf-idf and
+    // the shape of a stopword/dedup index) — explode distinct tokens per
+    // doc, one hash aggregate; the inverted-index formulation that scales
+    "q_doc_frequency" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token")).limit(20)),
+
     // text: quality scoring
     "q_quality_score" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"),
@@ -423,6 +442,17 @@ object PipelineQueries {
       "SELECT doc_id AS media_id, 'bmp' AS format, CAST(doc_id % 64 + 16 AS INTEGER) AS width, CAST(doc_id % 48 + 16 AS INTEGER) AS height FROM documents ORDER BY 1",
     "q_token_count" ->
       """SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS INTEGER) AS n_tokens FROM documents ORDER BY doc_id""",
+    "q_text_repetition" ->
+      """SELECT doc_id,
+        | CAST(len(toks) AS INTEGER) AS n_tokens,
+        | round(1 - len(list_distinct(toks))/CAST(len(toks) AS DOUBLE), 4) AS dup_token_ratio,
+        | CASE WHEN len(toks) > 1 THEN round(1 - len(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])))/CAST(len(toks)-1 AS DOUBLE), 4) ELSE 0.0 END AS dup_bigram_ratio
+        |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents) ORDER BY doc_id""".stripMargin,
+    "q_doc_frequency" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
+        | SELECT DISTINCT doc_id, token FROM (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents))
+        |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
     "q_quality_score" -> QualityOracle,
     "q_lang_id" -> LangIdOracle,
     "q_fingerprint" ->

@@ -20,6 +20,31 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
 
+  /** Duplicate-token fraction, `1 - distinct/total` over whitespace tokens
+    * (the classic corpus-filter repetition signal — a high ratio marks
+    * boilerplate/spam). Rounded to 4 decimals for cross-engine compare. */
+  def dupTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    CypherFunctions.roundC(
+      lit(1.0) - size(array_distinct(t)).cast("double") / size(t), 4)
+  }
+
+  /** Duplicate-bigram fraction over adjacent token pairs — CCNet-style
+    * duplicated-n-gram character of the document; 0.0 for single-token
+    * texts. Bigrams are space-joined zipped slices (tokens cannot contain
+    * spaces, so the join is unambiguous; strings rather than structs keep
+    * the distinct comparable across engines). */
+  def dupBigramRatio(text: Column): Column = {
+    val t = tokens(text)
+    val n = size(t)
+    val bi = zip_with(slice(t, lit(1), n - 1), slice(t, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    when(n > 1,
+      CypherFunctions.roundC(
+        lit(1.0) - size(array_distinct(bi)).cast("double") / (n - 1), 4))
+      .otherwise(0.0)
+  }
+
   /** BPE-ish subword count estimate: word-boundary pieces + digit runs +
     * punctuation each count as a token (a cheap deterministic proxy for a
     * real tokenizer's token count). */

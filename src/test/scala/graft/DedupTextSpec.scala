@@ -69,6 +69,19 @@ class DedupTextSpec extends SparkSpec {
     assert(top == Seq(1L))
   }
 
+  test("repetition metrics: duplicate token and bigram fractions") {
+    val d = Seq(
+      (1L, "a b a b a"),       // 2 distinct of 5 tokens; bigrams: ab,ba,ab,ba → 2/4 distinct
+      (2L, "x y z"),           // all distinct
+      (3L, "solo"))            // single token → bigram ratio 0
+      .toDF("doc_id", "text")
+    val r = d.select(col("doc_id"),
+        TextAnalysis.dupTokenRatio(col("text")).as("t"),
+        TextAnalysis.dupBigramRatio(col("text")).as("b"))
+      .orderBy("doc_id").as[(Long, Double, Double)].collect().toSeq
+    assert(r == Seq((1L, 0.6, 0.5), (2L, 0.0, 0.0), (3L, 0.0, 0.0)))
+  }
+
   test("text metrics: tokens, fingerprint, langId, winnowing") {
     val d = Seq((1L, "The  quick\tbrown fox"), (2L, "el gato y el perro es aqui de la casa"))
       .toDF("doc_id", "text")
