@@ -163,19 +163,31 @@ object WriteTranslator {
         var nCreated = 0L
         var rCreated = 0L
         var createdNodeVars = Seq.empty[(String, Long)]
-        var nextId = maxNodeId() + 1
-        // edge-id high-water mark across ALL paths of this CREATE: computing
-        // maxEdgeId() per path against the ORIGINAL graph would hand every
-        // path the same id range (duplicate edge ids corrupting id-keyed
-        // SET/DELETE later)
-        var nextEdgeBase = maxEdgeId()
+        // id high-water marks are aggregate JOBS over the full node/edge
+        // tables — compute each AT MOST ONCE per CREATE, and only when a
+        // path actually needs an allocated id (explicit-id node creates and
+        // edge-free statements, e.g. every FOREACH CREATE iteration, skip
+        // both scans entirely). The single edge high-water mark still spans
+        // ALL paths of this CREATE: a per-path maxEdgeId() against the
+        // ORIGINAL graph would hand every path the same id range (duplicate
+        // edge ids corrupting id-keyed SET/DELETE later).
+        var nextId = -1L
+        def allocNodeId(): Long = {
+          if (nextId < 0L) nextId = maxNodeId() + 1
+          val i = nextId; nextId += 1; i
+        }
+        var nextEdgeBase = -1L
+        def edgeBase(): Long = {
+          if (nextEdgeBase < 0L) nextEdgeBase = maxEdgeId()
+          nextEdgeBase
+        }
         paths.foreach { p =>
           if (p.rels.isEmpty) {
             // literal node create; id from the props if given, else allocated
             val n = p.nodes.head
             val id = n.props.collectFirst { case ("id", e) => constVal(e) }
               .collect { case num: Number => num.longValue() }
-              .getOrElse { val i = nextId; nextId += 1; i }
+              .getOrElse(allocNodeId())
             cur = GraphMutations.createNodes(cur, nodeRow(n, id))
             n.variable.foreach(v => createdNodeVars :+= ((v, id)))
             nCreated += 1
@@ -205,7 +217,7 @@ object WriteTranslator {
             // localCheckpoint PINS the nondeterministic ids before they
             // enter the graph lineage; ids are sparse by design
             val rows = pairs.withColumn("id",
-              lit(nextEdgeBase) + lit(1L) + monotonically_increasing_id())
+              lit(edgeBase()) + lit(1L) + monotonically_increasing_id())
               .select(Seq(col("id"), col("_src").cast("long").as("src"),
                 col("_dst").cast("long").as("dst"),
                 lit(r.types.headOption.getOrElse("RELATED")).as("relationship")) ++ propCols: _*)
