@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   *
   *   PREFIX pfx: <iri>            (any number)
   *   SELECT [DISTINCT] ?v ... | *
-  *   WHERE { triple patterns '.'-separated; FILTER(...) clauses }
+  *   WHERE { triple patterns '.'-separated; FILTER(...) clauses;
+  *           OPTIONAL { patterns; FILTER(...) } groups (left join) }
   *   ORDER BY ?v [ASC|DESC] ...   LIMIT n   OFFSET n
   *
   * Terms: variables `?v`, IRIs `<...>`, prefixed names `pfx:local`, plain
@@ -41,9 +42,14 @@ object Sparql {
   private final case class Pattern(s: Term, p: Term, o: Term)
   private final case class Cond(v: String, op: String, lit: String, numeric: Boolean)
 
+  /** An OPTIONAL { ... } group: its own patterns + filters, left-joined
+    * onto the required part on shared variables. */
+  private final case class OptGroup(patterns: Seq[Pattern], filters: Seq[Cond])
+
   private final case class Query(
       distinct: Boolean, select: Seq[String], patterns: Seq[Pattern],
-      filters: Seq[Cond], orderBy: Seq[(String, Boolean)],
+      filters: Seq[Cond], optionals: Seq[OptGroup],
+      orderBy: Seq[(String, Boolean)],
       limit: Option[Int], offset: Option[Int])
 
   // ---- tokenizer ---------------------------------------------------------
@@ -126,42 +132,55 @@ object Sparql {
     }
     expect("WHERE"); expect("{")
 
-    var patterns = Vector.empty[Pattern]
-    var filters = Vector.empty[Cond]
-    while (peek != "}") {
-      if (peek.equalsIgnoreCase("FILTER")) {
-        next(); expect("(")
-        var done = false
-        while (!done) {
-          val a = next()
-          if (a.equalsIgnoreCase("regex")) {
-            expect("("); val v = next(); expect(","); val pat = next(); expect(")")
-            require(v.startsWith("?") && pat.startsWith("\""), "regex(?v, \"pat\")")
-            filters :+= Cond(v.drop(1), "regex", pat.substring(1, pat.lastIndexOf('"')), numeric = false)
-          } else {
-            val op = next()
-            val b = next()
-            require(a.startsWith("?"), s"FILTER operand must be a variable, got $a")
-            require(Set("=", "!=", "<", "<=", ">", ">=").contains(op), s"bad op $op")
-            val (lex, isNum) =
-              if (b.startsWith("\"")) {
-                val end = b.lastIndexOf('"')
-                (b.substring(1, end), b.contains("^^") &&
-                  (b.contains("long") || b.contains("double") || b.contains("integer") || b.contains("decimal")))
-              } else (b, b.matches("[+-]?[0-9.]+([eE][+-]?[0-9]+)?"))
-            filters :+= Cond(a.drop(1), op, lex, isNum)
+    // one group body: patterns + FILTERs until the closing '}' (consumed);
+    // at the top level it may also contain OPTIONAL { ... } sub-groups
+    def parseGroup(allowOptional: Boolean): (Vector[Pattern], Vector[Cond], Vector[OptGroup]) = {
+      var patterns = Vector.empty[Pattern]
+      var filters = Vector.empty[Cond]
+      var optionals = Vector.empty[OptGroup]
+      while (peek != "}") {
+        if (peek.equalsIgnoreCase("FILTER")) {
+          next(); expect("(")
+          var done = false
+          while (!done) {
+            val a = next()
+            if (a.equalsIgnoreCase("regex")) {
+              expect("("); val v = next(); expect(","); val pat = next(); expect(")")
+              require(v.startsWith("?") && pat.startsWith("\""), "regex(?v, \"pat\")")
+              filters :+= Cond(v.drop(1), "regex", pat.substring(1, pat.lastIndexOf('"')), numeric = false)
+            } else {
+              val op = next()
+              val b = next()
+              require(a.startsWith("?"), s"FILTER operand must be a variable, got $a")
+              require(Set("=", "!=", "<", "<=", ">", ">=").contains(op), s"bad op $op")
+              val (lex, isNum) =
+                if (b.startsWith("\"")) {
+                  val end = b.lastIndexOf('"')
+                  (b.substring(1, end), b.contains("^^") &&
+                    (b.contains("long") || b.contains("double") || b.contains("integer") || b.contains("decimal")))
+                } else (b, b.matches("[+-]?[0-9.]+([eE][+-]?[0-9]+)?"))
+              filters :+= Cond(a.drop(1), op, lex, isNum)
+            }
+            if (peek == "&&") { next() } else { expect(")"); done = true }
           }
-          if (peek == "&&") { next() } else { expect(")"); done = true }
+        } else if (peek.equalsIgnoreCase("OPTIONAL")) {
+          require(allowOptional, "nested OPTIONAL is unsupported")
+          next(); expect("{")
+          val (ps, fs, os) = parseGroup(allowOptional = false)
+          require(os.isEmpty && ps.nonEmpty, "OPTIONAL needs triple patterns")
+          optionals :+= OptGroup(ps, fs)
+        } else {
+          val s0 = term(next(), predPos = false)
+          val p0 = term(next(), predPos = true)
+          val o0 = term(next(), predPos = false)
+          patterns :+= Pattern(s0, p0, o0)
+          if (peek == ".") next()
         }
-      } else {
-        val s0 = term(next(), predPos = false)
-        val p0 = term(next(), predPos = true)
-        val o0 = term(next(), predPos = false)
-        patterns :+= Pattern(s0, p0, o0)
-        if (peek == ".") next()
       }
+      expect("}")
+      (patterns, filters, optionals)
     }
-    expect("}")
+    val (patterns, filters, optionals) = parseGroup(allowOptional = true)
 
     var orderBy = Vector.empty[(String, Boolean)]
     if (peek.equalsIgnoreCase("ORDER")) {
@@ -181,8 +200,10 @@ object Sparql {
     }
     require(toks.isEmpty, s"trailing tokens: $toks")
 
-    val vars = patterns.flatMap(p => Seq(p.s, p.p, p.o)).collect { case V(n) => n }.distinct
-    Query(distinct, if (star) vars else select, patterns, filters, orderBy, limit, offset)
+    val vars = (patterns ++ optionals.flatMap(_.patterns))
+      .flatMap(p => Seq(p.s, p.p, p.o)).collect { case V(n) => n }.distinct
+    Query(distinct, if (star) vars else select, patterns, filters, optionals,
+      orderBy, limit, offset)
   }
 
   // ---- execution ---------------------------------------------------------
@@ -216,20 +237,9 @@ object Sparql {
       df.select(proj: _*)
     }
 
-    // inner equi-joins on shared variables, in written order — Catalyst
-    // reorders/broadcasts; disjoint patterns cross-join (standard BGP)
-    var bound = bind(q.patterns.head)
-    q.patterns.tail.foreach { pat =>
-      val b = bind(pat)
-      val shared = bound.columns.toSet.intersect(b.columns.toSet).toSeq
-      bound =
-        if (shared.nonEmpty) bound.join(b, shared)
-        else bound.crossJoin(b)
-    }
-
-    q.filters.foreach { f =>
+    def filterPred(f: Cond): Column = {
       val v = lex(col(f.v))
-      val pred: Column = f.op match {
+      f.op match {
         case "regex" => v.rlike(f.lit)
         case op =>
           val (l, r): (Column, Column) =
@@ -243,7 +253,32 @@ object Sparql {
             case ">=" => l >= r
           }
       }
-      bound = bound.filter(pred)
+    }
+
+    // inner equi-joins on shared variables, in written order — Catalyst
+    // reorders/broadcasts; disjoint patterns cross-join (standard BGP)
+    def joinGroup(patterns: Seq[Pattern], filters: Seq[Cond]): DataFrame = {
+      var grp = bind(patterns.head)
+      patterns.tail.foreach { pat =>
+        val b = bind(pat)
+        val shared = grp.columns.toSet.intersect(b.columns.toSet).toSeq
+        grp = if (shared.nonEmpty) grp.join(b, shared) else grp.crossJoin(b)
+      }
+      filters.foldLeft(grp)((d, f) => d.filter(filterPred(f)))
+    }
+
+    var bound = joinGroup(q.patterns, q.filters)
+
+    // OPTIONAL groups: the group evaluates on its own (patterns + its
+    // FILTERs), then LEFT-joins onto the required part on shared variables
+    // — unmatched rows keep their bindings null, the standard SPARQL
+    // left-join semantics
+    q.optionals.foreach { og =>
+      val grp = joinGroup(og.patterns, og.filters)
+      val shared = bound.columns.toSet.intersect(grp.columns.toSet).toSeq
+      bound =
+        if (shared.nonEmpty) bound.join(grp, shared, "left")
+        else bound.crossJoin(grp)
     }
 
     var out = bound.select(q.select.map(v => lex(col(v)).as(v)): _*)

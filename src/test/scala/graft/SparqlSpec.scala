@@ -85,6 +85,32 @@ class SparqlSpec extends SparkSpec {
     assert(selfRef.count() == 0)
   }
 
+  test("OPTIONAL: unmatched rows survive with null bindings; group FILTER applies pre-join") {
+    // dave (:Q) has no outgoing KNOWS — the OPTIONAL binding is null
+    val r = Sparql.execute(
+      prefixes +
+        """SELECT ?n ?fn WHERE {
+          |  ?s gp:name ?n .
+          |  OPTIONAL { ?s gr:KNOWS ?f . ?f gp:name ?fn }
+          |} ORDER BY ?n""".stripMargin, triples)
+      .collect().map(row => (row.getString(0), Option(row.getString(1)))).toSeq
+    assert(r == Seq(
+      ("alice", Some("bob")), ("bob", Some("carol")),
+      ("carol", None), ("dave", None)))
+    // a FILTER inside the OPTIONAL narrows the group BEFORE the left join:
+    // alice's match (bob) is filtered out, so alice goes null, not dropped
+    val r2 = Sparql.execute(
+      prefixes +
+        """SELECT ?n ?fn WHERE {
+          |  ?s gp:name ?n .
+          |  OPTIONAL { ?s gr:KNOWS ?f . ?f gp:name ?fn . FILTER(?fn != "bob") }
+          |} ORDER BY ?n""".stripMargin, triples)
+      .collect().map(row => (row.getString(0), Option(row.getString(1)))).toSeq
+    assert(r2 == Seq(
+      ("alice", None), ("bob", Some("carol")),
+      ("carol", None), ("dave", None)))
+  }
+
   test("catalog shape: label + props + edge + filter as one plan") {
     val r = Sparql.execute(
       prefixes +
