@@ -379,7 +379,11 @@ object WriteTranslator {
         var nLbl = 0L
         labelSets.groupBy(_._1).foreach { case (v, ls) =>
           require(!edgeVars.contains(v), "SET :Label applies to node variables")
-          val ids = readFrame(Seq(ReturnItem(Fn("id", Seq(Var(v))), Some("_id")))).distinct()
+          // pin the matched id set: the change-count job AND every later
+          // action over the mutated graph re-execute this frame's lineage
+          // otherwise (the MATCH re-runs once per consuming action)
+          val ids = readFrame(Seq(ReturnItem(Fn("id", Seq(Var(v))), Some("_id"))))
+            .distinct().localCheckpoint(true)
           ls.foreach { case (_, l) =>
             // Neo4j-style counter: only labels actually ADDED count — a
             // re-run of SET n:L on already-labeled nodes reports 0
@@ -397,6 +401,7 @@ object WriteTranslator {
             .groupBy(col("_id"))
             .agg(as.indices.map(i => max(col(s"_v$i")).as(s"_v$i")).head,
               as.indices.map(i => max(col(s"_v$i")).as(s"_v$i")).tail: _*)
+            .localCheckpoint(true) // consumed by the count AND the update join
           nSet += vals.count() * as.size
           val types = if (isNode) nodeTypes else edgeTypes
           val target = if (isNode) cur.nodes else cur.edges
@@ -424,7 +429,9 @@ object WriteTranslator {
         var nLbl = 0L
         labelRemoves.groupBy(_._1).foreach { case (v, ls) =>
           require(!edgeVars.contains(v), "REMOVE :Label applies to node variables")
-          val ids = readFrame(Seq(ReturnItem(Fn("id", Seq(Var(v))), Some("_id")))).distinct()
+          // pinned for the same reason as the SET :Label path
+          val ids = readFrame(Seq(ReturnItem(Fn("id", Seq(Var(v))), Some("_id"))))
+            .distinct().localCheckpoint(true)
           ls.foreach { case (_, l) =>
             // counter counts labels actually REMOVED (present before)
             nLbl += cur.nodes.join(ids, col("id") === col("_id"), "left_semi")
