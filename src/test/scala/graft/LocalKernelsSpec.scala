@@ -42,6 +42,19 @@ class LocalKernelsSpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.algo.localSizeBytes")
   }
 
+  test("superlinear gate: byte-small but edge-dense inputs stay distributed") {
+    val e = randGraph(20, 20, 100).toDF("a", "b")
+    assert(LocalKernels.isSmallSuperlinear(e)) // tiny both ways → local
+    // cap the edge count below the input: the gray-zone count rejects it
+    spark.conf.set("spark.graft.algo.localSizeBytesSuperlinear", "1")
+    spark.conf.set("spark.graft.algo.localMaxEdgesSuperlinear", "50")
+    try assert(!LocalKernels.isSmallSuperlinear(e))
+    finally {
+      spark.conf.unset("spark.graft.algo.localSizeBytesSuperlinear")
+      spark.conf.unset("spark.graft.algo.localMaxEdgesSuperlinear")
+    }
+  }
+
   test("pageRank local == distributed (1e-9)") {
     val e = randGraph(2, 40, 150)
     val loc = LocalKernels.pageRank(e, 8, 0.85).collect()
