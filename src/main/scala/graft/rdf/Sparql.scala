@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions._
   *   SELECT [DISTINCT] ?v ... | *
   *   WHERE { triple patterns '.'-separated; FILTER(...) clauses;
   *           OPTIONAL { patterns; FILTER(...) } groups (left join) }
+  *   WHERE { { patterns } UNION { patterns } ... }   (by-name alignment)
   *   ORDER BY ?v [ASC|DESC] ...   LIMIT n   OFFSET n
   *
   * Terms: variables `?v`, IRIs `<...>`, prefixed names `pfx:local`, plain
@@ -49,7 +50,7 @@ object Sparql {
   private final case class Query(
       distinct: Boolean, select: Seq[String], patterns: Seq[Pattern],
       filters: Seq[Cond], optionals: Seq[OptGroup],
-      orderBy: Seq[(String, Boolean)],
+      unionGroups: Seq[OptGroup], orderBy: Seq[(String, Boolean)],
       limit: Option[Int], offset: Option[Int])
 
   // ---- tokenizer ---------------------------------------------------------
@@ -180,7 +181,22 @@ object Sparql {
       expect("}")
       (patterns, filters, optionals)
     }
-    val (patterns, filters, optionals) = parseGroup(allowOptional = true)
+    // `{ g1 } UNION { g2 } ...` at the top of WHERE: braced alternatives
+    // (each a plain BGP + filters); otherwise a single unbraced group
+    var unionGroups = Vector.empty[OptGroup]
+    val (patterns, filters, optionals) =
+      if (peek == "{") {
+        var done = false
+        while (!done) {
+          expect("{")
+          val (ps, fs, os) = parseGroup(allowOptional = false)
+          require(os.isEmpty && ps.nonEmpty, "UNION branches need triple patterns")
+          unionGroups :+= OptGroup(ps, fs)
+          if (peek.equalsIgnoreCase("UNION")) next() else done = true
+        }
+        expect("}")
+        (Vector.empty[Pattern], Vector.empty[Cond], Vector.empty[OptGroup])
+      } else parseGroup(allowOptional = true)
 
     var orderBy = Vector.empty[(String, Boolean)]
     if (peek.equalsIgnoreCase("ORDER")) {
@@ -200,10 +216,11 @@ object Sparql {
     }
     require(toks.isEmpty, s"trailing tokens: $toks")
 
-    val vars = (patterns ++ optionals.flatMap(_.patterns))
+    val vars = (patterns ++ optionals.flatMap(_.patterns) ++
+      unionGroups.flatMap(_.patterns))
       .flatMap(p => Seq(p.s, p.p, p.o)).collect { case V(n) => n }.distinct
     Query(distinct, if (star) vars else select, patterns, filters, optionals,
-      orderBy, limit, offset)
+      unionGroups, orderBy, limit, offset)
   }
 
   // ---- execution ---------------------------------------------------------
@@ -220,7 +237,7 @@ object Sparql {
     * variable carrying its lexical value. */
   def execute(query: String, triples: DataFrame): DataFrame = {
     val q = parse(query)
-    require(q.patterns.nonEmpty, "empty basic graph pattern")
+    require(q.patterns.nonEmpty || q.unionGroups.nonEmpty, "empty basic graph pattern")
 
     def bind(pat: Pattern): DataFrame = {
       var df = triples
@@ -267,7 +284,14 @@ object Sparql {
       filters.foldLeft(grp)((d, f) => d.filter(filterPred(f)))
     }
 
-    var bound = joinGroup(q.patterns, q.filters)
+    // UNION: evaluate each braced alternative and stack them, aligning
+    // variables by name (a variable absent from one branch is null there —
+    // standard SPARQL union semantics)
+    var bound =
+      if (q.unionGroups.nonEmpty)
+        q.unionGroups.map(g => joinGroup(g.patterns, g.filters))
+          .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      else joinGroup(q.patterns, q.filters)
 
     // OPTIONAL groups: the group evaluates on its own (patterns + its
     // FILTERs), then LEFT-joins onto the required part on shared variables

@@ -111,6 +111,28 @@ class SparqlSpec extends SparkSpec {
       ("carol", None), ("dave", None)))
   }
 
+  test("UNION: braced alternatives stack with by-name variable alignment") {
+    val r = Sparql.execute(
+      prefixes +
+        """SELECT ?n WHERE {
+          |  { ?s a gl:Q . ?s gp:name ?n }
+          |  UNION
+          |  { ?s gp:name ?n . FILTER(regex(?n, "^a")) }
+          |} ORDER BY ?n""".stripMargin, triples)
+      .as[String].collect()
+    assert(r.toSeq == Seq("alice", "dave"))
+    // a variable bound in only one branch is null in the other
+    val r2 = Sparql.execute(
+      prefixes +
+        """SELECT ?n ?b WHERE {
+          |  { ?s gp:name ?n . FILTER(?n = "dave") }
+          |  UNION
+          |  { ?s gp:name ?n . ?s gp:balance ?b . FILTER(?n = "alice") }
+          |} ORDER BY ?n""".stripMargin, triples)
+      .collect().map(row => (row.getString(0), Option(row.getString(1)))).toSeq
+    assert(r2 == Seq(("alice", Some("10.0")), ("dave", None)))
+  }
+
   test("catalog shape: label + props + edge + filter as one plan") {
     val r = Sparql.execute(
       prefixes +
