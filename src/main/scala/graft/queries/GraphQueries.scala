@@ -344,6 +344,42 @@ object GraphQueries {
           |} ORDER BY ?cname ?nname""".stripMargin, triples)
     }),
 
+    // §1.5 SPARQL OPTIONAL: customers carry an exported balance literal,
+    // nations don't (null property is not exported) — the left join keeps
+    // nation rows with a null binding
+    "q_sparql_optional" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      val nodes = g.nodesWithLabel("Customer").filter(col("id") < 100L)
+        .unionByName(g.nodesWithLabel("Nation"))
+      val sub = graft.model.PropertyGraph(nodes, g.edgesOfType("NONE_SUCH"))
+      val triples = graft.rdf.Rdf.exportTriples(sub, "http://graft.local/")
+        .localCheckpoint(true)
+      graft.rdf.Sparql.execute(
+        """PREFIX gp: <http://graft.local/prop/>
+          |SELECT ?name ?bal WHERE {
+          |  ?s gp:name ?name .
+          |  OPTIONAL { ?s gp:balance ?bal }
+          |} ORDER BY ?name ?bal""".stripMargin, triples)
+    }),
+
+    // §1.5 SPARQL UNION: braced alternatives over two labels stack with
+    // bag semantics (UNION ALL in the oracle)
+    "q_sparql_union" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      val nodes = g.nodesWithLabel("Customer").unionByName(g.nodesWithLabel("Region"))
+      val sub = graft.model.PropertyGraph(nodes, g.edgesOfType("NONE_SUCH"))
+      val triples = graft.rdf.Rdf.exportTriples(sub, "http://graft.local/")
+        .localCheckpoint(true)
+      graft.rdf.Sparql.execute(
+        """PREFIX gl: <http://graft.local/label/>
+          |PREFIX gp: <http://graft.local/prop/>
+          |SELECT ?name WHERE {
+          |  { ?s a gl:Region . ?s gp:name ?name }
+          |  UNION
+          |  { ?s a gl:Customer . ?s gp:name ?name . FILTER(?name < "Customer#000000050") }
+          |} ORDER BY ?name""".stripMargin, triples)
+    }),
+
     // §2.10 algo.mst (reference mst.rs:41) — Borůvka on the nation trade
     // graph (edge weight = #trades between the two nations); (w,a,b)
     // tie-break makes the forest unique, so the oracle's Prim chain (24
@@ -527,6 +563,16 @@ object GraphQueries {
         | true AS xml_roundtrip, true AS jsonld_roundtrip""".stripMargin,
     "q_sparql_bgp" ->
       "SELECT c_name AS cname, n_name AS nname FROM customer JOIN nation ON n_nationkey = c_nationkey WHERE n_name < 'G' ORDER BY 1, 2",
+    "q_sparql_optional" ->
+      """SELECT name, bal FROM (
+        | SELECT c_name AS name, CAST(c_acctbal AS VARCHAR) AS bal FROM customer WHERE c_custkey < 100
+        | UNION ALL SELECT n_name AS name, NULL AS bal FROM nation)
+        |ORDER BY 1, 2""".stripMargin,
+    "q_sparql_union" ->
+      """SELECT name FROM (
+        | SELECT r_name AS name FROM region
+        | UNION ALL SELECT c_name AS name FROM customer WHERE c_name < 'Customer#000000050')
+        |ORDER BY 1""".stripMargin,
     "q_mst" -> mstOracle(24),
     "q_maxflow" ->
       """SELECT round(sum(least(20, tot)), 1) AS max_flow FROM (
