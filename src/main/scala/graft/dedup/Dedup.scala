@@ -152,6 +152,35 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-duplicate CLUSTERING: the last step of a real dedup pipeline.
+    * Candidate pairs (from any of the generators above — exact Jaccard,
+    * MinHash-LSH, SimHash, embedding-LSH) are treated as undirected edges
+    * and closed transitively into clusters (connected components), because
+    * near-duplication is not transitive pairwise: A~B and B~C must collapse
+    * into ONE group even when A~C falls below the threshold, or the corpus
+    * keeps two of the three copies.
+    *
+    * Returns one row per input doc: (idCol, cluster, canonical) where
+    * cluster = min doc id in the component (docs in no pair are their own
+    * singleton cluster) and canonical marks the kept representative. Any
+    * other keep-policy (longest doc, best quality score) is one join +
+    * window away from this frame.
+    *
+    * Scale: the component step is [[graft.algo.Algorithms.wcc]] — min-label
+    * propagation over the PAIR edges only (candidate pairs are sparse by
+    * construction; the corpus itself never enters the iteration), with the
+    * small-input in-task union-find gate. The final assignment is one
+    * broadcast-or-shuffle left join against the corpus ids. */
+  def nearDupClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("i").cast("long").as("src"), col("j").cast("long").as("dst"))
+    val comp = graft.algo.Algorithms.wcc(edges) // (id, component = min id)
+    docs.select(col(idCol))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster"))
+      .withColumn("canonical", col(idCol) === col("cluster"))
+  }
+
   /** Embedding cosine near-duplicate pairs above `threshold`.
     *
     * `lshBits = 0` → exact all-pairs (the oracle path; O(n²), small corpora

@@ -380,6 +380,33 @@ object GraphQueries {
           |} ORDER BY ?name""".stripMargin, triples)
     }),
 
+    // §1.5 SPARQL 1.1 aggregates: customers counted and balance-averaged per
+    // nation through the edge triples — GROUP BY + COUNT + AVG as one hash
+    // aggregate over the BGP join
+    "q_sparql_agg" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      val nodes = g.nodesWithLabel("Customer").unionByName(g.nodesWithLabel("Nation"))
+      val ids = nodes.select(col("id"))
+      val edges = g.edgesOfType("IN_NATION")
+        .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      val triples = graft.rdf.Rdf
+        .exportTriples(graft.model.PropertyGraph(nodes, edges), "http://graft.local/")
+        .localCheckpoint(true)
+      graft.rdf.Sparql.execute(
+        """PREFIX gl: <http://graft.local/label/>
+          |PREFIX gp: <http://graft.local/prop/>
+          |PREFIX gr: <http://graft.local/rel/>
+          |SELECT ?nname (COUNT(?c) AS ?n) (AVG(?bal) AS ?avg_bal) WHERE {
+          |  ?c a gl:Customer .
+          |  ?c gp:balance ?bal .
+          |  ?c gr:IN_NATION ?nat .
+          |  ?nat gp:name ?nname .
+          |} GROUP BY ?nname ORDER BY ?nname""".stripMargin, triples)
+        .select(col("nname"), col("n"),
+          graft.functions.CypherFunctions.roundC(col("avg_bal"), 2).as("avg_bal"))
+    }),
+
     // §2.10 algo.mst (reference mst.rs:41) — Borůvka on the nation trade
     // graph (edge weight = #trades between the two nations); (w,a,b)
     // tie-break makes the forest unique, so the oracle's Prim chain (24
@@ -573,6 +600,8 @@ object GraphQueries {
         | SELECT r_name AS name FROM region
         | UNION ALL SELECT c_name AS name FROM customer WHERE c_name < 'Customer#000000050')
         |ORDER BY 1""".stripMargin,
+    "q_sparql_agg" ->
+      "SELECT n_name AS nname, count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal FROM customer JOIN nation ON n_nationkey = c_nationkey GROUP BY 1 ORDER BY 1",
     "q_mst" -> mstOracle(24),
     "q_maxflow" ->
       """SELECT round(sum(least(20, tot)), 1) AS max_flow FROM (

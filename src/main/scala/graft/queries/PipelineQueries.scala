@@ -193,6 +193,59 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // dedup: near-dup CLUSTERING — the step after pair generation: exact
+    // Jaccard pairs closed transitively into components (wcc over the pair
+    // edges only), canonical = min id. The corpus contains an A~B~C chain
+    // with A!~C below threshold, so a pairwise-only dedup provably differs
+    // from the component answer the oracle computes (recursive CTE)
+    "q_dedup_cluster" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 5, 0.5, maxDocFreq = 10000)
+      Dedup.nearDupClusters(docs, "doc_id", pairs).orderBy(col("doc_id"))
+    }),
+
+    // text: sequence packing — chunked-concat training bins of 512 tokens
+    // per source shard; the only sort is a window PARTITIONED BY shard, so
+    // packing parallelizes across shards (no global order)
+    "q_seq_pack" -> ((s, d) =>
+      TextAnalysis.packSequences(t(s, d, "documents"), "doc_id", "text", "source", 512)
+        .orderBy(col("doc_id"))),
+
+    // text: deterministic stratified sampling — language rebalancing with an
+    // arithmetic multiplicative hash (no RNG, reproducible): the
+    // overrepresented 'en' keeps 30%, 'zh' 60%, the rest 100%
+    "q_stratified_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val kept = TextAnalysis.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 30, "zh" -> 60))
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+        .join(kept.groupBy(col("lang")).agg(count(lit(1)).as("n_kept")), Seq("lang"), "left")
+        .select(col("lang"), col("n_total"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("lang"))
+    }),
+
+    // text: PII detection + redaction — deterministic email/URL/phone
+    // plants per doc; three codegen'd regexp counts + fixed-order redaction,
+    // pinned cross-engine by the md5 of the redacted text
+    "q_pii_scrub" -> ((s, d) => {
+      val withPii = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" reach user"), col("doc_id"), lit("@example.com or https://ex"),
+          col("doc_id"), lit(".example/path or +1-555-"),
+          lpad(col("doc_id") % 10000, 4, "0")).as("text"))
+      withPii.select(col("doc_id") +: (TextAnalysis.piiCounts(col("text")) :+
+        md5(TextAnalysis.redactPii(col("text"))).as("redacted_fp")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // text: TF-IDF top-3 terms per document — composes the doc-frequency
+    // inverted index with in-doc term counts; rank ties break on the token
+    // so the ordering is engine-independent
+    "q_tfidf" -> ((s, d) =>
+      TextAnalysis.tfIdfTopTerms(t(s, d, "documents").filter(col("doc_id") < 50),
+        "doc_id", "text", 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
     // multimodal: binary payload + typed metadata struct
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.mediaFromDocuments(t(s, d, "documents"))
@@ -453,6 +506,40 @@ object PipelineQueries {
         | SELECT DISTINCT doc_id, token FROM (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents))
         |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[g:g+4], ' ') AS s FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS g FROM words)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT i, j FROM inter JOIN sz x ON i = x.doc_id JOIN sz y ON j = y.doc_id WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.5),
+        |e AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE e.b <> r.a),
+        |comp AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id)
+        |SELECT doc_id, cluster, doc_id = cluster AS canonical FROM comp ORDER BY doc_id""".stripMargin,
+    "q_seq_pack" ->
+      """WITH tok AS (SELECT doc_id, source, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM tok),
+        |b AS (SELECT doc_id, source, n_tokens, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin FROM c)
+        |SELECT doc_id, source, n_tokens, bin, CAST(row_number() OVER (PARTITION BY source, bin ORDER BY doc_id) - 1 AS INTEGER) AS pos FROM b ORDER BY doc_id""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT lang, count(*) AS n_total,
+        | CAST(sum(CASE WHEN (doc_id * 2654435761) % 100 < (CASE WHEN lang = 'en' THEN 30 WHEN lang = 'zh' THEN 60 ELSE 100 END) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH p AS (SELECT doc_id, text || ' reach user' || doc_id || '@example.com or https://ex' || doc_id || '.example/path or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        | CAST(len(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS INTEGER) AS n_urls,
+        | CAST(len(regexp_extract_all(text, '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+        | md5(regexp_replace(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), 'https?://[^ \t\n]+', '<URL>', 'g'), '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_fp
+        |FROM p ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents WHERE doc_id < 50),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+        |sc AS (SELECT doc_id, token, tf, df, round(tf * ln((SELECT count(DISTINCT doc_id) FROM toks) * 1.0 / df), 4) AS score FROM tf JOIN df USING (token)),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS INTEGER) AS rank FROM sc)
+        |SELECT doc_id, token, tf, df, score, rank FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q_quality_score" -> QualityOracle,
     "q_lang_id" -> LangIdOracle,
     "q_fingerprint" ->

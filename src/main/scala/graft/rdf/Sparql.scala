@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   *   WHERE { triple patterns '.'-separated; FILTER(...) clauses;
   *           OPTIONAL { patterns; FILTER(...) } groups (left join) }
   *   WHERE { { patterns } UNION { patterns } ... }   (by-name alignment)
+  *   SELECT (COUNT(*)|COUNT([DISTINCT] ?v)|SUM|AVG|MIN|MAX(?v) AS ?alias)
+  *     ... GROUP BY ?v ...        (SPARQL 1.1 aggregates, hash aggregate)
   *   ORDER BY ?v [ASC|DESC] ...   LIMIT n   OFFSET n
   *
   * Terms: variables `?v`, IRIs `<...>`, prefixed names `pfx:local`, plain
@@ -43,6 +45,11 @@ object Sparql {
   private final case class Pattern(s: Term, p: Term, o: Term)
   private final case class Cond(v: String, op: String, lit: String, numeric: Boolean)
 
+  /** A `(FUNC(?v) AS ?alias)` select item: COUNT (with `*` or DISTINCT),
+    * SUM, AVG, MIN, MAX. */
+  private final case class Agg(func: String, v: Option[String],
+                               distinct: Boolean, alias: String)
+
   /** An OPTIONAL { ... } group: its own patterns + filters, left-joined
     * onto the required part on shared variables. */
   private final case class OptGroup(patterns: Seq[Pattern], filters: Seq[Cond])
@@ -51,7 +58,8 @@ object Sparql {
       distinct: Boolean, select: Seq[String], patterns: Seq[Pattern],
       filters: Seq[Cond], optionals: Seq[OptGroup],
       unionGroups: Seq[OptGroup], orderBy: Seq[(String, Boolean)],
-      limit: Option[Int], offset: Option[Int])
+      limit: Option[Int], offset: Option[Int],
+      aggs: Seq[Agg], groupBy: Seq[String])
 
   // ---- tokenizer ---------------------------------------------------------
 
@@ -127,10 +135,32 @@ object Sparql {
     val distinct = peek.equalsIgnoreCase("DISTINCT")
     if (distinct) next()
     var select = Vector.empty[String]
+    var aggs = Vector.empty[Agg]
     var star = false
-    while (peek.startsWith("?") || peek == "*") {
-      val t = next(); if (t == "*") star = true else select :+= t.drop(1)
+    while (peek.startsWith("?") || peek == "*" || peek == "(") {
+      if (peek == "(") {
+        // `(COUNT(*) AS ?n)` / `(SUM(?v) AS ?s)` / `(COUNT(DISTINCT ?v) AS ?n)`
+        next()
+        val func = next().toUpperCase
+        require(Set("COUNT", "SUM", "AVG", "MIN", "MAX").contains(func), s"unsupported aggregate $func")
+        expect("(")
+        val isDistinct = peek.equalsIgnoreCase("DISTINCT")
+        if (isDistinct) next()
+        val arg = next()
+        val argVar =
+          if (arg == "*") { require(func == "COUNT", s"$func(*) is not SPARQL"); None }
+          else { require(arg.startsWith("?"), s"aggregate arg must be ?var or *, got $arg"); Some(arg.drop(1)) }
+        expect(")"); expect("AS")
+        val alias = next()
+        require(alias.startsWith("?"), s"aggregate alias must be a variable, got $alias")
+        expect(")")
+        aggs :+= Agg(func, argVar, isDistinct, alias.drop(1))
+        select :+= alias.drop(1)
+      } else {
+        val t = next(); if (t == "*") star = true else select :+= t.drop(1)
+      }
     }
+    require(aggs.isEmpty || !star, "SELECT * cannot mix with aggregates")
     expect("WHERE"); expect("{")
 
     // one group body: patterns + FILTERs until the closing '}' (consumed);
@@ -198,6 +228,21 @@ object Sparql {
         (Vector.empty[Pattern], Vector.empty[Cond], Vector.empty[OptGroup])
       } else parseGroup(allowOptional = true)
 
+    var groupBy = Vector.empty[String]
+    if (peek.equalsIgnoreCase("GROUP")) {
+      next(); expect("BY")
+      while (peek.startsWith("?")) groupBy :+= next().drop(1)
+      require(groupBy.nonEmpty, "GROUP BY needs at least one variable")
+    }
+    require(groupBy.isEmpty || aggs.nonEmpty, "GROUP BY without aggregates")
+    // every plain select var must be grouped when aggregating (SPARQL 1.1
+    // projection restriction)
+    if (aggs.nonEmpty) {
+      val aliases = aggs.map(_.alias).toSet
+      val plain = select.filterNot(aliases.contains)
+      require(plain.forall(groupBy.contains),
+        s"non-aggregated select vars must appear in GROUP BY: ${plain.filterNot(groupBy.contains)}")
+    }
     var orderBy = Vector.empty[(String, Boolean)]
     if (peek.equalsIgnoreCase("ORDER")) {
       next(); expect("BY")
@@ -220,7 +265,7 @@ object Sparql {
       unionGroups.flatMap(_.patterns))
       .flatMap(p => Seq(p.s, p.p, p.o)).collect { case V(n) => n }.distinct
     Query(distinct, if (star) vars else select, patterns, filters, optionals,
-      unionGroups, orderBy, limit, offset)
+      unionGroups, orderBy, limit, offset, aggs, groupBy)
   }
 
   // ---- execution ---------------------------------------------------------
@@ -305,7 +350,32 @@ object Sparql {
         else bound.crossJoin(grp)
     }
 
-    var out = bound.select(q.select.map(v => lex(col(v)).as(v)): _*)
+    // Aggregation (SPARQL 1.1 GROUP BY): keys are the lexical values of the
+    // grouped variables; COUNT counts bound (non-null) values, SUM/AVG run
+    // numerically on the lexical form, MIN/MAX compare lexically — one hash
+    // aggregate, Catalyst plans partial/final as usual
+    var out =
+      if (q.aggs.nonEmpty) {
+        val keys = q.groupBy.map(v => lex(col(v)).as(v))
+        val aggCols = q.aggs.map { a =>
+          val arg = a.v.map(v => lex(col(v)))
+          val e = a.func match {
+            case "COUNT" => arg match {
+              case None => count(lit(1))
+              case Some(x) => if (a.distinct) count_distinct(x) else count(x)
+            }
+            case "SUM" => sum(arg.get.cast("double"))
+            case "AVG" => avg(arg.get.cast("double"))
+            case "MIN" => min(arg.get)
+            case "MAX" => max(arg.get)
+          }
+          e.as(a.alias)
+        }
+        val grouped =
+          if (keys.nonEmpty) bound.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
+          else bound.agg(aggCols.head, aggCols.tail: _*)
+        grouped.select(q.select.map(col): _*)
+      } else bound.select(q.select.map(v => lex(col(v)).as(v)): _*)
     if (q.distinct) out = out.distinct()
     if (q.orderBy.nonEmpty)
       out = out.orderBy(q.orderBy.map { case (v, asc) => if (asc) col(v).asc else col(v).desc }: _*)

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.CypherFunctions
 // NOTE for maintainers: never nest an expensive expression inside a
 // higher-order-function lambda that runs once per array element — project it
@@ -151,5 +152,107 @@ object TextAnalysis {
             i => array_min(slice(hs, i, lit(w)))))
           .otherwise(array(array_min(hs)))))
       .drop("__winnow_norm", "__winnow_hashes")
+  }
+
+  // ---- PII detection / redaction -----------------------------------------
+
+  /** Conservative PII patterns (the common pre-training scrub set). Kept to
+    * the regex subset with identical semantics in Java regex and RE2 so the
+    * DuckDB oracle reproduces matches exactly. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^ \\t\\n]+"
+  val PhonePattern = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+  /** Per-document PII hit counts — three codegen'd regexp_count projections,
+    * one scan, no shuffle; the shape that holds at 100 TB. */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    regexp_count(text, lit(EmailPattern)).as("n_emails"),
+    regexp_count(text, lit(UrlPattern)).as("n_urls"),
+    regexp_count(text, lit(PhonePattern)).as("n_phones"))
+
+  /** Redact PII in place (emails, then URLs, then phone numbers — fixed
+    * order so redacted output is deterministic and oracle-reproducible). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        UrlPattern, "<URL>"),
+      PhonePattern, "<PHONE>")
+
+  // ---- sequence packing ---------------------------------------------------
+
+  /** Chunked-concatenation sequence packing: assign each document to a
+    * training-sequence bin of `capacity` tokens, packing documents in
+    * id order WITHIN each value of `shardCol` (the standard "concat the
+    * stream, cut every C tokens" formulation — a document whose tokens
+    * straddle a cut starts lives in the bin where its first token lands).
+    *
+    * bin = floor((running_total - n_tokens) / capacity), i.e. the bin of
+    * the document's first token; pos = 0-based index within the bin.
+    *
+    * Scale: the only ordering is a window PARTITIONED BY the shard column —
+    * each shard sorts independently (no global sort, no single partition).
+    * Real pipelines shard by file/source exactly so packing parallelizes;
+    * a degenerate single-shard input degrades to one sorted partition,
+    * which is the semantics the caller asked for. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    shardCol: String, capacity: Int): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+    val base = df.select(col(idCol), col(shardCol),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", floor((col("__cum") - col("n_tokens")) / capacity))
+    base
+      .withColumn("pos",
+        row_number().over(Window.partitionBy(col(shardCol), col("bin"))
+          .orderBy(col(idCol))) - 1)
+      .drop("__cum")
+  }
+
+  // ---- deterministic stratified sampling ----------------------------------
+
+  /** Deterministic keep-decision for rate-based downsampling: keeps a row
+    * iff (id * 2654435761) mod 100 < ratePct. Knuth's multiplicative hash
+    * in plain BIGINT arithmetic — bit-identical in any engine, no RNG, so
+    * the sample is reproducible and the oracle can re-derive it. */
+  def sampleKeep(id: Column, ratePct: Column): Column =
+    (id.cast("long") * lit(2654435761L)) % 100 < ratePct
+
+  /** Stratified downsampling: keep `ratePct(stratum)`% of rows per stratum
+    * (default 100 for unlisted strata). One scan + codegen'd filter — the
+    * language-rebalancing step of a corpus pipeline, zero shuffles. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       ratePct: Map[String, Int]): DataFrame = {
+    val rate = ratePct.foldLeft(lit(100)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(sampleKeep(col(idCol), rate))
+  }
+
+  // ---- tf-idf -------------------------------------------------------------
+
+  /** Top-`k` TF-IDF terms per document: tf = in-doc term count, idf =
+    * ln(N / df) with df = corpus document frequency. Two hash aggregates
+    * (term counts, document frequencies) + one broadcast-able join — the
+    * inverted-index formulation; nothing is per-document driver-side.
+    * Ties (equal rounded score) break lexicographically so ranking is
+    * engine-independent. Returns (idCol, token, tf, df, score, rank). */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col(idCol), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // corpus size rides along as a broadcast 1-row aggregate — the whole
+    // computation is ONE declarative plan, no driver-side action
+    val nDf = df.agg(count_distinct(col(idCol)).cast("double").as("__n"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(nDf))
+      .withColumn("score",
+        graft.functions.CypherFunctions.roundC(col("tf") * log(col("__n") / col("df")), 4))
+      .drop("__n")
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("token"))))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("score"), col("rank"))
   }
 }

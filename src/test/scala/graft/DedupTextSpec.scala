@@ -134,4 +134,68 @@ class DedupTextSpec extends SparkSpec {
     assert(got(4L) == (("jpeg", 1920, 1080)))
     assert(got(5L) == (("unknown", -1, -1)))
   }
+
+  test("nearDupClusters closes the A~B~C chain into one cluster") {
+    // pairs (1,2), (2,5) chain though (1,5) is absent; 3 is a singleton
+    val corpus = Seq(1L, 2L, 3L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 5L)).toDF("i", "j")
+    val got = Dedup.nearDupClusters(corpus, "doc_id", pairs)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 1L, true), (2L, 1L, false), (5L, 1L, false), (3L, 3L, true)))
+  }
+
+  test("packSequences: chunked-concat bins per shard, first-token rule") {
+    // shard A: token counts 300, 300, 100 -> cums 300, 600, 700
+    //   bins: floor(0/512)=0, floor(300/512)=0, floor(600/512)=1
+    val d = Seq(
+      (1L, "A", Seq.fill(300)("w").mkString(" ")),
+      (2L, "A", Seq.fill(300)("w").mkString(" ")),
+      (3L, "A", Seq.fill(100)("w").mkString(" ")),
+      (4L, "B", Seq.fill(600)("w").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val got = TextAnalysis.packSequences(d, "doc_id", "text", "source", 512)
+      .select("doc_id", "bin", "pos").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 0L, 0), (2L, 0L, 1), (3L, 1L, 0), (4L, 0L, 0)))
+  }
+
+  test("stratifiedSample keeps ~rate% deterministically, stratum-scoped") {
+    val d = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val kept = TextAnalysis.stratifiedSample(d, "doc_id", "lang", Map("en" -> 30))
+    val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("fr") == 500L) // unlisted stratum keeps 100%
+    assert(byLang("en") > 100L && byLang("en") < 220L) // ~30% of 500
+    // deterministic: same call, same rows
+    val again = TextAnalysis.stratifiedSample(d, "doc_id", "lang", Map("en" -> 30))
+    assert(kept.select("doc_id").as[Long].collect().sorted
+      .sameElements(again.select("doc_id").as[Long].collect().sorted))
+  }
+
+  test("pii counts and redaction") {
+    val d = Seq((1L, "mail a@b.co or c.d+x@e.org, see https://x.y/z?q=1 call +1-555-0000"),
+      (2L, "nothing sensitive here")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id") +: (TextAnalysis.piiCounts(col("text")) :+
+        TextAnalysis.redactPii(col("text")).as("red")): _*)
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, 2, 1, 1, "mail <EMAIL> or <EMAIL>, see <URL> call <PHONE>")))
+    assert(got(1) == ((2L, 0, 0, 0, "nothing sensitive here")))
+  }
+
+  test("tfIdfTopTerms ranks distinctive terms above ubiquitous ones") {
+    val d = Seq(
+      (1L, "common common zebra zebra zebra"),
+      (2L, "common aardvark"),
+      (3L, "common common common")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdfTopTerms(d, "doc_id", "text", 2)
+    val top = got.filter(col("rank") === 1)
+      .select("doc_id", "token").as[(Long, String)].collect().toMap
+    assert(top(1L) == "zebra") // tf 3, df 1 beats common (idf 0)
+    assert(top(2L) == "aardvark")
+    // 'common' appears in every doc: idf = ln(1) = 0 -> score 0 everywhere
+    val common = got.filter(col("token") === "common").select("doc_id")
+      .as[Long].collect()
+    assert(common.forall(id =>
+      got.filter(col("doc_id") === id && col("token") === "common")
+        .select("score").as[Double].head() == 0.0))
+  }
 }

@@ -146,4 +146,43 @@ class SparqlSpec extends SparkSpec {
       .as[(String, String)].collect()
     assert(r.toSeq == Seq(("alice", "dave")))
   }
+
+  test("aggregates: COUNT(*) per group, ordered by key") {
+    // each person s with an outgoing edge, counted by predicate target label
+    val r = Sparql.execute(
+      prefixes +
+        """SELECT ?n (COUNT(*) AS ?deg) WHERE {
+          |  ?s gr:KNOWS ?o .
+          |  ?s gp:name ?n .
+          |} GROUP BY ?n ORDER BY ?n""".stripMargin, triples)
+      .collect().map(row => (row.getString(0), row.getLong(1))).toSeq
+    assert(r == Seq(("alice", 1L), ("bob", 1L)))
+  }
+
+  test("aggregates: SUM/AVG/MIN/MAX over lexical values, global when no GROUP BY") {
+    val r = Sparql.execute(
+      prefixes +
+        """SELECT (COUNT(?b) AS ?n) (SUM(?b) AS ?s) (AVG(?b) AS ?a)
+          |       (MIN(?n2) AS ?lo) (MAX(?n2) AS ?hi) WHERE {
+          |  ?x a gl:P .
+          |  ?x gp:balance ?b .
+          |  ?x gp:name ?n2 .
+          |}""".stripMargin, triples).collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 60.0)
+    assert(r.getDouble(2) == 20.0)
+    assert(r.getString(3) == "alice" && r.getString(4) == "carol")
+  }
+
+  test("aggregates: COUNT(DISTINCT ?v) and projection restriction") {
+    val r = Sparql.execute(
+      prefixes + "SELECT (COUNT(DISTINCT ?t) AS ?n) WHERE { ?s a ?t }", triples)
+      .collect().head
+    assert(r.getLong(0) == 3L) // labels P and Q + rdf:Statement (edge reification)
+    // a non-grouped plain select var is rejected (SPARQL 1.1 restriction)
+    intercept[IllegalArgumentException] {
+      Sparql.execute(
+        prefixes + "SELECT ?n (COUNT(*) AS ?c) WHERE { ?s gp:name ?n }", triples)
+    }
+  }
 }
