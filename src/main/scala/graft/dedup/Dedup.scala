@@ -172,7 +172,15 @@ object Dedup {
     * small-input in-task union-find gate. The final assignment is one
     * broadcast-or-shuffle left join against the corpus ids. */
   def nearDupClusters(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    // Cut the pair set to a materialized leaf BEFORE iterating: (a) pair
+    // generation is an expensive multi-join pipeline that must run once,
+    // not once per wcc round; (b) its join-multiplied size ESTIMATE is
+    // wildly above the actual sparse pair count, which would misroute the
+    // wcc gate to the distributed loop for a kilobyte-sized edge set (the
+    // same lesson as MST's canonical-edge-set gate). localCheckpoint stays
+    // on the executors — nothing collects to the driver at any scale.
     val edges = pairs.select(col("i").cast("long").as("src"), col("j").cast("long").as("dst"))
+      .localCheckpoint(true)
     val comp = graft.algo.Algorithms.wcc(edges) // (id, component = min id)
     docs.select(col(idCol))
       .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
