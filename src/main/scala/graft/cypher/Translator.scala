@@ -1047,9 +1047,30 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
       slice(c, (fi + 1).cast("int"), greatest(ti - fi, lit(0)).cast("int"))
     case Bin(op, l, r) =>
       val (a, b) = (toCol(l), toCol(r))
+      // Reference coerced_eq (operator.rs:2479-2503): `prop = 'true'` must
+      // match a BOOLEAN property ("LLMs often generate prop = 'true'").
+      // Lowered only when one side is literally the string 'true'/'false'
+      // (case-insensitive): a per-row typeof() dispatch picks the boolean
+      // compare for boolean-typed values and the plain equality otherwise,
+      // preserving 3VL nulls. All other equalities are untouched.
+      def eqC: Column = {
+        def boolCoerce(side: Column, s: String): Column = {
+          val bl = java.lang.Boolean.parseBoolean(s.toLowerCase)
+          when(side.isNull, lit(null).cast("boolean"))
+            .when(typeof(side) === "boolean", side.cast("boolean") === lit(bl))
+            .otherwise(side === lit(s))
+        }
+        (l, r) match {
+          case (_, Lit(s: String)) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") =>
+            boolCoerce(a, s)
+          case (Lit(s: String), _) if s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false") =>
+            boolCoerce(b, s)
+          case _ => a === b
+        }
+      }
       op match {
-        case "=" => a === b
-        case "<>" => a =!= b
+        case "=" => eqC
+        case "<>" => val c = eqC; when(c.isNull, lit(null).cast("boolean")).otherwise(!c)
         case "<" => a < b
         case "<=" => a <= b
         case ">" => a > b

@@ -632,4 +632,22 @@ class CypherSpec extends SparkSpec {
     val (g6, _) = QueryEngine.executeWrite("CREATE (n:Person {id: 97, name: 'Alice'})", g)
     assert(g6.nodes.count() == 5L)
   }
+
+  test("string-boolean coercion: prop = 'true' matches a boolean property") {
+    // reference coerced_eq (operator.rs:2479-2503) — "LLMs often generate
+    // prop = 'true'" against a Boolean property
+    val gb = PropertyGraph(
+      Seq((1L, Seq("P"), "a", true), (2L, Seq("P"), "b", false),
+        (3L, Seq("P"), "true", true)).toDF("id", "labels", "name", "active"),
+      Seq.empty[(Long, Long, Long, String)].toDF("id", "src", "dst", "relationship"))
+    def names(cy: String) =
+      QueryEngine.execute(cy, gb).as[String].collect().toSet
+    assert(names("MATCH (n:P) WHERE n.active = 'true' RETURN n.name AS nm") == Set("a", "true"))
+    assert(names("MATCH (n:P) WHERE n.active = 'FALSE' RETURN n.name AS nm") == Set("b"))
+    assert(names("MATCH (n:P) WHERE n.active <> 'true' RETURN n.name AS nm") == Set("b"))
+    // a STRING property compared to 'true' stays a plain string equality
+    assert(names("MATCH (n:P) WHERE n.name = 'true' RETURN n.name AS nm") == Set("true"))
+    // the flipped literal-first form coerces the same way
+    assert(names("MATCH (n:P) WHERE 'true' = n.active RETURN n.name AS nm") == Set("a", "true"))
+  }
 }
