@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
   *   WHERE { { patterns } UNION { patterns } ... }   (by-name alignment)
   *   SELECT (COUNT(*)|COUNT([DISTINCT] ?v)|SUM|AVG|MIN|MAX(?v) AS ?alias)
   *     ... GROUP BY ?v ...        (SPARQL 1.1 aggregates, hash aggregate)
+  *   property paths on prefixed-name predicates: p1/p2 (sequence, desugars
+  *     to chained patterns), p1|p2 (alternation), p+ / p* (transitive
+  *     closure via iterative frontier joins)
   *   ORDER BY ?v [ASC|DESC] ...   LIMIT n   OFFSET n
   *
   * Terms: variables `?v`, IRIs `<...>`, prefixed names `pfx:local`, plain
@@ -42,7 +45,15 @@ object Sparql {
   /** Constant in full N-Triples term syntax (`<iri>` or `"lit"^^<t>`). */
   private final case class C(nt: String) extends Term
 
-  private final case class Pattern(s: Term, p: Term, o: Term)
+  /** Predicate position of a triple pattern: a plain term, an alternation
+    * `p1|p2`, or a transitive closure `p+` / `p*` (SPARQL 1.1 property
+    * paths; sequences `p1/p2` desugar to chained patterns at parse time). */
+  private sealed trait Pred
+  private final case class Simple(t: Term) extends Pred
+  private final case class AltP(iris: Seq[String]) extends Pred
+  private final case class ClosureP(iri: String, zero: Boolean) extends Pred
+
+  private final case class Pattern(s: Term, p: Pred, o: Term)
   private final case class Cond(v: String, op: String, lit: String, numeric: Boolean)
 
   /** A `(FUNC(?v) AS ?alias)` select item: COUNT (with `*` or DISTINCT),
@@ -163,6 +174,36 @@ object Sparql {
     require(aggs.isEmpty || !star, "SELECT * cannot mix with aggregates")
     expect("WHERE"); expect("{")
 
+    // SPARQL 1.1 property paths over prefixed names (and `a`): `p1/p2`
+    // sequences desugar to chained patterns on fresh variables; `p1|p2`
+    // alternation and `p+`/`p*` closure become Pred nodes executed by
+    // bind(). Full `<IRI>` predicates stay Simple (an IRI may contain
+    // `/` and `+`, so path operators on them are not tokenizable).
+    var ppVar = 0
+    def freshVar(): String = { ppVar += 1; s"__pp$ppVar" }
+    def iriOf(t: String): String = term(t, predPos = true) match {
+      case C(nt) => nt
+      case _ => sys.error(s"property path element must be an IRI, got $t")
+    }
+    def elemPred(t: String): Pred =
+      if (t.endsWith("+") || t.endsWith("*"))
+        ClosureP(iriOf(t.dropRight(1)), zero = t.endsWith("*"))
+      else if (t.contains("|")) AltP(t.split("\\|").toSeq.map(iriOf))
+      else Simple(term(t, predPos = true))
+    def parsePredicatePath(s0: Term, tok: String, o0: Term): Seq[Pattern] = {
+      val pathCapable =
+        !tok.startsWith("?") && !tok.startsWith("<") && !tok.startsWith("\"")
+      if (pathCapable && tok.contains("/")) {
+        val parts = tok.split("/").toIndexedSeq
+        val mids = parts.init.map(_ => V(freshVar()))
+        val ss = s0 +: mids
+        val oo = mids :+ o0
+        parts.indices.map(i => Pattern(ss(i), elemPred(parts(i)), oo(i)))
+      } else if (pathCapable && (tok.endsWith("+") || tok.endsWith("*") || tok.contains("|")))
+        Seq(Pattern(s0, elemPred(tok), o0))
+      else Seq(Pattern(s0, Simple(term(tok, predPos = true)), o0))
+    }
+
     // one group body: patterns + FILTERs until the closing '}' (consumed);
     // at the top level it may also contain OPTIONAL { ... } sub-groups
     def parseGroup(allowOptional: Boolean): (Vector[Pattern], Vector[Cond], Vector[OptGroup]) = {
@@ -202,9 +243,7 @@ object Sparql {
           optionals :+= OptGroup(ps, fs)
         } else {
           val s0 = term(next(), predPos = false)
-          val p0 = term(next(), predPos = true)
-          val o0 = term(next(), predPos = false)
-          patterns :+= Pattern(s0, p0, o0)
+          patterns ++= parsePredicatePath(s0, next(), term(next(), predPos = false))
           if (peek == ".") next()
         }
       }
@@ -263,7 +302,10 @@ object Sparql {
 
     val vars = (patterns ++ optionals.flatMap(_.patterns) ++
       unionGroups.flatMap(_.patterns))
-      .flatMap(p => Seq(p.s, p.p, p.o)).collect { case V(n) => n }.distinct
+      .flatMap(p => Seq(p.s, p.o) ++ (p.p match {
+        case Simple(t) => Seq(t); case _ => Nil
+      }))
+      .collect { case V(n) => n }.distinct.filterNot(_.startsWith("__pp"))
     Query(distinct, if (star) vars else select, patterns, filters, optionals,
       unionGroups, orderBy, limit, offset, aggs, groupBy)
   }
@@ -284,11 +326,48 @@ object Sparql {
     val q = parse(query)
     require(q.patterns.nonEmpty || q.unionGroups.nonEmpty, "empty basic graph pattern")
 
+    // transitive closure of one predicate's edge set (p+ / p*): frontier
+    // expansion over DISTINCT (s,o) pairs with anti-join dedup and
+    // localCheckpoint lineage cuts — the varLengthExpand discipline. p*
+    // additionally includes the zero-length (x,x) pair for every term
+    // appearing as a subject or object in the graph (SPARQL 1.1 semantics
+    // restricted to the graph's own terms).
+    def closurePairs(iri: String, zero: Boolean): DataFrame = {
+      val e = triples.filter(col("p") === iri)
+        .select(col("s"), col("o")).distinct().localCheckpoint(true)
+      var reach = e
+      var frontier = e
+      var it = 0
+      var done = frontier.isEmpty
+      while (!done && it < 32) {
+        val next = frontier
+          .join(e.select(col("s").as("_m"), col("o").as("_o2")), col("o") === col("_m"))
+          .select(col("s"), col("_o2").as("o")).distinct()
+          .join(reach, Seq("s", "o"), "left_anti").localCheckpoint(true)
+        if (next.isEmpty) done = true
+        else { reach = reach.unionAll(next).localCheckpoint(true); frontier = next }
+        it += 1
+      }
+      if (zero) {
+        val nodes = triples.select(col("s"))
+          .unionAll(triples.select(col("o").as("s"))).distinct()
+        nodes.select(col("s"), col("s").as("o")).unionAll(reach).distinct()
+      } else reach
+    }
+
     def bind(pat: Pattern): DataFrame = {
-      var df = triples
+      var df = pat.p match {
+        case Simple(_) => triples
+        case AltP(iris) => triples.filter(col("p").isin(iris: _*))
+        case ClosureP(iri, zero) => closurePairs(iri, zero) // columns (s, o)
+      }
       var proj = Vector.empty[Column]
       var seen = Map.empty[String, String] // var -> bound column within this pattern
-      Seq(("s", pat.s), ("p", pat.p), ("o", pat.o)).foreach {
+      val positions: Seq[(String, Term)] = pat.p match {
+        case Simple(t) => Seq(("s", pat.s), ("p", t), ("o", pat.o))
+        case _ => Seq(("s", pat.s), ("o", pat.o))
+      }
+      positions.foreach {
         case (pos, C(nt)) => df = df.filter(col(pos) === nt)
         case (pos, V(n)) =>
           seen.get(n) match {

@@ -147,6 +147,39 @@ class SparqlSpec extends SparkSpec {
     assert(r.toSeq == Seq(("alice", "dave")))
   }
 
+  test("property paths: sequence, alternation, + and * closure") {
+    // KNOWS chain: 1 -> 2 -> 3 ; LIKES: 1 -> 4
+    // sequence: ?a gr:KNOWS/gp:name ?n — friends' names
+    val seq1 = Sparql.execute(
+      prefixes + "SELECT ?n WHERE { ?a gr:KNOWS/gp:name ?n } ORDER BY ?n", triples)
+      .as[String].collect().toSeq
+    assert(seq1 == Seq("bob", "carol"))
+    // alternation: either relationship
+    val alt = Sparql.execute(
+      prefixes + "SELECT ?o WHERE { ?s gr:KNOWS|gr:LIKES ?o . FILTER(?s = \"http://ex.org/node/1\") } ORDER BY ?o",
+      triples).as[String].collect().toSeq
+    assert(alt == Seq("http://ex.org/node/2", "http://ex.org/node/4"))
+    // one-or-more closure: 1 reaches 2 and 3
+    val plus = Sparql.execute(
+      prefixes + "SELECT ?o WHERE { ?s gr:KNOWS+ ?o . FILTER(?s = \"http://ex.org/node/1\") } ORDER BY ?o",
+      triples).as[String].collect().toSeq
+    assert(plus == Seq("http://ex.org/node/2", "http://ex.org/node/3"))
+    // zero-or-more includes the zero-length self pair
+    val star = Sparql.execute(
+      prefixes + "SELECT ?o WHERE { ?s gr:KNOWS* ?o . FILTER(?s = \"http://ex.org/node/1\") } ORDER BY ?o",
+      triples).as[String].collect().toSeq
+    assert(star == Seq("http://ex.org/node/1", "http://ex.org/node/2", "http://ex.org/node/3"))
+    // closure composes with further patterns: names of transitive contacts
+    val names = Sparql.execute(
+      prefixes +
+        """SELECT ?n WHERE {
+          |  ?s gp:name "alice" .
+          |  ?s gr:KNOWS+ ?f .
+          |  ?f gp:name ?n .
+          |} ORDER BY ?n""".stripMargin, triples).as[String].collect().toSeq
+    assert(names == Seq("bob", "carol"))
+  }
+
   test("aggregates: COUNT(*) per group, ordered by key") {
     // each person s with an outgoing edge, counted by predicate target label
     val r = Sparql.execute(
