@@ -82,7 +82,11 @@ object LocalKernels {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (est <= BigInt(sizeB)) (df, true)
     else {
-      val countB = conf.get("spark.graft.algo.localCountBytes", (2L << 30).toString).toLong
+      // Gray zone is much narrower than [[gate]]'s 2 GB: a 200k-edge cap is
+      // ~3 MB of id pairs, so any estimate past ~64 MB cannot pass the count
+      // — rejecting on the estimate alone avoids a pure-overhead
+      // materialize+count on every large-side call (the r6 q_lcc regression).
+      val countB = conf.get("spark.graft.algo.localCountBytesSuperlinear", (64L << 20).toString).toLong
       val maxE = conf.get("spark.graft.algo.localMaxEdgesSuperlinear", "200000").toLong
       if (est > BigInt(countB)) (df, false)
       else {

@@ -368,6 +368,11 @@ object Sparql {
         case _ => Seq(("s", pat.s), ("o", pat.o))
       }
       positions.foreach {
+        case (pos, C(nt)) if nt.startsWith("\"") =>
+          // A query literal parses plain (`"alice"`) while stored literals are
+          // typed (`"alice"^^<xsd:string>`) — compare on the lexical form,
+          // matching FILTER's lex() semantics, restricted to literal terms.
+          df = df.filter(col(pos).startsWith("\"") && lex(col(pos)) === lex(lit(nt)))
         case (pos, C(nt)) => df = df.filter(col(pos) === nt)
         case (pos, V(n)) =>
           seen.get(n) match {

@@ -23,10 +23,17 @@ object EventStream {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     // NOTE: kept as TIMESTAMP (with zone) — withWatermark rejects NTZ.
-    if (schema.fields.exists(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType)) {
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else raw
+    val tsType = schema.fields.find(_.name == "ts").map(_.dataType)
+    tsType match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        // TIMESTAMP(NANOS) read as raw long (nanosAsLong=true)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        // timestamp[us] parquet reads as NTZ; session TZ is pinned UTC so the
+        // cast re-tags the same instant and withWatermark accepts it
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Tumbling-window counts/sums per event_type with a watermark for state
