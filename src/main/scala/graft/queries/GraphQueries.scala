@@ -407,6 +407,40 @@ object GraphQueries {
           graft.functions.CypherFunctions.roundC(col("avg_bal"), 2).as("avg_bal"))
     }),
 
+    // §1.5 SPARQL 1.1 property paths — sequence (`/`), alternation (`|`) and
+    // transitive closure (`+`) in ONE query. The graph adds a NEXT chain
+    // (each nation → its nationkey-successor within the region) so closure
+    // has real depth (up to 4 hops at 5 nations/region); the oracle is a
+    // DuckDB recursive CTE over the same successor relation
+    "q_sparql_path" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      val nodes = g.nodesWithLabel("Nation").unionByName(g.nodesWithLabel("Region"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_regionkey")).orderBy(col("n_nationkey"))
+      val nextE = t(s, d, "nation")
+        .withColumn("nxt", lead(col("n_nationkey"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select((col("n_nationkey") + 6300000000L).cast("long").as("id"),
+          (col("n_nationkey") + GraphLoader.NationOff).cast("long").as("src"),
+          (col("nxt") + GraphLoader.NationOff).cast("long").as("dst"),
+          lit("NEXT").as("relationship"), lit(null).cast("double").as("weight"))
+      val edges = g.edgesOfType("IN_REGION").unionByName(nextE)
+      val triples = graft.rdf.Rdf
+        .exportTriples(graft.model.PropertyGraph(nodes, edges), "http://graft.local/")
+        .localCheckpoint(true)
+      graft.rdf.Sparql.execute(
+        """PREFIX gl: <http://graft.local/label/>
+          |PREFIX gp: <http://graft.local/prop/>
+          |PREFIX gr: <http://graft.local/rel/>
+          |SELECT ?an ?bn ?x WHERE {
+          |  ?a a gl:Nation .
+          |  ?a gp:name ?an .
+          |  ?a gr:NEXT+ ?b .
+          |  ?b gp:name ?bn .
+          |  ?a gr:NEXT|gr:IN_REGION/gp:name ?x .
+          |} ORDER BY ?an ?bn ?x""".stripMargin, triples)
+    }),
+
     // §2.10 algo.mst (reference mst.rs:41) — Borůvka on the nation trade
     // graph (edge weight = #trades between the two nations); (w,a,b)
     // tie-break makes the forest unique, so the oracle's Prim chain (24
@@ -602,6 +636,27 @@ object GraphQueries {
         |ORDER BY 1""".stripMargin,
     "q_sparql_agg" ->
       "SELECT n_name AS nname, count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal FROM customer JOIN nation ON n_nationkey = c_nationkey GROUP BY 1 ORDER BY 1",
+    "q_sparql_path" ->
+      """WITH RECURSIVE nxt AS (
+        | SELECT a.n_nationkey AS s, min(b.n_nationkey) AS t
+        | FROM nation a JOIN nation b
+        |   ON b.n_regionkey = a.n_regionkey AND b.n_nationkey > a.n_nationkey
+        | GROUP BY 1
+        |), reach(s, t) AS (
+        | SELECT s, t FROM nxt
+        | UNION
+        | SELECT r.s, n.t FROM reach r JOIN nxt n ON r.t = n.s
+        |), alt AS (
+        | SELECT n.s, nb.n_name AS x FROM nxt n JOIN nation nb ON nb.n_nationkey = n.t
+        | UNION ALL
+        | SELECT n.n_nationkey AS s, r.r_name AS x FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+        |)
+        |SELECT na.n_name AS an, nb.n_name AS bn, alt.x AS x
+        |FROM reach
+        |JOIN nation na ON na.n_nationkey = reach.s
+        |JOIN nation nb ON nb.n_nationkey = reach.t
+        |JOIN alt ON alt.s = reach.s
+        |ORDER BY 1, 2, 3""".stripMargin,
     "q_mst" -> mstOracle(24),
     "q_maxflow" ->
       """SELECT round(sum(least(20, tot)), 1) AS max_flow FROM (
