@@ -89,6 +89,27 @@ object GraphQueries {
         .orderBy(col("cid"))
     }),
 
+    // §2.2 bucketed-storage twin of q_expand_2hop (sources/BucketedGraph):
+    // identical semantics and oracle, but the graph is first persisted
+    // bucketed (nodes by id, edges by src) — the ingest-time shuffle that a
+    // 100 TB deployment pays ONCE. After that, every expand join reads
+    // HashPartitioning(src) straight off the table layout: the EDGE TABLE
+    // (the 100 TB side) is never exchanged — only the per-query frontier
+    // moves. BucketingSpec proves the plan property; PLANS.md dumps it.
+    // The bucketed tables are built once per session per sf-dir.
+    "q_expand_2hop_bucketed" -> ((s, d) => {
+      val name = "graft_bkt_" + java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+      if (!s.catalog.tableExists(s"${name}_nodes"))
+        graft.sources.BucketedGraph.save(GraphLoader.tpch(s, d), name, 8)
+      val g = graft.sources.BucketedGraph.load(s, name)
+      val c = g.nodesWithLabel("Customer").select(col("id").as("cid"))
+      val h1 = Traversals.expand(g, c, "cid", Seq("PLACED"))
+        .select(col("cid"), col("_nbr").as("oid"))
+      Traversals.expand(g, h1, "oid", Seq("CONTAINS"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_items"), CypherFunctions.roundC(sum(col("weight")), 2).as("total_qty"))
+    }),
+
     // §2.3 Expand with Direction.Both
     "q_expand_both" -> ((s, d) => {
       val g = GraphLoader.tpch(s, d)
@@ -552,6 +573,8 @@ object GraphQueries {
     "q_expand_1hop" ->
       "SELECT CAST(o_custkey AS BIGINT) AS cid, count(*) AS n_orders FROM orders GROUP BY 1 ORDER BY 1",
     "q_expand_2hop" ->
+      "SELECT CAST(o_custkey AS BIGINT) AS cid, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1",
+    "q_expand_2hop_bucketed" ->
       "SELECT CAST(o_custkey AS BIGINT) AS cid, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1",
     "q_expand_both" ->
       "SELECT CAST(1200000000 + n_nationkey AS BIGINT) AS nid, (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) + (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) + 1 AS n_neighbors FROM nation ORDER BY 1",

@@ -59,4 +59,50 @@ class BucketingSpec extends SparkSpec {
       assert(bucketed.count() == 199L && plain.count() == 199L)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("2-hop expand over bucketed graph never shuffles the edge table") {
+    val g = PropertyGraph(
+      (1L to 300L).map(i => (i, Seq(if (i <= 100) "A" else "B"), s"n$i"))
+        .toDF("id", "labels", "name"),
+      (1L to 100L).flatMap(i => Seq(
+        (i + 1000, i, i + 100, "R1"), (i + 2000, i + 100, i + 200, "R2")))
+        .toDF("id", "src", "dst", "relationship"))
+    BucketedGraph.save(g, "bspec2", 4)
+    val loaded = BucketedGraph.load(spark, "bspec2")
+
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // the q_expand_2hop_bucketed shape: frontier -> hop1 -> hop2 -> agg
+      val c = loaded.nodesWithLabel("A").select(col("id").as("cid"))
+      val h1 = graft.operators.Traversals.expand(loaded, c, "cid", Seq("R1"))
+        .select(col("cid"), col("_nbr").as("oid"))
+      val out = graft.operators.Traversals.expand(loaded, h1, "oid", Seq("R2"))
+        .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      assert(out.count() == 100L)
+
+      // no ShuffleExchange may sit ABOVE a scan of the bucketed edge table:
+      // the 100 TB side must be consumed in its stored distribution; only
+      // the frontier is allowed to move
+      val plan = out.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // walk stops at binary nodes: a join's OUTPUT is a derived frontier
+      // (fine to move); what must never happen is Exchange →
+      // (unary ops)* → edge-table scan, i.e. re-partitioning the raw table
+      def scansEdges(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.tableIdentifier.exists(_.table == "bspec2_edges")
+        case b if b.children.length > 1 => false
+        case u => u.children.exists(scansEdges)
+      }
+      val shuffledEdgeScans = plan.collect {
+        case q: ShuffleQueryStageExec if scansEdges(q.plan) => q
+        case e: ShuffleExchangeLike if scansEdges(e.child) => e
+      }
+      assert(shuffledEdgeScans.isEmpty,
+        s"edge-table scan found under a shuffle:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
