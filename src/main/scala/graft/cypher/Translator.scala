@@ -1289,9 +1289,23 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
       case "date" => if (args.isEmpty) current_date() else to_date(a0)
       case "datetime" => if (args.isEmpty) current_timestamp() else to_timestamp(a0)
       case "duration" => args.head match {
-        // duration('P1DT2H') ISO-8601 subset → an interval via SQL cast;
-        // duration({days: d, hours: h, ...}) map form is not parsed yet
+        // duration('P1DT2H') ISO-8601 subset → an interval via SQL cast
         case Lit(s: String) => expr(s"INTERVAL '${iso8601ToSparkInterval(s)}'")
+        // duration({years/months/days/hours/minutes/seconds}) component map
+        // (reference operator.rs:1372-1390 normalizes to months/days/seconds).
+        // Year-month components force CalendarIntervalType (make_interval);
+        // a pure day-time map stays DayTimeIntervalType (make_dt_interval),
+        // matching the ISO-string form's type so either composes with
+        // timestamp arithmetic identically.
+        case ml: MapLit =>
+          val m = ml.entries.toMap
+          def comp(k: String): Column = m.get(k).map(toCol).getOrElse(lit(0))
+          if (m.contains("years") || m.contains("months"))
+            make_interval(comp("years"), comp("months"), lit(0), comp("days"),
+              comp("hours"), comp("minutes"), comp("seconds").cast("decimal(18,6)"))
+          else
+            make_dt_interval(comp("days"), comp("hours"), comp("minutes"),
+              comp("seconds").cast("decimal(18,6)"))
         case e => toCol(e)
       }
       // time()/localtime(): Cypher time-of-day values; Spark has no TIME

@@ -487,6 +487,27 @@ object CypherQueries {
       QueryEngine.execute("MATCH (n:Major) RETURN count(n) AS n_major", g3)
     }),
 
+    // SHOW CONSTRAINTS introspection (reference operator.rs:5612): lists
+    // the unique constraints registered by CREATE CONSTRAINT
+    "q_cypher_show_constraints" -> ((s: SparkSession, d: String) => {
+      val g0 = GraphLoader.tpch(s, d)
+      val (g1, _) = QueryEngine.executeWrite(
+        "CREATE CONSTRAINT ON (n:Nation) ASSERT n.name IS UNIQUE", g0)
+      val (g2, _) = QueryEngine.executeWrite(
+        "CREATE CONSTRAINT ON (c:Customer) ASSERT c.name IS UNIQUE", g1)
+      QueryEngine.execute("SHOW CONSTRAINTS", g2)
+    }),
+
+    // duration({map}) component constructor (reference operator.rs:1372-1390)
+    // — day-time maps yield DayTimeIntervalType, year-month maps a calendar
+    // interval; both compose with temporal arithmetic
+    "q_cypher_duration_map" -> (run(
+      """UNWIND [1] AS x
+        |RETURN toString(datetime('2024-01-01 00:00:00')
+        |         + duration({days: 1, hours: 2, minutes: 30})) AS plus_dt,
+        |       toString(date('2024-01-31') + duration({months: 1})) AS plus_mo,
+        |       toString(duration({days: 1, hours: 3, minutes: 30})) AS dur_s""".stripMargin) _),
+
     // SHOW INDEXES introspection (reference cypher.pest:19) over the
     // registered vector index + the always-on per-label scan
     "q_cypher_show_indexes" -> ((s: SparkSession, d: String) => {
@@ -565,6 +586,10 @@ object CypherQueries {
       "SELECT * FROM (VALUES ('NATION_5', 1.0), ('atlantis2', 2.0)) t(name, balance) ORDER BY name",
     "q_cypher_show_indexes" ->
       "SELECT * FROM (VALUES ('<label-scan>', 'LOOKUP', 'ONLINE'), ('embeddings', 'VECTOR', 'ONLINE')) t(name, type, state) ORDER BY name",
+    "q_cypher_show_constraints" ->
+      "SELECT * FROM (VALUES ('unique_Customer_name', 'UNIQUENESS', 'Customer', 'name'), ('unique_Nation_name', 'UNIQUENESS', 'Nation', 'name')) t(name, type, label, property) ORDER BY name",
+    "q_cypher_duration_map" ->
+      "SELECT CAST(TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '1 day 2 hours 30 minutes' AS VARCHAR) AS plus_dt, CAST(CAST(DATE '2024-01-31' + INTERVAL '1 month' AS DATE) AS VARCHAR) AS plus_mo, 'INTERVAL ''1 03:30:00'' DAY TO SECOND' AS dur_s",
     "q_cypher_valuetype" ->
       "SELECT 'INTEGER' AS t_int, 'FLOAT' AS t_flt, 'STRING' AS t_str, 'BOOLEAN' AS t_bool, 'LIST' AS t_list, '12:34:56.000' AS t_time, 'INTERVAL ''1 03:30:00'' DAY TO SECOND' AS dur",
     // same traversal as q_bfs — the CALL surface must agree with the Scala API
