@@ -248,7 +248,12 @@ object GraphQueries {
       // the comparison below runs several actions, and without the lineage
       // cut each would re-run the whole export→serialize→parse→pivot chain
       val triples = graft.rdf.Rdf.parseNTriples(lines).localCheckpoint(true)
-      val back = graft.rdf.Rdf.importGraph(triples, base)
+      val back0 = graft.rdf.Rdf.importGraph(triples, base)
+      // the import PIVOTS (groupBy over the triple table) feed THREE union
+      // branches each below — cut after them too, or each branch re-runs
+      // the pivot (the r6 7.8 s drift)
+      val back = graft.model.PropertyGraph(
+        back0.nodes.localCheckpoint(true), back0.edges.localCheckpoint(true))
       def optCol(df: org.apache.spark.sql.DataFrame, c: String, t: String) =
         (if (df.columns.contains(c)) col(c) else lit(null)).cast(t).as(c)
       def canonN(df: org.apache.spark.sql.DataFrame) = df.select(col("id"),
