@@ -86,7 +86,21 @@ object Sparql {
         // otherwise this '<' is the comparison operator
         val j = s.indexOf('>', i)
         j > 0 && !s.substring(i, j).exists(_.isWhitespace)
-      }) { val j = s.indexOf('>', i); out += s.substring(i, j + 1); i = j + 1 }
+      }) {
+        val j = s.indexOf('>', i)
+        val sb = new StringBuilder(s.substring(i, j + 1)); i = j + 1
+        // path operators glue IRIs into ONE predicate-path token when no
+        // whitespace separates them: <a>/<b>, <a>+, <a>|<b>
+        while (i < s.length && "/|+*^".contains(s(i))) {
+          sb += s(i); i += 1
+          if (i < s.length && s(i) == '<') {
+            val m = s.indexOf('>', i)
+            require(m > 0, "unterminated IRI in property path")
+            sb ++= s.substring(i, m + 1); i = m + 1
+          }
+        }
+        out += sb.toString
+      }
       else if (ch == '<') {
         if (i + 1 < s.length && s(i + 1) == '=') { out += "<="; i += 2 } else { out += "<"; i += 1 }
       }
@@ -174,34 +188,53 @@ object Sparql {
     require(aggs.isEmpty || !star, "SELECT * cannot mix with aggregates")
     expect("WHERE"); expect("{")
 
-    // SPARQL 1.1 property paths over prefixed names (and `a`): `p1/p2`
-    // sequences desugar to chained patterns on fresh variables; `p1|p2`
-    // alternation and `p+`/`p*` closure become Pred nodes executed by
-    // bind(). Full `<IRI>` predicates stay Simple (an IRI may contain
-    // `/` and `+`, so path operators on them are not tokenizable).
+    // SPARQL 1.1 property paths over prefixed names, `a`, and full `<IRI>`
+    // elements: `p1/p2` sequences desugar to chained patterns on fresh
+    // variables; `p1|p2` alternation and `p+`/`p*` closure become Pred
+    // nodes executed by bind(); `^p` inverse swaps the hop's endpoints
+    // (for a closure that equals the closure of the inverse). Splitting is
+    // IRI-aware — `/`, `|`, `+` INSIDE `<...>` are IRI characters, not
+    // path operators.
     var ppVar = 0
     def freshVar(): String = { ppVar += 1; s"__pp$ppVar" }
+    def splitTop(str: String, sep: Char): IndexedSeq[String] = {
+      val out = Vector.newBuilder[String]; val cur = new StringBuilder
+      var inIri = false
+      str.foreach {
+        case '<' => inIri = true; cur += '<'
+        case '>' => inIri = false; cur += '>'
+        case c if c == sep && !inIri => out += cur.toString; cur.clear()
+        case c => cur += c
+      }
+      out += cur.toString; out.result()
+    }
     def iriOf(t: String): String = term(t, predPos = true) match {
       case C(nt) => nt
       case _ => sys.error(s"property path element must be an IRI, got $t")
     }
     def elemPred(t: String): Pred =
+      // an IRI token ends with '>', so a top-level closure suffix is
+      // unambiguous even on <IRI> elements
       if (t.endsWith("+") || t.endsWith("*"))
         ClosureP(iriOf(t.dropRight(1)), zero = t.endsWith("*"))
-      else if (t.contains("|")) AltP(t.split("\\|").toSeq.map(iriOf))
+      else if (splitTop(t, '|').length > 1) AltP(splitTop(t, '|').map(iriOf))
       else Simple(term(t, predPos = true))
     def parsePredicatePath(s0: Term, tok: String, o0: Term): Seq[Pattern] = {
-      val pathCapable =
-        !tok.startsWith("?") && !tok.startsWith("<") && !tok.startsWith("\"")
-      if (pathCapable && tok.contains("/")) {
-        val parts = tok.split("/").toIndexedSeq
+      val pathCapable = !tok.startsWith("?") && !tok.startsWith("\"")
+      val parts = if (pathCapable) splitTop(tok, '/') else Vector(tok)
+      def hasOps = parts.length > 1 || tok.startsWith("^") ||
+        tok.endsWith("+") || tok.endsWith("*") || splitTop(tok, '|').length > 1
+      if (pathCapable && hasOps) {
         val mids = parts.init.map(_ => V(freshVar()))
         val ss = s0 +: mids
         val oo = mids :+ o0
-        parts.indices.map(i => Pattern(ss(i), elemPred(parts(i)), oo(i)))
-      } else if (pathCapable && (tok.endsWith("+") || tok.endsWith("*") || tok.contains("|")))
-        Seq(Pattern(s0, elemPred(tok), o0))
-      else Seq(Pattern(s0, Simple(term(tok, predPos = true)), o0))
+        parts.indices.map { i =>
+          val p = parts(i)
+          val (inv, body) = if (p.startsWith("^")) (true, p.drop(1)) else (false, p)
+          if (inv) Pattern(oo(i), elemPred(body), ss(i))
+          else Pattern(ss(i), elemPred(body), oo(i))
+        }
+      } else Seq(Pattern(s0, Simple(term(tok, predPos = true)), o0))
     }
 
     // one group body: patterns + FILTERs until the closing '}' (consumed);

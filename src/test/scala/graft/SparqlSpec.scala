@@ -180,6 +180,40 @@ class SparqlSpec extends SparkSpec {
     assert(names == Seq("bob", "carol"))
   }
 
+  test("property paths: full-IRI elements and ^inverse") {
+    // sequence of full IRIs — the `/` INSIDE each IRI must not split
+    val seq1 = Sparql.execute(
+      s"SELECT ?n WHERE { ?a <${base}rel/KNOWS>/<${base}prop/name> ?n } ORDER BY ?n",
+      triples).as[String].collect().toSeq
+    assert(seq1 == Seq("bob", "carol"))
+    // closure on a full IRI
+    val plus = Sparql.execute(
+      s"""SELECT ?o WHERE { ?s <${base}rel/KNOWS>+ ?o . FILTER(?s = "${base}node/1") } ORDER BY ?o""",
+      triples).as[String].collect().toSeq
+    assert(plus == Seq(s"${base}node/2", s"${base}node/3"))
+    // inverse: ^KNOWS walks the edge backwards (who knows bob?)
+    val inv = Sparql.execute(
+      prefixes +
+        """SELECT ?n WHERE {
+          |  ?b gp:name "bob" .
+          |  ?b ^gr:KNOWS ?a .
+          |  ?a gp:name ?n .
+          |} ORDER BY ?n""".stripMargin, triples).as[String].collect().toSeq
+    assert(inv == Seq("alice"))
+    // inverse composed in a sequence: bob's knower's name
+    val invSeq = Sparql.execute(
+      prefixes +
+        """SELECT ?n WHERE { ?b gp:name "bob" . ?b ^gr:KNOWS/gp:name ?n }""".stripMargin,
+      triples).as[String].collect().toSeq
+    assert(invSeq == Seq("alice"))
+    // inverse closure: everyone who transitively reaches carol
+    val invPlus = Sparql.execute(
+      prefixes +
+        """SELECT ?o WHERE { ?c gp:name "carol" . ?c ^gr:KNOWS+ ?o } ORDER BY ?o""".stripMargin,
+      triples).as[String].collect().toSeq
+    assert(invPlus == Seq(s"${base}node/1", s"${base}node/2"))
+  }
+
   test("aggregates: COUNT(*) per group, ordered by key") {
     // each person s with an outgoing edge, counted by predicate target label
     val r = Sparql.execute(
