@@ -87,6 +87,11 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
   // their statically-known key set: Prop on one resolves via getField, and
   // an absent key reads as NULL (schema-free semantics)
   private var structVars: Map[String, Set[String]] = Map.empty
+  // scalar vars statically known to hold a temporal value, for component
+  // property access dt.year / dur.days (reference record.rs:328-357):
+  // "ts" timestamp, "date" date, "dti" day-time interval, "ymi"
+  // year-month interval
+  private var tempKinds: Map[String, String] = Map.empty
   private var lambdaEnv: Map[String, Column] = Map.empty
 
   /** Statically-known map keys of an expression, when it is map-valued. */
@@ -116,7 +121,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
 
   private def translateSingle(sq: SingleQuery): DataFrame = {
     entityVars = Set.empty; edgeEntityVars = Set.empty; pathVars = Set.empty; scalarVars = Set.empty
-    structVars = Map.empty
+    structVars = Map.empty; tempKinds = Map.empty
     var df: DataFrame = null
 
     for (clause <- sq.clauses) clause match {
@@ -328,6 +333,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
       df.columns.filter(_.startsWith(s"${v}__")).toSeq
         .map(c => col(c).as(s"${out}__${c.stripPrefix(s"${v}__")}"))
 
+    var newTemp = Map.empty[String, String]
     def itemCols(i: ReturnItem): Seq[Column] = i.expr match {
       case Var(n) if entityVars.contains(n) =>
         val out = i.alias.getOrElse(n); newEntity += out
@@ -338,6 +344,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
       case e =>
         newScalar += i.name
         mapKeysOf(e).foreach(ks => newStructs += i.name -> ks)
+        temporalKindOf(e).foreach(k => newTemp += i.name -> k)
         Seq(toCol(e).as(i.name))
     }
 
@@ -354,7 +361,57 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     entityVars = newEntity; edgeEntityVars = newEdge; pathVars = newPath
     scalarVars = newScalar
     structVars = newStructs
+    tempKinds = newTemp
     res
+  }
+
+  /** Static temporal kind of an expression, for component property access
+    * (reference record.rs:328-357 resolves dt.year / dur.days at runtime;
+    * a columnar plan needs the kind at translate time). */
+  private def temporalKindOf(e: Expr): Option[String] = e match {
+    case Fn(name, args, _) => name.toLowerCase match {
+      case "datetime" | "localdatetime" => Some("ts")
+      case "date" => Some("date")
+      case "duration.between" => Some("dti")
+      case "duration" => args.headOption match {
+        case Some(ml: MapLit) =>
+          val ks = ml.entries.map(_._1).toSet
+          if (ks.contains("years") || ks.contains("months")) Some("ymi") else Some("dti")
+        case _ => Some("dti") // ISO-string form lowers to a day-time interval
+      }
+      case _ => None
+    }
+    case Var(n) => tempKinds.get(n)
+    case _ => None
+  }
+
+  /** Temporal component access (reference record.rs:328-357). Durations in
+    * Spark are NORMALIZED intervals (a 30-hour day-time interval reads as
+    * days=1, hours=6) unlike the reference's kept-separate components —
+    * equivalent whenever components are in range at construction. */
+  private def temporalComponent(c: Column, kind: String, k: String): Column = {
+    def raw(field: String): Column = call_function("date_part", lit(field), c)
+    def ex(field: String): Column = raw(field).cast("long")
+    (kind, k) match {
+      case ("ts" | "date", "year") => ex("YEAR")
+      case ("ts" | "date", "month") => ex("MONTH")
+      case ("ts" | "date", "day") => ex("DAY")
+      case ("ts", "hour") => ex("HOUR")
+      case ("ts", "minute") => ex("MINUTE")
+      case ("ts", "second") => ex("SECOND") // cast truncates the fraction
+      case ("ts", "millisecond") => (unix_micros(c.cast("timestamp")) % 1000000L / 1000L).cast("long")
+      case ("ts", "epochMillis") => (unix_micros(c.cast("timestamp")) / 1000L).cast("long")
+      case ("dti", "days") => ex("DAY")
+      case ("dti", "hours") => ex("HOUR")
+      case ("dti", "minutes" | "minutesOfHour") => ex("MINUTE")
+      case ("dti", "secondsOfMinute") => ex("SECOND")
+      case ("dti", "seconds") => // total seconds excluding days (reference layout)
+        ex("HOUR") * 3600L + ex("MINUTE") * 60L + ex("SECOND")
+      case ("dti", "nanoseconds") => // sub-second nanos
+        ((raw("SECOND") % 1.0) * 1e9).cast("long")
+      case ("ymi", "months") => ex("YEAR") * 12L + ex("MONTH")
+      case _ => lit(null) // schema-free: unknown component reads as NULL
+    }
   }
 
   // ---------- CALL procedures ----------
@@ -1024,6 +1081,9 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         else if (entityVars.contains(v)) nodePropKeys
         else null // scalar / lambda var
       if (known != null) { if (known.contains(k)) col(s"${v}__$k") else lit(null) }
+      else if (tempKinds.contains(v))
+        // temporal component access dt.year / dur.days (record.rs:328-357)
+        temporalComponent(col(v), tempKinds(v), k)
       else structVars.get(v) match {
         // map-typed scalar (map literal through WITH/UNWIND): field access,
         // NULL when the key is absent — same schema-free semantics

@@ -508,6 +508,19 @@ object CypherQueries {
         |       toString(date('2024-01-31') + duration({months: 1})) AS plus_mo,
         |       toString(duration({days: 1, hours: 3, minutes: 30})) AS dur_s""".stripMargin) _),
 
+    // temporal component property access (reference record.rs:328-357):
+    // dt.year / dur.days resolve as component extraction, statically typed
+    // through WITH; unknown components are NULL (schema-free semantics)
+    "q_cypher_temporal_access" -> (run(
+      """UNWIND [1] AS x
+        |WITH datetime('2024-03-05 10:20:30') AS dt,
+        |     duration({days: 2, hours: 3, minutes: 5}) AS d,
+        |     duration({years: 1, months: 2}) AS ym
+        |RETURN dt.year AS yr, dt.month AS mo, dt.day AS dy, dt.hour AS hh,
+        |       dt.minute AS mi, dt.second AS ss, dt.epochMillis AS em,
+        |       d.days AS dd, d.hours AS dh, d.minutes AS dm, d.seconds AS dsec,
+        |       ym.months AS ymm""".stripMargin) _),
+
     // SHOW INDEXES introspection (reference cypher.pest:19) over the
     // registered vector index + the always-on per-label scan
     "q_cypher_show_indexes" -> ((s: SparkSession, d: String) => {
@@ -588,6 +601,8 @@ object CypherQueries {
       "SELECT * FROM (VALUES ('<label-scan>', 'LOOKUP', 'ONLINE'), ('embeddings', 'VECTOR', 'ONLINE')) t(name, type, state) ORDER BY name",
     "q_cypher_show_constraints" ->
       "SELECT * FROM (VALUES ('unique_Customer_name', 'UNIQUENESS', 'Customer', 'name'), ('unique_Nation_name', 'UNIQUENESS', 'Nation', 'name')) t(name, type, label, property) ORDER BY name",
+    "q_cypher_temporal_access" ->
+      "SELECT CAST(2024 AS BIGINT) AS yr, CAST(3 AS BIGINT) AS mo, CAST(5 AS BIGINT) AS dy, CAST(10 AS BIGINT) AS hh, CAST(20 AS BIGINT) AS mi, CAST(30 AS BIGINT) AS ss, CAST(epoch_ms(TIMESTAMP '2024-03-05 10:20:30') AS BIGINT) AS em, CAST(2 AS BIGINT) AS dd, CAST(3 AS BIGINT) AS dh, CAST(5 AS BIGINT) AS dm, CAST(11100 AS BIGINT) AS dsec, CAST(14 AS BIGINT) AS ymm",
     "q_cypher_duration_map" ->
       "SELECT CAST(TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '1 day 2 hours 30 minutes' AS VARCHAR) AS plus_dt, CAST(CAST(DATE '2024-01-31' + INTERVAL '1 month' AS DATE) AS VARCHAR) AS plus_mo, 'INTERVAL ''1 03:30:00'' DAY TO SECOND' AS dur_s",
     "q_cypher_valuetype" ->

@@ -270,6 +270,24 @@ class CypherSpec extends SparkSpec {
     assert(r._1 == "STRING" && r._2.contains("02:00:00"))
   }
 
+  test("temporal component property access: dt.year, dur.days, ym.months") {
+    val r = run(
+      """UNWIND [1] AS x
+        |WITH datetime('2024-03-05 10:20:30') AS dt,
+        |     duration({days: 2, hours: 3, minutes: 5}) AS d,
+        |     duration({years: 1, months: 2}) AS ym
+        |RETURN dt.year AS yr, dt.month AS mo, dt.day AS dy, dt.hour AS hh,
+        |       dt.minute AS mi, dt.second AS ss,
+        |       d.days AS dd, d.hours AS dh, d.minutes AS dm, d.seconds AS dsec,
+        |       ym.months AS ymm, d.nosuch AS nn""".stripMargin).collect().head
+    assert(r.getLong(0) == 2024L && r.getLong(1) == 3L && r.getLong(2) == 5L)
+    assert(r.getLong(3) == 10L && r.getLong(4) == 20L && r.getLong(5) == 30L)
+    assert(r.getLong(6) == 2L && r.getLong(7) == 3L && r.getLong(8) == 5L)
+    assert(r.getLong(9) == 3L * 3600 + 5 * 60)
+    assert(r.getLong(10) == 14L)
+    assert(r.isNullAt(11)) // schema-free: unknown component is NULL
+  }
+
   test("named path with anonymous interior node carries the real interior id") {
     val r = run("MATCH p = (a:Person {name: 'Alice'})-[:KNOWS]->()-[:KNOWS]->(c) " +
       "RETURN nodes(p)[1] AS mid, id(c) AS cid")
