@@ -283,9 +283,12 @@ object WriteTranslator {
         }
         require(nodeVars.contains(a) && nodeVars.contains(b),
           "MERGE relationship endpoints must come from a preceding MATCH")
+        // pinned: consumed by the anti-join, the idempotency count, and the
+        // ON MATCH join — without the checkpoint each re-runs the MATCH
         val pairs = readFrame(Seq(
           ReturnItem(Fn("id", Seq(Var(a))), Some("_src")),
           ReturnItem(Fn("id", Seq(Var(b))), Some("_dst")))).distinct()
+          .localCheckpoint(true)
         val typed = g.edges.filter(col("relationship") === relType)
         val missing = pairs.join(typed.select(col("src").as("_src"), col("dst").as("_dst")),
           Seq("_src", "_dst"), "left_anti")
@@ -379,16 +382,20 @@ object WriteTranslator {
         var nLbl = 0L
         labelSets.groupBy(_._1).foreach { case (v, ls) =>
           require(!edgeVars.contains(v), "SET :Label applies to node variables")
-          // pin the matched id set: the change-count job AND every later
-          // action over the mutated graph re-execute this frame's lineage
-          // otherwise (the MATCH re-runs once per consuming action)
-          val ids = readFrame(Seq(ReturnItem(Fn("id", Seq(Var(v))), Some("_id"))))
-            .distinct().localCheckpoint(true)
-          ls.foreach { case (_, l) =>
+          // pin the matched (id, labels) set: the change-count jobs AND every
+          // later action over the mutated graph re-execute this frame's
+          // lineage otherwise (the MATCH re-runs once per consuming action).
+          // Carrying labels here lets the counters read the TINY pinned
+          // frame instead of re-scanning the full node table per label.
+          val matched = readFrame(Seq(
+              ReturnItem(Fn("id", Seq(Var(v))), Some("_id")),
+              ReturnItem(Fn("labels", Seq(Var(v))), Some("_lbls"))))
+            .dropDuplicates("_id").localCheckpoint(true)
+          val ids = matched.select(col("_id"))
+          ls.map(_._2).distinct.foreach { l =>
             // Neo4j-style counter: only labels actually ADDED count — a
             // re-run of SET n:L on already-labeled nodes reports 0
-            nLbl += cur.nodes.join(ids, col("id") === col("_id"), "left_semi")
-              .filter(!array_contains(col("labels"), l)).count()
+            nLbl += matched.filter(!array_contains(col("_lbls"), l)).count()
             cur = GraphMutations.setNodeLabelByIds(cur, ids, l, add = true)
           }
         }
@@ -429,13 +436,16 @@ object WriteTranslator {
         var nLbl = 0L
         labelRemoves.groupBy(_._1).foreach { case (v, ls) =>
           require(!edgeVars.contains(v), "REMOVE :Label applies to node variables")
-          // pinned for the same reason as the SET :Label path
-          val ids = readFrame(Seq(ReturnItem(Fn("id", Seq(Var(v))), Some("_id"))))
-            .distinct().localCheckpoint(true)
-          ls.foreach { case (_, l) =>
+          // pinned (id, labels) for the same reason as the SET :Label path —
+          // counters read the tiny frame, not the full node table
+          val matched = readFrame(Seq(
+              ReturnItem(Fn("id", Seq(Var(v))), Some("_id")),
+              ReturnItem(Fn("labels", Seq(Var(v))), Some("_lbls"))))
+            .dropDuplicates("_id").localCheckpoint(true)
+          val ids = matched.select(col("_id"))
+          ls.map(_._2).distinct.foreach { l =>
             // counter counts labels actually REMOVED (present before)
-            nLbl += cur.nodes.join(ids, col("id") === col("_id"), "left_semi")
-              .filter(array_contains(col("labels"), l)).count()
+            nLbl += matched.filter(array_contains(col("_lbls"), l)).count()
             cur = GraphMutations.setNodeLabelByIds(cur, ids, l, add = false)
           }
         }
