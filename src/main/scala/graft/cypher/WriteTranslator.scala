@@ -340,8 +340,14 @@ object WriteTranslator {
             val c = constCol(e)
             col(k) <=> nodeTypes.get(k).map(c.cast).getOrElse(c)
           }).reduceOption(_ && _).getOrElse(lit(true))
-        val existing = g.nodes.filter(pred).select(col("id"))
-        val exists = existing.limit(1).count() > 0
+        // scan the per-label table when the pattern names a label (the
+        // columnar label index — full-union scan only for label-less MERGE);
+        // pin the matched ids: the exists-check, the count, the update join
+        // and RETURN all consume them
+        val scanBase = n.labels.headOption.map(g.nodesWithLabel).getOrElse(g.nodes)
+        val existing = scanBase.filter(pred).select(col("id")).localCheckpoint(true)
+        val nExisting = existing.count()
+        val exists = nExisting > 0
         def mergeRows(gr: PropertyGraph, idsOrId: Either[DataFrame, Long]): Option[DataFrame] =
           if (ret.items.isEmpty) None
           else {
@@ -356,9 +362,12 @@ object WriteTranslator {
         if (exists) {
           val assigns = onMatch.map { case (Prop(_, k), e) => k -> constCol(e).cast(nodeTypes(k)) }.toMap
           // join-based overwrite: a non-selective MERGE predicate must not
-          // collect every matched id into the driver + plan (OOM at scale)
-          val res = GraphMutations.setNodePropsByIds(g, existing, assigns)
-          WriteResult(res, summary(propsSet = assigns.size.toLong * existing.count()),
+          // collect every matched id into the driver + plan (OOM at scale).
+          // No ON MATCH → the graph is untouched: keep g AS-IS (preserving
+          // the per-label index) instead of deriving an identical copy
+          val res = if (assigns.isEmpty) g
+                    else GraphMutations.setNodePropsByIds(g, existing, assigns)
+          WriteResult(res, summary(propsSet = assigns.size.toLong * nExisting),
             mergeRows(res, Left(existing)))
         } else {
           val id = n.props.collectFirst { case ("id", e) => constVal(e) }
