@@ -11,7 +11,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+  // Plan memo per (session, dir, table): a DataFrame is an immutable plan,
+  // and rebuilding one costs a parquet footer read + analysis (~10-30 ms)
+  // that every catalog query would otherwise pay per table. Data is NOT
+  // cached — only the plan object is reused.
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo.computeIfAbsent((System.identityHashCode(spark), dir, name),
+      _ => build(spark, dir, name))
+
+  private def build(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
     // raw long (spark.sql.legacy.parquet.nanosAsLong=true, set by our

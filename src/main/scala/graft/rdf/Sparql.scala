@@ -368,6 +368,37 @@ object Sparql {
     def closurePairs(iri: String, zero: Boolean): DataFrame = {
       val e = triples.filter(col("p") === iri)
         .select(col("s"), col("o")).distinct().localCheckpoint(true)
+      // Thresholded driver fast-path (the maxFlow discipline,
+      // Algorithms.scala): a small edge set pays ~2 Spark jobs per frontier
+      // round in the distributed loop — 10-50x the actual closure work.
+      // Budget ≤ 100k edges (strings, ~10 MB); past it the distributed
+      // loop below is the only path that exists.
+      val nEdges = e.count()
+      if (nEdges <= 100000L) {
+        val spark = triples.sparkSession
+        val adj = new scala.collection.mutable.HashMap[String, List[String]]()
+        e.collect().foreach { r =>
+          val (s0, o0) = (r.getString(0), r.getString(1))
+          adj.update(s0, o0 :: adj.getOrElse(s0, Nil))
+        }
+        val out = Vector.newBuilder[(String, String)]
+        adj.keysIterator.foreach { src =>
+          val seen = new scala.collection.mutable.HashSet[String]()
+          var stack = adj(src)
+          while (stack.nonEmpty) {
+            val h = stack.head; stack = stack.tail
+            if (seen.add(h)) stack = adj.getOrElse(h, Nil) reverse_::: stack
+          }
+          seen.foreach(t => out += ((src, t)))
+        }
+        import spark.implicits._
+        val reach = out.result().toDF("s", "o")
+        return if (zero) {
+          val nodes = triples.select(col("s"))
+            .unionAll(triples.select(col("o").as("s"))).distinct()
+          nodes.select(col("s"), col("s").as("o")).unionAll(reach).distinct()
+        } else reach
+      }
       var reach = e
       var frontier = e
       var it = 0
