@@ -528,6 +528,21 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
           budget = confNum(Seq("budget"), numArg(1, Double.NaN)),
           popSize = confNum(Seq("population_size", "populationSize"), 30).toInt,
           maxIter = confNum(Seq("max_iterations", "maxIterations"), 100).toInt)
+      // CALL twins of the SHOW statements (reference db.labels /
+      // db.relationshipTypes / db.propertyKeys procedures)
+      case "db.labels" =>
+        g.nodes.select(explode(col("labels")).as("label")).distinct()
+          .orderBy(col("label"))
+      case "db.relationshiptypes" =>
+        g.edges.select(col("relationship").as("relationshipType")).distinct()
+          .orderBy(col("relationshipType"))
+      case "db.propertykeys" => {
+        val reserved = Set("id", "labels", "src", "dst", "relationship")
+        val spark = g.nodes.sparkSession
+        import spark.implicits._
+        (g.nodes.columns ++ g.edges.columns).filterNot(reserved).distinct.sorted
+          .toSeq.toDF("propertyKey")
+      }
       case "db.schema.visualization" =>
         // reference SchemaVisualizationOperator (operator.rs:5784-5833):
         // distinct (source_label, relationship_type, target_label) triples.

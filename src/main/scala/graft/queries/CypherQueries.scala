@@ -508,6 +508,16 @@ object CypherQueries {
         |       toString(date('2024-01-31') + duration({months: 1})) AS plus_mo,
         |       toString(duration({days: 1, hours: 3, minutes: 30})) AS dur_s""".stripMargin) _),
 
+    // CALL db.labels / db.relationshipTypes / db.propertyKeys — the
+    // procedure twins of the SHOW statements (reference db.* procedures)
+    "q_cypher_call_labels" -> (run(
+      "CALL db.labels() YIELD label RETURN label ORDER BY label") _),
+    "q_cypher_call_reltypes" -> (run(
+      """CALL db.relationshipTypes() YIELD relationshipType
+        |RETURN relationshipType ORDER BY relationshipType""".stripMargin) _),
+    "q_cypher_call_propkeys" -> (run(
+      "CALL db.propertyKeys() YIELD propertyKey RETURN propertyKey ORDER BY propertyKey") _),
+
     // temporal component property access (reference record.rs:328-357):
     // dt.year / dur.days resolve as component extraction, statically typed
     // through WITH; unknown components are NULL (schema-free semantics)
@@ -601,6 +611,12 @@ object CypherQueries {
       "SELECT * FROM (VALUES ('<label-scan>', 'LOOKUP', 'ONLINE'), ('embeddings', 'VECTOR', 'ONLINE')) t(name, type, state) ORDER BY name",
     "q_cypher_show_constraints" ->
       "SELECT * FROM (VALUES ('unique_Customer_name', 'UNIQUENESS', 'Customer', 'name'), ('unique_Nation_name', 'UNIQUENESS', 'Nation', 'name')) t(name, type, label, property) ORDER BY name",
+    "q_cypher_call_labels" ->
+      "SELECT * FROM (VALUES ('Customer'), ('Lineitem'), ('Nation'), ('Order'), ('Part'), ('Region'), ('Supplier')) t(label) ORDER BY 1",
+    "q_cypher_call_reltypes" ->
+      "SELECT * FROM (VALUES ('CONTAINS'), ('HAS_PART'), ('IN_NATION'), ('IN_REGION'), ('PLACED'), ('SUPPLIED_BY')) t(relationshipType) ORDER BY 1",
+    "q_cypher_call_propkeys" ->
+      "SELECT * FROM (VALUES ('balance'), ('name'), ('weight')) t(propertyKey) ORDER BY 1",
     "q_cypher_temporal_access" ->
       "SELECT CAST(2024 AS BIGINT) AS yr, CAST(3 AS BIGINT) AS mo, CAST(5 AS BIGINT) AS dy, CAST(10 AS BIGINT) AS hh, CAST(20 AS BIGINT) AS mi, CAST(30 AS BIGINT) AS ss, CAST(epoch_ms(TIMESTAMP '2024-03-05 10:20:30') AS BIGINT) AS em, CAST(2 AS BIGINT) AS dd, CAST(3 AS BIGINT) AS dh, CAST(5 AS BIGINT) AS dm, CAST(11100 AS BIGINT) AS dsec, CAST(14 AS BIGINT) AS ymm",
     "q_cypher_duration_map" ->
