@@ -264,18 +264,25 @@ object GraphQueries {
       val (aN, bN) = (canonN(sub.nodes), canonN(back.nodes))
       val (aE, bE) = (canonE(sub.edges), canonE(back.edges))
       import s.implicits._
-      // set differences AND row counts in ONE action (tagged union + one
-      // aggregate) — every extra action re-runs the import pivots; identical
-      // subplans inside the single job dedupe via ReusedExchange
-      val m = aN.exceptAll(bN).select(lit("node_diff").as("t"))
-        .unionAll(bN.exceptAll(aN).select(lit("node_diff").as("t")))
-        .unionAll(aE.exceptAll(bE).select(lit("edge_diff").as("t")))
-        .unionAll(bE.exceptAll(aE).select(lit("edge_diff").as("t")))
-        .unionAll(bN.select(lit("n_nodes").as("t")))
-        .unionAll(bE.select(lit("n_edges").as("t")))
-        .groupBy(col("t")).count().as[(String, Long)].collect().toMap
-      Seq((m.getOrElse("n_nodes", 0L), m.getOrElse("n_edges", 0L),
-        !m.contains("node_diff"), !m.contains("edge_diff")))
+      // multiset compare as ONE hash aggregate per table (side-tagged
+      // union, per-row side counts compared) — exceptAll would co-group
+      // both sides TWICE per table; this is one shuffle each, and the
+      // counts and the diff verdict ride the same aggregate/action
+      def sideCmp(tag: String, a: org.apache.spark.sql.DataFrame,
+                  b: org.apache.spark.sql.DataFrame) = {
+        val keys = a.columns.map(col).toSeq
+        a.withColumn("_s", lit(1)).unionByName(b.withColumn("_s", lit(2)))
+          .groupBy(keys: _*)
+          .agg(sum(when(col("_s") === 1, 1L).otherwise(0L)).as("_na"),
+            sum(when(col("_s") === 2, 1L).otherwise(0L)).as("_nb"))
+          .select(lit(tag).as("t"), (col("_na") =!= col("_nb")).as("_bad"),
+            col("_nb"))
+      }
+      val m = sideCmp("node", aN, bN).unionAll(sideCmp("edge", aE, bE))
+        .groupBy(col("t"))
+        .agg(max(col("_bad")).as("bad"), sum(col("_nb")).as("n"))
+        .as[(String, Boolean, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      Seq((m("node")._2, m("edge")._2, !m("node")._1, !m("edge")._1))
         .toDF("n_nodes", "n_edges", "nodes_roundtrip", "edges_roundtrip")
     }),
 
