@@ -156,6 +156,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         val src = if (df == null) spark.range(1).toDF() else df
         df = src.withColumn(v, explode(toCol(listExpr)))
         scalarVars += v
+        tempKinds -= v // an UNWIND binding shadows any prior temporal alias
         elemMapKeysOf(listExpr).foreach(ks => structVars += v -> ks)
 
       case WithClause(distinct, items, where, orderBy, skip, limit) =>
@@ -189,9 +190,11 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
           // cross-joins the outer frame (translateSingle mutates scope
           // state, so save/restore around the recursion)
           val (se, sp, ss, sev) = (entityVars, pathVars, scalarVars, edgeEntityVars)
+          val tk = tempKinds
           val sub = translateSingle(inner)
           entityVars = se; pathVars = sp; edgeEntityVars = sev
           scalarVars = ss ++ sub.columns
+          tempKinds = tk -- sub.columns // subquery outputs shadow temporal aliases
           df = if (df == null) sub else df.crossJoin(sub)
         } else {
           require(df != null, "correlated CALL { WITH ... } needs a preceding MATCH")
@@ -201,6 +204,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
             imports.map(v => ReturnItem(Fn("id", Seq(Var(v))), Some(s"__call_${v}__id"))),
             orderBy = Seq.empty, skip = None, limit = None)
           val (se, sp, ss, sev) = (entityVars, pathVars, scalarVars, edgeEntityVars)
+          val tk = tempKinds
           val sub0 = translateSingle(SingleQuery(restClauses, retPlus))
           // per-binding SKIP/LIMIT (top-k per key): a window rank partitioned
           // by the imported ids — one shuffle, no global sort, the classic
@@ -230,6 +234,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
             }
           entityVars = se; pathVars = sp; edgeEntityVars = sev
           scalarVars = ss ++ inner.ret.items.map(_.name)
+          tempKinds = tk -- inner.ret.items.map(_.name)
           val cond = imports.map(v => col(s"${v}__id") === col(s"__call_${v}__id")).reduce(_ && _)
           // an all-aggregate subquery yields a row even for bindings with
           // no matches (count()=0, sum()=0, collect()=[], min/max/avg=null)
