@@ -110,6 +110,20 @@ object GraphQueries {
         .agg(count(lit(1)).as("n_items"), CypherFunctions.roundC(sum(col("weight")), 2).as("total_qty"))
     }),
 
+    // §2.2 reverse expansion over the dst-bucketed edge copy
+    // (BucketedGraph.saveWithReverse): Direction.In keys the join on `dst`,
+    // the reverse table's bucket column — incoming-edge traversal without
+    // shuffling the edge table, the documented space-for-shuffle trade
+    "q_expand_in_bucketed" -> ((s, d) => {
+      val name = "graft_bktr_" + java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+      if (!s.catalog.tableExists(s"${name}_edges_rev"))
+        graft.sources.BucketedGraph.saveWithReverse(GraphLoader.tpch(s, d), name, 8)
+      val g = graft.sources.BucketedGraph.loadReverse(s, name)
+      val n = g.nodesWithLabel("Nation").select(col("id").as("nid"))
+      Traversals.expand(g, n, "nid", Seq("IN_NATION"), Direction.In)
+        .groupBy(col("nid")).agg(count(lit(1)).as("n_in"))
+    }),
+
     // §2.3 Expand with Direction.Both
     "q_expand_both" -> ((s, d) => {
       val g = GraphLoader.tpch(s, d)
@@ -588,6 +602,8 @@ object GraphQueries {
       "SELECT CAST(o_custkey AS BIGINT) AS cid, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1",
     "q_expand_2hop_bucketed" ->
       "SELECT CAST(o_custkey AS BIGINT) AS cid, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1",
+    "q_expand_in_bucketed" ->
+      "SELECT CAST(1200000000 + n_nationkey AS BIGINT) AS nid, (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) + (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) AS n_in FROM nation ORDER BY 1",
     "q_expand_both" ->
       "SELECT CAST(1200000000 + n_nationkey AS BIGINT) AS nid, (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey) + (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey) + 1 AS n_neighbors FROM nation ORDER BY 1",
     "q_expand_into" ->

@@ -383,6 +383,29 @@ object PipelineQueries {
         .orderBy(col("h"), col("event_type"))
     }),
 
+    // streaming: exactly-once-style dedup in stream mode — TWO file-source
+    // reads of the same events union into one stream (real in-stream
+    // duplicates), dropDuplicates(event_id, ts) holds state bounded by the
+    // watermark horizon, first occurrences flow to a parquet file sink in
+    // append mode. The at-scale shape: dedup state lives in the executor
+    // state store, output goes to distributed files
+    "q_streaming_dedup" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_dedup"
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles).foreach(_.foreach(rm))
+        p.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val doubled = EventStream.readEvents(s, d).unionAll(EventStream.readEvents(s, d))
+      val dd = EventStream.dedupedEvents(doubled, "2 hours")
+        .select(col("event_id"), col("ts"))
+      val q = dd.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(s"$base/out").agg(count(lit(1)).as("n"))
+    }),
+
     // streaming: the same windowed aggregation through Structured Streaming
     // (file source → complete-mode memory sink) — DEMO formulation: complete
     // mode re-emits everything and the memory sink buffers on the driver;
@@ -560,5 +583,7 @@ object PipelineQueries {
     "q_streaming_window" ->
       "SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n, round(sum(value), 2) AS total FROM events GROUP BY 1, 2 ORDER BY 1, 2",
     "q_streaming_append" ->
-      "SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n, round(sum(value), 2) AS total FROM events WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events) GROUP BY 1, 2 ORDER BY 1, 2")
+      "SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n, round(sum(value), 2) AS total FROM events WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events) GROUP BY 1, 2 ORDER BY 1, 2",
+    "q_streaming_dedup" ->
+      "SELECT count(*) AS n FROM (SELECT DISTINCT event_id, ts FROM events)")
 }

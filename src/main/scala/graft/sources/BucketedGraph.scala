@@ -54,9 +54,34 @@ object BucketedGraph {
       .mode("overwrite").saveAsTable(s"${name}_edges")
   }
 
+  /** Also persist the dst-bucketed edge copy for reverse expansion — the
+    * space-for-shuffle trade: incoming-edge traversals join on `dst`, and
+    * only a copy bucketed on `dst` serves them exchange-free. Optional and
+    * separate from [[save]] because the copy doubles edge storage. */
+  def saveWithReverse(g: PropertyGraph, name: String, buckets: Int): Unit = {
+    save(g, name, buckets)
+    val spark = g.nodes.sparkSession
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val t = s"${name}_edges_rev"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val p = new org.apache.hadoop.fs.Path(wh, t)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    g.edges.write.format("parquet")
+      .bucketBy(buckets, "dst").sortBy("dst")
+      .mode("overwrite").saveAsTable(t)
+  }
+
   /** Load a graph persisted by [[save]]. Joins of `edges.src` against
     * `nodes.id` (the expand shape) require no Exchange — see
     * BucketingSpec for the plan-level proof. */
   def load(spark: SparkSession, name: String): PropertyGraph =
     PropertyGraph(spark.table(s"${name}_nodes"), spark.table(s"${name}_edges"))
+
+  /** Load the REVERSE view (requires [[saveWithReverse]]): same nodes, but
+    * the edge table is the dst-bucketed copy — `Direction.In` expansion
+    * keys on `dst`, which is this table's bucket column, so reverse
+    * traversal joins plan without shuffling the edge table either. */
+  def loadReverse(spark: SparkSession, name: String): PropertyGraph =
+    PropertyGraph(spark.table(s"${name}_nodes"), spark.table(s"${name}_edges_rev"))
 }

@@ -105,4 +105,24 @@ class BucketingSpec extends SparkSpec {
         s"edge-table scan found under a shuffle:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("reverse expansion over the dst-bucketed copy plans with zero Exchange") {
+    val g = PropertyGraph(
+      (1L to 200L).map(i => (i, Seq("P"), s"n$i")).toDF("id", "labels", "name"),
+      (1L until 200L).map(i => (i + 1000, i, i + 1, "R")).toDF("id", "src", "dst", "relationship"))
+    BucketedGraph.saveWithReverse(g, "bspec3", 4)
+    val rev = BucketedGraph.loadReverse(spark, "bspec3")
+
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // Direction.In keys the join on dst — the reverse table's bucket column
+      val bound = rev.nodes.select(col("id"))
+      val in = graft.operators.Traversals.expand(rev, bound, "id",
+        Seq("R"), graft.operators.Direction.In)
+      assert(in.count() == 199L)
+      assert(exchanges(in) == 0,
+        s"reverse bucketed expand must not shuffle:\n${in.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
