@@ -234,6 +234,21 @@ object CypherQueries {
         |       all(x IN range(1, 2) WHERE x > 0) AS b
         |ORDER BY cid""".stripMargin) _),
 
+    // the SAME Cypher text as q_cypher_2hop, executed over the bucketed
+    // store (sources/BucketedGraph) through the full engine — identical
+    // result, but both expand joins consume the edge table in its stored
+    // HashPartitioning(src): the per-query edge shuffle is gone
+    "q_cypher_2hop_bucketed" -> ((s: SparkSession, d: String) => {
+      val name = "graft_bkt_" + java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+      if (!s.catalog.tableExists(s"${name}_nodes"))
+        graft.sources.BucketedGraph.save(GraphLoader.tpch(s, d), name, 8)
+      QueryEngine.execute(
+        """MATCH (c:Customer)-[:PLACED]->(:Order)-[r:CONTAINS]->()
+          |RETURN id(c) AS cid, count(r) AS n_items, round(sum(r.weight), 2) AS total_qty
+          |ORDER BY cid""".stripMargin,
+        graft.sources.BucketedGraph.load(s, name))
+    }),
+
     // valueType + time()/duration.between temporal surface (operator.rs:1265-1513)
     "q_cypher_valuetype" -> (run(
       """UNWIND [1] AS x
@@ -632,6 +647,8 @@ object CypherQueries {
     "q_cypher_match_agg" ->
       "SELECT c_name AS name, count(*) AS n FROM customer JOIN orders ON o_custkey = c_custkey WHERE o_totalprice > 200000 GROUP BY 1 ORDER BY n DESC, name LIMIT 10",
     "q_cypher_2hop" ->
+      "SELECT CAST(o_custkey AS BIGINT) AS cid, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1",
+    "q_cypher_2hop_bucketed" ->
       "SELECT CAST(o_custkey AS BIGINT) AS cid, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1",
     "q_cypher_optional" ->
       "SELECT CAST(c_custkey AS BIGINT) AS cid, count(o_orderkey) AS n FROM customer LEFT JOIN orders ON o_custkey = c_custkey AND o_orderstatus = 'O' GROUP BY 1 ORDER BY 1",
