@@ -4,7 +4,7 @@ import graft.algo.Algorithms
 import graft.dedup.Dedup
 import graft.functions.CypherFunctions
 import graft.model.Tables
-import graft.multimodal.Multimodal
+import graft.multimodal.{Audio, Multimodal}
 import graft.streaming.EventStream
 import graft.text.TextAnalysis
 import graft.vector.VectorSearch
@@ -318,6 +318,32 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // multimodal audio: REAL WAV header decode — the fixture wraps
+    // closed-form PCM in a complete RIFF container (fmt + an odd-sized
+    // `note` chunk exercising the spec's word alignment + data); the
+    // decoder walks the chunks from the BYTES and the oracle reproduces
+    // every field arithmetically
+    "q_audio_header" -> ((s, d) =>
+      Audio.decodeWavHeaders(
+        Audio.syntheticWavMedia(t(s, d, "documents").select(col("doc_id")))).toDF()
+        .orderBy(col("media_id"))),
+
+    // multimodal audio: REAL 16-bit PCM decode + feature extraction — mean /
+    // RMS energy / peak / zero-crossings read out of the data chunk,
+    // partition-wise. The fixture samples are a closed-form function of
+    // (id, i), so the oracle recomputes all four statistics from
+    // generate_series — a decoder that mis-walked the RIFF padding or got
+    // sign extension wrong would mismatch every row
+    "q_audio_features" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 64).select(col("doc_id"))
+      Audio.decodeWavFeatures(Audio.syntheticWavMedia(ids)).toDF()
+        .select(col("media_id"), col("n_samples"),
+          CypherFunctions.roundC(col("mean"), 4).as("mean"),
+          CypherFunctions.roundC(col("rms"), 4).as("rms"),
+          col("peak"), col("zero_crossings"))
+        .orderBy(col("media_id"))
+    }),
+
     // pca (reference pca.rs:154): top-4 components of the embedding corpus.
     // Cross-engine check: total variance (the covariance trace) is exact SQL;
     // the eigen side is pinned by engine-independent invariants computed on
@@ -514,6 +540,23 @@ object PipelineQueries {
         | CAST((min(id)*7 + 11) % 256 AS INTEGER) AS tl_g,
         | CAST((min(id)*7 + 22) % 256 AS INTEGER) AS tl_r
         |FROM px GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "q_audio_header" ->
+      """SELECT doc_id AS media_id, 'wav' AS format, 1 AS channels,
+        | 8000 AS sample_rate, 16 AS bits_per_sample,
+        | CAST(200 + doc_id % 128 AS BIGINT) AS n_samples,
+        | CAST((200 + doc_id % 128) * 1000 // 8000 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY 1""".stripMargin,
+    "q_audio_features" ->
+      """WITH ids AS (SELECT doc_id AS id, 200 + doc_id % 128 AS n
+        |             FROM documents WHERE doc_id < 64),
+        |s AS (SELECT id, n, i.g AS i, ((id*31 + i.g*9973 + 12345) % 65536) - 32768 AS s
+        |      FROM ids, generate_series(0, 327) AS i(g) WHERE i.g < n),
+        |w AS (SELECT *, lag(s) OVER (PARTITION BY id ORDER BY i) AS ps FROM s)
+        |SELECT CAST(id AS BIGINT) AS media_id, CAST(n AS BIGINT) AS n_samples,
+        | round(avg(s), 4) AS mean, round(sqrt(avg(CAST(s AS DOUBLE) * s)), 4) AS rms,
+        | CAST(max(abs(s)) AS INTEGER) AS peak,
+        | CAST(coalesce(sum(CASE WHEN CAST(s AS BIGINT) * ps < 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS zero_crossings
+        |FROM w GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q_multimodal_header" ->
       "SELECT doc_id AS media_id, 'bmp' AS format, CAST(doc_id % 64 + 16 AS INTEGER) AS width, CAST(doc_id % 48 + 16 AS INTEGER) AS height FROM documents ORDER BY 1",
     "q_token_count" ->
