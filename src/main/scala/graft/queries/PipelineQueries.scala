@@ -4,7 +4,7 @@ import graft.algo.Algorithms
 import graft.dedup.Dedup
 import graft.functions.CypherFunctions
 import graft.model.Tables
-import graft.multimodal.{Audio, Multimodal}
+import graft.multimodal.{Audio, Multimodal, Video}
 import graft.streaming.EventStream
 import graft.text.TextAnalysis
 import graft.vector.VectorSearch
@@ -344,6 +344,30 @@ object PipelineQueries {
         .orderBy(col("media_id"))
     }),
 
+    // multimodal video: REAL AVI header decode — the fixture is a complete
+    // RIFF('AVI ') form (hdrl LIST with avih/strl, movi LIST of DIB frames);
+    // the decoder walks the tree from the BYTES to the avih main header
+    "q_video_header" -> ((s, d) =>
+      Video.decodeAviHeaders(
+        Video.syntheticAviMedia(t(s, d, "documents").select(col("doc_id")))).toDF()
+        .orderBy(col("media_id"))),
+
+    // multimodal video: REAL frame sampling + per-frame DIB decode — every
+    // 2nd 00db frame's bottom-up BGR rows are decoded (skipped frames are
+    // never touched); frame pixels follow a closed form of (id, frame, row,
+    // col, channel), so the oracle recomputes per-frame means and the
+    // order-sensitive top-left pixel arithmetically
+    "q_video_frames" -> ((s, d) => {
+      val ids = t(s, d, "documents").filter(col("doc_id") < 48).select(col("doc_id"))
+      Video.sampleFrames(Video.syntheticAviMedia(ids), 2).toDF()
+        .select(col("media_id"), col("frame"), col("width"), col("height"),
+          CypherFunctions.roundC(col("mean_b"), 4).as("mean_b"),
+          CypherFunctions.roundC(col("mean_g"), 4).as("mean_g"),
+          CypherFunctions.roundC(col("mean_r"), 4).as("mean_r"),
+          col("tl_b"), col("tl_g"), col("tl_r"))
+        .orderBy(col("media_id"), col("frame"))
+    }),
+
     // pca (reference pca.rs:154): top-4 components of the embedding corpus.
     // Cross-engine check: total variance (the covariance trace) is exact SQL;
     // the eigen side is pinned by engine-independent invariants computed on
@@ -540,6 +564,31 @@ object PipelineQueries {
         | CAST((min(id)*7 + 11) % 256 AS INTEGER) AS tl_g,
         | CAST((min(id)*7 + 22) % 256 AS INTEGER) AS tl_r
         |FROM px GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    "q_video_header" ->
+      """SELECT doc_id AS media_id, 'avi' AS format,
+        | CAST(16 + doc_id % 16 AS INTEGER) AS width,
+        | CAST(8 + doc_id % 8 AS INTEGER) AS height,
+        | CAST(4 + doc_id % 5 AS INTEGER) AS n_frames, 25 AS fps,
+        | CAST((4 + doc_id % 5) * 1000 // 25 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY 1""".stripMargin,
+    "q_video_frames" ->
+      """WITH ids AS (SELECT doc_id AS id, 16 + doc_id % 16 AS w, 8 + doc_id % 8 AS h,
+        |                    4 + doc_id % 5 AS nf
+        |             FROM documents WHERE doc_id < 48),
+        |fr AS (SELECT id, w, h, f.g AS f FROM ids, generate_series(0, 8) AS f(g)
+        |       WHERE f.g < nf AND f.g % 2 = 0),
+        |px AS (SELECT id, w, h, f, rr.g AS r, cc.g AS c
+        |       FROM fr, generate_series(0, 15) AS rr(g), generate_series(0, 31) AS cc(g)
+        |       WHERE rr.g < h AND cc.g < w)
+        |SELECT CAST(id AS BIGINT) AS media_id, CAST(f AS INTEGER) AS frame,
+        | CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        | round(avg((id*7 + f*13 + r*5 + c*3) % 256), 4) AS mean_b,
+        | round(avg((id*7 + f*13 + r*5 + c*3 + 11) % 256), 4) AS mean_g,
+        | round(avg((id*7 + f*13 + r*5 + c*3 + 22) % 256), 4) AS mean_r,
+        | CAST((min(id)*7 + min(f)*13) % 256 AS INTEGER) AS tl_b,
+        | CAST((min(id)*7 + min(f)*13 + 11) % 256 AS INTEGER) AS tl_g,
+        | CAST((min(id)*7 + min(f)*13 + 22) % 256 AS INTEGER) AS tl_r
+        |FROM px GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin,
     "q_audio_header" ->
       """SELECT doc_id AS media_id, 'wav' AS format, 1 AS channels,
         | 8000 AS sample_rate, 16 AS bits_per_sample,
