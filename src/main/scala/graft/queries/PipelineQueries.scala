@@ -456,6 +456,32 @@ object PipelineQueries {
       s.read.parquet(s"$base/out").agg(count(lit(1)).as("n"))
     }),
 
+    // streaming: stateful sessionization in stream mode — the
+    // flatMapGroupsWithState path holds one open session per user in the
+    // executor state store and emits a session the moment a gap closes it.
+    // All files land in one micro-batch; the trailing no-data batch fires
+    // EVENT-TIME timeouts with the watermark at the stream's max ts. The
+    // deterministic contract: every session closed by a successor event is
+    // emitted, and a user's final session is emitted iff the watermark
+    // passed its end + gap — the oracle is batch sessionization with
+    // exactly that predicate
+    "q_streaming_sessionize" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_sess"
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles).foreach(_.foreach(rm))
+        p.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val ev = EventStream.readEvents(s, d).filter(col("user_id") < 50)
+      val sess = EventStream.sessionize(s, ev, 1800000L)
+      val q = sess.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(s"$base/out")
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // streaming: the same windowed aggregation through Structured Streaming
     // (file source → complete-mode memory sink) — DEMO formulation: complete
     // mode re-emits everything and the memory sink buffers on the driver;
@@ -667,6 +693,16 @@ object PipelineQueries {
       "SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n, round(sum(value), 2) AS total FROM events GROUP BY 1, 2 ORDER BY 1, 2",
     "q_events_dedup" ->
       "SELECT count(*) AS n FROM (SELECT DISTINCT event_id FROM (SELECT event_id FROM events UNION ALL SELECT event_id FROM events))",
+    "q_streaming_sessionize" ->
+      """WITH t AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events WHERE user_id < 50),
+        |x AS (SELECT user_id, ts_ms, event_id, CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) IS NULL OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000 THEN 1 ELSE 0 END AS new_sess FROM t),
+        |y AS (SELECT user_id, ts_ms, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM x),
+        |g AS (SELECT user_id, session_seq, min(ts_ms) AS session_start, max(ts_ms) AS session_end, count(*) AS n_events FROM y GROUP BY 1, 2)
+        |SELECT user_id, session_start, session_end, n_events
+        |FROM (SELECT *, max(session_seq) OVER (PARTITION BY user_id) AS last_seq FROM g)
+        |WHERE session_seq < last_seq
+        |   OR session_end + 1800001 < (SELECT max(epoch_ms(ts)) FROM events WHERE user_id < 50)
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_events_sessionize" ->
       """WITH t AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events WHERE user_id < 50),
         |x AS (SELECT user_id, ts_ms, event_id, CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) IS NULL OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000 THEN 1 ELSE 0 END AS new_sess FROM t),

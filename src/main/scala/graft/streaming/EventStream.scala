@@ -54,16 +54,26 @@ object EventStream {
   final case class SessState(start: Long, end: Long, n: Long)
 
   /** Stateful sessionization: events of a user belong to one session while
-    * gaps stay under `gapMs`; emits a session when the timeout fires.
-    * flatMapGroupsWithState = the reference-free custom-state path. */
-  def sessionize(spark: SparkSession, events: DataFrame, gapMs: Long): DataFrame = {
+    * gaps stay under `gapMs`. flatMapGroupsWithState = the custom-state
+    * path; one open session per user lives in the executor state store. A
+    * session is emitted when a later event closes it (gap exceeded) or when
+    * the EVENT-TIME timeout fires — the watermark passing `end + gapMs`
+    * proves no in-order event can extend it. Event-time (not processing-
+    * time) timeout is the at-scale shape: state eviction is driven by data
+    * progress, and an idle stream doesn't spin no-data batches. */
+  def sessionize(spark: SparkSession, events: DataFrame, gapMs: Long,
+                 watermarkDelay: String = "0 seconds"): DataFrame = {
     import spark.implicits._
-    val typed = events.select(col("user_id").cast("long"),
-      (unix_micros(col("ts")) / 1000).cast("long").as("ts_ms")).as[(Long, Long)]
+    // the watermarked ts column must survive projection — the event-time-
+    // timeout check looks for it on the grouped input's schema
+    val typed = events.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"),
+        (unix_micros(col("ts")) / 1000).cast("long").as("ts_ms"),
+        col("ts")).as[(Long, Long, java.sql.Timestamp)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[SessState, SessionUpdate](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
-        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[SessState]) =>
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)], state: GroupState[SessState]) =>
           if (state.hasTimedOut) {
             val s = state.get; state.remove()
             Iterator(SessionUpdate(user, s.start, s.end, s.n))
@@ -80,8 +90,11 @@ object EventStream {
                 case None => cur = Some(SessState(t, t, 1))
               }
             }
-            cur.foreach(state.update)
-            state.setTimeoutDuration(gapMs)
+            cur.foreach { s =>
+              state.update(s)
+              // fire once the watermark proves the gap can't be beaten
+              state.setTimeoutTimestamp(s.end + gapMs + 1)
+            }
             out.iterator
           }
       }.toDF()
