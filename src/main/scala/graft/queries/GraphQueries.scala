@@ -488,6 +488,57 @@ object GraphQueries {
           |} ORDER BY ?an ?bn ?x""".stripMargin, triples)
     }),
 
+    // §1.5 SPARQL ASK: boolean satisfiability of a BGP — the plan stops at
+    // the first binding (limit-1 under the count). One satisfiable and one
+    // unsatisfiable body, stacked
+    "q_sparql_ask" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      val nodes = g.nodesWithLabel("Customer").unionByName(g.nodesWithLabel("Nation"))
+      val ids = nodes.select(col("id"))
+      val edges = g.edgesOfType("IN_NATION")
+        .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      val triples = graft.rdf.Rdf
+        .exportTriples(graft.model.PropertyGraph(nodes, edges), "http://graft.local/")
+        .localCheckpoint(true)
+      val pfx =
+        """PREFIX gl: <http://graft.local/label/>
+          |PREFIX gp: <http://graft.local/prop/>
+          |PREFIX gr: <http://graft.local/rel/>
+          |""".stripMargin
+      val sat = graft.rdf.Sparql.ask(pfx +
+        "ASK { ?c a gl:Customer . ?c gr:IN_NATION ?n . ?n gp:name ?nname . FILTER(?nname < \"G\") }",
+        triples)
+      val unsat = graft.rdf.Sparql.ask(pfx +
+        "ASK WHERE { ?n a gl:Nation . ?n gp:name ?x . FILTER(?x = \"Wakanda\") }", triples)
+      sat.select(lit("sat").as("q"), col("ask"))
+        .unionAll(unsat.select(lit("unsat").as("q"), col("ask")))
+        .orderBy(col("q"))
+    }),
+
+    // §1.5 SPARQL CONSTRUCT: template instantiation emits a DERIVED graph —
+    // a 2-hop customer→region shortcut predicate plus a type assertion on
+    // the reached regions, deduplicated into set semantics. The oracle
+    // rebuilds the exact N-Triples term strings from the key arithmetic
+    "q_sparql_construct" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      val nodes = g.nodesWithLabel("Customer").filter(col("id") < 100L)
+        .unionByName(g.nodesWithLabel("Nation")).unionByName(g.nodesWithLabel("Region"))
+      val ids = nodes.select(col("id"))
+      val edges = g.edgesOfType("IN_NATION").unionByName(g.edgesOfType("IN_REGION"))
+        .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      val triples = graft.rdf.Rdf
+        .exportTriples(graft.model.PropertyGraph(nodes, edges), "http://graft.local/")
+        .localCheckpoint(true)
+      graft.rdf.Sparql.construct(
+        """PREFIX gl: <http://graft.local/label/>
+          |PREFIX gr: <http://graft.local/rel/>
+          |CONSTRUCT { ?c <http://graft.local/rel/IN_REGION2> ?r . ?r a gl:DerivedRegion }
+          |WHERE { ?c gr:IN_NATION ?n . ?n gr:IN_REGION ?r }""".stripMargin, triples)
+        .orderBy(col("s"), col("p"), col("o"))
+    }),
+
     // §2.10 algo.mst (reference mst.rs:41) — Borůvka on the nation trade
     // graph (edge weight = #trades between the two nations); (w,a,b)
     // tie-break makes the forest unique, so the oracle's Prim chain (24
@@ -687,6 +738,23 @@ object GraphQueries {
         |ORDER BY 1""".stripMargin,
     "q_sparql_agg" ->
       "SELECT n_name AS nname, count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal FROM customer JOIN nation ON n_nationkey = c_nationkey GROUP BY 1 ORDER BY 1",
+    "q_sparql_ask" ->
+      """SELECT 'sat' AS q, EXISTS(SELECT 1 FROM customer JOIN nation ON n_nationkey = c_nationkey WHERE n_name < 'G') AS ask
+        |UNION ALL
+        |SELECT 'unsat' AS q, EXISTS(SELECT 1 FROM nation WHERE n_name = 'Wakanda') AS ask
+        |ORDER BY q""".stripMargin,
+    "q_sparql_construct" ->
+      """SELECT s, p, o FROM (
+        | SELECT '<http://graft.local/node/' || c_custkey || '>' AS s,
+        |        '<http://graft.local/rel/IN_REGION2>' AS p,
+        |        '<http://graft.local/node/' || (1300000000 + n_regionkey) || '>' AS o
+        | FROM customer JOIN nation ON n_nationkey = c_nationkey WHERE c_custkey < 100
+        | UNION
+        | SELECT DISTINCT '<http://graft.local/node/' || (1300000000 + n_regionkey) || '>' AS s,
+        |        '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS p,
+        |        '<http://graft.local/label/DerivedRegion>' AS o
+        | FROM customer JOIN nation ON n_nationkey = c_nationkey WHERE c_custkey < 100)
+        |ORDER BY s, p, o""".stripMargin,
     "q_sparql_path" ->
       """WITH RECURSIVE nxt AS (
         | SELECT a.n_nationkey AS s, min(b.n_nationkey) AS t

@@ -70,7 +70,9 @@ object Sparql {
       filters: Seq[Cond], optionals: Seq[OptGroup],
       unionGroups: Seq[OptGroup], orderBy: Seq[(String, Boolean)],
       limit: Option[Int], offset: Option[Int],
-      aggs: Seq[Agg], groupBy: Seq[String])
+      aggs: Seq[Agg], groupBy: Seq[String],
+      mode: String = "SELECT",                       // SELECT | ASK | CONSTRUCT
+      template: Seq[(Term, Term, Term)] = Nil)       // CONSTRUCT template
 
   // ---- tokenizer ---------------------------------------------------------
 
@@ -156,13 +158,31 @@ object Sparql {
       } else sys.error(s"unsupported term $t")
     }
 
-    expect("SELECT")
-    val distinct = peek.equalsIgnoreCase("DISTINCT")
-    if (distinct) next()
+    val mode = next().toUpperCase
+    require(Set("SELECT", "ASK", "CONSTRUCT").contains(mode), s"unsupported query form $mode")
+    var distinct = false
     var select = Vector.empty[String]
     var aggs = Vector.empty[Agg]
     var star = false
-    while (peek.startsWith("?") || peek == "*" || peek == "(") {
+    var template = Vector.empty[(Term, Term, Term)]
+    if (mode == "SELECT") {
+      distinct = peek.equalsIgnoreCase("DISTINCT")
+      if (distinct) next()
+    } else if (mode == "ASK") {
+      star = true
+    } else { // CONSTRUCT { template triples }
+      star = true
+      expect("{")
+      while (peek != "}") {
+        val s0 = term(next(), predPos = false)
+        val p0 = term(next(), predPos = true)
+        val o0 = term(next(), predPos = false)
+        template :+= ((s0, p0, o0))
+        if (peek == ".") next()
+      }
+      expect("}")
+    }
+    while (mode == "SELECT" && (peek.startsWith("?") || peek == "*" || peek == "(")) {
       if (peek == "(") {
         // `(COUNT(*) AS ?n)` / `(SUM(?v) AS ?s)` / `(COUNT(DISTINCT ?v) AS ?n)`
         next()
@@ -186,7 +206,10 @@ object Sparql {
       }
     }
     require(aggs.isEmpty || !star, "SELECT * cannot mix with aggregates")
-    expect("WHERE"); expect("{")
+    // WHERE is mandatory on SELECT, optional on ASK/CONSTRUCT (SPARQL 1.1)
+    if (mode == "SELECT") expect("WHERE")
+    else if (peek.equalsIgnoreCase("WHERE")) next()
+    expect("{")
 
     // SPARQL 1.1 property paths over prefixed names, `a`, and full `<IRI>`
     // elements: `p1/p2` sequences desugar to chained patterns on fresh
@@ -340,7 +363,7 @@ object Sparql {
       }))
       .collect { case V(n) => n }.distinct.filterNot(_.startsWith("__pp"))
     Query(distinct, if (star) vars else select, patterns, filters, optionals,
-      unionGroups, orderBy, limit, offset, aggs, groupBy)
+      unionGroups, orderBy, limit, offset, aggs, groupBy, mode, template)
   }
 
   // ---- execution ---------------------------------------------------------
@@ -352,11 +375,11 @@ object Sparql {
       Rdf.unescape(regexp_extract(c, "^\"((?:[^\"\\\\]|\\\\.)*)\"", 1)))
       .otherwise(regexp_extract(c, "^<(.*)>$", 1))
 
-  /** Execute a SPARQL SELECT over a triple DataFrame with columns s, p, o
-    * in N-Triples term syntax. Returns one string column per selected
-    * variable carrying its lexical value. */
-  def execute(query: String, triples: DataFrame): DataFrame = {
-    val q = parse(query)
+  /** Solve the WHERE body of a parsed query over the triple table: BGP
+    * joins, UNION branches, OPTIONAL left-joins, FILTERs. Returns the
+    * binding frame — one RAW N-Triples term column per variable (shared by
+    * SELECT / ASK / CONSTRUCT, which differ only in what they project). */
+  private def solve(q: Query, triples: DataFrame): DataFrame = {
     require(q.patterns.nonEmpty || q.unionGroups.nonEmpty, "empty basic graph pattern")
 
     // transitive closure of one predicate's edge set (p+ / p*): frontier
@@ -497,6 +520,16 @@ object Sparql {
         if (shared.nonEmpty) bound.join(grp, shared, "left")
         else bound.crossJoin(grp)
     }
+    bound
+  }
+
+  /** Execute a SPARQL SELECT over a triple DataFrame with columns s, p, o
+    * in N-Triples term syntax. Returns one string column per selected
+    * variable carrying its lexical value. */
+  def execute(query: String, triples: DataFrame): DataFrame = {
+    val q = parse(query)
+    require(q.mode == "SELECT", s"${q.mode} query passed to execute — use ${q.mode.toLowerCase}()")
+    val bound = solve(q, triples)
 
     // Aggregation (SPARQL 1.1 GROUP BY): keys are the lexical values of the
     // grouped variables; COUNT counts bound (non-null) values, SUM/AVG run
@@ -530,5 +563,42 @@ object Sparql {
     q.offset.foreach(n => out = out.offset(n))
     q.limit.foreach(n => out = out.limit(n))
     out
+  }
+
+  /** Execute a SPARQL ASK: one row, one boolean column `ask` — true iff the
+    * WHERE body has at least one solution. The plan stops at the first
+    * binding (limit 1 under the count), never materializing the match set. */
+  def ask(query: String, triples: DataFrame): DataFrame = {
+    val q = parse(query)
+    require(q.mode == "ASK", s"${q.mode} query passed to ask()")
+    solve(q, triples).limit(1).agg((count(lit(1)) > 0).as("ask"))
+  }
+
+  /** Execute a SPARQL CONSTRUCT: instantiate the template once per solution
+    * and return the resulting graph as a DISTINCT (s, p, o) triple frame in
+    * N-Triples term syntax. Solutions leaving a template variable unbound
+    * (e.g. from OPTIONAL) and instantiations that would be invalid RDF
+    * (literal subject, non-IRI predicate) are skipped, per SPARQL 1.1. */
+  def construct(query: String, triples: DataFrame): DataFrame = {
+    val q = parse(query)
+    require(q.mode == "CONSTRUCT", s"${q.mode} query passed to construct()")
+    require(q.template.nonEmpty, "empty CONSTRUCT template")
+    val bound = solve(q, triples)
+    val boundVars = bound.columns.toSet
+    q.template.foreach { case (s, p, o) =>
+      Seq(s, p, o).foreach {
+        case V(n) => require(boundVars.contains(n), s"template var ?$n not bound by WHERE")
+        case _ =>
+      }
+    }
+    def termCol(t: Term): Column = t match {
+      case V(n) => col(n)
+      case C(nt) => lit(nt)
+    }
+    q.template.map { case (s, p, o) =>
+      bound.select(termCol(s).as("s"), termCol(p).as("p"), termCol(o).as("o"))
+        .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull &&
+          col("s").startsWith("<") && col("p").startsWith("<"))
+    }.reduce(_ unionAll _).distinct()
   }
 }

@@ -252,4 +252,30 @@ class SparqlSpec extends SparkSpec {
         prefixes + "SELECT ?n (COUNT(*) AS ?c) WHERE { ?s gp:name ?n }", triples)
     }
   }
+
+  test("ASK: true on a satisfiable body, false on an unsatisfiable one, WHERE optional") {
+    val yes = Sparql.ask(prefixes + "ASK { ?a gr:KNOWS ?b . ?b gr:KNOWS ?c }", triples)
+      .collect().head.getBoolean(0)
+    val no = Sparql.ask(prefixes + "ASK WHERE { ?a gr:KNOWS ?b . FILTER(?b = \"nobody\") }",
+      triples).collect().head.getBoolean(0)
+    assert(yes && !no)
+  }
+
+  test("CONSTRUCT: template instantiation produces a distinct triple graph") {
+    // rewrite 2-hop KNOWS into a derived predicate + copy names
+    val out = Sparql.construct(
+      prefixes +
+        """CONSTRUCT { ?a <http://ex.org/rel/KNOWS2> ?c . ?a gp:name ?an }
+          |WHERE { ?a gr:KNOWS ?b . ?b gr:KNOWS ?c . ?a gp:name ?an }""".stripMargin,
+      triples).collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(
+      (s"<${base}node/1>", "<http://ex.org/rel/KNOWS2>", s"<${base}node/3>"),
+      (s"<${base}node/1>", s"<${base}prop/name>",
+        "\"alice\"^^<http://www.w3.org/2001/XMLSchema#string>")))
+    // unbound template var is rejected
+    intercept[IllegalArgumentException] {
+      Sparql.construct(
+        prefixes + "CONSTRUCT { ?a gp:name ?zzz } WHERE { ?a gr:KNOWS ?b }", triples)
+    }
+  }
 }
