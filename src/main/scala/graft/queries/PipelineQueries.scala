@@ -62,6 +62,19 @@ object PipelineQueries {
       }.reduce(_ unionAll _).orderBy(col("qid"))
     }),
 
+    // §2.9 int8 scalar-quantized ANN: candidate generation ranks by the
+    // code dot-product proxy over the STORED codes table (4× fewer scan
+    // bytes than float32; the full vectors are column-pruned away), then
+    // the C winners re-rank exactly. C=100 over this corpus recovers the
+    // exact top-10 — pinned by the exact-kNN oracle
+    "q_knn_quantized" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect().head.getSeq[Float](0)
+      VectorSearch.knnQuantized(emb, "vec_id", "embedding", q, 10, 100)
+        .select(col("vec_id"), CypherFunctions.roundC(col("score"), 4).as("score"))
+    }),
+
     // dedup: exact dup groups on a corpus with planted exact copies
     "q_dedup_exact" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
@@ -529,6 +542,10 @@ object PipelineQueries {
         |  SELECT unnest(CAST(embedding AS DOUBLE[])) AS x, unnest(range(len(embedding))) AS i FROM embeddings
         | ) GROUP BY i)""".stripMargin,
     "q_knn_exact" ->
+      "SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 10",
+    // quantized prefilter + exact re-rank recovers the exact top-10 —
+    // identical oracle to q_knn_exact by design
+    "q_knn_quantized" ->
       "SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 10",
     "q_dedup_exact" ->
       "WITH d AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents) SELECT doc_id, md5(text) AS text_hash, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id, count(*) OVER (PARTITION BY md5(text)) AS group_size FROM d ORDER BY doc_id",

@@ -81,6 +81,62 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Per-dimension [min, max] of the embedding corpus in ONE aggregate pass
+    * (2·dim agg columns — partial/final planned by Catalyst, no shuffle
+    * beyond the single-row combine). */
+  def quantizeMinMax(emb: DataFrame, vecCol: String, dim: Int): (Array[Double], Array[Double]) = {
+    val aggs = (1 to dim).flatMap(i => Seq(
+      min(element_at(col(vecCol), i).cast("double")),
+      max(element_at(col(vecCol), i).cast("double"))))
+    val r = emb.agg(aggs.head, aggs.tail: _*).collect()(0)
+    (Array.tabulate(dim)(j => r.getDouble(2 * j)),
+      Array.tabulate(dim)(j => r.getDouble(2 * j + 1)))
+  }
+
+  @inline private def quantizeScalar(x: Double, mn: Double, mx: Double): Int =
+    if (mx > mn) math.round((x - mn) / (mx - mn) * 254.0).toInt - 127 else 0
+
+  /** Int8 scalar quantization: code_i = round((x_i − min_i)/(max_i − min_i)
+    * · 254) − 127 ∈ [−127, 127]. The STORED artifact at scale: an
+    * `array<tinyint>` column is 4× smaller than float32 vectors, so the
+    * candidate-generation scan reads a quarter of the bytes (and the codes
+    * table column-prunes away the full vectors entirely). */
+  def quantizedCodes(emb: DataFrame, idCol: String, vecCol: String,
+                     mins: Array[Double], maxs: Array[Double]): DataFrame = {
+    val dim = mins.length
+    val codes = array((0 until dim).map { j =>
+      val e = element_at(col(vecCol), j + 1).cast("double")
+      if (maxs(j) > mins(j))
+        (round((e - lit(mins(j))) / lit(maxs(j) - mins(j)) * 254.0).cast("int") - 127).cast("tinyint")
+      else lit(0).cast("tinyint")
+    }: _*)
+    emb.select(col(idCol), codes.as("codes"))
+  }
+
+  /** Quantized ANN: rank by the int8 code dot-product proxy over the CODES
+    * table only (a quarter of the scan bytes; TakeOrderedAndProject top-C),
+    * then join the C winners back to the float vectors (broadcast — C ids)
+    * and re-rank exactly. With generous C the exact top-k is recovered —
+    * q_knn_quantized pins that against the exact-kNN oracle. */
+  def knnQuantized(emb: DataFrame, idCol: String, vecCol: String,
+                   query: Seq[Float], k: Int, candidates: Int = 100): DataFrame = {
+    val dim = query.length
+    val (mins, maxs) = quantizeMinMax(emb, vecCol, dim)
+    val codesDf = quantizedCodes(emb, idCol, vecCol, mins, maxs)
+    val qCodes = Array.tabulate(dim)(j => quantizeScalar(query(j).toDouble, mins(j), maxs(j)))
+    val proxy = (0 until dim).collect {
+      case j if qCodes(j) != 0 =>
+        element_at(col("codes"), j + 1).cast("int") * lit(qCodes(j))
+    }.reduceOption(_ + _).getOrElse(lit(0))
+    val topC = codesDf.select(col(idCol), proxy.as("qscore"))
+      .orderBy(col("qscore").desc, col(idCol).asc)
+      .limit(candidates)
+    emb.join(broadcast(topC.select(idCol)), idCol)
+      .select(col(idCol), cosine(col(vecCol), typedlit(query), dim).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Deterministic random hyperplanes for sign-LSH (seeded — reproducible
     * across runs and engines). */
   def hyperplanes(dim: Int, numBits: Int, seed: Long): Array[Array[Double]] = {
