@@ -495,6 +495,30 @@ object PipelineQueries {
         .orderBy(col("user_id"), col("session_start"))
     }),
 
+    // streaming: stream-stream INTERVAL join — click events join purchase
+    // events of the same user within 1 hour; watermarks on BOTH sides bound
+    // the join state to the horizon (funnel/attribution at scale). Inner
+    // joins emit every match as it forms, so the output equals the batch
+    // interval join — the oracle computes exactly that
+    "q_streaming_join" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_join"
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles).foreach(_.foreach(rm))
+        p.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val clicks = EventStream.readEvents(s, d)
+        .filter(col("user_id") < 30 && col("event_type") === "click")
+      val buys = EventStream.readEvents(s, d)
+        .filter(col("user_id") < 30 && col("event_type") === "purchase")
+      val j = EventStream.intervalJoin(clicks, buys, "1 hour")
+      val q = j.writeStream.outputMode("append").format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+        .start()
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(s"$base/out").orderBy(col("user_id"), col("l_id"), col("r_id"))
+    }),
+
     // streaming: the same windowed aggregation through Structured Streaming
     // (file source → complete-mode memory sink) — DEMO formulation: complete
     // mode re-emits everything and the memory sink buffers on the driver;
@@ -710,6 +734,14 @@ object PipelineQueries {
       "SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n, round(sum(value), 2) AS total FROM events GROUP BY 1, 2 ORDER BY 1, 2",
     "q_events_dedup" ->
       "SELECT count(*) AS n FROM (SELECT DISTINCT event_id FROM (SELECT event_id FROM events UNION ALL SELECT event_id FROM events))",
+    "q_streaming_join" ->
+      """SELECT c.user_id, c.event_id AS l_id, p.event_id AS r_id,
+        | epoch_ms(c.ts) AS l_ms, epoch_ms(p.ts) AS r_ms
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |WHERE c.user_id < 30 AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |ORDER BY c.user_id, l_id, r_id""".stripMargin,
     "q_streaming_sessionize" ->
       """WITH t AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events WHERE user_id < 50),
         |x AS (SELECT user_id, ts_ms, event_id, CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) IS NULL OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) > 1800000 THEN 1 ELSE 0 END AS new_sess FROM t),

@@ -100,6 +100,24 @@ object EventStream {
       }.toDF()
   }
 
+  /** Stream-stream INTERVAL join: left-type events join right-type events of
+    * the same user landing within `[left.ts, left.ts + horizon]`. Both sides
+    * carry a watermark, so each side's join state is bounded by the horizon
+    * — the at-scale shape for funnel/attribution joins (state per user ×
+    * horizon, evicted as the watermark advances; no unbounded buffering).
+    * Works identically on batch frames (watermark is a no-op there). */
+  def intervalJoin(left: DataFrame, right: DataFrame, horizon: String): DataFrame = {
+    val l = left.select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+      .withWatermark("l_ts", horizon)
+    val r = right.select(col("user_id").as("_r_uid"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"))
+      .withWatermark("r_ts", horizon)
+    l.join(r, expr(s"user_id = _r_uid AND r_ts >= l_ts AND r_ts <= l_ts + interval $horizon"))
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        (unix_micros(col("l_ts")) / 1000).cast("long").as("l_ms"),
+        (unix_micros(col("r_ts")) / 1000).cast("long").as("r_ms"))
+  }
+
   /** Batch-mode sessionization over the same data — window-function
     * formulation (session id = running count of gap-breaks per user). Used as
     * the oracle-checkable twin of the stateful stream version. */
