@@ -80,6 +80,34 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing word k-gram
+    * shingles with a (small) probe/eval set — the train-test contamination
+    * check every training-data pipeline runs before a corpus ships.
+    *
+    * Scale shape: the probe side is an eval benchmark — thousands of rows,
+    * not billions — so its shingle set is BROADCAST and the 100 TB corpus
+    * side never shuffles for the match; the only shuffle is the per-
+    * (doc, probe) hit aggregation, which is partial-aggregated map-side.
+    * Self-pairs (a probe matching itself when probes are drawn from the
+    * corpus) are excluded by id.
+    *
+    * Returns (doc, probe, n_hits, contaminated) for every pair sharing at
+    * least `minHits` shingles; `contaminated` flags pairs at or above
+    * `flagHits`. */
+  def contaminationReport(corpus: DataFrame, probes: DataFrame, idCol: String,
+                          textCol: String, k: Int, minHits: Int = 1,
+                          flagHits: Int = 3): DataFrame = {
+    val corpusSh = docShingles(corpus, idCol, textCol, k)
+    val probeSh = docShingles(probes, idCol, textCol, k)
+      .select(col("doc").as("probe"), col("s"))
+    corpusSh.join(broadcast(probeSh), Seq("s"))
+      .filter(col("doc") =!= col("probe"))
+      .groupBy(col("doc"), col("probe"))
+      .agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+      .withColumn("contaminated", col("n_hits") >= flagHits)
+  }
+
   /** MinHash signatures: numHashes independent min-hash values per doc over
     * its shingle set, using seeded murmur3 (`hash(seed, shingle)`).
     * Returns (doc, sig: array<int>). */

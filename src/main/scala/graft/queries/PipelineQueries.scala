@@ -259,6 +259,35 @@ object PipelineQueries {
         "doc_id", "text", 3)
         .orderBy(col("doc_id"), col("rank"))),
 
+    // dedup: benchmark decontamination — probe set = every 50th doc (the
+    // "eval benchmark" a corpus is checked against before training), 3-word
+    // shingles; the probe side is broadcast, so the corpus side never
+    // shuffles for the match (eval sets are tiny at any corpus scale)
+    "q_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val probes = docs.filter(col("doc_id") % 50 === 0)
+      Dedup.contaminationReport(docs, probes, "doc_id", "text", 3)
+        .select(col("doc").as("doc_id"), col("probe").as("probe_id"),
+          col("n_hits"), col("contaminated"))
+        .orderBy(col("doc_id"), col("probe_id"))
+    }),
+
+    // text: Gopher/MassiveText-style heuristic quality rules — named rule
+    // flags (word-count band, mean word length, alpha-word fraction,
+    // stopword evidence) + their conjunction, in one codegen'd scan
+    "q_quality_gopher" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id") +: TextAnalysis.gopherRules(col("text")): _*)
+        .orderBy(col("doc_id"))),
+
+    // text: sliding-window chunking, 12-word windows every 8 words — the
+    // RAG-indexing / context-window preprocessing step; chunk text rides as
+    // a hash so chunk-level dedup downstream is a plain hash aggregate
+    "q_doc_chunk" -> ((s, d) =>
+      TextAnalysis.chunkDocs(t(s, d, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", 12, 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // multimodal: binary payload + typed metadata struct
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.mediaFromDocuments(t(s, d, "documents"))
@@ -722,6 +751,35 @@ object PipelineQueries {
         |sc AS (SELECT doc_id, token, tf, df, round(tf * ln((SELECT count(DISTINCT doc_id) FROM toks) * 1.0 / df), 4) AS score FROM tf JOIN df USING (token)),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS INTEGER) AS rank FROM sc)
         |SELECT doc_id, token, tf, df, score, rank FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q_decontaminate" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[g:g+2], ' ') AS s FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS g FROM words)),
+        |pr AS (SELECT doc_id AS probe_id, s FROM sh WHERE doc_id % 50 = 0),
+        |hits AS (SELECT c.doc_id, p.probe_id, count(*) AS n_hits FROM sh c JOIN pr p ON c.s = p.s AND c.doc_id <> p.probe_id GROUP BY 1, 2)
+        |SELECT doc_id, probe_id, n_hits, n_hits >= 3 AS contaminated FROM hits ORDER BY doc_id, probe_id""".stripMargin,
+    "q_quality_gopher" ->
+      """WITH w AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_words,
+        |  round((length(trim(text)) - (len(toks) - 1)) * 1.0 / len(toks), 4) AS mean_word_len,
+        |  round(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / len(toks), 4) AS alpha_word_frac,
+        |  CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS INTEGER) AS stop_hits
+        | FROM w)
+        |SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stop_hits,
+        | n_words BETWEEN 20 AND 100000 AS ok_words,
+        | mean_word_len BETWEEN 2.0 AND 10.0 AS ok_mean_len,
+        | alpha_word_frac >= 0.8 AS ok_alpha,
+        | stop_hits >= 1 AS ok_stop,
+        | (n_words BETWEEN 20 AND 100000) AND (mean_word_len BETWEEN 2.0 AND 10.0)
+        |   AND alpha_word_frac >= 0.8 AND stop_hits >= 1 AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_doc_chunk" ->
+      """WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents WHERE doc_id < 100),
+        |st AS (SELECT doc_id, w, len(w) AS n, unnest(generate_series(0, len(w) - 1, 8)) AS start FROM words)
+        |SELECT doc_id, CAST(start // 8 AS INTEGER) AS chunk_idx, CAST(start AS INTEGER) AS start_word,
+        | CAST(least(12, n - start) AS INTEGER) AS n_chunk_words,
+        | md5(array_to_string(w[start + 1:start + 12], ' ')) AS chunk_hash
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_quality_score" -> QualityOracle,
     "q_lang_id" -> LangIdOracle,
     "q_fingerprint" ->

@@ -255,4 +255,71 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col(idCol), col("token"), col("tf"), col("df"), col("score"), col("rank"))
   }
+
+  // ---- Gopher-style heuristic quality rules -------------------------------
+
+  /** Rule-based document filter in the style of the published Gopher /
+    * MassiveText quality heuristics (word-count bounds, mean word length
+    * band, alphabetic-word fraction, minimum stopword evidence): each rule
+    * is a named boolean column plus the metrics it reads, and `pass` is
+    * their conjunction. Pure codegen'd projections over one scan — at
+    * 100 TB this is a single map stage with no shuffle at all.
+    *
+    * Metrics are arithmetic on the raw text (word count, character counts)
+    * so the oracle re-derives them exactly; doubles are roundC'd. */
+  def gopherRules(text: Column,
+                  minWords: Int = 20, maxWords: Int = 100000,
+                  minMeanLen: Double = 2.0, maxMeanLen: Double = 10.0,
+                  minAlphaFrac: Double = 0.8, minStopHits: Int = 1): Seq[Column] = {
+    val toks = tokens(text)
+    val nWords = tokenCount(text)
+    // words are single-space separated after trim: total word chars =
+    // len - (n_words - 1) separators
+    val wordChars = (length(trim(text)) - (nWords - 1)).cast("double")
+    val meanLen = when(nWords > 0,
+      graft.functions.CypherFunctions.roundC(wordChars / nWords, 4)).otherwise(0.0)
+    val alphaWords = size(filter(toks, t => t.rlike("[a-zA-Z]")))
+    val alphaFrac = when(nWords > 0,
+      graft.functions.CypherFunctions.roundC(alphaWords.cast("double") / nWords, 4))
+      .otherwise(0.0)
+    val stopHits = stopwordHits(text, Seq("the", "a", "and", "of", "to", "in"))
+    val okWords = nWords >= minWords && nWords <= maxWords
+    val okMean = meanLen >= minMeanLen && meanLen <= maxMeanLen
+    val okAlpha = alphaFrac >= minAlphaFrac
+    val okStop = stopHits >= minStopHits
+    Seq(nWords.as("n_words"), meanLen.as("mean_word_len"),
+      alphaFrac.as("alpha_word_frac"), stopHits.as("stop_hits"),
+      okWords.as("ok_words"), okMean.as("ok_mean_len"),
+      okAlpha.as("ok_alpha"), okStop.as("ok_stop"),
+      (okWords && okMean && okAlpha && okStop).as("pass"))
+  }
+
+  // ---- sliding-window chunking --------------------------------------------
+
+  /** Overlapping sliding-window chunks of `chunkWords` words every
+    * `strideWords` words — the RAG-indexing / context-window-preprocessing
+    * step. Chunk starts are 0, stride, 2·stride, … while start < n_words,
+    * so a short document yields exactly one (possibly partial) chunk and
+    * trailing windows keep their partial text.
+    *
+    * One generate+explode projection per row — embarrassingly parallel,
+    * no shuffle; chunk text is hashed so downstream exact-dedup of chunks
+    * is a plain hash aggregate. Returns (idCol, chunk_idx, start_word,
+    * n_chunk_words, chunk_hash). */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                chunkWords: Int, strideWords: Int): DataFrame = {
+    require(strideWords > 0 && chunkWords >= strideWords,
+      s"need 0 < stride <= chunk, got chunk=$chunkWords stride=$strideWords")
+    val withWords = df.select(col(idCol), tokens(col(textCol)).as("__words"))
+      .withColumn("__n", size(col("__words")))
+    withWords
+      .select(col(idCol), col("__words"), col("__n"),
+        posexplode(sequence(lit(0), greatest(col("__n") - 1, lit(0)), lit(strideWords))))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "start_word")
+      .select(col(idCol), col("chunk_idx"), col("start_word"),
+        least(lit(chunkWords), col("__n") - col("start_word")).as("n_chunk_words"),
+        md5(array_join(slice(col("__words"), col("start_word") + 1, lit(chunkWords)), " "))
+          .as("chunk_hash"))
+  }
 }

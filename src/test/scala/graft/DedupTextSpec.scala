@@ -198,4 +198,44 @@ class DedupTextSpec extends SparkSpec {
       got.filter(col("doc_id") === id && col("token") === "common")
         .select("score").as[Double].head() == 0.0))
   }
+
+  test("contaminationReport flags docs sharing shingles with probes, excluding self") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta other words here"), // shares 2 overlapping 3-grams with probe 1
+      (3L, "totally unrelated text with nothing shared at all")).toDF("doc_id", "text")
+    val probes = corpus.filter(col("doc_id") === 1)
+    val rep = Dedup.contaminationReport(corpus, probes, "doc_id", "text", 3)
+      .select("doc", "probe", "n_hits").as[(Long, Long, Long)].collect().toSet
+    // doc 2 shares "alpha beta gamma" and "beta gamma delta"; doc 1 is the
+    // probe itself (self-pair excluded); doc 3 shares nothing
+    assert(rep == Set((2L, 1L, 2L)))
+  }
+
+  test("gopherRules passes prose and fails a too-short or all-numeric doc") {
+    val d = Seq(
+      (1L, Seq.fill(5)("the quick brown fox jumps of a to in and").mkString(" ")),
+      (2L, "too short"),
+      (3L, Seq.fill(30)("12345 67890").mkString(" "))).toDF("doc_id", "text")
+    val got = d.select(col("doc_id") +: TextAnalysis.gopherRules(col("text")): _*)
+      .select("doc_id", "pass").as[(Long, Boolean)].collect().toMap
+    assert(got(1L))   // 50 words, alpha, stopwords present
+    assert(!got(2L))  // below the word-count floor
+    assert(!got(3L))  // zero alpha words, zero stopwords
+  }
+
+  test("chunkDocs produces overlapping windows with partial tail") {
+    // 20 words, chunk 12 stride 8 -> starts 0, 8, 16; sizes 12, 12, 4
+    val d = Seq((1L, (1 to 20).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocs(d, "doc_id", "text", 12, 8)
+      .select("chunk_idx", "start_word", "n_chunk_words")
+      .as[(Int, Int, Int)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((0, 0, 12), (1, 8, 12), (2, 16, 4)))
+    // hash of the first chunk equals the hash of the same 12 words standalone
+    val h1 = TextAnalysis.chunkDocs(d, "doc_id", "text", 12, 8)
+      .filter(col("chunk_idx") === 0).select("chunk_hash").as[String].head()
+    val h2 = d.select(md5(lit((1 to 12).map(i => s"w$i").mkString(" "))))
+      .as[String].head()
+    assert(h1 == h2)
+  }
 }
