@@ -310,6 +310,42 @@ object Algorithms {
   /** Strongly connected components — delegated to GraphX's Pregel
     * implementation (reference Tarjan `community.rs:96` is sequential;
     * GraphX's is the distributed formulation). */
+  /** k-core peel, SYNCHRONOUS fixed-round semantics: round r computes
+    * degrees on the round-(r-1) edge set and removes ALL nodes below `k`
+    * at once; `rounds` rounds are always run (a converged graph peels as a
+    * no-op), so the result is deterministic and engine-independent without
+    * a convergence check — the DuckDB oracle unrolls the same rounds as
+    * chained CTEs. Returns (id, deg) = nodes with at least one surviving
+    * edge and their degree in the final edge set.
+    *
+    * Scale shape: each round is one hash aggregate + two semi-joins on the
+    * shrinking edge set, lineage cut per round; nothing driver-side. Small
+    * inputs route to the in-task kernel ([[LocalKernels.kCore]]). Input
+    * columns: src, dst (directed pairs; symmetrized + de-duped here). */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 4): DataFrame = {
+    val (e0, small) = LocalKernels.gate(edges)
+    if (small) LocalKernels.kCore(e0, k, rounds)
+    else kCoreDistributed(e0, k, rounds)
+  }
+
+  private[graft] def kCoreDistributed(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col("src").as("_ka"), col("dst").as("_kb"))
+      .unionAll(edges.select(col("dst").as("_ka"), col("src").as("_kb")))
+      .filter(col("_ka") =!= col("_kb"))
+      .distinct()
+      .repartition(col("_ka"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("_ka")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("_ka").as("_keep"))
+      e = e.join(keep.withColumnRenamed("_keep", "_ka"), Seq("_ka"), "left_semi")
+        .join(keep.withColumnRenamed("_keep", "_kb"), Seq("_kb"), "left_semi")
+        .localCheckpoint(true)
+    }
+    e.groupBy(col("_ka")).agg(count(lit(1)).as("deg"))
+      .select(col("_ka").as("id"), col("deg"))
+  }
+
   def scc(edges: DataFrame, maxIter: Int = 10): DataFrame = {
     val spark = edges.sparkSession
     import org.apache.spark.graphx.{Edge, Graph}

@@ -267,6 +267,55 @@ object LocalKernels {
       }.toDF("id", "component")
   }
 
+  /** Synchronous fixed-round k-core peel — mirrors
+    * [[Algorithms.kCoreDistributed]] exactly: symmetrize+dedup+drop self
+    * loops, then `rounds` rounds each removing ALL nodes with degree < k
+    * at once; returns (id, deg) for nodes with a surviving edge. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val vx = new Interner
+        val seen = mutable.HashSet.empty[(Long, Long)]
+        val es = new Ints(); val ed = new Ints()
+        it.foreach { case (s, d) =>
+          if (s != d) {
+            val lo = math.min(s, d); val hi = math.max(s, d)
+            if (seen.add((lo, hi))) {
+              es += vx.idx(lo); ed += vx.idx(hi)
+            }
+          }
+        }
+        val n = vx.n
+        val (si, di) = (es.result(), ed.result())
+        val alive = Array.fill(n)(true)
+        val deg = new Array[Int](n)
+        var r = 0
+        while (r < rounds) {
+          java.util.Arrays.fill(deg, 0)
+          var i = 0
+          while (i < si.length) {
+            if (alive(si(i)) && alive(di(i))) { deg(si(i)) += 1; deg(di(i)) += 1 }
+            i += 1
+          }
+          var v = 0
+          while (v < n) { if (alive(v) && deg(v) < k) alive(v) = false; v += 1 }
+          r += 1
+        }
+        // final degrees over the surviving edge set
+        java.util.Arrays.fill(deg, 0)
+        var i = 0
+        while (i < si.length) {
+          if (alive(si(i)) && alive(di(i))) { deg(si(i)) += 1; deg(di(i)) += 1 }
+          i += 1
+        }
+        (0 until n).iterator.filter(v => alive(v) && deg(v) > 0)
+          .map(v => (vx.ids(v), deg(v).toLong))
+      }.toDF("id", "deg")
+  }
+
   /** Layered BFS over out-edges, depth capped at maxIter, source always
     * present at dist 0 — mirrors [[Algorithms.bfs]]. */
   def bfs(edges: DataFrame, source: Long, maxIter: Int): DataFrame = {

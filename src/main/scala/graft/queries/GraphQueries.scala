@@ -227,6 +227,45 @@ object GraphQueries {
         copurchaseShared(s, d).select(col("a").as("src"), col("b").as("dst")), 5)
         .orderBy(col("id"))),
 
+    // beyond-parity: k-core peel (k=80, 4 synchronous rounds) on the
+    // co-purchase graph — fixed-round semantics make the result
+    // deterministic without a convergence check, so the oracle unrolls the
+    // same rounds as chained CTEs (like pagerank/cdlp)
+    "q_kcore" -> ((s, d) =>
+      Algorithms.kCore(
+        copurchaseShared(s, d).select(col("a").cast("long").as("src"),
+          col("b").cast("long").as("dst")), 80, 4)
+        .orderBy(col("id"))),
+
+    // §2.1 CSV bulk load (reference LDBC loaders,
+    // benches/ldbc_common/mod.rs:50-143): export nation as pipe-delimited
+    // CSV, re-read it with an explicit schema (the typed-extractor
+    // equivalent), and project graph node rows — was only indirectly
+    // covered before; this puts the CSV source itself under the oracle
+    "q_csv_load" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_csv_load_${math.abs(d.hashCode).toHexString}"
+      t(s, d, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.mode("overwrite").option("delimiter", "|").option("header", "true").csv(base)
+      s.read.option("delimiter", "|").option("header", "true")
+        .schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT").csv(base)
+        .select((col("n_nationkey") + 1200000000L).as("id"), col("n_name").as("name"),
+          (col("n_regionkey") + 1300000000L).as("region_id"))
+        .orderBy(col("id"))
+    }),
+
+    // §2.1 JSON import (reference HTTP /api/import/json,
+    // src/http/server.rs): export nation as JSON lines, re-read with
+    // spark.read.json, same projection + oracle
+    "q_json_load" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_json_load_${math.abs(d.hashCode).toHexString}"
+      t(s, d, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.mode("overwrite").json(base)
+      s.read.schema("n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT").json(base)
+        .select((col("n_nationkey") + 1200000000L).as("id"), col("n_name").as("name"),
+          (col("n_regionkey") + 1300000000L).as("region_id"))
+        .orderBy(col("id"))
+    }),
+
     // §2.1 snapshot sink + source round-trip (reference snapshot export
     // `src/snapshot/mod.rs:226-257`): export the Nation/Region subgraph as
     // gzip JSON-lines, re-import it, and query the re-imported graph
@@ -631,6 +670,21 @@ object GraphQueries {
     sb.toString
   }
 
+  /** k-core as `rounds` chained peel CTEs: round r drops every node whose
+    * degree in the round-(r-1) edge set is below k (synchronous removal) —
+    * the same fixed-round semantics [[Algorithms.kCore]] computes, so no
+    * convergence check is needed on either side. */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder(CopurchaseCte)
+    sb.append(", e0 AS (SELECT a, b FROM pe UNION ALL SELECT b, a FROM pe)")
+    for (r <- 1 to rounds)
+      sb.append(s", d$r AS (SELECT a, count(*) AS deg FROM e${r - 1} GROUP BY 1)" +
+        s", k$r AS (SELECT a FROM d$r WHERE deg >= $k)" +
+        s", e$r AS (SELECT e.a, e.b FROM e${r - 1} e JOIN k$r x ON e.a = x.a JOIN k$r y ON e.b = y.a)")
+    sb.append(s" SELECT CAST(a AS BIGINT) AS id, count(*) AS deg FROM e$rounds GROUP BY 1 ORDER BY 1")
+    sb.toString
+  }
+
   /** CDLP as `iters` chained CTEs: argmax neighbor-label frequency, ties to
     * the minimum label (row_number over count DESC, label ASC). */
   private def cdlpOracle(iters: Int): String = {
@@ -709,8 +763,13 @@ object GraphQueries {
         |) ORDER BY id""".stripMargin,
     "q_pagerank" -> pagerankOracle(8, 0.85),
     "q_cdlp" -> cdlpOracle(5),
+    "q_kcore" -> kcoreOracle(80, 4),
     "q_snapshot_roundtrip" ->
       "SELECT CAST(n_nationkey + 1200000000 AS BIGINT) AS src, CAST(n_regionkey + 1300000000 AS BIGINT) AS dst FROM nation ORDER BY 1",
+    "q_csv_load" ->
+      "SELECT CAST(n_nationkey + 1200000000 AS BIGINT) AS id, n_name AS name, CAST(n_regionkey + 1300000000 AS BIGINT) AS region_id FROM nation ORDER BY 1",
+    "q_json_load" ->
+      "SELECT CAST(n_nationkey + 1200000000 AS BIGINT) AS id, n_name AS name, CAST(n_regionkey + 1300000000 AS BIGINT) AS region_id FROM nation ORDER BY 1",
     "q_rdf_roundtrip" ->
       """SELECT CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM nation) + (SELECT count(*) FROM region) AS BIGINT) AS n_nodes,
         | CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM nation) AS BIGINT) AS n_edges,

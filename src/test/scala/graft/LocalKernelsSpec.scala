@@ -83,6 +83,21 @@ class LocalKernelsSpec extends SparkSpec {
     }
   }
 
+  test("kCore local == distributed, exact (fixed synchronous rounds)") {
+    for (seed <- 20 to 22) {
+      val e = randGraph(seed, 40, 160) // dense-ish: real peel cascades
+      for (k <- Seq(2, 5, 8))
+        assert(sortedRows(LocalKernels.kCore(e, k, 4)) ===
+          sortedRows(Algorithms.kCoreDistributed(e, k, 4)),
+          s"seed=$seed k=$k")
+    }
+    // self-loops and duplicate/reversed edges must not count toward degree
+    val dup = Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    assert(sortedRows(LocalKernels.kCore(dup, 2, 3)) ===
+      sortedRows(Algorithms.kCoreDistributed(dup, 2, 3)))
+  }
+
   test("bfs local == distributed, exact (depth cap + unreachable)") {
     val e = randGraph(9, 50, 90)
     val src = e.select("src").as[Long].head()
