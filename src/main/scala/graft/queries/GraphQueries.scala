@@ -578,6 +578,28 @@ object GraphQueries {
         .orderBy(col("s"), col("p"), col("o"))
     }),
 
+    // §1.5 SPARQL DESCRIBE — the fourth query form (reference
+    // REQ-SPARQL-003; its executor is a stub): subject-based description
+    // of every ?n bound by the WHERE body, plus one constant-IRI target
+    // with no body (both halves of the grammar)
+    "q_sparql_describe" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      val nodes = g.nodesWithLabel("Nation").unionByName(g.nodesWithLabel("Region"))
+      val ids = nodes.select(col("id"))
+      val edges = g.edgesOfType("IN_REGION")
+        .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      val triples = graft.rdf.Rdf
+        .exportTriples(graft.model.PropertyGraph(nodes, edges), "http://graft.local/")
+        .localCheckpoint(true)
+      val byVar = graft.rdf.Sparql.describe(
+        """PREFIX gl: <http://graft.local/label/>
+          |DESCRIBE ?n WHERE { ?n a gl:Nation }""".stripMargin, triples)
+      val byIri = graft.rdf.Sparql.describe(
+        "DESCRIBE <http://graft.local/node/1300000000>", triples)
+      byVar.unionAll(byIri).distinct().orderBy(col("s"), col("p"), col("o"))
+    }),
+
     // §2.10 algo.mst (reference mst.rs:41) — Borůvka on the nation trade
     // graph (edge weight = #trades between the two nations); (w,a,b)
     // tie-break makes the forest unique, so the oracle's Prim chain (24
@@ -813,6 +835,29 @@ object GraphQueries {
         |        '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS p,
         |        '<http://graft.local/label/DerivedRegion>' AS o
         | FROM customer JOIN nation ON n_nationkey = c_nationkey WHERE c_custkey < 100)
+        |ORDER BY s, p, o""".stripMargin,
+    "q_sparql_describe" ->
+      """SELECT s, p, o FROM (
+        | SELECT '<http://graft.local/node/' || (1200000000 + n_nationkey) || '>' AS s,
+        |        '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>' AS p,
+        |        '<http://graft.local/label/Nation>' AS o FROM nation
+        | UNION ALL
+        | SELECT '<http://graft.local/node/' || (1200000000 + n_nationkey) || '>',
+        |        '<http://graft.local/prop/name>',
+        |        '"' || n_name || '"^^<http://www.w3.org/2001/XMLSchema#string>' FROM nation
+        | UNION ALL
+        | SELECT '<http://graft.local/node/' || (1200000000 + n_nationkey) || '>',
+        |        '<http://graft.local/rel/IN_REGION>',
+        |        '<http://graft.local/node/' || (1300000000 + n_regionkey) || '>' FROM nation
+        | UNION ALL
+        | SELECT '<http://graft.local/node/1300000000>',
+        |        '<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>',
+        |        '<http://graft.local/label/Region>' FROM region WHERE r_regionkey = 0
+        | UNION ALL
+        | SELECT '<http://graft.local/node/1300000000>',
+        |        '<http://graft.local/prop/name>',
+        |        '"' || r_name || '"^^<http://www.w3.org/2001/XMLSchema#string>'
+        | FROM region WHERE r_regionkey = 0)
         |ORDER BY s, p, o""".stripMargin,
     "q_sparql_path" ->
       """WITH RECURSIVE nxt AS (

@@ -71,8 +71,9 @@ object Sparql {
       unionGroups: Seq[OptGroup], orderBy: Seq[(String, Boolean)],
       limit: Option[Int], offset: Option[Int],
       aggs: Seq[Agg], groupBy: Seq[String],
-      mode: String = "SELECT",                       // SELECT | ASK | CONSTRUCT
-      template: Seq[(Term, Term, Term)] = Nil)       // CONSTRUCT template
+      mode: String = "SELECT",                // SELECT | ASK | CONSTRUCT | DESCRIBE
+      template: Seq[(Term, Term, Term)] = Nil,       // CONSTRUCT template
+      describes: Seq[Term] = Nil)                    // DESCRIBE targets
 
   // ---- tokenizer ---------------------------------------------------------
 
@@ -159,16 +160,27 @@ object Sparql {
     }
 
     val mode = next().toUpperCase
-    require(Set("SELECT", "ASK", "CONSTRUCT").contains(mode), s"unsupported query form $mode")
+    require(Set("SELECT", "ASK", "CONSTRUCT", "DESCRIBE").contains(mode),
+      s"unsupported query form $mode")
     var distinct = false
     var select = Vector.empty[String]
     var aggs = Vector.empty[Agg]
     var star = false
     var template = Vector.empty[(Term, Term, Term)]
+    var describes = Vector.empty[Term]
+    if (mode == "DESCRIBE") {
+      // DESCRIBE <iri>... | DESCRIBE ?v... [WHERE { ... }]
+      star = true
+      while (toks.nonEmpty && !peek.equalsIgnoreCase("WHERE") && peek != "{")
+        describes :+= term(next(), predPos = false)
+      require(describes.nonEmpty, "DESCRIBE needs at least one resource or variable")
+      require(describes.forall { case C(nt) => nt.startsWith("<"); case _ => true },
+        "DESCRIBE constants must be IRIs")
+    }
     if (mode == "SELECT") {
       distinct = peek.equalsIgnoreCase("DISTINCT")
       if (distinct) next()
-    } else if (mode == "ASK") {
+    } else if (mode == "ASK" || mode == "DESCRIBE") {
       star = true
     } else { // CONSTRUCT { template triples }
       star = true
@@ -206,10 +218,12 @@ object Sparql {
       }
     }
     require(aggs.isEmpty || !star, "SELECT * cannot mix with aggregates")
-    // WHERE is mandatory on SELECT, optional on ASK/CONSTRUCT (SPARQL 1.1)
+    // WHERE is mandatory on SELECT, optional on ASK/CONSTRUCT/DESCRIBE
+    // (SPARQL 1.1); `DESCRIBE <iri>` may have no body at all
     if (mode == "SELECT") expect("WHERE")
     else if (peek.equalsIgnoreCase("WHERE")) next()
-    expect("{")
+    val bodyless = mode == "DESCRIBE" && peek != "{"
+    if (!bodyless) expect("{")
 
     // SPARQL 1.1 property paths over prefixed names, `a`, and full `<IRI>`
     // elements: `p1/p2` sequences desugar to chained patterns on fresh
@@ -310,7 +324,8 @@ object Sparql {
     // (each a plain BGP + filters); otherwise a single unbraced group
     var unionGroups = Vector.empty[OptGroup]
     val (patterns, filters, optionals) =
-      if (peek == "{") {
+      if (bodyless) (Vector.empty[Pattern], Vector.empty[Cond], Vector.empty[OptGroup])
+      else if (peek == "{") {
         var done = false
         while (!done) {
           expect("{")
@@ -363,7 +378,8 @@ object Sparql {
       }))
       .collect { case V(n) => n }.distinct.filterNot(_.startsWith("__pp"))
     Query(distinct, if (star) vars else select, patterns, filters, optionals,
-      unionGroups, orderBy, limit, offset, aggs, groupBy, mode, template)
+      unionGroups, orderBy, limit, offset, aggs, groupBy, mode, template,
+      describes)
   }
 
   // ---- execution ---------------------------------------------------------
@@ -600,5 +616,36 @@ object Sparql {
         .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull &&
           col("s").startsWith("<") && col("p").startsWith("<"))
     }.reduce(_ unionAll _).distinct()
+  }
+
+  /** Execute a SPARQL DESCRIBE — the fourth query form (the reference
+    * declares it in REQ-SPARQL-003, `src/sparql/mod.rs:9`, and stubs the
+    * executor, `src/sparql/executor.rs:51-53`). Returns the subject-based
+    * description: every triple whose subject is one of the described
+    * resources, as a DISTINCT (s, p, o) frame. Resources come from IRI
+    * constants (`DESCRIBE <iri>`, no body needed) and/or the bindings of
+    * described variables over the WHERE body. The resource set is one
+    * distinct frame semi-joined against the triple table — never a
+    * per-resource scan loop, so a million described resources cost one
+    * join. */
+  def describe(query: String, triples: DataFrame): DataFrame = {
+    val q = parse(query)
+    require(q.mode == "DESCRIBE", s"${q.mode} query passed to describe()")
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val consts = q.describes.collect { case C(nt) => nt }
+    val varNames = q.describes.collect { case V(n) => n }
+    require(varNames.isEmpty || q.patterns.nonEmpty || q.unionGroups.nonEmpty,
+      "DESCRIBE ?var needs a WHERE body to bind it")
+    val constDf = if (consts.isEmpty) None else Some(consts.toDF("r"))
+    val varDf =
+      if (varNames.isEmpty) None
+      else {
+        val bound = solve(q, triples)
+        Some(varNames.map(n => bound.select(col(n).as("r"))).reduce(_ unionAll _))
+      }
+    val resources = (constDf.toSeq ++ varDf.toSeq).reduce(_ unionAll _).distinct()
+    triples.join(resources, triples("s") === resources("r"), "left_semi")
+      .select(col("s"), col("p"), col("o")).distinct()
   }
 }

@@ -278,4 +278,27 @@ class SparqlSpec extends SparkSpec {
         prefixes + "CONSTRUCT { ?a gp:name ?zzz } WHERE { ?a gr:KNOWS ?b }", triples)
     }
   }
+
+  test("DESCRIBE: variable targets over a WHERE body and bodyless IRI targets") {
+    // ?s bound to nodes 1 and 2 (KNOWS sources) -> their full subject triples
+    val byVar = Sparql.describe(
+      prefixes + "DESCRIBE ?s WHERE { ?s gr:KNOWS ?o }", triples)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val n1 = s"<${base}node/1>"; val n2 = s"<${base}node/2>"
+    assert(byVar.map(_._1).toSet == Set(n1, n2))
+    // node 1: type P, name, balance, KNOWS->2, LIKES->4 = 5 triples
+    assert(byVar.count(_._1 == n1) == 5)
+    assert(byVar.contains((n1, s"<${base}rel/LIKES>", s"<${base}node/4>")))
+    assert(byVar.contains((n1, s"<${base}prop/name>",
+      "\"alice\"^^<http://www.w3.org/2001/XMLSchema#string>")))
+    // bodyless constant form describes exactly that resource
+    val byIri = Sparql.describe(s"DESCRIBE <${base}node/4>", triples)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(byIri.map(_._1) == Set(s"<${base}node/4>"))
+    assert(byIri.size == 3) // type Q, name, balance (no out-edges)
+    // a variable target without a body is rejected
+    intercept[IllegalArgumentException] {
+      Sparql.describe("DESCRIBE ?x", triples)
+    }
+  }
 }
