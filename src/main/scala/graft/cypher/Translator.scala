@@ -504,6 +504,11 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         Algorithms.sssp(typedEdges, longArg(0), numArg(1, 30).toInt)
       case "algo.trianglecount" => Algorithms.triangleCount(und)
       case "algo.lcc" => Algorithms.lcc(und)
+      case "algo.kcore" =>
+        Algorithms.kCore(typedEdges.select(col("src").cast("long"),
+          col("dst").cast("long")),
+          confNum(Seq("k"), numArg(0, 2)).toInt,
+          confNum(Seq("rounds", "maxIterations"), numArg(1, 4)).toInt)
       case "algo.mst" =>
         Algorithms.mst(typedEdges.select(col("src"), col("dst"),
           (if (typedEdges.columns.contains("weight")) col("weight") else lit(1.0)).as("weight")))

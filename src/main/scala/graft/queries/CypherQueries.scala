@@ -411,6 +411,15 @@ object CypherQueries {
         |YIELD id, component
         |RETURN id, component ORDER BY id""".stripMargin) _),
 
+    // k-core through the CALL surface (positional k/rounds + edge-type
+    // string, like algo.bfs): one synchronous peel round at k=2 over the
+    // customer->nation->region subgraph — degree-1 customers drop, the
+    // output is the nation/region residual degrees
+    "q_cypher_call_kcore" -> (run(
+      """CALL algo.kCore(2, 1, 'IN_NATION,IN_REGION')
+        |YIELD id, deg
+        |RETURN id, deg ORDER BY id""".stripMargin) _),
+
     // a second or.solve kernel family through the same CALL surface (the
     // reference dispatches ~30 metaheuristics by name; 13 families here)
     "q_cypher_or_solve_de" -> (run(
@@ -642,6 +651,15 @@ object CypherQueries {
     "q_cypher_call_bfs" -> GraphQueries.oracles("q_bfs"),
     // same kernel as q_wcc — the config-map CALL must agree with the Scala API
     "q_cypher_call_wcc" -> GraphQueries.oracles("q_wcc"),
+    "q_cypher_call_kcore" ->
+      """WITH e0 AS (
+        | SELECT CAST(c_custkey AS BIGINT) AS a, CAST(1200000000 + c_nationkey AS BIGINT) AS b FROM customer
+        | UNION SELECT CAST(1200000000 + n_nationkey AS BIGINT), CAST(1300000000 + n_regionkey AS BIGINT) FROM nation),
+        |sym AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |d1 AS (SELECT a, count(*) AS deg FROM sym GROUP BY 1),
+        |k1 AS (SELECT a FROM d1 WHERE deg >= 2),
+        |e1 AS (SELECT s.a, s.b FROM sym s JOIN k1 x ON s.a = x.a JOIN k1 y ON s.b = y.a)
+        |SELECT a AS id, count(*) AS deg FROM e1 GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cypher_call_knn" ->
       "SELECT e.vec_id AS id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 10",
     "q_cypher_match_agg" ->

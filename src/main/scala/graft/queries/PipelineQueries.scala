@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
 object PipelineQueries {
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
+  /** Run a streaming query under reduced stateful parallelism. Stateful
+    * operators create one state store PER SHUFFLE PARTITION per operator,
+    * each writing a delta file per micro-batch — at catalog data volumes
+    * 32 partitions are pure fixed overhead (the state fits one store). A
+    * real deployment sizes this to its key cardinality; the checkpoint
+    * pins it, so it is set before the stream starts and restored after. */
+  private def withStreamShuffle[T](s: SparkSession, n: Int = 4)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, old)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // vector: exact k-NN, query = embedding of vec_id 0
     "q_knn_exact" -> ((s, d) => {
@@ -462,13 +475,15 @@ object PipelineQueries {
         p.delete(); ()
       }
       rm(new java.io.File(base)) // the file sink is append-only across runs
-      val agg = EventStream.windowedCounts(EventStream.readEvents(s, d), "1 hour", "0 seconds")
-        .select(col("window.start").as("h"), col("event_type"),
-          col("n"), col("total_value"))
-      val q = agg.writeStream.outputMode("append").format("parquet")
-        .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
-        .start()
-      q.processAllAvailable(); q.stop()
+      withStreamShuffle(s) {
+        val agg = EventStream.windowedCounts(EventStream.readEvents(s, d), "1 hour", "0 seconds")
+          .select(col("window.start").as("h"), col("event_type"),
+            col("n"), col("total_value"))
+        val q = agg.writeStream.outputMode("append").format("parquet")
+          .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
       s.read.parquet(s"$base/out")
         .select(col("h").cast("timestamp_ntz").as("h"), col("event_type"),
           col("n"), CypherFunctions.roundC(col("total_value"), 2).as("total"))
@@ -488,13 +503,15 @@ object PipelineQueries {
         p.delete(); ()
       }
       rm(new java.io.File(base))
-      val doubled = EventStream.readEvents(s, d).unionAll(EventStream.readEvents(s, d))
-      val dd = EventStream.dedupedEvents(doubled, "2 hours")
-        .select(col("event_id"), col("ts"))
-      val q = dd.writeStream.outputMode("append").format("parquet")
-        .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
-        .start()
-      q.processAllAvailable(); q.stop()
+      withStreamShuffle(s) {
+        val doubled = EventStream.readEvents(s, d).unionAll(EventStream.readEvents(s, d))
+        val dd = EventStream.dedupedEvents(doubled, "2 hours")
+          .select(col("event_id"), col("ts"))
+        val q = dd.writeStream.outputMode("append").format("parquet")
+          .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
       s.read.parquet(s"$base/out").agg(count(lit(1)).as("n"))
     }),
 
@@ -514,12 +531,14 @@ object PipelineQueries {
         p.delete(); ()
       }
       rm(new java.io.File(base))
-      val ev = EventStream.readEvents(s, d).filter(col("user_id") < 50)
-      val sess = EventStream.sessionize(s, ev, 1800000L)
-      val q = sess.writeStream.outputMode("append").format("parquet")
-        .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
-        .start()
-      q.processAllAvailable(); q.stop()
+      withStreamShuffle(s) {
+        val ev = EventStream.readEvents(s, d).filter(col("user_id") < 50)
+        val sess = EventStream.sessionize(s, ev, 1800000L)
+        val q = sess.writeStream.outputMode("append").format("parquet")
+          .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
       s.read.parquet(s"$base/out")
         .orderBy(col("user_id"), col("session_start"))
     }),
@@ -536,15 +555,17 @@ object PipelineQueries {
         p.delete(); ()
       }
       rm(new java.io.File(base))
-      val clicks = EventStream.readEvents(s, d)
-        .filter(col("user_id") < 30 && col("event_type") === "click")
-      val buys = EventStream.readEvents(s, d)
-        .filter(col("user_id") < 30 && col("event_type") === "purchase")
-      val j = EventStream.intervalJoin(clicks, buys, "1 hour")
-      val q = j.writeStream.outputMode("append").format("parquet")
-        .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
-        .start()
-      q.processAllAvailable(); q.stop()
+      withStreamShuffle(s) {
+        val clicks = EventStream.readEvents(s, d)
+          .filter(col("user_id") < 30 && col("event_type") === "click")
+        val buys = EventStream.readEvents(s, d)
+          .filter(col("user_id") < 30 && col("event_type") === "purchase")
+        val j = EventStream.intervalJoin(clicks, buys, "1 hour")
+        val q = j.writeStream.outputMode("append").format("parquet")
+          .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
       s.read.parquet(s"$base/out").orderBy(col("user_id"), col("l_id"), col("r_id"))
     }),
 
@@ -553,10 +574,12 @@ object PipelineQueries {
     // mode re-emits everything and the memory sink buffers on the driver;
     // q_streaming_append above is the at-scale twin
     "q_streaming_window" -> ((s, d) => {
-      val agg = EventStream.windowedCounts(EventStream.readEvents(s, d), "1 hour", "2 hours")
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName("graft_stream_win").start()
-      q.processAllAvailable(); q.stop()
+      withStreamShuffle(s) {
+        val agg = EventStream.windowedCounts(EventStream.readEvents(s, d), "1 hour", "2 hours")
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName("graft_stream_win").start()
+        q.processAllAvailable(); q.stop()
+      }
       s.table("graft_stream_win")
         .select(col("window.start").cast("timestamp_ntz").as("h"),
           col("event_type"), col("n"),
