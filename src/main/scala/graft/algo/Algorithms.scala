@@ -346,6 +346,43 @@ object Algorithms {
       .select(col("_ka").as("id"), col("deg"))
   }
 
+  /** Deterministic random-walk neighbor sampling (the GraphSAGE-style
+    * fan-out a GNN training pipeline runs over the graph): one walk per
+    * start node, `steps` hops, the neighbor at each hop picked by an
+    * ARITHMETIC hash of (current node, step) over the sorted neighbor
+    * list — no RNG, so walks are reproducible across engines and runs,
+    * and the DuckDB oracle re-derives them exactly.
+    *
+    * Scale shape: the adjacency-list aggregate is one shuffle; each hop is
+    * one join of the walker frontier against it (broadcast when the
+    * frontier is small, shuffled otherwise — Catalyst picks). Walk state
+    * is one row per walker, never per-path materialization. Input: src/dst
+    * directed pairs (symmetrized + deduped here); every node that appears
+    * gets a walk. Returns (start, v1..vSteps). */
+  def deterministicWalks(edges: DataFrame, steps: Int): DataFrame = {
+    require(steps >= 1 && steps <= 16, s"steps in [1,16], got $steps")
+    val sym = edges.select(col("src").as("_ws"), col("dst").as("_wd"))
+      .unionAll(edges.select(col("dst").as("_ws"), col("src").as("_wd")))
+      .filter(col("_ws") =!= col("_wd"))
+      .distinct()
+    val adj = sym.groupBy(col("_ws"))
+      .agg(sort_array(collect_list(col("_wd"))).as("_nbrs"),
+        count(lit(1)).as("_deg"))
+      .localCheckpoint(true)
+    var fr = adj.select(col("_ws").as("start"), col("_ws").as("_v"))
+    for (i <- 1 to steps) {
+      // mod-early keeps the product inside BIGINT range in BOTH engines
+      // (DuckDB errors on overflow where JVM longs would wrap)
+      val idx = pmod((col("_v") % 100000L) * 2654435761L + lit(i * 40503L),
+        col("_deg"))
+      fr = fr.join(adj, fr("_v") === adj("_ws"))
+        .withColumn(s"v$i", element_at(col("_nbrs"), (idx + 1).cast("int")))
+        .drop("_ws", "_nbrs", "_deg", "_v")
+        .withColumn("_v", col(s"v$i"))
+    }
+    fr.select(col("start") +: (1 to steps).map(i => col(s"v$i")): _*)
+  }
+
   def scc(edges: DataFrame, maxIter: Int = 10): DataFrame = {
     val spark = edges.sparkSession
     import org.apache.spark.graphx.{Edge, Graph}

@@ -578,6 +578,17 @@ object GraphQueries {
         .orderBy(col("s"), col("p"), col("o"))
     }),
 
+    // beyond-parity: deterministic random-walk neighbor sampling (the
+    // GraphSAGE-style fan-out of a GNN training pipeline): 3 hops from
+    // every co-purchase node; each hop picked by an arithmetic hash over
+    // the sorted neighbor list — no RNG, so the oracle re-walks the exact
+    // same paths
+    "q_walk_sample" -> ((s, d) =>
+      Algorithms.deterministicWalks(
+        copurchaseShared(s, d).select(col("a").cast("long").as("src"),
+          col("b").cast("long").as("dst")), 3)
+        .orderBy(col("start"))),
+
     // §1.5 SPARQL DESCRIBE — the fourth query form (reference
     // REQ-SPARQL-003; its executor is a stub): subject-based description
     // of every ?n bound by the WHERE body, plus one constant-IRI target
@@ -707,6 +718,27 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Deterministic walks as chained CTEs: hop i picks sorted-neighbor index
+    * ((v % 100000) * 2654435761 + i*40503) mod deg — identical arithmetic
+    * to [[Algorithms.deterministicWalks]]; mod-early keeps the product in
+    * BIGINT range (DuckDB errors on overflow where JVM longs wrap). */
+  private def walkOracle(steps: Int): String = {
+    val sb = new StringBuilder(CopurchaseCte)
+    sb.append(", sym AS (SELECT a, b FROM pe UNION SELECT b, a FROM pe)")
+    sb.append(", adj AS (SELECT a AS src, list(b ORDER BY b) AS nbrs, count(*) AS deg FROM sym GROUP BY 1)")
+    sb.append(", w0 AS (SELECT CAST(src AS BIGINT) AS start, CAST(src AS BIGINT) AS v0 FROM adj)")
+    for (i <- 1 to steps) {
+      val prev = if (i == 1) "v0" else s"v${i - 1}"
+      val cols = ("start" +: (0 until i).map(j => s"v$j")).distinct.mkString(", ")
+      sb.append(s", w$i AS (SELECT $cols, " +
+        s"CAST(nbrs[CAST((($prev % 100000) * 2654435761 + ${i * 40503}) % deg AS INTEGER) + 1] AS BIGINT) AS v$i " +
+        s"FROM w${i - 1} JOIN adj ON $prev = src)")
+    }
+    sb.append(s" SELECT start, " + (1 to steps).map(i => s"v$i").mkString(", ") +
+      s" FROM w$steps ORDER BY start")
+    sb.toString
+  }
+
   /** CDLP as `iters` chained CTEs: argmax neighbor-label frequency, ties to
     * the minimum label (row_number over count DESC, label ASC). */
   private def cdlpOracle(iters: Int): String = {
@@ -786,6 +818,7 @@ object GraphQueries {
     "q_pagerank" -> pagerankOracle(8, 0.85),
     "q_cdlp" -> cdlpOracle(5),
     "q_kcore" -> kcoreOracle(80, 4),
+    "q_walk_sample" -> walkOracle(3),
     "q_snapshot_roundtrip" ->
       "SELECT CAST(n_nationkey + 1200000000 AS BIGINT) AS src, CAST(n_regionkey + 1300000000 AS BIGINT) AS dst FROM nation ORDER BY 1",
     "q_csv_load" ->

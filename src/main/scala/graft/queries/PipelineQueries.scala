@@ -272,6 +272,13 @@ object PipelineQueries {
         "doc_id", "text", 3)
         .orderBy(col("doc_id"), col("rank"))),
 
+    // text: temperature-based mixture weighting (alpha = 0.5) across
+    // languages — sampling share ∝ n^alpha, the multilingual data-mixing
+    // step; one hash aggregate + broadcast 1-row total
+    "q_temperature_mix" -> ((s, d) =>
+      TextAnalysis.temperatureMix(t(s, d, "documents"), "lang", 0.5)
+        .orderBy(col("lang"))),
+
     // dedup: benchmark decontamination — probe set = every 50th doc (the
     // "eval benchmark" a corpus is checked against before training), 3-word
     // shingles; the probe side is broadcast, so the corpus side never
@@ -774,6 +781,13 @@ object PipelineQueries {
         |sc AS (SELECT doc_id, token, tf, df, round(tf * ln((SELECT count(DISTINCT doc_id) FROM toks) * 1.0 / df), 4) AS score FROM tf JOIN df USING (token)),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS INTEGER) AS rank FROM sc)
         |SELECT doc_id, token, tf, df, score, rank FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot, sum(pow(n, 0.5)) AS wtot FROM c)
+        |SELECT lang, n, round(n / tot, 4) AS raw_share,
+        | round(pow(n, 0.5) / wtot, 4) AS temp_share,
+        | round((pow(n, 0.5) / wtot) / (n / tot), 4) AS boost
+        |FROM c, t ORDER BY lang""".stripMargin,
     "q_decontaminate" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(w[g:g+2], ' ') AS s FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS g FROM words)),

@@ -256,6 +256,30 @@ object TextAnalysis {
       .select(col(idCol), col("token"), col("tf"), col("df"), col("score"), col("rank"))
   }
 
+  // ---- temperature-based mixture weighting --------------------------------
+
+  /** Temperature-based mixture weights across strata — the multilingual
+    * data-mixing step: sampling share ∝ n^alpha with alpha in (0,1]
+    * flattens the source distribution exactly like temperature sampling
+    * (alpha=1 keeps raw proportions, alpha→0 approaches uniform). Per
+    * stratum: count, raw share, tempered share, and the effective up/
+    * down-sampling factor. One hash aggregate + a broadcast 1-row total —
+    * the whole computation is a single declarative plan with no driver
+    * action, so it composes under a 100 TB scan. */
+  def temperatureMix(df: DataFrame, stratumCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).cast("double").as("_tot"),
+      sum(pow(col("n"), alpha)).as("_wtot"))
+    val r = CypherFunctions.roundC(_: Column, 4)
+    counts.crossJoin(broadcast(tot))
+      .select(col(stratumCol), col("n"),
+        r(col("n") / col("_tot")).as("raw_share"),
+        r(pow(col("n"), alpha) / col("_wtot")).as("temp_share"),
+        r((pow(col("n"), alpha) / col("_wtot")) / (col("n") / col("_tot")))
+          .as("boost"))
+  }
+
   // ---- Gopher-style heuristic quality rules -------------------------------
 
   /** Rule-based document filter in the style of the published Gopher /

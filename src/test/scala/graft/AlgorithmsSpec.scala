@@ -144,4 +144,19 @@ class AlgorithmsSpec extends SparkSpec {
     val ratio = math.abs(comps(0)(1) / comps(0)(0))
     assert(math.abs(ratio - 2.0) < 1e-3)
   }
+
+  test("deterministicWalks: every hop lands on a real neighbor, reproducibly") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")
+    val w1 = Algorithms.deterministicWalks(e, 3).collect()
+      .map(r => (0 until 4).map(r.getLong)).toSet
+    val w2 = Algorithms.deterministicWalks(e, 3).collect()
+      .map(r => (0 until 4).map(r.getLong)).toSet
+    assert(w1 == w2 && w1.size == 4) // one walk per node, bit-identical reruns
+    val nbrs = Map(1L -> Set(2L, 3L, 4L), 2L -> Set(1L, 3L),
+      3L -> Set(1L, 2L), 4L -> Set(1L))
+    w1.foreach { s =>
+      (0 until 3).foreach(i =>
+        assert(nbrs(s(i)).contains(s(i + 1)), s"walk $s hop $i"))
+    }
+  }
 }

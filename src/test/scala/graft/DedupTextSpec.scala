@@ -224,6 +224,17 @@ class DedupTextSpec extends SparkSpec {
     assert(!got(3L))  // zero alpha words, zero stopwords
   }
 
+  test("temperatureMix flattens shares toward uniform at alpha < 1") {
+    val d = ((1 to 90).map(i => (i.toLong, "en")) ++
+      (91 to 100).map(i => (i.toLong, "zh"))).toDF("id", "lang")
+    val got = TextAnalysis.temperatureMix(d, "lang", 0.5)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got("en")._1 == 0.9 && got("zh")._1 == 0.1)
+    // sqrt(90)/(sqrt(90)+sqrt(10)) = 0.75 — the 9:1 corpus mixes 3:1
+    assert(math.abs(got("en")._2 - 0.75) < 1e-3)
+    assert(math.abs(got("zh")._2 - 0.25) < 1e-3)
+  }
+
   test("chunkDocs produces overlapping windows with partial tail") {
     // 20 words, chunk 12 stride 8 -> starts 0, 8, 16; sizes 12, 12, 4
     val d = Seq((1L, (1 to 20).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
