@@ -556,18 +556,30 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
       case "db.schema.visualization" =>
         // reference SchemaVisualizationOperator (operator.rs:5784-5833):
         // distinct (source_label, relationship_type, target_label) triples.
-        // The reference bounds work by sampling 1000 edges per type; the
-        // distinct aggregation here is the exact, scale-safe shape — two
-        // label-dim joins feeding one hash aggregate
-        val srcL = g.nodes.select(col("id").as("src"),
-          explode(col("labels")).as("source_label"))
-        val dstL = g.nodes.select(col("id").as("dst"),
-          explode(col("labels")).as("target_label"))
-        g.edges.select(col("src"), col("dst"),
-            col("relationship").as("relationship_type"))
-          .join(srcL, "src").join(dstL, "dst")
-          .select(col("source_label"), col("relationship_type"), col("target_label"))
-          .distinct()
+        // The reference bounds work by sampling 1000 edges per type; here
+        // the triples come straight from the (label, type, label) stats
+        // catalog when available — the ANALYZE-style pass already ran once
+        // per dataset for the cost-based planner (GraphStats memo), so
+        // introspection is a catalog lookup, not a graph scan. Graphs
+        // without a stats key (e.g. freshly mutated ones) fall back to the
+        // exact two-join aggregate.
+        stats match {
+          case Some(st) =>
+            val spark = g.nodes.sparkSession
+            import spark.implicits._
+            st.tripleCounts.keys.toSeq.sorted.toDF(
+              "source_label", "relationship_type", "target_label")
+          case None =>
+            val srcL = g.nodes.select(col("id").as("src"),
+              explode(col("labels")).as("source_label"))
+            val dstL = g.nodes.select(col("id").as("dst"),
+              explode(col("labels")).as("target_label"))
+            g.edges.select(col("src"), col("dst"),
+                col("relationship").as("relationship_type"))
+              .join(srcL, "src").join(dstL, "dst")
+              .select(col("source_label"), col("relationship_type"), col("target_label"))
+              .distinct()
+        }
       case "db.index.vector.querynodes" =>
         val idxName = argv.head.asInstanceOf[String]
         val (emb, idCol, vecCol) = vectorIndexes.getOrElse(idxName,
