@@ -272,6 +272,39 @@ object PipelineQueries {
         "doc_id", "text", 3)
         .orderBy(col("doc_id"), col("rank"))),
 
+    // sketch: HyperLogLog++ distinct counts per event type (Spark's
+    // approx_count_distinct) next to the exact count from the same scan.
+    // Approx sketches are THE 100 TB cardinality tool (fixed memory, one
+    // pass, mergeable across partitions); the oracle pins the exact count
+    // and the sketch's documented error contract (rsd 5% default) as a
+    // boolean — deterministic: HLL++ is hash-based, no RNG
+    "q_sketch_distinct" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      ev.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id")).as("_n_approx"))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("_n_approx") - col("n_exact")).cast("double") /
+            col("n_exact") <= 0.15).as("approx_ok"))
+        .orderBy(col("event_type"))
+    }),
+
+    // sketch: approximate quantiles (Greenwald-Khanna percentile_approx)
+    // next to the exact percentile from the same scan — the contract: the
+    // approx value lies within the exact p40-p60 band for the median query
+    "q_sketch_quantile" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      ev.groupBy(col("event_type"))
+        .agg(CypherFunctions.roundC(expr("percentile(value, 0.5)"), 2).as("p50_exact"),
+          expr("percentile_approx(value, 0.5, 1000)").as("_p50_approx"),
+          expr("percentile(value, 0.4)").as("_lo"),
+          expr("percentile(value, 0.6)").as("_hi"))
+        .select(col("event_type"), col("p50_exact"),
+          (col("_p50_approx") >= col("_lo") && col("_p50_approx") <= col("_hi"))
+            .as("approx_in_band"))
+        .orderBy(col("event_type"))
+    }),
+
     // text: temperature-based mixture weighting (alpha = 0.5) across
     // languages — sampling share ∝ n^alpha, the multilingual data-mixing
     // step; one hash aggregate + broadcast 1-row total
@@ -781,6 +814,13 @@ object PipelineQueries {
         |sc AS (SELECT doc_id, token, tf, df, round(tf * ln((SELECT count(DISTINCT doc_id) FROM toks) * 1.0 / df), 4) AS score FROM tf JOIN df USING (token)),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS INTEGER) AS rank FROM sc)
         |SELECT doc_id, token, tf, df, score, rank FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q_sketch_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS approx_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sketch_quantile" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 2) AS p50_exact,
+        | true AS approx_in_band
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_temperature_mix" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot, sum(pow(n, 0.5)) AS wtot FROM c)
