@@ -1,0 +1,33 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Materialized-view helper: build an expensive shared projection ONCE per
+  * (dataset content, name) and read it back as a plain parquet leaf.
+  *
+  * The MV key is a CONTENT fingerprint of the source table's files (names +
+  * sizes + mtimes), so regenerating a dataset at the same path invalidates
+  * the cache automatically and concurrent JVMs on different inputs never
+  * collide on a directory. This is the at-scale shape: an expensive
+  * projection shared by several analytics (a co-purchase graph, a near-dup
+  * pair set) is materialized to storage once and amortized over every
+  * consumer — and unlike .cache() a file survives cache clearing, exactly
+  * like a real shared table.
+  */
+object SharedMv {
+  def apply(s: SparkSession, d: String, srcTable: String, name: String)
+           (build: => DataFrame): DataFrame = {
+    val src = new java.io.File(d, s"$srcTable.parquet")
+    val parts: Array[java.io.File] =
+      if (src.isDirectory) Option(src.listFiles()).getOrElse(Array.empty) else Array(src)
+    val fp = java.lang.Long.toHexString(
+      parts.sortBy(_.getName).foldLeft(1125899906842597L) { (h, f) =>
+        31 * (31 * (31 * h + f.getName.hashCode) + f.length()) + f.lastModified()
+      })
+    val dir = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_mv/${name}_${math.abs(d.hashCode).toHexString}_$fp")
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      build.write.mode("overwrite").parquet(dir.getPath)
+    s.read.parquet(dir.getPath)
+  }
+}

