@@ -151,10 +151,13 @@ object WriteTranslator {
       spark.range(1).select(cols: _*)
     }
 
-    def maxNodeId(): Long =
-      g.nodes.agg(coalesce(max(col("id")), lit(0L))).first().getLong(0)
-    def maxEdgeId(): Long =
-      g.edges.agg(coalesce(max(col("id")), lit(0L))).first().getLong(0)
+    // id high-water marks: the carried mark (set by a previous write on
+    // this graph lineage) answers in O(1); only a first write on a fresh
+    // graph pays the aggregate scan
+    def maxNodeId(): Long = g.nodeIdHw.getOrElse(
+      g.nodes.agg(coalesce(max(col("id")), lit(0L))).first().getLong(0))
+    def maxEdgeId(): Long = g.edgeIdHw.getOrElse(
+      g.edges.agg(coalesce(max(col("id")), lit(0L))).first().getLong(0))
 
     rest.head match {
       // ---------- CREATE ----------
@@ -172,6 +175,7 @@ object WriteTranslator {
         // ORIGINAL graph would hand every path the same id range (duplicate
         // edge ids corrupting id-keyed SET/DELETE later).
         var nextId = -1L
+        var explicitNodeId = -1L // max explicit {id: ...} seen this CREATE
         def allocNodeId(): Long = {
           if (nextId < 0L) nextId = maxNodeId() + 1
           val i = nextId; nextId += 1; i
@@ -185,9 +189,10 @@ object WriteTranslator {
           if (p.rels.isEmpty) {
             // literal node create; id from the props if given, else allocated
             val n = p.nodes.head
-            val id = n.props.collectFirst { case ("id", e) => constVal(e) }
+            val explicit = n.props.collectFirst { case ("id", e) => constVal(e) }
               .collect { case num: Number => num.longValue() }
-              .getOrElse(allocNodeId())
+            explicit.foreach(i => explicitNodeId = math.max(explicitNodeId, i))
+            val id = explicit.getOrElse(allocNodeId())
             cur = GraphMutations.createNodes(cur, nodeRow(n, id))
             n.variable.foreach(v => createdNodeVars :+= ((v, id)))
             nCreated += 1
@@ -239,7 +244,14 @@ object WriteTranslator {
             }.reduce(_ crossJoin _)
             projectRows(cur, frame, createdNodeVars.map(_._1).toSet)
           }
-        WriteResult(cur, summary(created = nCreated, relCreated = rCreated), createdRows)
+        // carry the id high-water marks forward: allocation already knows
+        // the new maxima; explicit {id:} creates raise a KNOWN baseline but
+        // cannot establish one on their own
+        val nodeHwBase = if (nextId >= 0) Some(nextId - 1) else g.nodeIdHw
+        val nodeHw = nodeHwBase.map(h => math.max(h, explicitNodeId))
+        val edgeHw = if (nextEdgeBase >= 0) Some(nextEdgeBase) else g.edgeIdHw
+        WriteResult(cur.copy(nodeIdHw = nodeHw, edgeIdHw = edgeHw),
+          summary(created = nCreated, relCreated = rCreated), createdRows)
 
       // ---------- CALL algo.or.solve write-back ----------
       case c: CallClause =>
@@ -265,7 +277,8 @@ object WriteTranslator {
           budget = cNum(Seq("budget"), Double.NaN),
           popSize = cNum(Seq("population_size", "populationSize"), 30).toInt,
           maxIter = cNum(Seq("max_iterations", "maxIterations"), 100).toInt)
-        WriteResult(g2, summary(propsSet = nWritten))
+        WriteResult(g2.copy(nodeIdHw = g.nodeIdHw, edgeIdHw = g.edgeIdHw),
+          summary(propsSet = nWritten))
 
       // ---------- MERGE ----------
       case MergeClause(path, onCreate, onMatch) if path.rels.nonEmpty =>
@@ -331,7 +344,9 @@ object WriteTranslator {
           nSet = assigns.size.toLong * matched.count()
           cur = graft.model.PropertyGraph(cur.nodes, updated, constraints = cur.constraints)
         }
-        WriteResult(cur, summary(relCreated = nNew, propsSet = nSet))
+        val relHw = if (nNew > 0) rows.agg(max(col("id"))).first().getLong(0) else base
+        WriteResult(cur.copy(nodeIdHw = g.nodeIdHw, edgeIdHw = Some(relHw)),
+          summary(relCreated = nNew, propsSet = nSet))
 
       case MergeClause(path, onCreate, onMatch) =>
         val n = path.nodes.head
@@ -365,8 +380,9 @@ object WriteTranslator {
           // collect every matched id into the driver + plan (OOM at scale).
           // No ON MATCH → the graph is untouched: keep g AS-IS (preserving
           // the per-label index) instead of deriving an identical copy
-          val res = if (assigns.isEmpty) g
-                    else GraphMutations.setNodePropsByIds(g, existing, assigns)
+          val res0 = if (assigns.isEmpty) g
+                     else GraphMutations.setNodePropsByIds(g, existing, assigns)
+          val res = res0.copy(nodeIdHw = g.nodeIdHw, edgeIdHw = g.edgeIdHw)
           WriteResult(res, summary(propsSet = assigns.size.toLong * nExisting),
             mergeRows(res, Left(existing)))
         } else {
@@ -378,7 +394,10 @@ object WriteTranslator {
             val c = constCol(e)
             row = row.withColumn(k, nodeTypes.get(k).map(c.cast).getOrElse(c))
           }
+          val explicit = n.props.exists(_._1 == "id")
+          val nodeHw = if (explicit) g.nodeIdHw.map(h => math.max(h, id)) else Some(id)
           val res = GraphMutations.createNodes(g, row)
+            .copy(nodeIdHw = nodeHw, edgeIdHw = g.edgeIdHw)
           WriteResult(res, summary(created = 1, propsSet = onCreate.size.toLong),
             mergeRows(res, Right(id)))
         }
@@ -436,7 +455,8 @@ object WriteTranslator {
           cur = if (isNode) PropertyGraph(updated, cur.edges, constraints = cur.constraints)
                 else PropertyGraph(cur.nodes, updated, constraints = cur.constraints)
         }
-        WriteResult(cur, summary(propsSet = nSet, labelsAdded = nLbl))
+        WriteResult(cur.copy(nodeIdHw = g.nodeIdHw, edgeIdHw = g.edgeIdHw),
+          summary(propsSet = nSet, labelsAdded = nLbl))
 
       case RemoveClause(props, labelRemoves) =>
         noReturn("REMOVE")
@@ -469,7 +489,8 @@ object WriteTranslator {
               GraphMutations.removeEdgePropsByIds(cur, ids, ps.map(_.key))
             else GraphMutations.removeNodePropsByIds(cur, ids, ps.map(_.key))
         }
-        WriteResult(cur, summary(propsSet = nSet, labelsRemoved = nLbl))
+        WriteResult(cur.copy(nodeIdHw = g.nodeIdHw, edgeIdHw = g.edgeIdHw),
+          summary(propsSet = nSet, labelsRemoved = nLbl))
 
       // ---------- DELETE ----------
       case DeleteClause(vars, detach) =>
@@ -487,7 +508,9 @@ object WriteTranslator {
             cur = GraphMutations.deleteNodes(cur, ids, detach)
           }
         }
-        WriteResult(cur, summary(deleted = nDel, relDeleted = rDel))
+        // ids are never reused: a delete keeps the (now conservative) marks
+        WriteResult(cur.copy(nodeIdHw = g.nodeIdHw, edgeIdHw = g.edgeIdHw),
+          summary(deleted = nDel, relDeleted = rDel))
 
       // ---------- FOREACH ----------
       case ForeachClause(v, listExpr, body) =>

@@ -23,10 +23,19 @@ import org.apache.spark.sql.functions._
   * ones. At cluster scale, partition `edges` by `src` (and optionally keep a
   * dst-partitioned copy) so expand() joins co-locate.
   */
+/** @param nodeIdHw known id high-water marks (max allocated id), carried
+  *                 across derived graphs by the write path so chained write
+  *                 statements allocate ids without rescanning the tables —
+  *                 the columnar analog of the reference store's next-id
+  *                 counters (`src/graph/store.rs`). None = unknown (a scan
+  *                 computes it on demand); ids are sparse by design, so a
+  *                 conservative (higher) mark after deletes stays correct. */
 final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
                                byLabel: Map[String, DataFrame] = Map.empty,
                                statsKey: Option[String] = None,
-                               constraints: Set[(String, String)] = Set.empty) {
+                               constraints: Set[(String, String)] = Set.empty,
+                               nodeIdHw: Option[Long] = None,
+                               edgeIdHw: Option[Long] = None) {
 
   /** Nodes carrying `label` — the reference's label_index scan
     * (`src/graph/store.rs:558`). When the loader registered a per-label
