@@ -29,4 +29,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] on heavy sf0.1 queries heartbeat-starves an 8g heap; the box
   // has 128 GiB — default generous, still overridable
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // GraphX Pregel (scc) builds deep closure/lineage chains; the 1 MB
+  // default thread stack can overflow during task serialization at soak
+  // scale once earlier kernels ran in the same JVM
+  s"-Xss${sys.env.getOrElse("SPARK_DRIVER_STACK", "16m")}",
 )

@@ -34,8 +34,13 @@ object Soak {
       .config("spark.sql.ui.retainedExecutions", "2")
       .config("spark.sql.maxPlanStringLength", "32768")
       .config("spark.cleaner.periodicGC.interval", "2min")
+      // GraphX Pregel (scc) lineage grows with iterations; periodic
+      // checkpointing bounds it (needs a checkpoint dir, set below)
+      .config("spark.graphx.pregel.checkpointInterval", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setCheckpointDir(
+      s"${System.getProperty("java.io.tmpdir")}/graft_soak_ckpt")
     // the soak certifies the DISTRIBUTED formulations scale — pin them so
     // the small-graph in-task fast path (LocalKernels) never routes here
     spark.conf.set("spark.graft.algo.localSizeBytes", "0")
@@ -143,7 +148,12 @@ object Soak {
             lit(null).cast("string").as("name"))
         val edges = e.select(monotonically_increasing_id().as("id"),
           col("src"), col("dst"), lit("CO").as("relationship"))
-        val g = graft.model.PropertyGraph(nodes, edges)
+        // statsKey → the ANALYZE-style GraphStats pass runs (timed, once
+        // per scale) and PROVES the CO type simple, so the fused cycle
+        // close drops its multiplicity back-joins — the planner context a
+        // real deployment has
+        val g = graft.model.PropertyGraph(nodes, edges,
+          statsKey = Some(s"soak:wco:$sf:$n"))
         graft.cypher.QueryEngine.execute(
           "MATCH (x:P)-[:CO]->(y:P)-[:CO]->(z:P)<-[:CO]-(x) RETURN count(*) AS n", g)
           .collect()(0).getLong(0)

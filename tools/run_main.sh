@@ -10,6 +10,9 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
 done
 OPENS="$OPENS --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED"
 OPENS="$OPENS --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
-exec java -Xmx${SPARK_DRIVER_MEM:-32g} $OPENS \
+# -Xss: GraphX Pregel (scc) builds deep closure/lineage chains; the 1 MB
+# default thread stack overflows during task serialization at 10x soak
+# scale when earlier kernels already ran in the same JVM
+exec java -Xmx${SPARK_DRIVER_MEM:-32g} -Xss${SPARK_DRIVER_STACK:-16m} $OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$@"
