@@ -30,6 +30,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bound GraphX Pregel lineage (scc) — dir set in Algorithms.scc
+      .config("spark.graphx.pregel.checkpointInterval", "10")
       // iterative operators emit many AQE plan events; bound the cost of
       // stringifying plans (driver-side CPU, not execution)
       .config("spark.sql.maxPlanStringLength", "32768")

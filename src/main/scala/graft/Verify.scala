@@ -17,6 +17,8 @@ object Verify {
       // events.ts is TIMESTAMP(NANOS) parquet — read as long, normalized
       // to a timestamp in graft.model.Tables
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bound GraphX Pregel lineage (scc) — dir set in Algorithms.scc
+      .config("spark.graphx.pregel.checkpointInterval", "10")
       // iterative operators emit many AQE plan events; bound plan-string cost
       .config("spark.sql.maxPlanStringLength", "32768")
       .config("spark.ui.enabled", "false")

@@ -385,6 +385,12 @@ object Algorithms {
 
   def scc(edges: DataFrame, maxIter: Int = 10): DataFrame = {
     val spark = edges.sparkSession
+    // GraphX Pregel honors spark.graphx.pregel.checkpointInterval only
+    // when a checkpoint dir exists — ensure one, so deep SCC lineage is
+    // cut periodically instead of growing with the iteration count
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt")
     import org.apache.spark.graphx.{Edge, Graph}
     val eRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
