@@ -602,6 +602,24 @@ object GraphQueries {
       byVar.unionAll(byIri).distinct().orderBy(col("s"), col("p"), col("o"))
     }),
 
+    // §1.5 SPARQL VALUES (1.1 inline data): a broadcast literal relation
+    // joined onto the solution — one present name, one absent, restriction
+    // semantics under the oracle
+    "q_sparql_values" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      val nodes = g.nodesWithLabel("Nation")
+      val triples = graft.rdf.Rdf
+        .exportTriples(graft.model.PropertyGraph(nodes,
+          g.edgesOfType("IN_REGION").limit(0)), "http://graft.local/")
+        .localCheckpoint(true)
+      graft.rdf.Sparql.execute(
+        """PREFIX gl: <http://graft.local/label/>
+          |PREFIX gp: <http://graft.local/prop/>
+          |SELECT ?nname WHERE { ?n a gl:Nation . ?n gp:name ?nname .
+          |  VALUES ?nname { "ALGERIA" "CANADA" "PERU" "WAKANDA" } }
+          |ORDER BY ?nname""".stripMargin, triples)
+    }),
+
     // §2.10 algo.mst (reference mst.rs:41) — Borůvka on the nation trade
     // graph (edge weight = #trades between the two nations); (w,a,b)
     // tie-break makes the forest unique, so the oracle's Prim chain (24
@@ -884,6 +902,8 @@ object GraphQueries {
         |        '"' || r_name || '"^^<http://www.w3.org/2001/XMLSchema#string>'
         | FROM region WHERE r_regionkey = 0)
         |ORDER BY s, p, o""".stripMargin,
+    "q_sparql_values" ->
+      "SELECT n_name AS nname FROM nation WHERE n_name IN ('ALGERIA', 'CANADA', 'PERU') ORDER BY 1",
     "q_sparql_path" ->
       """WITH RECURSIVE nxt AS (
         | SELECT a.n_nationkey AS s, min(b.n_nationkey) AS t

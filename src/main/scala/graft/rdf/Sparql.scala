@@ -73,7 +73,8 @@ object Sparql {
       aggs: Seq[Agg], groupBy: Seq[String],
       mode: String = "SELECT",                // SELECT | ASK | CONSTRUCT | DESCRIBE
       template: Seq[(Term, Term, Term)] = Nil,       // CONSTRUCT template
-      describes: Seq[Term] = Nil)                    // DESCRIBE targets
+      describes: Seq[Term] = Nil,                    // DESCRIBE targets
+      valuesBlocks: Seq[(Seq[String], Seq[Seq[Option[String]]])] = Nil)
 
   // ---- tokenizer ---------------------------------------------------------
 
@@ -276,6 +277,51 @@ object Sparql {
 
     // one group body: patterns + FILTERs until the closing '}' (consumed);
     // at the top level it may also contain OPTIONAL { ... } sub-groups
+    // VALUES blocks collect across groups: (vars, rows of NT terms; None =
+    // UNDEF, which matches anything / binds null)
+    var valuesBlocks = Vector.empty[(Seq[String], Seq[Seq[Option[String]]])]
+    def ntOf(t: String): String = term(t, predPos = false) match {
+      case C(nt) => nt
+      case V(v) => sys.error(s"VALUES data must be constant terms, got ?$v")
+    }
+    def parseValues(): Unit = {
+      val vars: Seq[String] =
+        if (peek == "(") {
+          next()
+          val vs = Vector.newBuilder[String]
+          while (peek != ")") {
+            val t = next(); require(t.startsWith("?"), s"VALUES var expected, got $t")
+            vs += t.drop(1)
+          }
+          next(); vs.result()
+        } else {
+          val t = next(); require(t.startsWith("?"), s"VALUES var expected, got $t")
+          Seq(t.drop(1))
+        }
+      expect("{")
+      val rows = Vector.newBuilder[Seq[Option[String]]]
+      if (vars.size == 1)
+        while (peek != "}") {
+          val t = next()
+          rows += Seq(if (t.equalsIgnoreCase("UNDEF")) None else Some(ntOf(t)))
+        }
+      else
+        while (peek != "}") {
+          expect("(")
+          val row = Vector.newBuilder[Option[String]]
+          while (peek != ")") {
+            val t = next()
+            row += (if (t.equalsIgnoreCase("UNDEF")) None else Some(ntOf(t)))
+          }
+          next()
+          val r = row.result()
+          require(r.size == vars.size,
+            s"VALUES row arity ${r.size} != ${vars.size} vars")
+          rows += r
+        }
+      expect("}")
+      valuesBlocks :+= ((vars, rows.result()))
+    }
     def parseGroup(allowOptional: Boolean): (Vector[Pattern], Vector[Cond], Vector[OptGroup]) = {
       var patterns = Vector.empty[Pattern]
       var filters = Vector.empty[Cond]
@@ -305,6 +351,8 @@ object Sparql {
             }
             if (peek == "&&") { next() } else { expect(")"); done = true }
           }
+        } else if (peek.equalsIgnoreCase("VALUES")) {
+          next(); parseValues()
         } else if (peek.equalsIgnoreCase("OPTIONAL")) {
           require(allowOptional, "nested OPTIONAL is unsupported")
           next(); expect("{")
@@ -371,15 +419,16 @@ object Sparql {
     }
     require(toks.isEmpty, s"trailing tokens: $toks")
 
-    val vars = (patterns ++ optionals.flatMap(_.patterns) ++
+    val vars = ((patterns ++ optionals.flatMap(_.patterns) ++
       unionGroups.flatMap(_.patterns))
       .flatMap(p => Seq(p.s, p.o) ++ (p.p match {
         case Simple(t) => Seq(t); case _ => Nil
       }))
-      .collect { case V(n) => n }.distinct.filterNot(_.startsWith("__pp"))
+      .collect { case V(n) => n } ++ valuesBlocks.flatMap(_._1))
+      .distinct.filterNot(_.startsWith("__pp"))
     Query(distinct, if (star) vars else select, patterns, filters, optionals,
       unionGroups, orderBy, limit, offset, aggs, groupBy, mode, template,
-      describes)
+      describes, valuesBlocks)
   }
 
   // ---- execution ---------------------------------------------------------
@@ -535,6 +584,35 @@ object Sparql {
       bound =
         if (shared.nonEmpty) bound.join(grp, shared, "left")
         else bound.crossJoin(grp)
+    }
+
+    // VALUES blocks (SPARQL 1.1 inline data): each block is a tiny literal
+    // relation joined (broadcast) onto the solution — a value restricts a
+    // var the patterns bound (lexical-form compare, matching FILTER/bind
+    // semantics), binds a var they did not, and UNDEF matches anything /
+    // binds null. Inline data is query text, never data-sized.
+    q.valuesBlocks.foreach { case (vars, rows) =>
+      val spark = triples.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(vars.map(v =>
+        org.apache.spark.sql.types.StructField(s"__val_$v",
+          org.apache.spark.sql.types.StringType, nullable = true)))
+      val jrows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      rows.foreach(r => jrows.add(org.apache.spark.sql.Row(r.map(_.orNull): _*)))
+      val vdf = spark.createDataFrame(jrows, schema)
+      val sharedVars = vars.filter(bound.columns.contains)
+      val freshVars = vars.filterNot(bound.columns.contains)
+      // compatibility semantics: an unbound side (UNDEF value, or a null
+      // binding from OPTIONAL) is compatible with anything; the surviving
+      // row takes whichever side is bound
+      val cond = sharedVars.map(v =>
+          col(v).isNull || col(s"__val_$v").isNull ||
+            lex(col(v)) === lex(col(s"__val_$v")))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val keep = bound.columns.map(c =>
+          if (sharedVars.contains(c)) coalesce(col(c), col(s"__val_$c")).as(c)
+          else col(c)).toSeq ++
+        freshVars.map(v => col(s"__val_$v").as(v))
+      bound = bound.join(broadcast(vdf), cond, "inner").select(keep: _*)
     }
     bound
   }

@@ -279,6 +279,21 @@ class SparqlSpec extends SparkSpec {
     }
   }
 
+  test("VALUES: inline data restricts bound vars, binds fresh ones, UNDEF wildcards") {
+    val r = Sparql.execute(
+      prefixes + "SELECT ?n WHERE { ?s gp:name ?n . VALUES ?n { \"alice\" \"carol\" \"zeno\" } } ORDER BY ?n",
+      triples).as[String].collect()
+    assert(r.toSeq == Seq("alice", "carol")) // zeno matches nothing
+    // tuple form: ?tag is bound FROM the data; the UNDEF row wildcards ?n
+    val t2 = Sparql.execute(
+      prefixes + "SELECT ?n ?tag WHERE { ?s gp:name ?n . " +
+        "VALUES (?n ?tag) { (\"alice\" \"A\") (UNDEF \"X\") } } ORDER BY ?n ?tag",
+      triples).as[(String, String)].collect()
+    assert(t2.count(_._2 == "X") == 4) // all four names match the UNDEF row
+    assert(t2.contains(("alice", "A")))
+    assert(t2.length == 5)
+  }
+
   test("DESCRIBE: variable targets over a WHERE body and bodyless IRI targets") {
     // ?s bound to nodes 1 and 2 (KNOWS sources) -> their full subject triples
     val byVar = Sparql.describe(
