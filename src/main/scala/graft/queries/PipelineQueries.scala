@@ -337,6 +337,32 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // sketch: Count-Min frequency sketch (the third sketch pillar after
+    // HLL cardinality and GK quantiles) — heavy-hitter counts estimated
+    // from a fixed-memory, partition-mergeable CMS (seeded → deterministic)
+    // next to the exact counts from the same table; the CMS guarantee
+    // (exact <= est <= exact + eps·N at the configured confidence) rides
+    // as a boolean. The sketch itself is ~KBs regardless of data size —
+    // THE at-scale shape for approximate frequency
+    "q_sketch_heavyhitters" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id")).limit(3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val agg = ev.agg(
+        expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("cms"),
+        count(lit(1)).as("n"))
+        .head()
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(agg.getAs[Array[Byte]]("cms")))
+      val slack = math.ceil(0.001 * agg.getAs[Long]("n")).toLong
+      import s.implicits._
+      top.map { case (uid, n) =>
+        val est = cms.estimateCount(uid)
+        (uid, n, est >= n && est <= n + slack)
+      }.toSeq.toDF("user_id", "n_exact", "cms_ok").orderBy(col("user_id"))
+    }),
+
     // text: temperature-based mixture weighting (alpha = 0.5) across
     // languages — sampling share ∝ n^alpha, the multilingual data-mixing
     // step; one hash aggregate + broadcast 1-row total
@@ -865,6 +891,10 @@ object PipelineQueries {
     "q_sketch_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS approx_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sketch_heavyhitters" ->
+      """WITH top AS (SELECT user_id, count(*) AS n_exact FROM events
+        |             GROUP BY 1 ORDER BY n_exact DESC, user_id LIMIT 3)
+        |SELECT user_id, n_exact, true AS cms_ok FROM top ORDER BY user_id""".stripMargin,
     "q_sketch_quantile" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 2) AS p50_exact,
         | true AS approx_in_band
