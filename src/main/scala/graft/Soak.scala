@@ -39,7 +39,7 @@ object Soak {
       .config("spark.graphx.pregel.checkpointInterval", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.sparkContext.setCheckpointDir(
+    graft.algo.Algorithms.ensureCheckpointDir(spark,
       s"${System.getProperty("java.io.tmpdir")}/graft_soak_ckpt")
     // the soak certifies the DISTRIBUTED formulations scale — pin them so
     // the small-graph in-task fast path (LocalKernels) never routes here

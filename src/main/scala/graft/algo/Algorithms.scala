@@ -20,6 +20,30 @@ import org.apache.spark.storage.StorageLevel
   */
 object Algorithms {
 
+  /** Set a checkpoint dir (idempotent) and arrange for the per-app
+    * subdirectory (Spark appends a fresh UUID per context) to be deleted at
+    * JVM exit — Spark never removes reliable-checkpoint data on its own, so
+    * without this every bench/verify/soak run leaks its Pregel checkpoints
+    * into tmp forever. */
+  def ensureCheckpointDir(spark: SparkSession, base: String): Unit = {
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty) {
+      sc.setCheckpointDir(base)
+      sc.getCheckpointDir.foreach { appDir =>
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+            f.delete(): Unit
+          }
+          rm(new java.io.File(new java.net.URI(appDir).getPath match {
+            case null => appDir
+            case p    => p
+          }))
+        }))
+      }
+    }
+  }
+
   private def verts(edges: DataFrame): DataFrame =
     edges.select(col("src").as("id")).unionAll(edges.select(col("dst").as("id"))).distinct()
 
@@ -388,9 +412,8 @@ object Algorithms {
     // GraphX Pregel honors spark.graphx.pregel.checkpointInterval only
     // when a checkpoint dir exists — ensure one, so deep SCC lineage is
     // cut periodically instead of growing with the iteration count
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        s"${System.getProperty("java.io.tmpdir")}/graft_ckpt")
+    ensureCheckpointDir(spark,
+      s"${System.getProperty("java.io.tmpdir")}/graft_ckpt")
     import org.apache.spark.graphx.{Edge, Graph}
     val eRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))

@@ -16,12 +16,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SharedMv {
   def apply(s: SparkSession, d: String, srcTable: String, name: String)
+           (build: => DataFrame): DataFrame =
+    apply(s, d, Seq(srcTable), name)(build)
+
+  /** Multi-source form: the fingerprint covers EVERY table the builder
+    * reads, so regenerating any one of them invalidates the MV (a trade
+    * graph derived from lineitem+orders+customer+supplier must not survive
+    * an orders regen that left lineitem untouched). */
+  def apply(s: SparkSession, d: String, srcTables: Seq[String], name: String)
            (build: => DataFrame): DataFrame = {
-    val src = new java.io.File(d, s"$srcTable.parquet")
-    val parts: Array[java.io.File] =
-      if (src.isDirectory) Option(src.listFiles()).getOrElse(Array.empty) else Array(src)
+    val parts: Seq[java.io.File] = srcTables.sorted.flatMap { tbl =>
+      val src = new java.io.File(d, s"$tbl.parquet")
+      if (src.isDirectory) Option(src.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+      else Seq(src)
+    }
     val fp = java.lang.Long.toHexString(
-      parts.sortBy(_.getName).foldLeft(1125899906842597L) { (h, f) =>
+      parts.sortBy(f => (f.getParent, f.getName)).foldLeft(1125899906842597L) { (h, f) =>
         31 * (31 * (31 * h + f.getName.hashCode) + f.length()) + f.lastModified()
       })
     val dir = new java.io.File(

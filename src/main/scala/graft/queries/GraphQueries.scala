@@ -48,9 +48,10 @@ object GraphQueries {
   // content-fingerprinted parquet MVs (see graft.model.SharedMv): expensive
   // projections shared by several catalog kernels, materialized once per
   // dataset — the at-scale shape for a shared derived table
-  private def sharedMv(s: SparkSession, d: String, name: String)
+  private def sharedMv(s: SparkSession, d: String, name: String,
+                       srcTables: Seq[String] = Seq("lineitem"))
                       (build: => DataFrame): DataFrame =
-    graft.model.SharedMv(s, d, "lineitem", name)(build)
+    graft.model.SharedMv(s, d, srcTables, name)(build)
 
   private def copurchaseShared(s: SparkSession, d: String): DataFrame =
     sharedMv(s, d, "copurchase")(copurchase(s, d))
@@ -603,8 +604,9 @@ object GraphQueries {
     }),
 
     // §1.5 SPARQL VALUES (1.1 inline data): a broadcast literal relation
-    // joined onto the solution — one present name, one absent, restriction
-    // semantics under the oracle
+    // joined onto the solution — two names present in the fixture
+    // (NATION_1/NATION_7) plus one absent (WAKANDA), so the oracle returns
+    // non-empty rows and actually pins the restriction semantics
     "q_sparql_values" -> ((s, d) => {
       val g = GraphLoader.tpch(s, d)
       val nodes = g.nodesWithLabel("Nation")
@@ -616,7 +618,7 @@ object GraphQueries {
         """PREFIX gl: <http://graft.local/label/>
           |PREFIX gp: <http://graft.local/prop/>
           |SELECT ?nname WHERE { ?n a gl:Nation . ?n gp:name ?nname .
-          |  VALUES ?nname { "ALGERIA" "CANADA" "PERU" "WAKANDA" } }
+          |  VALUES ?nname { "NATION_1" "NATION_7" "WAKANDA" } }
           |ORDER BY ?nname""".stripMargin, triples)
     }),
 
@@ -625,7 +627,8 @@ object GraphQueries {
     // tie-break makes the forest unique, so the oracle's Prim chain (24
     // chained argmin CTEs) must return the identical edge set
     "q_mst" -> ((s, d) =>
-      Algorithms.mst(sharedMv(s, d, "trade")(tradeEdges(s, d))
+      Algorithms.mst(sharedMv(s, d, "trade",
+          Seq("lineitem", "orders", "customer", "supplier"))(tradeEdges(s, d))
           .select(col("a").as("src"), col("b").as("dst"),
             col("w").cast("double").as("weight")))
         .select(col("a"), col("b"), col("w").cast("long").as("w"))
@@ -903,7 +906,7 @@ object GraphQueries {
         | FROM region WHERE r_regionkey = 0)
         |ORDER BY s, p, o""".stripMargin,
     "q_sparql_values" ->
-      "SELECT n_name AS nname FROM nation WHERE n_name IN ('ALGERIA', 'CANADA', 'PERU') ORDER BY 1",
+      "SELECT n_name AS nname FROM nation WHERE n_name IN ('NATION_1', 'NATION_7') ORDER BY 1",
     "q_sparql_path" ->
       """WITH RECURSIVE nxt AS (
         | SELECT a.n_nationkey AS s, min(b.n_nationkey) AS t

@@ -913,12 +913,17 @@ object PipelineQueries {
         |hits AS (SELECT c.doc_id, p.probe_id, count(*) AS n_hits FROM sh c JOIN pr p ON c.s = p.s AND c.doc_id <> p.probe_id GROUP BY 1, 2)
         |SELECT doc_id, probe_id, n_hits, n_hits >= 3 AS contaminated FROM hits ORDER BY doc_id, probe_id""".stripMargin,
     "q_quality_gopher" ->
-      """WITH w AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      // n_words guarded for empty/whitespace-only text: DuckDB's
+      // string_split_regex('') yields [''] (len 1) while the engine's
+      // tokenCount yields 0 — the CASE keeps both sides at 0 (and the
+      // derived ratios at 0.0, matching the engine's nWords>0 guards)
+      """WITH w AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len(toks) AS INTEGER) END AS nw FROM documents),
         |m AS (SELECT doc_id,
-        |  CAST(len(toks) AS INTEGER) AS n_words,
-        |  round((length(trim(text)) - (len(toks) - 1)) * 1.0 / len(toks), 4) AS mean_word_len,
-        |  round(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / len(toks), 4) AS alpha_word_frac,
-        |  CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS INTEGER) AS stop_hits
+        |  nw AS n_words,
+        |  CASE WHEN nw = 0 THEN 0.0 ELSE round((length(trim(text)) - (nw - 1)) * 1.0 / nw, 4) END AS mean_word_len,
+        |  CASE WHEN nw = 0 THEN 0.0 ELSE round(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / nw, 4) END AS alpha_word_frac,
+        |  CASE WHEN nw = 0 THEN 0 ELSE CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ('the', 'a', 'and', 'of', 'to', 'in'))) AS INTEGER) END AS stop_hits
         | FROM w)
         |SELECT doc_id, n_words, mean_word_len, alpha_word_frac, stop_hits,
         | n_words BETWEEN 20 AND 100000 AS ok_words,

@@ -16,10 +16,13 @@ import graft.functions.CypherFunctions
 object TextAnalysis {
 
   /** Whitespace tokens (collapsing runs; leading/trailing trimmed). */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  // filter-out of empty tokens (vs trusting trim) because Spark's trim
+  // strips only spaces: "\t" survives it and split would yield phantom ""
+  // tokens — this form gives 0 words on any all-whitespace text
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
-  def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+  def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Duplicate-token fraction, `1 - distinct/total` over whitespace tokens
     * (the classic corpus-filter repetition signal — a high ratio marks

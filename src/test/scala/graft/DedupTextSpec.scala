@@ -224,6 +224,18 @@ class DedupTextSpec extends SparkSpec {
     assert(!got(3L))  // zero alpha words, zero stopwords
   }
 
+  test("gopherRules on empty/whitespace-only text: zero words, zeroed ratios, fail") {
+    // pins the n_words=0 semantics the q_quality_gopher oracle mirrors with
+    // its CASE WHEN length(trim(text))=0 guard (DuckDB's split of '' is [''])
+    val d = Seq((1L, ""), (2L, "   \t  ")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id") +: TextAnalysis.gopherRules(col("text")): _*)
+      .select("doc_id", "n_words", "mean_word_len", "alpha_word_frac", "pass")
+      .as[(Long, Int, Double, Double, Boolean)].collect()
+    got.foreach { case (_, nw, ml, af, pass) =>
+      assert(nw == 0 && ml == 0.0 && af == 0.0 && !pass)
+    }
+  }
+
   test("temperatureMix flattens shares toward uniform at alpha < 1") {
     val d = ((1 to 90).map(i => (i.toLong, "en")) ++
       (91 to 100).map(i => (i.toLong, "zh"))).toDF("id", "lang")
