@@ -399,6 +399,29 @@ object PipelineQueries {
         "doc_id", "text", 12, 8)
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // text: CCNet-style LM quality scoring — per-doc cross-entropy under a
+    // corpus-trained bigram MLE model; the LM is a distributed table and
+    // scoring is a shuffle join on the bigram key (no broadcast model)
+    "q_lm_perplexity" -> ((s, d) =>
+      TextAnalysis.bigramLmScore(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // text: Gopher/MassiveText repetition signals — char fraction covered
+    // by the top word 2-gram and by all duplicated word 5-grams; one
+    // explode + hash aggregates per n, linear at 100 TB
+    "q_rep_ngram" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // text: deterministic training-epoch shuffle — shard + within-shard
+    // position from arithmetic on the id alone (reproducible across
+    // engines/runs; the at-scale export is partitionBy(shard) +
+    // sortWithinPartitions on the same key)
+    "q_epoch_shuffle" -> ((s, d) =>
+      TextAnalysis.epochShuffle(t(s, d, "documents"), "doc_id", 8)
+        .withColumn("pos", col("pos").cast("long"))
+        .orderBy(col("doc_id"))),
+
     // multimodal: binary payload + typed metadata struct
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.mediaFromDocuments(t(s, d, "documents"))
@@ -933,6 +956,33 @@ object PipelineQueries {
         | (n_words BETWEEN 20 AND 100000) AND (mean_word_len BETWEEN 2.0 AND 10.0)
         |   AND alpha_word_frac >= 0.8 AND stop_hits >= 1 AS pass
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_lm_perplexity" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks[g] AS w1, toks[g+1] AS w2 FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS g FROM w)),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |cc AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+        |s AS (SELECT doc_id, count(*) AS n_bigrams, -avg(log2(c12 * 1.0 / c1)) AS x
+        | FROM b JOIN bc USING (w1, w2) JOIN cc USING (w1) GROUP BY 1)
+        |SELECT doc_id, n_bigrams, round(x, 4) AS xent_bits, round(pow(2.0, x), 4) AS ppl
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_rep_ngram" ->
+      """WITH w AS (SELECT doc_id, length(trim(text)) * 1.0 AS chars, string_split(text, ' ') AS toks FROM documents),
+        |g2 AS (SELECT doc_id, chars, array_to_string(toks[g:g+1], ' ') AS g FROM (SELECT doc_id, chars, toks, unnest(generate_series(1, len(toks) - 1)) AS g FROM w)),
+        |c2 AS (SELECT doc_id, chars, g, count(*) AS n FROM g2 GROUP BY 1, 2, 3),
+        |t2 AS (SELECT doc_id, g AS top_bigram, n AS top_bigram_n, round(n * length(g) / chars, 4) AS top_bigram_frac,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, g) AS rk FROM c2),
+        |g5 AS (SELECT doc_id, chars, array_to_string(toks[g:g+4], ' ') AS g FROM (SELECT doc_id, chars, toks, unnest(generate_series(1, len(toks) - 4)) AS g FROM w)),
+        |c5 AS (SELECT doc_id, chars, g, count(*) AS n FROM g5 GROUP BY 1, 2, 3),
+        |d5 AS (SELECT doc_id, round(sum(CASE WHEN n > 1 THEN n * length(g) ELSE 0 END) / chars, 4) AS dup_5gram_frac FROM c5 GROUP BY doc_id, chars)
+        |SELECT doc_id, top_bigram, top_bigram_n, top_bigram_frac, dup_5gram_frac
+        |FROM t2 JOIN d5 USING (doc_id) WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "q_epoch_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |  (doc_id * 2654435761 + 1) % 1000000007 AS k1,
+        |  (doc_id * 97654321 + 1) % 999999937 AS k2 FROM documents)
+        |SELECT doc_id, k1 % 8 AS shard,
+        |  row_number() OVER (PARTITION BY k1 % 8 ORDER BY k2, doc_id) AS pos
+        |FROM k ORDER BY doc_id""".stripMargin,
     "q_doc_chunk" ->
       """WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents WHERE doc_id < 100),
         |st AS (SELECT doc_id, w, len(w) AS n, unnest(generate_series(0, len(w) - 1, 8)) AS start FROM words)

@@ -349,4 +349,94 @@ object TextAnalysis {
         md5(array_join(slice(col("__words"), col("start_word") + 1, lit(chunkWords)), " "))
           .as("chunk_hash"))
   }
+
+  // ---- bigram-LM quality scoring (CCNet-style) ----------------------------
+
+  /** Per-document cross-entropy under a bigram MLE language model trained on
+    * the corpus itself — the CCNet/Wikipedia-LM quality-filter shape (docs
+    * whose token transitions are improbable under the corpus LM score high
+    * and get filtered). P(w2|w1) = c(w1,w2) / c(w1·) over all bigram
+    * occurrences; doc score = -mean log2 P over its bigrams; ppl = 2^score.
+    *
+    * Scale shape: the LM IS a distributed table (two hash aggregates over
+    * the exploded bigram stream), and scoring is a shuffle join on the
+    * bigram key — at 100 TB the model never has to fit anywhere, unlike a
+    * broadcast/driver-side LM. MLE on own corpus means no zero-prob terms.
+    * Returns (idCol, n_bigrams, xent_bits, ppl), rounded for cross-engine
+    * compare. */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val big = words.withColumn("w2", lead(col("w"), 1).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .select(col(idCol), col("w"), col("w2"))
+    val bigramCounts = big.groupBy(col("w"), col("w2")).agg(count(lit(1)).as("c12"))
+    val contextCounts = big.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val logp = bigramCounts.join(contextCounts, "w")
+      .select(col("w"), col("w2"),
+        log2(col("c12").cast("double") / col("c1")).as("lp"))
+    big.join(logp, Seq("w", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), (-avg(col("lp"))).as("__x"))
+      .select(col(idCol), col("n_bigrams"),
+        CypherFunctions.roundC(col("__x"), 4).as("xent_bits"),
+        CypherFunctions.roundC(pow(lit(2.0), col("__x")), 4).as("ppl"))
+  }
+
+  // ---- Gopher repetition signals ------------------------------------------
+
+  /** Repetition signals in the style of the published Gopher/MassiveText
+    * filters: the fraction of document characters covered by occurrences of
+    * the single most frequent word 2-gram, and by ALL duplicated word
+    * 5-grams (count > 1; overlaps ignored, the standard approximation).
+    * High values mark boilerplate/spam. Tie-break for the top 2-gram is
+    * (count desc, gram asc) so the winner is engine-independent.
+    *
+    * One explode + two hash aggregates per n — no self-joins, no windows
+    * over the corpus; linear at 100 TB. Returns
+    * (idCol, top_bigram, top_bigram_n, top_bigram_frac, dup_5gram_frac). */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol),
+      length(trim(col(textCol))).cast("double").as("__chars"),
+      tokens(col(textCol)).as("__words"))
+    def grams(k: Int) = base.select(col(idCol), col("__chars"),
+      explode(when(size(col("__words")) >= k,
+        transform(sequence(lit(1), size(col("__words")) - (k - 1)),
+          i => array_join(slice(col("__words"), i, lit(k)), " ")))
+        .otherwise(array())).as("g"))
+      .groupBy(col(idCol), col("__chars"), col("g")).agg(count(lit(1)).as("n"))
+    val top2 = grams(2)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("n").desc, col("g"))))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("g").as("top_bigram"), col("n").as("top_bigram_n"),
+        CypherFunctions.roundC(col("n") * length(col("g")) / col("__chars"), 4)
+          .as("top_bigram_frac"))
+    val dup5 = grams(5).groupBy(col(idCol), col("__chars"))
+      .agg(sum(when(col("n") > 1, col("n") * length(col("g"))).otherwise(0)).as("__dup"))
+      .select(col(idCol),
+        CypherFunctions.roundC(col("__dup") / col("__chars"), 4).as("dup_5gram_frac"))
+    top2.join(dup5, idCol)
+  }
+
+  // ---- deterministic epoch shuffle ----------------------------------------
+
+  /** Deterministic training-epoch shuffle: every row gets a shard and a
+    * position within that shard from arithmetic on its id alone — fully
+    * reproducible across engines and runs (same multiplicative-hash idiom
+    * as [[stratifiedSample]]; no RNG, no Spark-specific hash). At 100 TB
+    * the real export is `write.partitionBy(shard)` + sort-within-partitions
+    * on the order key — one shuffle, no global sort; the row_number here
+    * materializes that order so the oracle can check it. Returns
+    * (idCol, shard, pos). */
+  def epochShuffle(df: DataFrame, idCol: String, nShards: Int, seed: Int = 1): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val k1 = pmod(col(idCol) * lit(2654435761L) + lit(seed.toLong), lit(1000000007L))
+    val k2 = pmod(col(idCol) * lit(97654321L) + lit(seed.toLong), lit(999999937L))
+    df.select(col(idCol), pmod(k1, lit(nShards.toLong)).as("shard"), k2.as("__k2"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__k2"), col(idCol))))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
 }

@@ -224,6 +224,43 @@ class DedupTextSpec extends SparkSpec {
     assert(!got(3L))  // zero alpha words, zero stopwords
   }
 
+  test("bigramLmScore: corpus-MLE bigram cross-entropy, hand-checked") {
+    // bigram counts over both docs: (a,b)=3 (b,a)=1 (b,c)=1; contexts a.=3 b.=2
+    // doc1 lp: log2 1, log2 1/2, log2 1 -> xent 1/3; doc2: 0, -1 -> xent 1/2
+    val d = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(d, "doc_id", "text")
+      .select("doc_id", "n_bigrams", "xent_bits", "ppl")
+      .as[(Long, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 3 && got(1L)._3 == 0.3333 && got(1L)._4 == 1.2599)
+    assert(got(2L)._2 == 2 && got(2L)._3 == 0.5 && got(2L)._4 == 1.4142)
+  }
+
+  test("repetitionSignals: top-2-gram and duplicated-5-gram char fractions") {
+    // 9 words, 17 chars; top 2-gram "z z" occurs 4x (4*3/17); all 5 distinct
+    // 5-grams occur once -> dup fraction 0
+    val d = Seq((1L, "x y x y z z z z z")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(d, "doc_id", "text")
+      .select("top_bigram", "top_bigram_n", "top_bigram_frac", "dup_5gram_frac")
+      .as[(String, Long, Double, Double)].head()
+    assert(r == (("z z", 4L, 0.7059, 0.0)))
+  }
+
+  test("epochShuffle: deterministic shards, dense 1..n positions per shard") {
+    val d = (0L to 99L).toDF("doc_id")
+    val got = TextAnalysis.epochShuffle(d, "doc_id", 8)
+      .as[(Long, Long, Int)].collect()
+    assert(got.length == 100)
+    got.foreach { case (id, shard, _) =>
+      assert(shard == ((id * 2654435761L + 1) % 1000000007L) % 8)
+    }
+    got.groupBy(_._2).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // reproducible across invocations
+    val again = TextAnalysis.epochShuffle(d, "doc_id", 8).as[(Long, Long, Int)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("gopherRules on empty/whitespace-only text: zero words, zeroed ratios, fail") {
     // pins the n_words=0 semantics the q_quality_gopher oracle mirrors with
     // its CASE WHEN length(trim(text))=0 guard (DuckDB's split of '' is [''])
