@@ -114,7 +114,21 @@ object GraphLoader {
           (col("n_regionkey") + RegionOff).cast("long").as("dst"),
           lit("IN_REGION").as("relationship"), lit(null).cast("double").as("weight")))
 
-    PropertyGraph(nodes, edges, byLabel, statsKey = Some(s"tpch:$dir"))
+    // Materialize the all-nodes and edge tables ONCE per dataset as
+    // content-fingerprinted parquet MVs (graft.model.SharedMv): the union
+    // projection above re-reads lineitem THREE times and re-derives ~2M id
+    // rows in every traversal query, and the in-task kernel gate then has
+    // to materialize+count it per query. A graph engine's native storage
+    // IS this materialized edge list (the reference persists CSR the same
+    // way); consumers read one columnar leaf with real size stats, so the
+    // kernel gate decides from the estimate alone. Per-label node tables
+    // (byLabel) intentionally stay as direct source scans — label scans
+    // keep their pushed filters.
+    val srcTables = Seq("customer", "orders", "lineitem", "part",
+      "supplier", "nation", "region")
+    val nodesMv = SharedMv(spark, dir, srcTables, "graph_nodes")(nodes)
+    val edgesMv = SharedMv(spark, dir, srcTables, "graph_edges")(edges)
+    PropertyGraph(nodesMv, edgesMv, byLabel, statsKey = Some(s"tpch:$dir"))
   }
 
   /** Generic CSV loader into the canonical layout (reference CSV bulk load,
