@@ -107,6 +107,137 @@ object LocalKernels {
       a(n) = v; n += 1
     }
     def apply(i: Int): Long = a(i)
+    def toArray: Array[Long] = java.util.Arrays.copyOf(a, n)
+  }
+
+  // ---- resident edge-stream cache ---------------------------------------
+  //
+  // Every kernel call above re-runs scan → shuffle-to-1 → per-row decode of
+  // the SAME edge table (the reference instead keeps its CSR resident in
+  // memory). The cache stores the materialized primitive edge arrays keyed
+  // by (canonicalized plan, input files + len + mtime) — file-backed plans
+  // only, so literal/RDD-backed inputs (mutated graphs, checkpoints) can
+  // never false-hit. Entries are PUT by the task that materialized the
+  // stream and LOOKED UP on the driver before launching a job: in
+  // single-process mode (local[n] — where these kernels run at all-pay-off)
+  // driver and executor share the JVM, so the second kernel over the same
+  // edges skips the whole scan job; on a multi-JVM cluster the driver never
+  // sees executor entries and always takes the standard path — correct,
+  // just not resident. LRU-bounded by total cached rows.
+
+  private final case class CachedRows(rows: AnyRef, n: Long)
+  private[this] val resident =
+    new java.util.LinkedHashMap[String, CachedRows](8, 0.75f, true)
+  private[this] var residentRows = 0L
+  private val ResidentRowBudget = 32L * 1000 * 1000
+
+  private def residentLookup(key: String): AnyRef =
+    resident.synchronized(Option(resident.get(key)).map(_.rows).orNull)
+
+  private def residentStore(key: String, rows: AnyRef, n: Long): Unit =
+    resident.synchronized {
+      if (!resident.containsKey(key)) {
+        resident.put(key, CachedRows(rows, n))
+        residentRows += n
+        val it = resident.entrySet().iterator()
+        while (residentRows > ResidentRowBudget && resident.size() > 1 && it.hasNext) {
+          val e = it.next()
+          if (!e.getKey.equals(key)) { residentRows -= e.getValue.n; it.remove() }
+        }
+      }
+    }
+
+  /** Cache key for a PROJECTED edge frame, or None when the plan isn't
+    * purely file-backed (LocalRelation / LogicalRDD leaves have
+    * data-invisible canonical forms — never cache those). */
+  private def cacheKey(df: DataFrame): Option[String] = {
+    if (!df.sparkSession.conf
+          .get("spark.graft.algo.residentCache", "true").toBoolean) return None
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+    val fileBacked = leaves.nonEmpty && leaves.forall { l =>
+      val n = l.getClass.getSimpleName
+      n == "LogicalRelation" || n == "DataSourceV2Relation"
+    }
+    if (!fileBacked) None
+    else {
+      val files = df.inputFiles.sorted.map { p =>
+        val f =
+          try new java.io.File(new java.net.URI(p))
+          catch { case _: Exception => new java.io.File(p) }
+        s"$p:${f.length}:${f.lastModified}"
+      }
+      if (files.isEmpty) None
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val s = df.queryExecution.optimizedPlan.canonicalized.toString() +
+          "\n" + files.mkString("\n")
+        Some(java.util.Base64.getEncoder.encodeToString(md.digest(s.getBytes("UTF-8"))))
+      }
+    }
+  }
+
+  import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+
+  private def oneRow(spark: SparkSession): Dataset[java.lang.Long] =
+    spark.range(0, 1, 1, 1).as(org.apache.spark.sql.Encoders.LONG)
+
+  /** Run `body` in one task over the (Long, Long) edge stream, serving the
+    * stream from the resident cache when the same file-backed projection
+    * was materialized before in this JVM. */
+  private def inTask2[T](src: Dataset[(Long, Long)], key: Option[String])
+                        (body: Iterator[(Long, Long)] => Iterator[T])
+                        (implicit enc: Encoder[T]): Dataset[T] = {
+    val hit = key.exists(k => residentLookup(k) != null)
+    if (hit) {
+      val k = key.get
+      oneRow(src.sparkSession).mapPartitions { _ =>
+        residentLookup(k) match {
+          case (as: Array[Long], bs: Array[Long]) =>
+            body(Iterator.range(0, as.length).map(i => (as(i), bs(i))))
+          case _ => throw new IllegalStateException(
+            s"resident edge cache lost entry $k mid-query")
+        }
+      }
+    } else src.repartition(1).mapPartitions { it =>
+      key match {
+        case Some(k) =>
+          val ab = new Longs(); val bb = new Longs()
+          it.foreach { case (a, b) => ab += a; bb += b }
+          val as = ab.toArray; val bs = bb.toArray
+          residentStore(k, (as, bs), as.length.toLong)
+          body(Iterator.range(0, as.length).map(i => (as(i), bs(i))))
+        case None => body(it)
+      }
+    }
+  }
+
+  /** (Long, Long, Double) variant — weighted kernels. */
+  private def inTask3[T](src: Dataset[(Long, Long, Double)], key: Option[String])
+                        (body: Iterator[(Long, Long, Double)] => Iterator[T])
+                        (implicit enc: Encoder[T]): Dataset[T] = {
+    val hit = key.exists(k => residentLookup(k) != null)
+    if (hit) {
+      val k = key.get
+      oneRow(src.sparkSession).mapPartitions { _ =>
+        residentLookup(k) match {
+          case (as: Array[Long], bs: Array[Long], ws: Array[Double]) =>
+            body(Iterator.range(0, as.length).map(i => (as(i), bs(i), ws(i))))
+          case _ => throw new IllegalStateException(
+            s"resident edge cache lost entry $k mid-query")
+        }
+      }
+    } else src.repartition(1).mapPartitions { it =>
+      key match {
+        case Some(k) =>
+          val ab = new Longs(); val bb = new Longs()
+          val wb = mutable.ArrayBuilder.make[Double]
+          it.foreach { case (a, b, w) => ab += a; bb += b; wb += w }
+          val as = ab.toArray; val bs = bb.toArray; val ws = wb.result()
+          residentStore(k, (as, bs, ws), as.length.toLong)
+          body(Iterator.range(0, as.length).map(i => (as(i), bs(i), ws(i))))
+        case None => body(it)
+      }
+    }
   }
 
   private final class Ints(initial: Int = 1 << 12) {
@@ -151,9 +282,8 @@ object LocalKernels {
   def pageRank(edges: DataFrame, iterations: Int, damping: Double): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
-      .repartition(1)
-      .mapPartitions { it =>
+    val src = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
+    inTask2(src, cacheKey(src.toDF)) { it =>
         val vx = new Interner
         val sb = new Ints(); val db = new Ints()
         it.foreach { case (s, d) => sb += vx.idx(s); db += vx.idx(d) }
@@ -192,9 +322,8 @@ object LocalKernels {
   def cdlp(edges: DataFrame, iterations: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
-      .repartition(1)
-      .mapPartitions { it =>
+    val srcDs = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
+    inTask2(srcDs, cacheKey(srcDs.toDF)) { it =>
         val vx = new Interner
         val sb = new Ints(); val db = new Ints()
         // undirected incidence: every input edge contributes BOTH directions
@@ -240,9 +369,8 @@ object LocalKernels {
   def wcc(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
-      .repartition(1)
-      .mapPartitions { it =>
+    val srcDs = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
+    inTask2(srcDs, cacheKey(srcDs.toDF)) { it =>
         val vx = new Interner
         def find(x0: Int, p: Array[Int]): Int = {
           var x = x0
@@ -274,9 +402,8 @@ object LocalKernels {
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
-      .repartition(1)
-      .mapPartitions { it =>
+    val srcDs = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
+    inTask2(srcDs, cacheKey(srcDs.toDF)) { it =>
         val vx = new Interner
         val seen = mutable.HashSet.empty[(Long, Long)]
         val es = new Ints(); val ed = new Ints()
@@ -321,9 +448,8 @@ object LocalKernels {
   def bfs(edges: DataFrame, source: Long, maxIter: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
-      .repartition(1)
-      .mapPartitions { it =>
+    val srcDs = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
+    inTask2(srcDs, cacheKey(srcDs.toDF)) { it =>
         val vx = new Interner
         val sb = new Ints(); val db = new Ints()
         it.foreach { case (s, d) => sb += vx.idx(s); db += vx.idx(d) }
@@ -361,10 +487,9 @@ object LocalKernels {
   def sssp(edges: DataFrame, source: Long, maxIter: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    edges.select(col("src").cast("long"), col("dst").cast("long"),
+    val srcDs = edges.select(col("src").cast("long"), col("dst").cast("long"),
         coalesce(col("weight"), lit(1.0)).cast("double")).as[(Long, Long, Double)]
-      .repartition(1)
-      .mapPartitions { it =>
+    inTask3(srcDs, cacheKey(srcDs.toDF)) { it =>
         val vx = new Interner
         val sb = new Ints(); val db = new Ints(); val wb = mutable.ArrayBuffer.empty[Double]
         it.foreach { case (s, d, w) => sb += vx.idx(s); db += vx.idx(d); wb += w }
@@ -400,13 +525,12 @@ object LocalKernels {
   def mst(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    edges.select(
+    val srcDs = edges.select(
         least(col("src"), col("dst")).cast("long"),
         greatest(col("src"), col("dst")).cast("long"),
         coalesce(col("weight"), lit(1.0)).cast("double"))
       .as[(Long, Long, Double)]
-      .repartition(1)
-      .mapPartitions { it =>
+    inTask3(srcDs, cacheKey(srcDs.toDF)) { it =>
         val minW = mutable.HashMap.empty[(Long, Long), Double]
         it.foreach { case (a, b, w) =>
           if (a != b) {
@@ -440,19 +564,50 @@ object LocalKernels {
                       minHops: Int, maxHops: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val eProj = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
+    val key = cacheKey(eProj.toDF)
+    val hit = key.exists(k => residentLookup(k) != null)
+    if (hit) {
+      // resident edge stream: only the (tiny, gated) start set rides a job
+      val k = key.get
+      return starts.select(col(startCol).cast("long")).distinct().as[Long]
+        .repartition(1)
+        .mapPartitions { sit =>
+          residentLookup(k) match {
+            case (as: Array[Long], bs: Array[Long]) =>
+              val ss = new Longs(16); sit.foreach(ss += _)
+              vleBody(as, bs, ss, minHops, maxHops)
+            case _ => throw new IllegalStateException(
+              s"resident edge cache lost entry $k mid-query")
+          }
+        }.toDF("start", "node", "hops")
+    }
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"), lit(0))
       .as[(Long, Long, Int)]
     val s0 = starts.select(col(startCol).cast("long"), lit(0L), lit(1))
       .distinct().as[(Long, Long, Int)]
     e.unionAll(s0).repartition(1)
       .mapPartitions { it =>
-        val vx = new Interner
-        val sb = new Ints(); val db = new Ints()
+        val ab = new Longs(); val bb = new Longs()
         val startIds = new Longs(16)
         it.foreach { case (a, b, t) =>
-          if (t == 0) { sb += vx.idx(a); db += vx.idx(b) }
+          if (t == 0) { ab += a; bb += b }
           else startIds += a
         }
+        val as = ab.toArray; val bs = bb.toArray
+        key.foreach(k => residentStore(k, (as, bs), as.length.toLong))
+        vleBody(as, bs, startIds, minHops, maxHops)
+      }.toDF("start", "node", "hops")
+  }
+
+  /** Multi-source BFS body shared by the tagged-stream and resident-cache
+    * routes of [[varLengthExpand]]. */
+  private def vleBody(as: Array[Long], bs: Array[Long], startIds: Longs,
+                      minHops: Int, maxHops: Int): Iterator[(Long, Long, Int)] = {
+        val vx = new Interner
+        val sb = new Ints(); val db = new Ints()
+        var ei = 0
+        while (ei < as.length) { sb += vx.idx(as(ei)); db += vx.idx(bs(ei)); ei += 1 }
         val (off, tgt) = csr(vx.n, sb.result(), db.result())
         val n = vx.n
         val seenAt = new Array[Int](n) // visit stamp per start (1-based)
@@ -490,7 +645,6 @@ object LocalKernels {
           }
           out.iterator
         }
-      }.toDF("start", "node", "hops")
   }
 
   /** Lexicographic compare of long arrays (Spark's array ordering:
@@ -527,20 +681,53 @@ object LocalKernels {
     import spark.implicits._
     val hasId = edges.columns.contains("id")
     val eidCol = if (hasId) col("id").cast("long") else lit(-1L)
+    val eProj = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      eidCol.as("eid")).as[(Long, Long, Long)]
+    val key = cacheKey(eProj.toDF)
+    val hit = key.exists(k => residentLookup(k) != null)
+    if (hit) {
+      val k = key.get
+      return starts.select(col(startCol).cast("long")).distinct().as[Long]
+        .repartition(1)
+        .mapPartitions { sit =>
+          residentLookup(k) match {
+            case (as: Array[Long], bs: Array[Long], es: Array[Long]) =>
+              val ss = new Longs(16); sit.foreach(ss += _)
+              pathBody(as, bs, es, ss, minHops, maxHops, hasId, allPaths)
+            case _ => throw new IllegalStateException(
+              s"resident edge cache lost entry $k mid-query")
+          }
+        }.toDF("start", "node", "path", "epath", "hops")
+    }
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"), eidCol, lit(0))
       .as[(Long, Long, Long, Int)]
     val s0 = starts.select(col(startCol).cast("long"), lit(0L), lit(0L), lit(1))
       .distinct().as[(Long, Long, Long, Int)]
     e.unionAll(s0).repartition(1)
       .mapPartitions { it =>
-        val vx = new Interner
-        val sb = new Ints(); val db = new Ints(); val eb = mutable.ArrayBuffer.empty[Long]
+        val ab = new Longs(); val bb = new Longs(); val eb = new Longs()
         val startIds = new Longs(16)
         it.foreach { case (a, b, eid, t) =>
-          if (t == 0) { sb += vx.idx(a); db += vx.idx(b); eb += eid }
+          if (t == 0) { ab += a; bb += b; eb += eid }
           else startIds += a
         }
-        val (si, di, eids) = (sb.result(), db.result(), eb.toArray)
+        val as = ab.toArray; val bs = bb.toArray; val es = eb.toArray
+        key.foreach(k => residentStore(k, (as, bs, es), as.length.toLong))
+        pathBody(as, bs, es, startIds, minHops, maxHops, hasId, allPaths)
+      }.toDF("start", "node", "path", "epath", "hops")
+  }
+
+  /** Witness-path BFS body shared by the tagged-stream and resident-cache
+    * routes of [[pathExpand]]. */
+  private def pathBody(as: Array[Long], bs: Array[Long], esIn: Array[Long],
+                       startIds: Longs, minHops: Int, maxHops: Int,
+                       hasId: Boolean, allPaths: Boolean)
+      : Iterator[(Long, Long, Seq[Long], Seq[Long], Int)] = {
+        val vx = new Interner
+        val sb = new Ints(); val db = new Ints()
+        var ei = 0
+        while (ei < as.length) { sb += vx.idx(as(ei)); db += vx.idx(bs(ei)); ei += 1 }
+        val (si, di, eids) = (sb.result(), db.result(), esIn)
         // CSR over edge INDICES so parallel edges keep their own eid
         val n = vx.n
         val off = new Array[Int](n + 1)
@@ -616,7 +803,6 @@ object LocalKernels {
           }
           out.iterator
         }
-      }.toDF("start", "node", "path", "epath", "hops")
   }
 
   /** Degree-oriented common-neighbor triangle total — replicates
@@ -626,9 +812,8 @@ object LocalKernels {
   def triangleCount(undirected: DataFrame): DataFrame = {
     val spark = undirected.sparkSession
     import spark.implicits._
-    undirected.select(col("a").cast("long"), col("b").cast("long")).as[(Long, Long)]
-      .repartition(1)
-      .mapPartitions { it =>
+    val srcDs = undirected.select(col("a").cast("long"), col("b").cast("long")).as[(Long, Long)]
+    inTask2(srcDs, cacheKey(srcDs.toDF)) { it =>
         Iterator.single(Tuple1(triangleSum(it)._1))
       }.toDF("triangles")
   }
@@ -638,9 +823,8 @@ object LocalKernels {
   def lcc(undirected: DataFrame): DataFrame = {
     val spark = undirected.sparkSession
     import spark.implicits._
-    undirected.select(col("a").cast("long"), col("b").cast("long")).as[(Long, Long)]
-      .repartition(1)
-      .mapPartitions { it =>
+    val srcDs = undirected.select(col("a").cast("long"), col("b").cast("long")).as[(Long, Long)]
+    inTask2(srcDs, cacheKey(srcDs.toDF)) { it =>
         val (_, vx, deg, tri) = triangleSum(it)
         (0 until vx.n).iterator.map { i =>
           val d = deg(i).toLong
