@@ -622,6 +622,45 @@ object GraphQueries {
           |ORDER BY ?nname""".stripMargin, triples)
     }),
 
+    // §1.5 SPARQL MINUS (1.1 set difference): nations minus those in
+    // AFRICA — anti-join on the shared variable with SPARQL's
+    // compatible-and-overlapping-domain rule
+    "q_sparql_minus" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      val nodes = g.nodesWithLabel("Nation").unionByName(g.nodesWithLabel("Region"))
+      val ids = nodes.select(col("id"))
+      val edges = g.edgesOfType("IN_REGION")
+        .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      val triples = graft.rdf.Rdf
+        .exportTriples(graft.model.PropertyGraph(nodes, edges), "http://graft.local/")
+        .localCheckpoint(true)
+      graft.rdf.Sparql.execute(
+        """PREFIX gl: <http://graft.local/label/>
+          |PREFIX gp: <http://graft.local/prop/>
+          |PREFIX gr: <http://graft.local/rel/>
+          |SELECT ?nname WHERE { ?n a gl:Nation . ?n gp:name ?nname .
+          |  MINUS { ?n gr:IN_REGION ?r . ?r gp:name "AFRICA" } }
+          |ORDER BY ?nname""".stripMargin, triples)
+    }),
+
+    // §1.5 SPARQL BIND (1.1 assignment): a projected CONCAT label over the
+    // solution — pure codegen'd column, no extra join
+    "q_sparql_bind" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      val nodes = g.nodesWithLabel("Nation")
+      val triples = graft.rdf.Rdf
+        .exportTriples(graft.model.PropertyGraph(nodes,
+          g.edgesOfType("IN_REGION").limit(0)), "http://graft.local/")
+        .localCheckpoint(true)
+      graft.rdf.Sparql.execute(
+        """PREFIX gl: <http://graft.local/label/>
+          |PREFIX gp: <http://graft.local/prop/>
+          |SELECT ?label WHERE { ?n a gl:Nation . ?n gp:name ?nm .
+          |  BIND(CONCAT("nation:", STR(?nm)) AS ?label) }
+          |ORDER BY ?label""".stripMargin, triples)
+    }),
+
     // §2.10 algo.mst (reference mst.rs:41) — Borůvka on the nation trade
     // graph (edge weight = #trades between the two nations); (w,a,b)
     // tie-break makes the forest unique, so the oracle's Prim chain (24
@@ -907,6 +946,11 @@ object GraphQueries {
         |ORDER BY s, p, o""".stripMargin,
     "q_sparql_values" ->
       "SELECT n_name AS nname FROM nation WHERE n_name IN ('NATION_1', 'NATION_7') ORDER BY 1",
+    "q_sparql_minus" ->
+      """SELECT n_name AS nname FROM nation JOIN region ON r_regionkey = n_regionkey
+        |WHERE r_name <> 'AFRICA' ORDER BY 1""".stripMargin,
+    "q_sparql_bind" ->
+      "SELECT 'nation:' || n_name AS label FROM nation ORDER BY 1",
     "q_sparql_path" ->
       """WITH RECURSIVE nxt AS (
         | SELECT a.n_nationkey AS s, min(b.n_nationkey) AS t

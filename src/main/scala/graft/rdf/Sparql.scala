@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   *     to chained patterns), p1|p2 (alternation), p+ / p* (transitive
   *     closure via iterative frontier joins)
   *   ORDER BY ?v [ASC|DESC] ...   LIMIT n   OFFSET n
+  *   MINUS { patterns; FILTER(...) }   (set difference — anti-join on
+  *     shared variables with SPARQL's compatible-and-overlapping-domain
+  *     rule; null bindings are compatible but contribute no overlap)
+  *   BIND(expr AS ?v) with expr: ?x | constant | STR(?x) | CONCAT(...)
+  *     (assignment — a projected column; STR/CONCAT build plain literals
+  *     from lexical forms)
   *
   * Terms: variables `?v`, IRIs `<...>`, prefixed names `pfx:local`, plain
   * and typed literals, and the `a` keyword for rdf:type. Filters: the six
@@ -62,8 +68,17 @@ object Sparql {
                                distinct: Boolean, alias: String)
 
   /** An OPTIONAL { ... } group: its own patterns + filters, left-joined
-    * onto the required part on shared variables. */
+    * onto the required part on shared variables. Also reused for MINUS
+    * groups (anti-join instead of left join). */
   private final case class OptGroup(patterns: Seq[Pattern], filters: Seq[Cond])
+
+  /** A BIND(expr AS ?v) expression: variable copy, constant term, STR(?x),
+    * or CONCAT over any of these. */
+  private sealed trait BindX
+  private final case class BVar(v: String) extends BindX
+  private final case class BConst(nt: String) extends BindX
+  private final case class BStr(v: String) extends BindX
+  private final case class BConcat(args: Seq[BindX]) extends BindX
 
   private final case class Query(
       distinct: Boolean, select: Seq[String], patterns: Seq[Pattern],
@@ -74,7 +89,9 @@ object Sparql {
       mode: String = "SELECT",                // SELECT | ASK | CONSTRUCT | DESCRIBE
       template: Seq[(Term, Term, Term)] = Nil,       // CONSTRUCT template
       describes: Seq[Term] = Nil,                    // DESCRIBE targets
-      valuesBlocks: Seq[(Seq[String], Seq[Seq[Option[String]]])] = Nil)
+      valuesBlocks: Seq[(Seq[String], Seq[Seq[Option[String]]])] = Nil,
+      minusGroups: Seq[OptGroup] = Nil,              // MINUS { ... } groups
+      binds: Seq[(String, BindX)] = Nil)             // BIND(expr AS ?v)
 
   // ---- tokenizer ---------------------------------------------------------
 
@@ -280,6 +297,8 @@ object Sparql {
     // VALUES blocks collect across groups: (vars, rows of NT terms; None =
     // UNDEF, which matches anything / binds null)
     var valuesBlocks = Vector.empty[(Seq[String], Seq[Seq[Option[String]]])]
+    var minusBlocks = Vector.empty[OptGroup]
+    var bindBlocks = Vector.empty[(String, BindX)]
     def ntOf(t: String): String = term(t, predPos = false) match {
       case C(nt) => nt
       case V(v) => sys.error(s"VALUES data must be constant terms, got ?$v")
@@ -359,6 +378,38 @@ object Sparql {
           val (ps, fs, os) = parseGroup(allowOptional = false)
           require(os.isEmpty && ps.nonEmpty, "OPTIONAL needs triple patterns")
           optionals :+= OptGroup(ps, fs)
+        } else if (peek.equalsIgnoreCase("MINUS")) {
+          require(allowOptional, "MINUS is supported at the top level of WHERE")
+          next(); expect("{")
+          val (ps, fs, os) = parseGroup(allowOptional = false)
+          require(os.isEmpty && ps.nonEmpty, "MINUS needs triple patterns")
+          minusBlocks :+= OptGroup(ps, fs)
+          if (peek == ".") next()
+        } else if (peek.equalsIgnoreCase("BIND")) {
+          require(allowOptional, "BIND is supported at the top level of WHERE")
+          next(); expect("(")
+          def parseBindExpr(): BindX = {
+            val t = next()
+            if (t.equalsIgnoreCase("CONCAT")) {
+              expect("(")
+              val args = Vector.newBuilder[BindX]
+              args += parseBindExpr()
+              while (peek == ",") { next(); args += parseBindExpr() }
+              expect(")")
+              BConcat(args.result())
+            } else if (t.equalsIgnoreCase("STR")) {
+              expect("("); val v = next(); expect(")")
+              require(v.startsWith("?"), s"STR takes a variable, got $v")
+              BStr(v.drop(1))
+            } else if (t.startsWith("?")) BVar(t.drop(1))
+            else BConst(ntOf(t))
+          }
+          val e = parseBindExpr()
+          val as = next(); require(as.equalsIgnoreCase("AS"), s"expected AS, got $as")
+          val v = next(); require(v.startsWith("?"), s"BIND target must be a variable, got $v")
+          expect(")")
+          bindBlocks :+= ((v.drop(1), e))
+          if (peek == ".") next()
         } else {
           val s0 = term(next(), predPos = false)
           patterns ++= parsePredicatePath(s0, next(), term(next(), predPos = false))
@@ -424,11 +475,12 @@ object Sparql {
       .flatMap(p => Seq(p.s, p.o) ++ (p.p match {
         case Simple(t) => Seq(t); case _ => Nil
       }))
-      .collect { case V(n) => n } ++ valuesBlocks.flatMap(_._1))
+      .collect { case V(n) => n } ++ valuesBlocks.flatMap(_._1) ++
+      bindBlocks.map(_._1))
       .distinct.filterNot(_.startsWith("__pp"))
     Query(distinct, if (star) vars else select, patterns, filters, optionals,
       unionGroups, orderBy, limit, offset, aggs, groupBy, mode, template,
-      describes, valuesBlocks)
+      describes, valuesBlocks, minusBlocks, bindBlocks)
   }
 
   // ---- execution ---------------------------------------------------------
@@ -574,6 +626,23 @@ object Sparql {
           .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
       else joinGroup(q.patterns, q.filters)
 
+    // BIND(expr AS ?v): a projected column over the solution so far (SPARQL
+    // 1.1 assignment). The bound term keeps the N-Triples representation
+    // invariant: constants/variable copies carry their term through, STR /
+    // CONCAT produce a plain literal from lexical forms.
+    def lexOf(e: BindX): Column = e match {
+      case BVar(v) => lex(col(v))
+      case BConst(nt) => lex(lit(nt))
+      case BStr(v) => lex(col(v))
+      case BConcat(as) => concat(as.map(lexOf): _*)
+    }
+    def ntCol(e: BindX): Column = e match {
+      case BVar(v) => col(v)
+      case BConst(nt) => lit(nt)
+      case _ => concat(lit("\""), lexOf(e), lit("\""))
+    }
+    q.binds.foreach { case (v, e) => bound = bound.withColumn(v, ntCol(e)) }
+
     // OPTIONAL groups: the group evaluates on its own (patterns + its
     // FILTERs), then LEFT-joins onto the required part on shared variables
     // — unmatched rows keep their bindings null, the standard SPARQL
@@ -613,6 +682,26 @@ object Sparql {
           else col(c)).toSeq ++
         freshVars.map(v => col(s"__val_$v").as(v))
       bound = bound.join(broadcast(vdf), cond, "inner").select(keep: _*)
+    }
+
+    // MINUS groups (SPARQL 1.1 set difference): remove solutions compatible
+    // with some MINUS solution on shared variables, but only when the two
+    // domains actually overlap — a null binding (from OPTIONAL) is
+    // compatible with anything yet contributes no overlap, and disjoint
+    // domains remove nothing. One anti-join per group; Catalyst broadcasts
+    // the (distinct, shared-vars-only) right side when small.
+    q.minusGroups.foreach { mg =>
+      val grp = joinGroup(mg.patterns, mg.filters)
+      val shared = bound.columns.toSet.intersect(grp.columns.toSet).toSeq.sorted
+      if (shared.nonEmpty) {
+        val g2 = grp.select(shared.map(v => col(v).as(s"__m_$v")): _*).distinct()
+        val compat = shared.map(v =>
+          col(v).isNull || col(s"__m_$v").isNull || col(v) === col(s"__m_$v"))
+          .reduce(_ && _)
+        val overlap = shared.map(v => col(v).isNotNull && col(s"__m_$v").isNotNull)
+          .reduce(_ || _)
+        bound = bound.join(g2, compat && overlap, "left_anti")
+      }
     }
     bound
   }

@@ -316,4 +316,42 @@ class SparqlSpec extends SparkSpec {
       Sparql.describe("DESCRIBE ?x", triples)
     }
   }
+
+  test("MINUS removes compatible solutions, keeps disjoint ones") {
+    // people minus those who KNOW someone: alice and bob know -> only carol
+    // (and dave is label Q, not matched by the base pattern)
+    val r = Sparql.execute(
+      prefixes +
+        """SELECT ?n WHERE { ?p a gl:P . ?p gp:name ?n .
+          |  MINUS { ?p gr:KNOWS ?x } } ORDER BY ?n""".stripMargin, triples)
+      .as[String].collect()
+    assert(r.toSeq == Seq("carol"))
+    // MINUS group sharing no variables removes nothing (disjoint domains)
+    val r2 = Sparql.execute(
+      prefixes +
+        """SELECT ?n WHERE { ?p a gl:P . ?p gp:name ?n .
+          |  MINUS { ?z gr:LIKES ?w } } ORDER BY ?n""".stripMargin, triples)
+      .as[String].collect()
+    assert(r2.toSeq == Seq("alice", "bob", "carol"))
+    // MINUS with its own FILTER: only remove people with balance >= 20
+    val r3 = Sparql.execute(
+      prefixes +
+        """SELECT ?n WHERE { ?p a gl:P . ?p gp:name ?n .
+          |  MINUS { ?p gp:balance ?b .
+          |    FILTER(?b >= "20"^^<http://www.w3.org/2001/XMLSchema#double>) } }
+          |ORDER BY ?n""".stripMargin, triples)
+      .as[String].collect()
+    assert(r3.toSeq == Seq("alice"))
+  }
+
+  test("BIND: constant, variable copy, STR and CONCAT assignment") {
+    val r = Sparql.execute(
+      prefixes +
+        """SELECT ?tag ?same ?label WHERE { ?p a gl:P . ?p gp:name ?n .
+          |  BIND("x" AS ?tag) . BIND(?n AS ?same) .
+          |  BIND(CONCAT("p:", STR(?n)) AS ?label) } ORDER BY ?label""".stripMargin,
+      triples).as[(String, String, String)].collect()
+    assert(r.toSeq == Seq(
+      ("x", "alice", "p:alice"), ("x", "bob", "p:bob"), ("x", "carol", "p:carol")))
+  }
 }
