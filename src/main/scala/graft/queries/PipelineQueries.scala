@@ -399,6 +399,24 @@ object PipelineQueries {
         "doc_id", "text", 12, 8)
         .orderBy(col("doc_id"), col("chunk_idx"))),
 
+    // text: Okapi BM25 retrieval ranking for a fixed query — inverted-index
+    // scorer: tf/df hash aggregates, corpus stats as a broadcast 1-row agg,
+    // top-k via TakeOrdered (no global sort)
+    "q_bm25" -> ((s, d) =>
+      TextAnalysis.bm25Rank(t(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "shuffle", "join"), 20)
+        .orderBy(col("rank"))),
+
+    // text: chunk-level exact dedup — the cross-document duplicated-window
+    // report (boilerplate detection at paragraph granularity); chunking +
+    // one hash aggregate
+    "q_chunk_dedup" -> ((s, d) =>
+      TextAnalysis.chunkDocs(t(s, d, "documents"), "doc_id", "text", 12, 8)
+        .groupBy(col("chunk_hash"))
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_dups") > 1)
+        .orderBy(col("chunk_hash"))),
+
     // text: CCNet-style LM quality scoring — per-doc cross-entropy under a
     // corpus-trained bigram MLE model; the LM is a distributed table and
     // scoring is a shuffle join on the bigram key (no broadcast model)
@@ -956,6 +974,27 @@ object PipelineQueries {
         | (n_words BETWEEN 20 AND 100000) AND (mean_word_len BETWEEN 2.0 AND 10.0)
         |   AND alpha_word_frac >= 0.8 AND stop_hits >= 1 AS pass
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_bm25" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tk AS (SELECT doc_id, unnest(toks) AS token FROM w),
+        |lens AS (SELECT doc_id, len(toks) * 1.0 AS l FROM w),
+        |st AS (SELECT count(*) * 1.0 AS n, avg(l) AS avgdl FROM lens),
+        |qt AS (SELECT doc_id, token FROM tk WHERE token IN ('spark', 'shuffle', 'join')),
+        |tf AS (SELECT doc_id, token, count(*) * 1.0 AS tf FROM qt GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(DISTINCT doc_id) * 1.0 AS df FROM qt GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |  round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+        |    (tf + 1.2 * (1 - 0.75 + 0.75 * l / avgdl))), 4) AS score
+        | FROM tf JOIN dfq USING (token) JOIN lens ON lens.doc_id = tf.doc_id, st
+        | GROUP BY 1)
+        |SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_chunk_dedup" ->
+      """WITH words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+        |st AS (SELECT doc_id, w, len(w) AS n, unnest(generate_series(0, len(w) - 1, 8)) AS start FROM words),
+        |ch AS (SELECT doc_id, md5(array_to_string(w[start + 1:start + 12], ' ')) AS chunk_hash FROM st)
+        |SELECT chunk_hash, count(*) AS n_dups, min(doc_id) AS first_doc
+        |FROM ch GROUP BY 1 HAVING count(*) > 1 ORDER BY chunk_hash""".stripMargin,
     "q_lm_perplexity" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |b AS (SELECT doc_id, toks[g] AS w1, toks[g+1] AS w2 FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS g FROM w)),

@@ -420,6 +420,46 @@ object TextAnalysis {
     top2.join(dup5, idCol)
   }
 
+  // ---- BM25 ranking -------------------------------------------------------
+
+  /** Okapi BM25 document ranking for a fixed query term set — the inverted
+    * -index retrieval scorer. idf = ln((N - df + 0.5)/(df + 0.5) + 1)
+    * (the Lucene-style always-positive form); per-term score =
+    * idf * tf*(k1+1) / (tf + k1*(1 - b + b*len/avgdl)); doc score = sum
+    * over query terms present.
+    *
+    * Same scale shape as [[tfIdfTopTerms]]: term frequencies and document
+    * frequencies are hash aggregates over the exploded token stream, corpus
+    * N/avgdl ride as a broadcast 1-row aggregate, and only docs containing
+    * a query term survive the semi-join — never a full-corpus sort. Ties
+    * break by doc id. Returns (idCol, score, rank) for the top `k`. */
+  def bm25Rank(df: DataFrame, idCol: String, textCol: String,
+               query: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty && k > 0, "need query terms and k > 0")
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val lens = df.select(col(idCol),
+      tokenCount(col(textCol)).cast("double").as("__len"))
+    val stats = lens.agg(count(lit(1)).cast("double").as("__n"),
+      avg(col("__len")).as("__avgdl"))
+    val qToks = toks.filter(col("token").isin(query.map(lit): _*))
+    val tf = qToks.groupBy(col(idCol), col("token")).agg(count(lit(1)).cast("double").as("__tf"))
+    val dfreq = qToks.select(col(idCol), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).cast("double").as("__df"))
+    val scored = tf.join(dfreq, "token").join(lens, idCol).crossJoin(broadcast(stats))
+      .withColumn("__idf", log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0))
+      .withColumn("__s", col("__idf") * col("__tf") * (k1 + 1) /
+        (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__len") / col("__avgdl"))))
+      .groupBy(col(idCol))
+      .agg(CypherFunctions.roundC(sum(col("__s")), 4).as("score"))
+    // top-k first (TakeOrderedAndProject — no global sort), then rank the
+    // k survivors; the single-partition window only ever sees k rows
+    scored.orderBy(col("score").desc, col(idCol)).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col(idCol))).cast("long"))
+      .select(col(idCol), col("score"), col("rank"))
+  }
+
   // ---- deterministic epoch shuffle ----------------------------------------
 
   /** Deterministic training-epoch shuffle: every row gets a shard and a

@@ -261,6 +261,14 @@ class DedupTextSpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("bm25Rank: hand-checked Okapi scores, rank by (score desc, id)") {
+    // N=2, avgdl=3.5, df(x)=2, idf=ln(1.2); doc1 tf=2 len=3, doc2 tf=1 len=4
+    val d = Seq((1L, "x x y"), (2L, "x z z z")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Rank(d, "doc_id", "text", Seq("x"), 10)
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got == Seq((1L, 0.2612, 1L), (2L, 0.1723, 2L)))
+  }
+
   test("gopherRules on empty/whitespace-only text: zero words, zeroed ratios, fail") {
     // pins the n_words=0 semantics the q_quality_gopher oracle mirrors with
     // its CASE WHEN length(trim(text))=0 guard (DuckDB's split of '' is [''])
