@@ -130,6 +130,16 @@ object Soak {
       "bfs" -> { n => Algorithms.bfs(spark.read.parquet(edgeCache(n, true)), minNode, 60).count() },
       "sssp" -> { n => Algorithms.sssp(spark.read.parquet(edgeCache(n, true))
         .withColumn("weight", lit(1.0)), minNode, 60).count() },
+      // bigram-LM scoring: the LM table and the scoring join both scale
+      // with the corpus (rotated copies have disjoint vocabularies, so the
+      // bigram table grows linearly — the honest scaling shape)
+      "lm_perplexity" -> { n => graft.text.TextAnalysis.bigramLmScore(
+        spark.read.parquet(docCache(n)), "doc_id", "text").count() },
+      // BM25: full tokenize+filter scan scales; only copy-0 vocabulary
+      // matches the fixed query, so the top-k side stays constant
+      "bm25" -> { n => graft.text.TextAnalysis.bm25Rank(
+        spark.read.parquet(docCache(n)), "doc_id", "text",
+        Seq("spark", "shuffle", "join"), 20).count() },
       "minhash_lsh" -> { n => graft.dedup.Dedup.minHashLshPairs(
         spark.read.parquet(docCache(n)), "doc_id", "text",
         k = 5, numHashes = 64, bands = 16, threshold = 0.4).count() },
