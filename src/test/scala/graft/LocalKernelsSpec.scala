@@ -185,4 +185,49 @@ class LocalKernelsSpec extends SparkSpec {
     try assert(viaGate === sortedRows(Algorithms.wcc(e)))
     finally spark.conf.unset("spark.graft.algo.localSizeBytes")
   }
+
+  test("resident cache: file-backed kernels hit the cache and match cold runs") {
+    // parquet-backed edges (LocalRelation inputs never cache) — run each
+    // kernel twice: run 1 populates the resident cache, run 2 serves from
+    // it; both must match each other AND the distributed twin
+    val dir = java.nio.file.Files.createTempDirectory("graft_rescache").toFile
+    try {
+      randGraph(77, 40, 200).write.mode("overwrite").parquet(s"$dir/e.parquet")
+      val e = spark.read.parquet(s"$dir/e.parquet")
+      val starts = e.select(col("src").as("s0")).distinct().limit(5)
+      // distributed references, pinned so the gate cannot route them back
+      // to the (cached) local kernels
+      def distributed(f: => DataFrame): Array[String] = {
+        spark.conf.set("spark.graft.algo.localSizeBytes", "0")
+        try sortedRows(f)
+        finally spark.conf.unset("spark.graft.algo.localSizeBytes")
+      }
+      def runs(f: => DataFrame): (Array[String], Array[String]) =
+        (sortedRows(f), sortedRows(f))
+      val (b1, b2) = runs(LocalKernels.bfs(e, 1000L, 30))
+      assert(b1 === b2)
+      assert(b1 === distributed(graft.algo.Algorithms.bfs(e, 1000L, 30)))
+      val (v1, v2) = runs(LocalKernels.varLengthExpand(e, starts, "s0", 1, 3))
+      assert(v1 === v2)
+      assert(v1 === sortedRows(
+        Traversals.varLengthExpandDistributed(e, starts, "s0", 1, 3)))
+      val (p1, p2) = runs(LocalKernels.varLengthExpandPaths(e, starts, "s0", 1, 2))
+      assert(p1 === p2)
+      val (w1, w2) = runs(LocalKernels.wcc(e))
+      assert(w1 === w2)
+      assert(w1 === distributed(graft.algo.Algorithms.wcc(e)))
+      // rewriting the files invalidates the key (len/mtime in the key): a
+      // different graph at the same path must NOT serve stale results
+      randGraph(88, 40, 200).write.mode("overwrite").parquet(s"$dir/e.parquet")
+      val e2 = spark.read.parquet(s"$dir/e.parquet")
+      assert(sortedRows(LocalKernels.wcc(e2)) ===
+        distributed(graft.algo.Algorithms.wcc(e2)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
 }
