@@ -1017,8 +1017,8 @@ object PipelineQueries {
         |FROM t2 JOIN d5 USING (doc_id) WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "q_epoch_shuffle" ->
       """WITH k AS (SELECT doc_id,
-        |  (doc_id * 2654435761 + 1) % 1000000007 AS k1,
-        |  (doc_id * 97654321 + 1) % 999999937 AS k2 FROM documents)
+        |  ((doc_id % 1000000007) * 2654435761 + 1) % 1000000007 AS k1,
+        |  ((doc_id % 999999937) * 97654321 + 1) % 999999937 AS k2 FROM documents)
         |SELECT doc_id, k1 % 8 AS shard,
         |  row_number() OVER (PARTITION BY k1 % 8 ORDER BY k2, doc_id) AS pos
         |FROM k ORDER BY doc_id""".stripMargin,

@@ -641,7 +641,11 @@ object Sparql {
       case BConst(nt) => lit(nt)
       case _ => concat(lit("\""), lexOf(e), lit("\""))
     }
-    q.binds.foreach { case (v, e) => bound = bound.withColumn(v, ntCol(e)) }
+    q.binds.foreach { case (v, e) =>
+      require(!bound.columns.contains(v),
+        s"BIND target ?$v is already bound (SPARQL forbids rebinding)")
+      bound = bound.withColumn(v, ntCol(e))
+    }
 
     // OPTIONAL groups: the group evaluates on its own (patterns + its
     // FILTERs), then LEFT-joins onto the required part on shared variables

@@ -472,8 +472,14 @@ object TextAnalysis {
     * (idCol, shard, pos). */
   def epochShuffle(df: DataFrame, idCol: String, nShards: Int, seed: Int = 1): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
-    val k1 = pmod(col(idCol) * lit(2654435761L) + lit(seed.toLong), lit(1000000007L))
-    val k2 = pmod(col(idCol) * lit(97654321L) + lit(seed.toLong), lit(999999937L))
+    // pre-mod before the multiply: (p-1) * 2654435761 < 2^63, so the
+    // arithmetic never overflows for ANY id — overflow would wrap silently
+    // in Spark but raise in engines with checked arithmetic, and a silent
+    // wrap is not a portable shuffle key
+    val k1 = pmod(pmod(col(idCol), lit(1000000007L)) * lit(2654435761L)
+      + lit(seed.toLong), lit(1000000007L))
+    val k2 = pmod(pmod(col(idCol), lit(999999937L)) * lit(97654321L)
+      + lit(seed.toLong), lit(999999937L))
     df.select(col(idCol), pmod(k1, lit(nShards.toLong)).as("shard"), k2.as("__k2"))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("shard")).orderBy(col("__k2"), col(idCol))))
