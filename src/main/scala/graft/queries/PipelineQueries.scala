@@ -49,6 +49,42 @@ object PipelineQueries {
         .select(col("vec_id"), CypherFunctions.roundC(col("score"), 4).as("score"))
     }),
 
+    // §2.9 filtered kNN — metadata predicate + exact top-k, the vector-DB
+    // "filtered search" shape: the filter prunes BEFORE the distance pass,
+    // so selective predicates cut the scan, not just the ranking
+    "q_knn_filtered" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+      VectorSearch.knnExactFor(emb.filter(col("label") === 3),
+        "vec_id", "embedding", q, "embedding", 10)
+        .select(col("vec_id"), CypherFunctions.roundC(col("score"), 4).as("score"))
+    }),
+
+    // hybrid retrieval: reciprocal-rank fusion of BM25 (lexical) and kNN
+    // (dense) top-50 lists — rrf = Σ 1/(60 + rank); the modern
+    // search-stack default. Both rank lists are deterministic (score desc,
+    // id tie-break), so the fused order is engine-independent.
+    "q_hybrid_rrf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val bm = TextAnalysis.bm25Rank(docs, "doc_id", "text",
+        Seq("spark", "shuffle", "join"), 50)
+        .select(col("doc_id").as("id"), col("rank").as("__r1"))
+      val q = emb.filter(col("vec_id") === 0)
+      val kn = VectorSearch.knnExactFor(emb, "vec_id", "embedding", q, "embedding", 50)
+        .withColumn("__r2", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("vec_id"))).cast("long"))
+        .select(col("vec_id").as("id"), col("__r2"))
+      bm.join(kn, Seq("id"), "full_outer")
+        .select(col("id"),
+          (coalesce(lit(1.0) / (lit(60) + col("__r1")), lit(0.0)) +
+           coalesce(lit(1.0) / (lit(60) + col("__r2")), lit(0.0))).as("__rrf"))
+        .orderBy(col("__rrf").desc, col("id"))
+        .limit(10)
+        .select(col("id"), CypherFunctions.roundC(col("__rrf"), 6).as("rrf"))
+    }),
+
     // §2.9 approximate ANN, sign-LSH multi-table: deterministic self-hit
     // contract — every query vector collides with itself in every table, so
     // ANN top-1 must be the query itself at cosine 1.0 (exercises bucketing,
@@ -974,6 +1010,31 @@ object PipelineQueries {
         | (n_words BETWEEN 20 AND 100000) AND (mean_word_len BETWEEN 2.0 AND 10.0)
         |   AND alpha_word_frac >= 0.8 AND stop_hits >= 1 AS pass
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_knn_filtered" ->
+      "SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q WHERE e.label = 3 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 10",
+    "q_hybrid_rrf" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tk AS (SELECT doc_id, unnest(toks) AS token FROM w),
+        |lens AS (SELECT doc_id, len(toks) * 1.0 AS l FROM w),
+        |st AS (SELECT count(*) * 1.0 AS n, avg(l) AS avgdl FROM lens),
+        |qt AS (SELECT doc_id, token FROM tk WHERE token IN ('spark', 'shuffle', 'join')),
+        |tf AS (SELECT doc_id, token, count(*) * 1.0 AS tf FROM qt GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(DISTINCT doc_id) * 1.0 AS df FROM qt GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |  round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+        |    (tf + 1.2 * (1 - 0.75 + 0.75 * l / avgdl))), 4) AS score
+        | FROM tf JOIN dfq USING (token) JOIN lens ON lens.doc_id = tf.doc_id, st
+        | GROUP BY 1),
+        |bm AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) AS r1
+        | FROM sc ORDER BY score DESC, doc_id LIMIT 50),
+        |kn AS (SELECT e.vec_id AS id,
+        |  row_number() OVER (ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id) AS r2
+        | FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        | ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 50),
+        |f AS (SELECT coalesce(bm.id, kn.id) AS id,
+        |  coalesce(1.0 / (60 + r1), 0) + coalesce(1.0 / (60 + r2), 0) AS rrf
+        | FROM bm FULL OUTER JOIN kn ON bm.id = kn.id)
+        |SELECT id, round(rrf, 6) AS rrf FROM f ORDER BY rrf DESC, id LIMIT 10""".stripMargin,
     "q_bm25" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |tk AS (SELECT doc_id, unnest(toks) AS token FROM w),
