@@ -34,10 +34,24 @@ object SharedMv {
       parts.sortBy(f => (f.getParent, f.getName)).foldLeft(1125899906842597L) { (h, f) =>
         31 * (31 * (31 * h + f.getName.hashCode) + f.length()) + f.lastModified()
       })
-    val dir = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_mv/${name}_${math.abs(d.hashCode).toHexString}_$fp")
-    if (!new java.io.File(dir, "_SUCCESS").exists())
+    val root = new java.io.File(s"${System.getProperty("java.io.tmpdir")}/graft_mv")
+    val stem = s"${name}_${math.abs(d.hashCode).toHexString}_"
+    val dir = new java.io.File(root, stem + fp)
+    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+      // evict STALE versions of this same (name, dataset) MV — a regenerated
+      // source table changes fp and would otherwise leave the old
+      // materialization in tmp forever (same leak class as checkpoint dirs)
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(stem) && f.getName != dir.getName)
+        .foreach { f =>
+          def rm(x: java.io.File): Unit = {
+            if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+            x.delete(): Unit
+          }
+          rm(f)
+        }
       build.write.mode("overwrite").parquet(dir.getPath)
+    }
     s.read.parquet(dir.getPath)
   }
 }
