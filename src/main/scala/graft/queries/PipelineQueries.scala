@@ -626,6 +626,45 @@ object PipelineQueries {
       .select(col("window.start").as("h"), col("event_type"), col("n"), col("total"))
       .orderBy(col("h"), col("event_type"))),
 
+    // events: ordered conversion funnel view -> click -> purchase, each
+    // step within 24h of the user's FIRST view — three min-aggregates
+    // chained by range joins (no window over the whole event log); at
+    // scale each step is a shuffle on user_id only
+    "q_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"), col("ts"), col("event_type"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      v.agg(count(lit(1)).as("n_view")).crossJoin(
+        c.agg(count(lit(1)).as("n_click"))).crossJoin(
+        p.agg(count(lit(1)).as("n_purchase")))
+    }),
+
+    // events: signup-cohort retention — users active on day cohort+offset,
+    // offsets 0..7; cohort = first signup day. Two hash aggregates + one
+    // equi-join on user_id
+    "q_retention" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val cohorts = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("cohort"))
+      val active = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      cohorts.join(active, "user_id")
+        .withColumn("off", datediff(col("day"), col("cohort")))
+        .filter(col("off") >= 0 && col("off") <= 7)
+        .groupBy(col("cohort"), col("off"))
+        .agg(count_distinct(col("user_id")).as("n"))
+        .select(col("cohort").cast("string").as("cohort"),
+          col("off").cast("long").as("off"), col("n"))
+        .orderBy(col("cohort"), col("off"))
+    }),
+
     // events: dedup by id (exactly-once shape)
     "q_events_dedup" -> ((s, d) => {
       val ev = t(s, d, "events").select(col("event_id"))
@@ -1100,6 +1139,23 @@ object PipelineQueries {
       "WITH m AS (SELECT doc_id AS media_id, CAST(doc_id % 64 + 16 AS INTEGER) AS w, CAST(doc_id % 48 + 16 AS INTEGER) AS h FROM documents) SELECT media_id, w, h, CAST(round(w * least(1.0, 32.0 / greatest(w, h))) AS INTEGER) AS out_w, CAST(round(h * least(1.0, 32.0 / greatest(w, h))) AS INTEGER) AS out_h FROM m ORDER BY 1",
     "q_events_window" ->
       "SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n, round(sum(value), 2) AS total FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+    "q_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1 FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 24 HOUR GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 AND e.ts <= c.t1 + INTERVAL 24 HOUR GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_click,
+        |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+    "q_retention" ->
+      """WITH s AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT CAST(cohort AS VARCHAR) AS cohort, date_diff('day', cohort, day) AS off,
+        |       count(DISTINCT s.user_id) AS n
+        |FROM s JOIN a USING (user_id)
+        |WHERE date_diff('day', cohort, day) BETWEEN 0 AND 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_events_dedup" ->
       "SELECT count(*) AS n FROM (SELECT DISTINCT event_id FROM (SELECT event_id FROM events UNION ALL SELECT event_id FROM events))",
     "q_streaming_join" ->
