@@ -41,6 +41,19 @@ object VectorSearch {
   def cosine(a: Column, b: Column, dim: Int): Column =
     dot(a, b, dim) / (l2Norm(a, dim) * l2Norm(b, dim))
 
+  /** Cosine via the NATIVE `graft_dot` Catalyst expression when
+    * [[graft.GraftExtensions]] is on the session: one tree node whose
+    * codegen is a tight loop, any dimension, same left-to-right double
+    * accumulation as the unrolled form (bit-identical results). Falls back
+    * to the unrolled fixed-dim expression otherwise. */
+  def cosineBest(spark: org.apache.spark.sql.SparkSession,
+                 a: Column, b: Column, dim: Int): Column =
+    if (spark.catalog.functionExists("graft_dot"))
+      call_function("graft_dot", a, b) /
+        (sqrt(call_function("graft_dot", a, a)) *
+         sqrt(call_function("graft_dot", b, b)))
+    else cosine(a, b, dim)
+
   /** Element count of the vector column, from one row (for picking the
     * unrolled codegen path). */
   def detectDim(df: DataFrame, vecCol: String): Int = {
@@ -76,7 +89,8 @@ object VectorSearch {
     val dim = detectDim(emb, vecCol)
     val q = broadcast(queryDf.select(col(queryVecCol).as("_qv")))
     emb.crossJoin(q)
-      .select(col(idCol), cosine(col(vecCol), col("_qv"), dim).as("score"))
+      .select(col(idCol),
+        cosineBest(emb.sparkSession, col(vecCol), col("_qv"), dim).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
