@@ -665,6 +665,27 @@ object PipelineQueries {
         .orderBy(col("cohort"), col("off"))
     }),
 
+    // events: last-touch attribution — each purchase credits the LAST
+    // click of the same user within the 24h lookback; (ct, cid) struct max
+    // makes the winner deterministic even under timestamp ties. Range join
+    // shuffles on user_id only; the per-purchase argmax is a hash
+    // aggregate, not a window over the event log
+    "q_attribution" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pt"), col("event_id").as("pid"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("_cu"), col("ts").as("ct"), col("event_id").as("cid"))
+      p.join(c, col("user_id") === col("_cu") && col("ct") <= col("pt") &&
+          col("ct") > col("pt") - expr("INTERVAL 24 HOURS"), "left")
+        .groupBy(col("user_id"), col("pid"))
+        .agg(max(struct(col("ct"), col("cid"))).as("__last"))
+        .groupBy(col("user_id"))
+        .agg(count(col("pid")).as("n_purchases"),
+          count(col("__last.cid")).as("n_attributed"))
+        .orderBy(col("user_id"))
+    }),
+
     // events: dedup by id (exactly-once shape)
     "q_events_dedup" -> ((s, d) => {
       val ev = t(s, d, "events").select(col("event_id"))
@@ -1139,6 +1160,14 @@ object PipelineQueries {
       "WITH m AS (SELECT doc_id AS media_id, CAST(doc_id % 64 + 16 AS INTEGER) AS w, CAST(doc_id % 48 + 16 AS INTEGER) AS h FROM documents) SELECT media_id, w, h, CAST(round(w * least(1.0, 32.0 / greatest(w, h))) AS INTEGER) AS out_w, CAST(round(h * least(1.0, 32.0 / greatest(w, h))) AS INTEGER) AS out_h FROM m ORDER BY 1",
     "q_events_window" ->
       "SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n, round(sum(value), 2) AS total FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+    "q_attribution" ->
+      """WITH p AS (SELECT user_id, ts AS pt, event_id AS pid FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS ct, event_id AS cid FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.user_id, p.pid, max(c.ct) AS lct
+        |      FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ct <= p.pt AND c.ct > p.pt - INTERVAL 24 HOUR
+        |      GROUP BY 1, 2)
+        |SELECT user_id, count(pid) AS n_purchases, count(lct) AS n_attributed
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
         |c AS (SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1 FROM events e JOIN v USING (user_id)
