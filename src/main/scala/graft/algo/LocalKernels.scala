@@ -283,7 +283,7 @@ object LocalKernels {
     val spark = edges.sparkSession
     import spark.implicits._
     val src = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
-    inTask2(src, cacheKey(src.toDF)) { it =>
+    inTask2(src, cacheKey(src.toDF())) { it =>
         val vx = new Interner
         val sb = new Ints(); val db = new Ints()
         it.foreach { case (s, d) => sb += vx.idx(s); db += vx.idx(d) }
@@ -323,7 +323,7 @@ object LocalKernels {
     val spark = edges.sparkSession
     import spark.implicits._
     val srcDs = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
-    inTask2(srcDs, cacheKey(srcDs.toDF)) { it =>
+    inTask2(srcDs, cacheKey(srcDs.toDF())) { it =>
         val vx = new Interner
         val sb = new Ints(); val db = new Ints()
         // undirected incidence: every input edge contributes BOTH directions
@@ -370,7 +370,7 @@ object LocalKernels {
     val spark = edges.sparkSession
     import spark.implicits._
     val srcDs = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
-    inTask2(srcDs, cacheKey(srcDs.toDF)) { it =>
+    inTask2(srcDs, cacheKey(srcDs.toDF())) { it =>
         val vx = new Interner
         def find(x0: Int, p: Array[Int]): Int = {
           var x = x0
@@ -403,7 +403,7 @@ object LocalKernels {
     val spark = edges.sparkSession
     import spark.implicits._
     val srcDs = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
-    inTask2(srcDs, cacheKey(srcDs.toDF)) { it =>
+    inTask2(srcDs, cacheKey(srcDs.toDF())) { it =>
         val vx = new Interner
         val seen = mutable.HashSet.empty[(Long, Long)]
         val es = new Ints(); val ed = new Ints()
@@ -449,7 +449,7 @@ object LocalKernels {
     val spark = edges.sparkSession
     import spark.implicits._
     val srcDs = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
-    inTask2(srcDs, cacheKey(srcDs.toDF)) { it =>
+    inTask2(srcDs, cacheKey(srcDs.toDF())) { it =>
         val vx = new Interner
         val sb = new Ints(); val db = new Ints()
         it.foreach { case (s, d) => sb += vx.idx(s); db += vx.idx(d) }
@@ -489,7 +489,7 @@ object LocalKernels {
     import spark.implicits._
     val srcDs = edges.select(col("src").cast("long"), col("dst").cast("long"),
         coalesce(col("weight"), lit(1.0)).cast("double")).as[(Long, Long, Double)]
-    inTask3(srcDs, cacheKey(srcDs.toDF)) { it =>
+    inTask3(srcDs, cacheKey(srcDs.toDF())) { it =>
         val vx = new Interner
         val sb = new Ints(); val db = new Ints(); val wb = mutable.ArrayBuffer.empty[Double]
         it.foreach { case (s, d, w) => sb += vx.idx(s); db += vx.idx(d); wb += w }
@@ -530,7 +530,7 @@ object LocalKernels {
         greatest(col("src"), col("dst")).cast("long"),
         coalesce(col("weight"), lit(1.0)).cast("double"))
       .as[(Long, Long, Double)]
-    inTask3(srcDs, cacheKey(srcDs.toDF)) { it =>
+    inTask3(srcDs, cacheKey(srcDs.toDF())) { it =>
         val minW = mutable.HashMap.empty[(Long, Long), Double]
         it.foreach { case (a, b, w) =>
           if (a != b) {
@@ -565,7 +565,7 @@ object LocalKernels {
     val spark = edges.sparkSession
     import spark.implicits._
     val eProj = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
-    val key = cacheKey(eProj.toDF)
+    val key = cacheKey(eProj.toDF())
     val hit = key.exists(k => residentLookup(k) != null)
     if (hit) {
       // resident edge stream: only the (tiny, gated) start set rides a job
@@ -683,7 +683,7 @@ object LocalKernels {
     val eidCol = if (hasId) col("id").cast("long") else lit(-1L)
     val eProj = edges.select(col("src").cast("long"), col("dst").cast("long"),
       eidCol.as("eid")).as[(Long, Long, Long)]
-    val key = cacheKey(eProj.toDF)
+    val key = cacheKey(eProj.toDF())
     val hit = key.exists(k => residentLookup(k) != null)
     if (hit) {
       val k = key.get
@@ -813,7 +813,7 @@ object LocalKernels {
     val spark = undirected.sparkSession
     import spark.implicits._
     val srcDs = undirected.select(col("a").cast("long"), col("b").cast("long")).as[(Long, Long)]
-    inTask2(srcDs, cacheKey(srcDs.toDF)) { it =>
+    inTask2(srcDs, cacheKey(srcDs.toDF())) { it =>
         Iterator.single(Tuple1(triangleSum(it)._1))
       }.toDF("triangles")
   }
@@ -824,7 +824,7 @@ object LocalKernels {
     val spark = undirected.sparkSession
     import spark.implicits._
     val srcDs = undirected.select(col("a").cast("long"), col("b").cast("long")).as[(Long, Long)]
-    inTask2(srcDs, cacheKey(srcDs.toDF)) { it =>
+    inTask2(srcDs, cacheKey(srcDs.toDF())) { it =>
         val (_, vx, deg, tri) = triangleSum(it)
         (0 until vx.n).iterator.map { i =>
           val d = deg(i).toLong
