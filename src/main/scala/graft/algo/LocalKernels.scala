@@ -160,13 +160,17 @@ object LocalKernels {
     }
     if (!fileBacked) None
     else {
+      // every input must be a stat-able LOCAL file: the length+mtime pair
+      // is the staleness guard, and for a remote scheme (s3a://, hdfs://)
+      // java.io.File stats nothing — a silent ":0:0" would mean in-place
+      // overwrites never invalidate the entry. Remote inputs: no caching.
       val files = df.inputFiles.sorted.map { p =>
         val f =
           try new java.io.File(new java.net.URI(p))
           catch { case _: Exception => new java.io.File(p) }
-        s"$p:${f.length}:${f.lastModified}"
+        if (!f.isFile) null else s"$p:${f.length}:${f.lastModified}"
       }
-      if (files.isEmpty) None
+      if (files.isEmpty || files.contains(null)) None
       else {
         val md = java.security.MessageDigest.getInstance("MD5")
         val s = df.queryExecution.optimizedPlan.canonicalized.toString() +
@@ -181,64 +185,78 @@ object LocalKernels {
   private def oneRow(spark: SparkSession): Dataset[java.lang.Long] =
     spark.range(0, 1, 1, 1).as(org.apache.spark.sql.Encoders.LONG)
 
+  /** Cached (src, dst) arrays for `key`, pinned by a strong reference so a
+    * hit can never be invalidated by LRU eviction between plan construction
+    * and execution — the closure carries the arrays (one task; primitive
+    * arrays bulk-serialize). Driver-side lookup: non-null only when driver
+    * and executors share the JVM. */
+  private[graft] def hitPair(key: Option[String]): Option[(Array[Long], Array[Long])] =
+    key.flatMap(k => residentLookup(k) match {
+      case (as: Array[Long], bs: Array[Long]) => Some((as, bs))
+      case _ => None
+    })
+
+  private def hitTriple(key: Option[String])
+      : Option[(Array[Long], Array[Long], AnyRef)] =
+    key.flatMap(k => residentLookup(k) match {
+      case (as: Array[Long], bs: Array[Long], p: AnyRef) => Some((as, bs, p))
+      case _ => None
+    })
+
+  /** Store only when driver and executors share the JVM (local[n]): on a
+    * multi-JVM cluster the driver can never see executor entries, so a
+    * store would be permanently-retained dead weight in executor heaps. */
+  private def residentStoreLocal(key: String, rows: AnyRef, n: Long): Unit = {
+    val env = org.apache.spark.SparkEnv.get
+    if (env != null && env.executorId == "driver") residentStore(key, rows, n)
+  }
+
   /** Run `body` in one task over the (Long, Long) edge stream, serving the
     * stream from the resident cache when the same file-backed projection
     * was materialized before in this JVM. */
   private def inTask2[T](src: Dataset[(Long, Long)], key: Option[String])
                         (body: Iterator[(Long, Long)] => Iterator[T])
-                        (implicit enc: Encoder[T]): Dataset[T] = {
-    val hit = key.exists(k => residentLookup(k) != null)
-    if (hit) {
-      val k = key.get
-      oneRow(src.sparkSession).mapPartitions { _ =>
-        residentLookup(k) match {
-          case (as: Array[Long], bs: Array[Long]) =>
+                        (implicit enc: Encoder[T]): Dataset[T] =
+    hitPair(key) match {
+      case Some((as, bs)) =>
+        oneRow(src.sparkSession).mapPartitions { _ =>
+          body(Iterator.range(0, as.length).map(i => (as(i), bs(i))))
+        }
+      case None => src.repartition(1).mapPartitions { it =>
+        key match {
+          case Some(k) =>
+            val ab = new Longs(); val bb = new Longs()
+            it.foreach { case (a, b) => ab += a; bb += b }
+            val as = ab.toArray; val bs = bb.toArray
+            residentStoreLocal(k, (as, bs), as.length.toLong)
             body(Iterator.range(0, as.length).map(i => (as(i), bs(i))))
-          case _ => throw new IllegalStateException(
-            s"resident edge cache lost entry $k mid-query")
+          case None => body(it)
         }
       }
-    } else src.repartition(1).mapPartitions { it =>
-      key match {
-        case Some(k) =>
-          val ab = new Longs(); val bb = new Longs()
-          it.foreach { case (a, b) => ab += a; bb += b }
-          val as = ab.toArray; val bs = bb.toArray
-          residentStore(k, (as, bs), as.length.toLong)
-          body(Iterator.range(0, as.length).map(i => (as(i), bs(i))))
-        case None => body(it)
-      }
     }
-  }
 
   /** (Long, Long, Double) variant — weighted kernels. */
   private def inTask3[T](src: Dataset[(Long, Long, Double)], key: Option[String])
                         (body: Iterator[(Long, Long, Double)] => Iterator[T])
-                        (implicit enc: Encoder[T]): Dataset[T] = {
-    val hit = key.exists(k => residentLookup(k) != null)
-    if (hit) {
-      val k = key.get
-      oneRow(src.sparkSession).mapPartitions { _ =>
-        residentLookup(k) match {
-          case (as: Array[Long], bs: Array[Long], ws: Array[Double]) =>
+                        (implicit enc: Encoder[T]): Dataset[T] =
+    hitTriple(key) match {
+      case Some((as, bs, ws: Array[Double])) =>
+        oneRow(src.sparkSession).mapPartitions { _ =>
+          body(Iterator.range(0, as.length).map(i => (as(i), bs(i), ws(i))))
+        }
+      case _ => src.repartition(1).mapPartitions { it =>
+        key match {
+          case Some(k) =>
+            val ab = new Longs(); val bb = new Longs()
+            val wb = mutable.ArrayBuilder.make[Double]
+            it.foreach { case (a, b, w) => ab += a; bb += b; wb += w }
+            val as = ab.toArray; val bs = bb.toArray; val ws = wb.result()
+            residentStoreLocal(k, (as, bs, ws), as.length.toLong)
             body(Iterator.range(0, as.length).map(i => (as(i), bs(i), ws(i))))
-          case _ => throw new IllegalStateException(
-            s"resident edge cache lost entry $k mid-query")
+          case None => body(it)
         }
       }
-    } else src.repartition(1).mapPartitions { it =>
-      key match {
-        case Some(k) =>
-          val ab = new Longs(); val bb = new Longs()
-          val wb = mutable.ArrayBuilder.make[Double]
-          it.foreach { case (a, b, w) => ab += a; bb += b; wb += w }
-          val as = ab.toArray; val bs = bb.toArray; val ws = wb.result()
-          residentStore(k, (as, bs, ws), as.length.toLong)
-          body(Iterator.range(0, as.length).map(i => (as(i), bs(i), ws(i))))
-        case None => body(it)
-      }
     }
-  }
 
   private final class Ints(initial: Int = 1 << 12) {
     private[this] var a = new Array[Int](initial)
@@ -566,20 +584,14 @@ object LocalKernels {
     import spark.implicits._
     val eProj = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
     val key = cacheKey(eProj.toDF())
-    val hit = key.exists(k => residentLookup(k) != null)
-    if (hit) {
-      // resident edge stream: only the (tiny, gated) start set rides a job
-      val k = key.get
+    hitPair(key).foreach { case (as, bs) =>
+      // resident edge stream (pinned by the closure): only the (tiny,
+      // gated) start set rides a job
       return starts.select(col(startCol).cast("long")).distinct().as[Long]
         .repartition(1)
         .mapPartitions { sit =>
-          residentLookup(k) match {
-            case (as: Array[Long], bs: Array[Long]) =>
-              val ss = new Longs(16); sit.foreach(ss += _)
-              vleBody(as, bs, ss, minHops, maxHops)
-            case _ => throw new IllegalStateException(
-              s"resident edge cache lost entry $k mid-query")
-          }
+          val ss = new Longs(16); sit.foreach(ss += _)
+          vleBody(as, bs, ss, minHops, maxHops)
         }.toDF("start", "node", "hops")
     }
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"), lit(0))
@@ -595,7 +607,7 @@ object LocalKernels {
           else startIds += a
         }
         val as = ab.toArray; val bs = bb.toArray
-        key.foreach(k => residentStore(k, (as, bs), as.length.toLong))
+        key.foreach(k => residentStoreLocal(k, (as, bs), as.length.toLong))
         vleBody(as, bs, startIds, minHops, maxHops)
       }.toDF("start", "node", "hops")
   }
@@ -684,20 +696,16 @@ object LocalKernels {
     val eProj = edges.select(col("src").cast("long"), col("dst").cast("long"),
       eidCol.as("eid")).as[(Long, Long, Long)]
     val key = cacheKey(eProj.toDF())
-    val hit = key.exists(k => residentLookup(k) != null)
-    if (hit) {
-      val k = key.get
-      return starts.select(col(startCol).cast("long")).distinct().as[Long]
-        .repartition(1)
-        .mapPartitions { sit =>
-          residentLookup(k) match {
-            case (as: Array[Long], bs: Array[Long], es: Array[Long]) =>
-              val ss = new Longs(16); sit.foreach(ss += _)
-              pathBody(as, bs, es, ss, minHops, maxHops, hasId, allPaths)
-            case _ => throw new IllegalStateException(
-              s"resident edge cache lost entry $k mid-query")
-          }
-        }.toDF("start", "node", "path", "epath", "hops")
+    hitTriple(key).foreach {
+      case (as, bs, es: Array[Long]) =>
+        // resident edge stream (pinned by the closure)
+        return starts.select(col(startCol).cast("long")).distinct().as[Long]
+          .repartition(1)
+          .mapPartitions { sit =>
+            val ss = new Longs(16); sit.foreach(ss += _)
+            pathBody(as, bs, es, ss, minHops, maxHops, hasId, allPaths)
+          }.toDF("start", "node", "path", "epath", "hops")
+      case _ => ()
     }
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"), eidCol, lit(0))
       .as[(Long, Long, Long, Int)]
@@ -712,7 +720,7 @@ object LocalKernels {
           else startIds += a
         }
         val as = ab.toArray; val bs = bb.toArray; val es = eb.toArray
-        key.foreach(k => residentStore(k, (as, bs, es), as.length.toLong))
+        key.foreach(k => residentStoreLocal(k, (as, bs, es), as.length.toLong))
         pathBody(as, bs, es, startIds, minHops, maxHops, hasId, allPaths)
       }.toDF("start", "node", "path", "epath", "hops")
   }

@@ -38,13 +38,19 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    // exactly the element types the getters handle — DecimalType is also a
+    // NumericType but has no fixed-width getter, so it must fail HERE (at
+    // analysis) rather than at runtime
+    val handled: Set[DataType] =
+      Set(FloatType, DoubleType, IntegerType, LongType, ShortType, ByteType)
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(t, _) => t.isInstanceOf[NumericType]
+      case ArrayType(t, _) => handled.contains(t)
       case _ => false
     })
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"graft_dot requires two numeric arrays, got " +
+      s"graft_dot requires two arrays of fixed-width numeric elements " +
+        s"(float/double/int/bigint/smallint/tinyint), got " +
         s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
   }
 

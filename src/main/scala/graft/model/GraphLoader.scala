@@ -126,8 +126,12 @@ object GraphLoader {
     // keep their pushed filters.
     val srcTables = Seq("customer", "orders", "lineitem", "part",
       "supplier", "nation", "region")
-    val nodesMv = SharedMv(spark, dir, srcTables, "graph_nodes")(nodes)
-    val edgesMv = SharedMv(spark, dir, srcTables, "graph_edges")(edges)
+    // logicVersion MUST be bumped whenever the node/edge derivation above
+    // changes (id offsets, edge types, property projections): the MV
+    // fingerprint can only see source-file metadata, not this code
+    val gv = "graph-v1"
+    val nodesMv = SharedMv(spark, dir, srcTables, "graph_nodes", gv)(nodes)
+    val edgesMv = SharedMv(spark, dir, srcTables, "graph_edges", gv)(edges)
     PropertyGraph(nodesMv, edgesMv, byLabel, statsKey = Some(s"tpch:$dir"))
   }
 

@@ -22,8 +22,15 @@ object SharedMv {
   /** Multi-source form: the fingerprint covers EVERY table the builder
     * reads, so regenerating any one of them invalidates the MV (a trade
     * graph derived from lineitem+orders+customer+supplier must not survive
-    * an orders regen that left lineitem untouched). */
-  def apply(s: SparkSession, d: String, srcTables: Seq[String], name: String)
+    * an orders regen that left lineitem untouched).
+    *
+    * `logicVersion` is the BUILDER's version and is part of the
+    * fingerprint: source-file metadata cannot see a code change to the
+    * derivation itself, so any change to what `build` computes MUST bump
+    * the version at the call site — otherwise the old materialization is
+    * silently served. */
+  def apply(s: SparkSession, d: String, srcTables: Seq[String], name: String,
+            logicVersion: String = "1")
            (build: => DataFrame): DataFrame = {
     val parts: Seq[java.io.File] = srcTables.sorted.flatMap { tbl =>
       val src = new java.io.File(d, s"$tbl.parquet")
@@ -31,9 +38,10 @@ object SharedMv {
       else Seq(src)
     }
     val fp = java.lang.Long.toHexString(
-      parts.sortBy(f => (f.getParent, f.getName)).foldLeft(1125899906842597L) { (h, f) =>
-        31 * (31 * (31 * h + f.getName.hashCode) + f.length()) + f.lastModified()
-      })
+      parts.sortBy(f => (f.getParent, f.getName))
+        .foldLeft(1125899906842597L * 31 + logicVersion.hashCode) { (h, f) =>
+          31 * (31 * (31 * h + f.getName.hashCode) + f.length()) + f.lastModified()
+        })
     val root = new java.io.File(s"${System.getProperty("java.io.tmpdir")}/graft_mv")
     val stem = s"${name}_${math.abs(d.hashCode).toHexString}_"
     val dir = new java.io.File(root, stem + fp)

@@ -626,8 +626,23 @@ object Sparql {
           .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
       else joinGroup(q.patterns, q.filters)
 
+    // OPTIONAL groups: the group evaluates on its own (patterns + its
+    // FILTERs), then LEFT-joins onto the required part on shared variables
+    // — unmatched rows keep their bindings null, the standard SPARQL
+    // left-join semantics
+    q.optionals.foreach { og =>
+      val grp = joinGroup(og.patterns, og.filters)
+      val shared = bound.columns.toSet.intersect(grp.columns.toSet).toSeq
+      bound =
+        if (shared.nonEmpty) bound.join(grp, shared, "left")
+        else bound.crossJoin(grp)
+    }
+
     // BIND(expr AS ?v): a projected column over the solution so far (SPARQL
-    // 1.1 assignment). The bound term keeps the N-Triples representation
+    // 1.1 assignment). Applied AFTER the OPTIONAL left-joins so a BIND
+    // written after an OPTIONAL group can reference its (possibly null)
+    // bindings, and before VALUES/MINUS so those can restrict the bound
+    // variable. The bound term keeps the N-Triples representation
     // invariant: constants/variable copies carry their term through, STR /
     // CONCAT produce a plain literal from lexical forms.
     def lexOf(e: BindX): Column = e match {
@@ -645,18 +660,6 @@ object Sparql {
       require(!bound.columns.contains(v),
         s"BIND target ?$v is already bound (SPARQL forbids rebinding)")
       bound = bound.withColumn(v, ntCol(e))
-    }
-
-    // OPTIONAL groups: the group evaluates on its own (patterns + its
-    // FILTERs), then LEFT-joins onto the required part on shared variables
-    // — unmatched rows keep their bindings null, the standard SPARQL
-    // left-join semantics
-    q.optionals.foreach { og =>
-      val grp = joinGroup(og.patterns, og.filters)
-      val shared = bound.columns.toSet.intersect(grp.columns.toSet).toSeq
-      bound =
-        if (shared.nonEmpty) bound.join(grp, shared, "left")
-        else bound.crossJoin(grp)
     }
 
     // VALUES blocks (SPARQL 1.1 inline data): each block is a tiny literal
@@ -699,8 +702,14 @@ object Sparql {
       val shared = bound.columns.toSet.intersect(grp.columns.toSet).toSeq.sorted
       if (shared.nonEmpty) {
         val g2 = grp.select(shared.map(v => col(v).as(s"__m_$v")): _*).distinct()
+        // RDF term equality with the same plain-vs-typed literal slack the
+        // pattern binder applies (a BIND-produced plain "x" and the export's
+        // "x"^^xsd:string are the same term): raw equal, OR both literals
+        // with equal lexical forms
+        def termEq(a: Column, b: Column): Column =
+          a === b || (a.startsWith("\"") && b.startsWith("\"") && lex(a) === lex(b))
         val compat = shared.map(v =>
-          col(v).isNull || col(s"__m_$v").isNull || col(v) === col(s"__m_$v"))
+          col(v).isNull || col(s"__m_$v").isNull || termEq(col(v), col(s"__m_$v")))
           .reduce(_ && _)
         val overlap = shared.map(v => col(v).isNotNull && col(s"__m_$v").isNotNull)
           .reduce(_ || _)

@@ -44,8 +44,12 @@ object VectorSearch {
   /** Cosine via the NATIVE `graft_dot` Catalyst expression when
     * [[graft.GraftExtensions]] is on the session: one tree node whose
     * codegen is a tight loop, any dimension, same left-to-right double
-    * accumulation as the unrolled form (bit-identical results). Falls back
-    * to the unrolled fixed-dim expression otherwise. */
+    * accumulation as the unrolled form — bit-identical results for
+    * equal-length vectors. Length-mismatched (ragged) vectors score null
+    * on the native path (the HOF `zip_with` semantics); the unrolled
+    * fallback instead nulls only vectors SHORTER than `dim` and scores a
+    * longer vector by its first `dim` elements. Falls back to the unrolled
+    * fixed-dim expression when the extension is absent. */
   def cosineBest(spark: org.apache.spark.sql.SparkSession,
                  a: Column, b: Column, dim: Int): Column =
     if (spark.catalog.functionExists("graft_dot"))

@@ -344,6 +344,34 @@ class SparqlSpec extends SparkSpec {
     assert(r3.toSeq == Seq("alice"))
   }
 
+  test("BIND after OPTIONAL sees the optional (possibly null) binding") {
+    // dave has no balance... all P nodes have balances; use an optional
+    // KNOWS edge instead: carol knows nobody -> her ?fn is null -> ?o null
+    val r = Sparql.execute(
+      prefixes +
+        """SELECT ?n ?o WHERE { ?p a gl:P . ?p gp:name ?n .
+          |  OPTIONAL { ?p gr:KNOWS ?f . ?f gp:name ?fn }
+          |  BIND(CONCAT("knows:", STR(?fn)) AS ?o) } ORDER BY ?n""".stripMargin,
+      triples).as[(String, String)].collect()
+    assert(r.toSeq == Seq(("alice", "knows:bob"), ("bob", "knows:carol"),
+      ("carol", null)))
+  }
+
+  test("MINUS matches a BIND-produced plain literal against a typed one") {
+    // ?v is the plain literal "alice" from BIND; the MINUS group binds the
+    // export's typed form "alice"^^xsd:string — RDF term equality must
+    // still remove alice
+    val r = Sparql.execute(
+      prefixes +
+        """SELECT ?n WHERE { ?p a gl:P . ?p gp:name ?n .
+          |  BIND(CONCAT(STR(?n)) AS ?v) .
+          |  MINUS { ?q gp:name ?v . ?q gr:KNOWS ?x } } ORDER BY ?n""".stripMargin,
+      triples).as[String].collect()
+    // alice and bob KNOW someone (their typed names match the plain ?v);
+    // carol knows nobody
+    assert(r.toSeq == Seq("carol"))
+  }
+
   test("BIND: constant, variable copy, STR and CONCAT assignment") {
     val r = Sparql.execute(
       prefixes +
