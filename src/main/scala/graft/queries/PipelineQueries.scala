@@ -665,6 +665,22 @@ object PipelineQueries {
         .orderBy(col("cohort"), col("off"))
     }),
 
+    // events: AS-OF JOIN — each click picks up the user's most recent
+    // signup at-or-before its timestamp; union-tag + running-window
+    // formulation (one shuffle on user_id, no per-row range probe); oracle
+    // is DuckDB's native ASOF LEFT JOIN
+    "q_asof_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin
+        .asOf(clicks, signups, "user_id", "ts", Seq("event_id"), "event_id")
+        .select(col("event_id"), col("user_id"), col("asof_event_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // events: last-touch attribution — each purchase credits the LAST
     // click of the same user within the 24h lookback; (ct, cid) struct max
     // makes the winner deterministic even under timestamp ties. Range join
@@ -1160,6 +1176,12 @@ object PipelineQueries {
       "WITH m AS (SELECT doc_id AS media_id, CAST(doc_id % 64 + 16 AS INTEGER) AS w, CAST(doc_id % 48 + 16 AS INTEGER) AS h FROM documents) SELECT media_id, w, h, CAST(round(w * least(1.0, 32.0 / greatest(w, h))) AS INTEGER) AS out_w, CAST(round(h * least(1.0, 32.0 / greatest(w, h))) AS INTEGER) AS out_h FROM m ORDER BY 1",
     "q_events_window" ->
       "SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n, round(sum(value), 2) AS total FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+    "q_asof_join" ->
+      """SELECT c.event_id, c.user_id, s.event_id AS asof_event_id
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+        |  ON c.user_id = s.user_id AND c.ts >= s.ts
+        |ORDER BY c.event_id""".stripMargin,
     "q_attribution" ->
       """WITH p AS (SELECT user_id, ts AS pt, event_id AS pid FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT user_id, ts AS ct, event_id AS cid FROM events WHERE event_type = 'click'),

@@ -1,5 +1,30 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
+/** AsOfJoin: inclusive boundary, tie-break, and no-match semantics. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("most recent right at-or-before left; inclusive ties; null when none") {
+    val left = Seq((10L, 1L, 100L), (11L, 1L, 205L), (12L, 2L, 50L))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (90L, 1L, 100L),  // exactly at left ts 100 -> inclusive match
+      (91L, 1L, 200L),  // before 205
+      (92L, 1L, 200L),  // same ts as 91: tie-break -> larger tie id wins
+      (93L, 1L, 300L))  // after everything: never matched
+      .toDF("event_id", "user_id", "ts")
+    val got = graft.operators.AsOfJoin
+      .asOf(left, right, "user_id", "ts", Seq("event_id"), "event_id")
+      .select(col("event_id"), col("asof_event_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(10L).contains(90L))  // inclusive at equal ts
+    assert(got(11L).contains(92L))  // last under (ts, tie) ordering
+    assert(got(12L).isEmpty)        // user 2 has no signups
+  }
+}
+
 import graft.model.PropertyGraph
 import graft.operators.{Direction, Traversals}
 import org.apache.spark.sql.functions._
