@@ -185,20 +185,42 @@ object LocalKernels {
   private def oneRow(spark: SparkSession): Dataset[java.lang.Long] =
     spark.range(0, 1, 1, 1).as(org.apache.spark.sql.Encoders.LONG)
 
-  /** Cached (src, dst) arrays for `key`, pinned by a strong reference so a
-    * hit can never be invalidated by LRU eviction between plan construction
-    * and execution — the closure carries the arrays (one task; primitive
-    * arrays bulk-serialize). Driver-side lookup: non-null only when driver
-    * and executors share the JVM. */
-  private[graft] def hitPair(key: Option[String]): Option[(Array[Long], Array[Long])] =
-    key.flatMap(k => residentLookup(k) match {
+  // Pin registry for cache hits: the hit-path plan captures a small TOKEN,
+  // not the arrays (capturing the arrays would serialize up to the full
+  // row budget into every task binary). The pin holds a strong reference
+  // so LRU eviction between plan construction and execution cannot
+  // invalidate a hit; pins age out FIFO after 16 newer pins — execution
+  // follows construction immediately in every call path. Hits only happen
+  // in local mode (gated below), where driver and task share the JVM.
+  private[this] val pinned = new java.util.LinkedHashMap[java.lang.Long, AnyRef](32, 0.75f, false) {
+    override def removeEldestEntry(e: java.util.Map.Entry[java.lang.Long, AnyRef]): Boolean =
+      size() > 16
+  }
+  private[this] val pinSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def pin(v: AnyRef): Long =
+    pinned.synchronized { val t = pinSeq.incrementAndGet(); pinned.put(t, v); t }
+  private def pinGet(t: Long): AnyRef = pinned.synchronized {
+    val v = pinned.get(t)
+    if (v == null) throw new IllegalStateException(
+      s"resident-cache pin $t aged out before the kernel task ran")
+    v
+  }
+
+  /** Cached (src, dst) arrays for `key` — non-null only in local mode
+    * (driver and tasks share the JVM; on a cluster the driver never sees
+    * executor entries and the standard scan path runs). */
+  private[graft] def hitPair(spark: SparkSession, key: Option[String])
+      : Option[(Array[Long], Array[Long])] =
+    if (!spark.sparkContext.isLocal) None
+    else key.flatMap(k => residentLookup(k) match {
       case (as: Array[Long], bs: Array[Long]) => Some((as, bs))
       case _ => None
     })
 
-  private def hitTriple(key: Option[String])
+  private def hitTriple(spark: SparkSession, key: Option[String])
       : Option[(Array[Long], Array[Long], AnyRef)] =
-    key.flatMap(k => residentLookup(k) match {
+    if (!spark.sparkContext.isLocal) None
+    else key.flatMap(k => residentLookup(k) match {
       case (as: Array[Long], bs: Array[Long], p: AnyRef) => Some((as, bs, p))
       case _ => None
     })
@@ -217,9 +239,11 @@ object LocalKernels {
   private def inTask2[T](src: Dataset[(Long, Long)], key: Option[String])
                         (body: Iterator[(Long, Long)] => Iterator[T])
                         (implicit enc: Encoder[T]): Dataset[T] =
-    hitPair(key) match {
-      case Some((as, bs)) =>
+    hitPair(src.sparkSession, key) match {
+      case Some(g) =>
+        val tok = pin(g)
         oneRow(src.sparkSession).mapPartitions { _ =>
+          val (as, bs) = pinGet(tok).asInstanceOf[(Array[Long], Array[Long])]
           body(Iterator.range(0, as.length).map(i => (as(i), bs(i))))
         }
       case None => src.repartition(1).mapPartitions { it =>
@@ -239,9 +263,12 @@ object LocalKernels {
   private def inTask3[T](src: Dataset[(Long, Long, Double)], key: Option[String])
                         (body: Iterator[(Long, Long, Double)] => Iterator[T])
                         (implicit enc: Encoder[T]): Dataset[T] =
-    hitTriple(key) match {
-      case Some((as, bs, ws: Array[Double])) =>
+    hitTriple(src.sparkSession, key) match {
+      case Some(g @ (_, _, _: Array[Double])) =>
+        val tok = pin(g)
         oneRow(src.sparkSession).mapPartitions { _ =>
+          val (as, bs, ws) = pinGet(tok)
+            .asInstanceOf[(Array[Long], Array[Long], Array[Double])]
           body(Iterator.range(0, as.length).map(i => (as(i), bs(i), ws(i))))
         }
       case _ => src.repartition(1).mapPartitions { it =>
@@ -584,12 +611,14 @@ object LocalKernels {
     import spark.implicits._
     val eProj = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
     val key = cacheKey(eProj.toDF())
-    hitPair(key).foreach { case (as, bs) =>
-      // resident edge stream (pinned by the closure): only the (tiny,
+    hitPair(spark, key).foreach { g =>
+      // resident edge stream (held by a pin token): only the (tiny,
       // gated) start set rides a job
+      val tok = pin(g)
       return starts.select(col(startCol).cast("long")).distinct().as[Long]
         .repartition(1)
         .mapPartitions { sit =>
+          val (as, bs) = pinGet(tok).asInstanceOf[(Array[Long], Array[Long])]
           val ss = new Longs(16); sit.foreach(ss += _)
           vleBody(as, bs, ss, minHops, maxHops)
         }.toDF("start", "node", "hops")
@@ -696,12 +725,15 @@ object LocalKernels {
     val eProj = edges.select(col("src").cast("long"), col("dst").cast("long"),
       eidCol.as("eid")).as[(Long, Long, Long)]
     val key = cacheKey(eProj.toDF())
-    hitTriple(key).foreach {
-      case (as, bs, es: Array[Long]) =>
-        // resident edge stream (pinned by the closure)
+    hitTriple(spark, key).foreach {
+      case g @ (_, _, _: Array[Long]) =>
+        // resident edge stream (held by a pin token)
+        val tok = pin(g)
         return starts.select(col(startCol).cast("long")).distinct().as[Long]
           .repartition(1)
           .mapPartitions { sit =>
+            val (as, bs, es) = pinGet(tok)
+              .asInstanceOf[(Array[Long], Array[Long], Array[Long])]
             val ss = new Longs(16); sit.foreach(ss += _)
             pathBody(as, bs, es, ss, minHops, maxHops, hasId, allPaths)
           }.toDF("start", "node", "path", "epath", "hops")

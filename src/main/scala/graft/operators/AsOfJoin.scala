@@ -26,6 +26,12 @@ object AsOfJoin {
   def asOf(left: DataFrame, right: DataFrame,
            key: String, ts: String, rightVals: Seq[String],
            tieCol: String): DataFrame = {
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(right.schema(tieCol).dataType),
+      s"tieCol '$tieCol' must be an integral column (a non-numeric cast " +
+        "would silently null every tie-break key)")
     val lcols = left.columns.toSeq
     val pSchema = right.select(rightVals.map(col): _*).schema
     val lSchema = left.select(lcols.map(col): _*).schema
@@ -33,10 +39,15 @@ object AsOfJoin {
       lit(1).as("__side"), lit(null).cast("long").as("__tie"),
       lit(null).cast(pSchema).as("__p"),
       struct(lcols.map(col): _*).as("__l"))
-    val r = right.select(col(key).as("__k"), col(ts).as("__t"),
-      lit(0).as("__side"), col(tieCol).cast("long").as("__tie"),
-      struct(rightVals.map(col): _*).as("__p"),
-      lit(null).cast(org.apache.spark.sql.types.StructType(lSchema.fields)).as("__l"))
+    // a null key or null timestamp can never satisfy right.ts <= left.ts
+    // (SQL comparison semantics, and DuckDB ASOF agrees) — but nulls sort
+    // FIRST ascending, where they'd pollute the running last(); drop them
+    val r = right
+      .filter(col(key).isNotNull && col(ts).isNotNull)
+      .select(col(key).as("__k"), col(ts).as("__t"),
+        lit(0).as("__side"), col(tieCol).cast("long").as("__tie"),
+        struct(rightVals.map(col): _*).as("__p"),
+        lit(null).cast(org.apache.spark.sql.types.StructType(lSchema.fields)).as("__l"))
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__t"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, 0)

@@ -673,8 +673,13 @@ object PipelineQueries {
       val ev = t(s, d, "events")
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
+      // pre-dedup to ONE signup per (user, ts) — max event_id — so the
+      // oracle's native ASOF (which leaves same-timestamp ties
+      // unspecified) cannot flap against the operator's deterministic
+      // tie-break; AsOfJoin would pick the same row either way
       val signups = ev.filter(col("event_type") === "signup")
-        .select(col("event_id"), col("user_id"), col("ts"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("event_id"))
       graft.operators.AsOfJoin
         .asOf(clicks, signups, "user_id", "ts", Seq("event_id"), "event_id")
         .select(col("event_id"), col("user_id"), col("asof_event_id"))
@@ -1179,7 +1184,8 @@ object PipelineQueries {
     "q_asof_join" ->
       """SELECT c.event_id, c.user_id, s.event_id AS asof_event_id
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
-        |ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+        |ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
+        |                FROM events WHERE event_type = 'signup' GROUP BY 1, 2) s
         |  ON c.user_id = s.user_id AND c.ts >= s.ts
         |ORDER BY c.event_id""".stripMargin,
     "q_attribution" ->

@@ -91,7 +91,11 @@ object Sparql {
       describes: Seq[Term] = Nil,                    // DESCRIBE targets
       valuesBlocks: Seq[(Seq[String], Seq[Seq[Option[String]]])] = Nil,
       minusGroups: Seq[OptGroup] = Nil,              // MINUS { ... } groups
-      binds: Seq[(String, BindX)] = Nil)             // BIND(expr AS ?v)
+      binds: Seq[(String, BindX)] = Nil,             // BIND(expr AS ?v)
+      // OPTIONAL and BIND steps in PARSE ORDER — a BIND written before an
+      // OPTIONAL evaluates before its left-join (and can be a join var);
+      // one written after sees the optional's (possibly null) bindings
+      groupSteps: Seq[Either[OptGroup, (String, BindX)]] = Nil)
 
   // ---- tokenizer ---------------------------------------------------------
 
@@ -299,6 +303,7 @@ object Sparql {
     var valuesBlocks = Vector.empty[(Seq[String], Seq[Seq[Option[String]]])]
     var minusBlocks = Vector.empty[OptGroup]
     var bindBlocks = Vector.empty[(String, BindX)]
+    var stepBlocks = Vector.empty[Either[OptGroup, (String, BindX)]]
     def ntOf(t: String): String = term(t, predPos = false) match {
       case C(nt) => nt
       case V(v) => sys.error(s"VALUES data must be constant terms, got ?$v")
@@ -378,6 +383,7 @@ object Sparql {
           val (ps, fs, os) = parseGroup(allowOptional = false)
           require(os.isEmpty && ps.nonEmpty, "OPTIONAL needs triple patterns")
           optionals :+= OptGroup(ps, fs)
+          stepBlocks :+= Left(OptGroup(ps, fs))
         } else if (peek.equalsIgnoreCase("MINUS")) {
           require(allowOptional, "MINUS is supported at the top level of WHERE")
           next(); expect("{")
@@ -409,6 +415,7 @@ object Sparql {
           val v = next(); require(v.startsWith("?"), s"BIND target must be a variable, got $v")
           expect(")")
           bindBlocks :+= ((v.drop(1), e))
+          stepBlocks :+= Right((v.drop(1), e))
           if (peek == ".") next()
         } else {
           val s0 = term(next(), predPos = false)
@@ -480,7 +487,7 @@ object Sparql {
       .distinct.filterNot(_.startsWith("__pp"))
     Query(distinct, if (star) vars else select, patterns, filters, optionals,
       unionGroups, orderBy, limit, offset, aggs, groupBy, mode, template,
-      describes, valuesBlocks, minusBlocks, bindBlocks)
+      describes, valuesBlocks, minusBlocks, bindBlocks, stepBlocks)
   }
 
   // ---- execution ---------------------------------------------------------
@@ -626,25 +633,16 @@ object Sparql {
           .reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
       else joinGroup(q.patterns, q.filters)
 
-    // OPTIONAL groups: the group evaluates on its own (patterns + its
-    // FILTERs), then LEFT-joins onto the required part on shared variables
-    // — unmatched rows keep their bindings null, the standard SPARQL
-    // left-join semantics
-    q.optionals.foreach { og =>
-      val grp = joinGroup(og.patterns, og.filters)
-      val shared = bound.columns.toSet.intersect(grp.columns.toSet).toSeq
-      bound =
-        if (shared.nonEmpty) bound.join(grp, shared, "left")
-        else bound.crossJoin(grp)
-    }
-
-    // BIND(expr AS ?v): a projected column over the solution so far (SPARQL
-    // 1.1 assignment). Applied AFTER the OPTIONAL left-joins so a BIND
-    // written after an OPTIONAL group can reference its (possibly null)
-    // bindings, and before VALUES/MINUS so those can restrict the bound
-    // variable. The bound term keeps the N-Triples representation
-    // invariant: constants/variable copies carry their term through, STR /
-    // CONCAT produce a plain literal from lexical forms.
+    // OPTIONAL and BIND steps, IN PARSE ORDER (q.groupSteps):
+    //  - OPTIONAL: the group evaluates on its own (patterns + its FILTERs),
+    //    then LEFT-joins onto the solution so far on shared variables —
+    //    unmatched rows keep their bindings null; a preceding BIND's target
+    //    participates as a join variable.
+    //  - BIND(expr AS ?v): a projected column over the solution so far; a
+    //    BIND written after an OPTIONAL sees its (possibly null) bindings.
+    //    The bound term keeps the N-Triples representation invariant:
+    //    constants/variable copies carry their term through, STR / CONCAT
+    //    produce plain literals from lexical forms.
     def lexOf(e: BindX): Column = e match {
       case BVar(v) => lex(col(v))
       case BConst(nt) => lex(lit(nt))
@@ -656,10 +654,17 @@ object Sparql {
       case BConst(nt) => lit(nt)
       case _ => concat(lit("\""), lexOf(e), lit("\""))
     }
-    q.binds.foreach { case (v, e) =>
-      require(!bound.columns.contains(v),
-        s"BIND target ?$v is already bound (SPARQL forbids rebinding)")
-      bound = bound.withColumn(v, ntCol(e))
+    q.groupSteps.foreach {
+      case Left(og) =>
+        val grp = joinGroup(og.patterns, og.filters)
+        val shared = bound.columns.toSet.intersect(grp.columns.toSet).toSeq
+        bound =
+          if (shared.nonEmpty) bound.join(grp, shared, "left")
+          else bound.crossJoin(grp)
+      case Right((v, e)) =>
+        require(!bound.columns.contains(v),
+          s"BIND target ?$v is already bound (SPARQL forbids rebinding)")
+        bound = bound.withColumn(v, ntCol(e))
     }
 
     // VALUES blocks (SPARQL 1.1 inline data): each block is a tiny literal
@@ -702,12 +707,16 @@ object Sparql {
       val shared = bound.columns.toSet.intersect(grp.columns.toSet).toSeq.sorted
       if (shared.nonEmpty) {
         val g2 = grp.select(shared.map(v => col(v).as(s"__m_$v")): _*).distinct()
-        // RDF term equality with the same plain-vs-typed literal slack the
-        // pattern binder applies (a BIND-produced plain "x" and the export's
-        // "x"^^xsd:string are the same term): raw equal, OR both literals
-        // with equal lexical forms
+        // RDF term equality with EXACTLY the plain-vs-xsd:string slack the
+        // pattern binder applies (RDF 1.1: a plain literal IS an
+        // xsd:string) — NOT lexical equality across arbitrary datatypes:
+        // "5"^^xsd:long and "5"^^xsd:double are distinct terms and must
+        // not anti-join each other away
+        val XsdStr = "^^<http://www.w3.org/2001/XMLSchema#string>"
+        def strTerm(c: Column): Column =
+          c.startsWith("\"") && (c.endsWith("\"") || c.endsWith(XsdStr))
         def termEq(a: Column, b: Column): Column =
-          a === b || (a.startsWith("\"") && b.startsWith("\"") && lex(a) === lex(b))
+          a === b || (strTerm(a) && strTerm(b) && lex(a) === lex(b))
         val compat = shared.map(v =>
           col(v).isNull || col(s"__m_$v").isNull || termEq(col(v), col(s"__m_$v")))
           .reduce(_ && _)

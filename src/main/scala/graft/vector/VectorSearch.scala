@@ -44,19 +44,20 @@ object VectorSearch {
   /** Cosine via the NATIVE `graft_dot` Catalyst expression when
     * [[graft.GraftExtensions]] is on the session: one tree node whose
     * codegen is a tight loop, any dimension, same left-to-right double
-    * accumulation as the unrolled form — bit-identical results for
-    * equal-length vectors. Length-mismatched (ragged) vectors score null
-    * on the native path (the HOF `zip_with` semantics); the unrolled
-    * fallback instead nulls only vectors SHORTER than `dim` and scores a
-    * longer vector by its first `dim` elements. Falls back to the unrolled
-    * fixed-dim expression when the extension is absent. */
+    * accumulation as the unrolled form — bit-identical results. The
+    * fallback guards the unrolled expression with a both-sizes-equal-`dim`
+    * check so ragged vectors null out on BOTH paths (the HOF `zip_with`
+    * semantics) instead of an over-long vector scoring by its first `dim`
+    * elements only when the extension is absent; a pair of equal-length
+    * vectors of some OTHER dimension scores on the native path and nulls
+    * (conservatively) on the fallback. */
   def cosineBest(spark: org.apache.spark.sql.SparkSession,
                  a: Column, b: Column, dim: Int): Column =
     if (spark.catalog.functionExists("graft_dot"))
       call_function("graft_dot", a, b) /
         (sqrt(call_function("graft_dot", a, a)) *
          sqrt(call_function("graft_dot", b, b)))
-    else cosine(a, b, dim)
+    else when(size(a) === size(b) && size(a) === dim, cosine(a, b, dim))
 
   /** Element count of the vector column, from one row (for picking the
     * unrolled codegen path). */
