@@ -189,21 +189,30 @@ object LocalKernels {
   // not the arrays (capturing the arrays would serialize up to the full
   // row budget into every task binary). The pin holds a strong reference
   // so LRU eviction between plan construction and execution cannot
-  // invalidate a hit; pins age out FIFO after 16 newer pins — execution
-  // follows construction immediately in every call path. Hits only happen
-  // in local mode (gated below), where driver and task share the JVM.
+  // invalidate a hit; pins age out FIFO after 64 newer pins. A hit-path
+  // DataFrame can legally be executed LATE (built, then run after many
+  // other kernel calls) or MORE THAN ONCE (show() then count(), a stage
+  // retry), so an aged-out pin is not an error: pinGet re-resolves the
+  // arrays through the resident store by cache key and only fails if the
+  // resident entry was ALSO evicted in the interim (budget-bounded LRU —
+  // at that point the arrays are genuinely gone from the JVM). Hits only
+  // happen in local mode (gated below), where driver and task share the JVM.
   private[this] val pinned = new java.util.LinkedHashMap[java.lang.Long, AnyRef](32, 0.75f, false) {
     override def removeEldestEntry(e: java.util.Map.Entry[java.lang.Long, AnyRef]): Boolean =
-      size() > 16
+      size() > 64
   }
   private[this] val pinSeq = new java.util.concurrent.atomic.AtomicLong()
   private def pin(v: AnyRef): Long =
     pinned.synchronized { val t = pinSeq.incrementAndGet(); pinned.put(t, v); t }
-  private def pinGet(t: Long): AnyRef = pinned.synchronized {
-    val v = pinned.get(t)
-    if (v == null) throw new IllegalStateException(
-      s"resident-cache pin $t aged out before the kernel task ran")
-    v
+  private def pinGet(t: Long, key: String): AnyRef = {
+    val v = pinned.synchronized(pinned.get(t))
+    if (v != null) v
+    else residentLookup(key) match {
+      case null => throw new IllegalStateException(
+        s"resident-cache pin $t aged out and entry $key was evicted " +
+          "before the kernel task ran")
+      case rows => rows
+    }
   }
 
   /** Cached (src, dst) arrays for `key` — non-null only in local mode
@@ -241,9 +250,9 @@ object LocalKernels {
                         (implicit enc: Encoder[T]): Dataset[T] =
     hitPair(src.sparkSession, key) match {
       case Some(g) =>
-        val tok = pin(g)
+        val tok = pin(g); val k = key.get
         oneRow(src.sparkSession).mapPartitions { _ =>
-          val (as, bs) = pinGet(tok).asInstanceOf[(Array[Long], Array[Long])]
+          val (as, bs) = pinGet(tok, k).asInstanceOf[(Array[Long], Array[Long])]
           body(Iterator.range(0, as.length).map(i => (as(i), bs(i))))
         }
       case None => src.repartition(1).mapPartitions { it =>
@@ -265,9 +274,9 @@ object LocalKernels {
                         (implicit enc: Encoder[T]): Dataset[T] =
     hitTriple(src.sparkSession, key) match {
       case Some(g @ (_, _, _: Array[Double])) =>
-        val tok = pin(g)
+        val tok = pin(g); val k = key.get
         oneRow(src.sparkSession).mapPartitions { _ =>
-          val (as, bs, ws) = pinGet(tok)
+          val (as, bs, ws) = pinGet(tok, k)
             .asInstanceOf[(Array[Long], Array[Long], Array[Double])]
           body(Iterator.range(0, as.length).map(i => (as(i), bs(i), ws(i))))
         }
@@ -614,11 +623,11 @@ object LocalKernels {
     hitPair(spark, key).foreach { g =>
       // resident edge stream (held by a pin token): only the (tiny,
       // gated) start set rides a job
-      val tok = pin(g)
+      val tok = pin(g); val k = key.get
       return starts.select(col(startCol).cast("long")).distinct().as[Long]
         .repartition(1)
         .mapPartitions { sit =>
-          val (as, bs) = pinGet(tok).asInstanceOf[(Array[Long], Array[Long])]
+          val (as, bs) = pinGet(tok, k).asInstanceOf[(Array[Long], Array[Long])]
           val ss = new Longs(16); sit.foreach(ss += _)
           vleBody(as, bs, ss, minHops, maxHops)
         }.toDF("start", "node", "hops")
@@ -728,11 +737,11 @@ object LocalKernels {
     hitTriple(spark, key).foreach {
       case g @ (_, _, _: Array[Long]) =>
         // resident edge stream (held by a pin token)
-        val tok = pin(g)
+        val tok = pin(g); val k = key.get
         return starts.select(col(startCol).cast("long")).distinct().as[Long]
           .repartition(1)
           .mapPartitions { sit =>
-            val (as, bs, es) = pinGet(tok)
+            val (as, bs, es) = pinGet(tok, k)
               .asInstanceOf[(Array[Long], Array[Long], Array[Long])]
             val ss = new Longs(16); sit.foreach(ss += _)
             pathBody(as, bs, es, ss, minHops, maxHops, hasId, allPaths)

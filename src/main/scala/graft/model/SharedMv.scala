@@ -37,29 +37,77 @@ object SharedMv {
       if (src.isDirectory) Option(src.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
       else Seq(src)
     }
+    // Defensive versioning: the explicit logicVersion is the contract, but a
+    // forgotten bump would silently serve a stale MV — so the fingerprint
+    // ALSO folds in a hash of the calling class's bytecode. Any recompile of
+    // the class holding the derivation changes the fingerprint (coarse — a
+    // cheap one-time rebuild — but a code change can never serve old data).
     val fp = java.lang.Long.toHexString(
       parts.sortBy(f => (f.getParent, f.getName))
-        .foldLeft(1125899906842597L * 31 + logicVersion.hashCode) { (h, f) =>
+        .foldLeft(1125899906842597L * 31 + logicVersion.hashCode
+            + callerBytecodeHash()) { (h, f) =>
           31 * (31 * (31 * h + f.getName.hashCode) + f.length()) + f.lastModified()
         })
     val root = new java.io.File(s"${System.getProperty("java.io.tmpdir")}/graft_mv")
     val stem = s"${name}_${math.abs(d.hashCode).toHexString}_"
     val dir = new java.io.File(root, stem + fp)
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
-      // evict STALE versions of this same (name, dataset) MV — a regenerated
-      // source table changes fp and would otherwise leave the old
-      // materialization in tmp forever (same leak class as checkpoint dirs)
-      Option(root.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.startsWith(stem) && f.getName != dir.getName)
-        .foreach { f =>
-          def rm(x: java.io.File): Unit = {
-            if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-            x.delete(): Unit
-          }
-          rm(f)
-        }
       build.write.mode("overwrite").parquet(dir.getPath)
+      // Evict STALE versions of this same (name, dataset) MV — a regenerated
+      // source changes fp and would otherwise leave the old materialization
+      // in tmp forever (same leak class as checkpoint dirs). Only AFTER the
+      // new build's _SUCCESS exists (a failed build must not destroy the
+      // last good materialization), and only siblings quiet for >15 min —
+      // a concurrent JVM that fingerprinted moments ago may still be
+      // serving an old-fp directory mid-query.
+      if (new java.io.File(dir, "_SUCCESS").exists()) {
+        val cutoff = System.currentTimeMillis() - 15L * 60 * 1000
+        Option(root.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith(stem) && f.getName != dir.getName &&
+            f.lastModified() < cutoff)
+          .foreach { f =>
+            def rm(x: java.io.File): Unit = {
+              if (x.isDirectory) Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+              x.delete(): Unit
+            }
+            rm(f)
+          }
+      }
     }
     s.read.parquet(dir.getPath)
+  }
+
+  // ---------- builder-bytecode fingerprint ----------
+
+  private val bcHashes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Hash of the first non-SharedMv, non-JDK caller class's bytecode. */
+  private def callerBytecodeHash(): Long = {
+    val cn = Thread.currentThread.getStackTrace.iterator
+      .map(_.getClassName)
+      .find(c => !c.startsWith("graft.model.SharedMv") &&
+        !c.startsWith("java.") && !c.startsWith("jdk.") &&
+        !c.startsWith("scala."))
+      .getOrElse("")
+    bcHashes.computeIfAbsent(cn, classBytecodeHash).longValue()
+  }
+
+  private def classBytecodeHash(cn: String): java.lang.Long = {
+    if (cn.isEmpty) return 0L
+    val res = "/" + cn.replace('.', '/') + ".class"
+    val is = getClass.getResourceAsStream(res)
+    if (is == null) return 0L
+    try {
+      var h = 1469598103934665603L
+      val buf = new Array[Byte](1 << 14)
+      var n = is.read(buf)
+      while (n > 0) {
+        var i = 0
+        while (i < n) { h = (h ^ buf(i)) * 1099511628211L; i += 1 }
+        n = is.read(buf)
+      }
+      h
+    } finally is.close()
   }
 }

@@ -46,6 +46,9 @@ object Rdf {
   /** [[unesc]] for sibling modules (SPARQL lexical-value extraction). */
   private[rdf] def unescape(c: Column): Column = unesc(c)
 
+  /** [[esc]] for sibling modules (SPARQL BIND literal construction). */
+  private[rdf] def escape(c: Column): Column = esc(c)
+
   private def iri(prefix: String, c: Column): Column =
     concat(lit("<" + prefix), c, lit(">"))
 

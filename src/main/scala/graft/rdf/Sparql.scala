@@ -80,6 +80,16 @@ object Sparql {
   private final case class BStr(v: String) extends BindX
   private final case class BConcat(args: Seq[BindX]) extends BindX
 
+  /** One WHERE-clause group step in PARSE ORDER: SPARQL algebra folds
+    * OPTIONAL (LeftJoin), BIND (Extend), and MINUS (Minus) into the group
+    * left-to-right, so a MINUS written before an OPTIONAL must anti-join
+    * BEFORE that optional binds its variables — and a BIND written before
+    * an OPTIONAL evaluates before its left-join (and can be a join var). */
+  private sealed trait GroupStep
+  private final case class OptStep(g: OptGroup) extends GroupStep
+  private final case class BindStep(v: String, e: BindX) extends GroupStep
+  private final case class MinusStep(g: OptGroup) extends GroupStep
+
   private final case class Query(
       distinct: Boolean, select: Seq[String], patterns: Seq[Pattern],
       filters: Seq[Cond], optionals: Seq[OptGroup],
@@ -90,12 +100,8 @@ object Sparql {
       template: Seq[(Term, Term, Term)] = Nil,       // CONSTRUCT template
       describes: Seq[Term] = Nil,                    // DESCRIBE targets
       valuesBlocks: Seq[(Seq[String], Seq[Seq[Option[String]]])] = Nil,
-      minusGroups: Seq[OptGroup] = Nil,              // MINUS { ... } groups
       binds: Seq[(String, BindX)] = Nil,             // BIND(expr AS ?v)
-      // OPTIONAL and BIND steps in PARSE ORDER — a BIND written before an
-      // OPTIONAL evaluates before its left-join (and can be a join var);
-      // one written after sees the optional's (possibly null) bindings
-      groupSteps: Seq[Either[OptGroup, (String, BindX)]] = Nil)
+      groupSteps: Seq[GroupStep] = Nil)
 
   // ---- tokenizer ---------------------------------------------------------
 
@@ -301,9 +307,8 @@ object Sparql {
     // VALUES blocks collect across groups: (vars, rows of NT terms; None =
     // UNDEF, which matches anything / binds null)
     var valuesBlocks = Vector.empty[(Seq[String], Seq[Seq[Option[String]]])]
-    var minusBlocks = Vector.empty[OptGroup]
     var bindBlocks = Vector.empty[(String, BindX)]
-    var stepBlocks = Vector.empty[Either[OptGroup, (String, BindX)]]
+    var stepBlocks = Vector.empty[GroupStep]
     def ntOf(t: String): String = term(t, predPos = false) match {
       case C(nt) => nt
       case V(v) => sys.error(s"VALUES data must be constant terms, got ?$v")
@@ -383,13 +388,13 @@ object Sparql {
           val (ps, fs, os) = parseGroup(allowOptional = false)
           require(os.isEmpty && ps.nonEmpty, "OPTIONAL needs triple patterns")
           optionals :+= OptGroup(ps, fs)
-          stepBlocks :+= Left(OptGroup(ps, fs))
+          stepBlocks :+= OptStep(OptGroup(ps, fs))
         } else if (peek.equalsIgnoreCase("MINUS")) {
           require(allowOptional, "MINUS is supported at the top level of WHERE")
           next(); expect("{")
           val (ps, fs, os) = parseGroup(allowOptional = false)
           require(os.isEmpty && ps.nonEmpty, "MINUS needs triple patterns")
-          minusBlocks :+= OptGroup(ps, fs)
+          stepBlocks :+= MinusStep(OptGroup(ps, fs))
           if (peek == ".") next()
         } else if (peek.equalsIgnoreCase("BIND")) {
           require(allowOptional, "BIND is supported at the top level of WHERE")
@@ -415,7 +420,7 @@ object Sparql {
           val v = next(); require(v.startsWith("?"), s"BIND target must be a variable, got $v")
           expect(")")
           bindBlocks :+= ((v.drop(1), e))
-          stepBlocks :+= Right((v.drop(1), e))
+          stepBlocks :+= BindStep(v.drop(1), e)
           if (peek == ".") next()
         } else {
           val s0 = term(next(), predPos = false)
@@ -487,7 +492,7 @@ object Sparql {
       .distinct.filterNot(_.startsWith("__pp"))
     Query(distinct, if (star) vars else select, patterns, filters, optionals,
       unionGroups, orderBy, limit, offset, aggs, groupBy, mode, template,
-      describes, valuesBlocks, minusBlocks, bindBlocks, stepBlocks)
+      describes, valuesBlocks, bindBlocks, stepBlocks)
   }
 
   // ---- execution ---------------------------------------------------------
@@ -652,19 +657,56 @@ object Sparql {
     def ntCol(e: BindX): Column = e match {
       case BVar(v) => col(v)
       case BConst(nt) => lit(nt)
-      case _ => concat(lit("\""), lexOf(e), lit("\""))
+      // STR/CONCAT build a plain literal from the UNESCAPED lexical form —
+      // re-escape (inverse of Rdf.unescape) before wrapping in quotes, or a
+      // source literal containing '"' or '\\' would emit a malformed
+      // N-Triples term that lex() later truncates at the embedded quote
+      case _ => concat(lit("\""), Rdf.escape(lexOf(e)), lit("\""))
     }
+    // MINUS (SPARQL 1.1 set difference): remove solutions compatible with
+    // some MINUS solution on shared variables, but only when the two
+    // domains actually overlap — a null binding (from OPTIONAL) is
+    // compatible with anything yet contributes no overlap, and disjoint
+    // domains remove nothing. One anti-join per group; Catalyst broadcasts
+    // the (distinct, shared-vars-only) right side when small.
+    def applyMinus(mg: OptGroup): Unit = {
+      val grp = joinGroup(mg.patterns, mg.filters)
+      val shared = bound.columns.toSet.intersect(grp.columns.toSet).toSeq.sorted
+      if (shared.nonEmpty) {
+        val g2 = grp.select(shared.map(v => col(v).as(s"__m_$v")): _*).distinct()
+        // RDF term equality with EXACTLY the plain-vs-xsd:string slack the
+        // pattern binder applies (RDF 1.1: a plain literal IS an
+        // xsd:string) — NOT lexical equality across arbitrary datatypes:
+        // "5"^^xsd:long and "5"^^xsd:double are distinct terms and must
+        // not anti-join each other away
+        val XsdStr = "^^<http://www.w3.org/2001/XMLSchema#string>"
+        def strTerm(c: Column): Column =
+          c.startsWith("\"") && (c.endsWith("\"") || c.endsWith(XsdStr))
+        def termEq(a: Column, b: Column): Column =
+          a === b || (strTerm(a) && strTerm(b) && lex(a) === lex(b))
+        val compat = shared.map(v =>
+          col(v).isNull || col(s"__m_$v").isNull || termEq(col(v), col(s"__m_$v")))
+          .reduce(_ && _)
+        val overlap = shared.map(v => col(v).isNotNull && col(s"__m_$v").isNotNull)
+          .reduce(_ || _)
+        bound = bound.join(g2, compat && overlap, "left_anti")
+      }
+    }
+    // OPTIONAL / BIND / MINUS fold into the group in PARSE ORDER (SPARQL
+    // algebra group evaluation): a MINUS written before an OPTIONAL
+    // anti-joins BEFORE that optional binds variables it shares
     q.groupSteps.foreach {
-      case Left(og) =>
+      case OptStep(og) =>
         val grp = joinGroup(og.patterns, og.filters)
         val shared = bound.columns.toSet.intersect(grp.columns.toSet).toSeq
         bound =
           if (shared.nonEmpty) bound.join(grp, shared, "left")
           else bound.crossJoin(grp)
-      case Right((v, e)) =>
+      case BindStep(v, e) =>
         require(!bound.columns.contains(v),
           s"BIND target ?$v is already bound (SPARQL forbids rebinding)")
         bound = bound.withColumn(v, ntCol(e))
+      case MinusStep(mg) => applyMinus(mg)
     }
 
     // VALUES blocks (SPARQL 1.1 inline data): each block is a tiny literal
@@ -696,35 +738,6 @@ object Sparql {
       bound = bound.join(broadcast(vdf), cond, "inner").select(keep: _*)
     }
 
-    // MINUS groups (SPARQL 1.1 set difference): remove solutions compatible
-    // with some MINUS solution on shared variables, but only when the two
-    // domains actually overlap — a null binding (from OPTIONAL) is
-    // compatible with anything yet contributes no overlap, and disjoint
-    // domains remove nothing. One anti-join per group; Catalyst broadcasts
-    // the (distinct, shared-vars-only) right side when small.
-    q.minusGroups.foreach { mg =>
-      val grp = joinGroup(mg.patterns, mg.filters)
-      val shared = bound.columns.toSet.intersect(grp.columns.toSet).toSeq.sorted
-      if (shared.nonEmpty) {
-        val g2 = grp.select(shared.map(v => col(v).as(s"__m_$v")): _*).distinct()
-        // RDF term equality with EXACTLY the plain-vs-xsd:string slack the
-        // pattern binder applies (RDF 1.1: a plain literal IS an
-        // xsd:string) — NOT lexical equality across arbitrary datatypes:
-        // "5"^^xsd:long and "5"^^xsd:double are distinct terms and must
-        // not anti-join each other away
-        val XsdStr = "^^<http://www.w3.org/2001/XMLSchema#string>"
-        def strTerm(c: Column): Column =
-          c.startsWith("\"") && (c.endsWith("\"") || c.endsWith(XsdStr))
-        def termEq(a: Column, b: Column): Column =
-          a === b || (strTerm(a) && strTerm(b) && lex(a) === lex(b))
-        val compat = shared.map(v =>
-          col(v).isNull || col(s"__m_$v").isNull || termEq(col(v), col(s"__m_$v")))
-          .reduce(_ && _)
-        val overlap = shared.map(v => col(v).isNotNull && col(s"__m_$v").isNotNull)
-          .reduce(_ || _)
-        bound = bound.join(g2, compat && overlap, "left_anti")
-      }
-    }
     bound
   }
 

@@ -33,11 +33,18 @@ class SharedMvSpec extends SparkSpec {
       val v2 = SharedMv(spark, dir.getPath, Seq("src"), name, "v2")(build("two"))
       assert(v2.select("tag").distinct().as[String].head() == "two")
       assert(builds == 2)
-      // ...and the v1 materialization of this (name, dataset) was evicted
+      // ...and the v1 materialization survives the 15-min grace window (a
+      // concurrent JVM may still be serving it)...
       val root = new java.io.File(
         s"${System.getProperty("java.io.tmpdir")}/graft_mv")
-      val versions = Option(root.listFiles()).getOrElse(Array.empty)
+      def versions = Option(root.listFiles()).getOrElse(Array.empty)
         .filter(_.getName.startsWith(s"${name}_"))
+      assert(versions.length == 2)
+      // ...but once quiet past the grace window, the next rebuild evicts it
+      versions.foreach(f =>
+        f.setLastModified(System.currentTimeMillis() - 16L * 60 * 1000): Unit)
+      val v3 = SharedMv(spark, dir.getPath, Seq("src"), name, "v3")(build("three"))
+      assert(v3.select("tag").distinct().as[String].head() == "three")
       assert(versions.length == 1)
     } finally {
       def rm(f: java.io.File): Unit = {
