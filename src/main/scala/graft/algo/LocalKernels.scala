@@ -725,8 +725,22 @@ object LocalKernels {
                               minHops: Int, maxHops: Int): DataFrame =
     pathExpand(edges, starts, startCol, minHops, maxHops, allPaths = true)
 
+  /** Target-aware shortest paths (`shortestPath((a)-[*]-(b))` with BOTH
+    * endpoints constrained): BFS per start that emits ONLY rows landing on a
+    * target and STOPS at the depth where every target has been reached —
+    * an unbounded `*` never explores past the last target's BFS depth.
+    * Without this, `allShortestPaths` over `*` enumerates every distinct
+    * shortest node-sequence to the whole component (combinatorial in
+    * diamond-rich graphs) before the target filter ever runs. */
+  def shortestPathsToTargets(edges: DataFrame, starts: DataFrame, startCol: String,
+                             targets: DataFrame, targetCol: String,
+                             minHops: Int, maxHops: Int, allPaths: Boolean): DataFrame =
+    pathExpand(edges, starts, startCol, minHops, maxHops, allPaths,
+      Some((targets, targetCol)))
+
   private def pathExpand(edges: DataFrame, starts: DataFrame, startCol: String,
-                         minHops: Int, maxHops: Int, allPaths: Boolean): DataFrame = {
+                         minHops: Int, maxHops: Int, allPaths: Boolean,
+                         targets: Option[(DataFrame, String)] = None): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val hasId = edges.columns.contains("id")
@@ -734,35 +748,48 @@ object LocalKernels {
     val eProj = edges.select(col("src").cast("long"), col("dst").cast("long"),
       eidCol.as("eid")).as[(Long, Long, Long)]
     val key = cacheKey(eProj.toDF())
+    // starts tagged 1, targets tagged 2, in one tiny driver-side stream
+    def tagged: Dataset[(Long, Int)] = {
+      val s = starts.select(col(startCol).cast("long"), lit(1)).distinct()
+        .as[(Long, Int)]
+      targets match {
+        case Some((t, tc)) =>
+          s.unionAll(t.select(col(tc).cast("long"), lit(2)).distinct().as[(Long, Int)])
+        case None => s
+      }
+    }
     hitTriple(spark, key).foreach {
       case g @ (_, _, _: Array[Long]) =>
         // resident edge stream (held by a pin token)
         val tok = pin(g); val k = key.get
-        return starts.select(col(startCol).cast("long")).distinct().as[Long]
+        return tagged
           .repartition(1)
           .mapPartitions { sit =>
             val (as, bs, es) = pinGet(tok, k)
               .asInstanceOf[(Array[Long], Array[Long], Array[Long])]
-            val ss = new Longs(16); sit.foreach(ss += _)
-            pathBody(as, bs, es, ss, minHops, maxHops, hasId, allPaths)
+            val ss = new Longs(16)
+            val ts = if (targets.isDefined) new Longs(16) else null
+            sit.foreach { case (v, t) => if (t == 1) ss += v else ts += v }
+            pathBody(as, bs, es, ss, minHops, maxHops, hasId, allPaths, ts)
           }.toDF("start", "node", "path", "epath", "hops")
       case _ => ()
     }
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"), eidCol, lit(0))
       .as[(Long, Long, Long, Int)]
-    val s0 = starts.select(col(startCol).cast("long"), lit(0L), lit(0L), lit(1))
-      .distinct().as[(Long, Long, Long, Int)]
+    val s0 = tagged.map { case (v, t) => (v, 0L, 0L, t) }
     e.unionAll(s0).repartition(1)
       .mapPartitions { it =>
         val ab = new Longs(); val bb = new Longs(); val eb = new Longs()
         val startIds = new Longs(16)
+        val targetIds = if (targets.isDefined) new Longs(16) else null
         it.foreach { case (a, b, eid, t) =>
           if (t == 0) { ab += a; bb += b; eb += eid }
-          else startIds += a
+          else if (t == 1) startIds += a
+          else targetIds += a
         }
         val as = ab.toArray; val bs = bb.toArray; val es = eb.toArray
         key.foreach(k => residentStoreLocal(k, (as, bs, es), as.length.toLong))
-        pathBody(as, bs, es, startIds, minHops, maxHops, hasId, allPaths)
+        pathBody(as, bs, es, startIds, minHops, maxHops, hasId, allPaths, targetIds)
       }.toDF("start", "node", "path", "epath", "hops")
   }
 
@@ -770,13 +797,28 @@ object LocalKernels {
     * routes of [[pathExpand]]. */
   private def pathBody(as: Array[Long], bs: Array[Long], esIn: Array[Long],
                        startIds: Longs, minHops: Int, maxHops: Int,
-                       hasId: Boolean, allPaths: Boolean)
+                       hasId: Boolean, allPaths: Boolean,
+                       targetIds: Longs = null)
       : Iterator[(Long, Long, Seq[Long], Seq[Long], Int)] = {
         val vx = new Interner
         val sb = new Ints(); val db = new Ints()
         var ei = 0
         while (ei < as.length) { sb += vx.idx(as(ei)); db += vx.idx(bs(ei)); ei += 1 }
         val (si, di, eids) = (sb.result(), db.result(), esIn)
+        // target vertex indices (ids absent from the graph are unreachable
+        // and simply never satisfied — the loop then ends at frontier
+        // exhaustion like before)
+        val tgtIdx: java.util.HashSet[Integer] =
+          if (targetIds == null) null
+          else {
+            val s = new java.util.HashSet[Integer]()
+            var ti = 0
+            while (ti < targetIds.n) {
+              vx.idOf.get(targetIds(ti)).foreach(ix => s.add(ix): Unit)
+              ti += 1
+            }
+            s
+          }
         // CSR over edge INDICES so parallel edges keep their own eid
         val n = vx.n
         val off = new Array[Int](n + 1)
@@ -794,9 +836,13 @@ object LocalKernels {
           val startId = startIds(s)
           val stamp = s + 1
           val out = mutable.ArrayBuffer.empty[(Long, Long, Seq[Long], Seq[Long], Int)]
-          if (minHops == 0)
+          if (minHops == 0 && (tgtIdx == null || targetIds.toArray.contains(startId)))
             out += ((startId, startId, Seq(startId), Seq.empty[Long], 0))
           vx.idOf.get(startId).foreach { sIdx =>
+            // targets left to reach from THIS start; 0 => stop the BFS
+            var remain =
+              if (tgtIdx == null) Int.MaxValue
+              else tgtIdx.size - (if (tgtIdx.contains(sIdx)) 1 else 0)
             seenAt(sIdx) = stamp
             // frontier rows: (nodeIdx, node-seq, edge-seq); paths mode keeps
             // one row per node, allPaths one per distinct node-seq
@@ -840,12 +886,21 @@ object LocalKernels {
                 }
               if (entries.isEmpty) frontier = mutable.ArrayBuffer.empty
               else {
-                entries.foreach { case (w, _, _) => seenAt(w) = stamp }
+                entries.foreach { case (w, _, _) =>
+                  if (seenAt(w) != stamp) {
+                    seenAt(w) = stamp
+                    if (tgtIdx != null && tgtIdx.contains(w)) remain -= 1
+                  }
+                }
                 if (h >= minHops)
                   entries.foreach { case (w, p, ep) =>
-                    out += ((startId, vx.ids(w), p.toSeq, ep.toSeq, h))
+                    if (tgtIdx == null || tgtIdx.contains(w))
+                      out += ((startId, vx.ids(w), p.toSeq, ep.toSeq, h))
                   }
-                frontier = mutable.ArrayBuffer.from(entries)
+                // every target reached: deeper levels can only add LONGER
+                // paths to them — stop this start's BFS here
+                frontier = if (remain <= 0) mutable.ArrayBuffer.empty
+                           else mutable.ArrayBuffer.from(entries)
                 h += 1
               }
             }

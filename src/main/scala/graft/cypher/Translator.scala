@@ -912,7 +912,8 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         case None =>
           df =
             if (rel.isVarLength)
-              expandVarLength(df, cur, rel, node, tgtVar, vars, path.pathVar, path.allPaths)
+              expandVarLength(df, cur, rel, node, tgtVar, vars, path.pathVar,
+                path.allPaths, path.shortest)
             else expandOne(df, cur, rel, node, tgtVar, vars, relVar,
               keepEdgeId = path.pathVar.isDefined)
           rel.variable.foreach { v => vars += v; edgeEntityVars += v }
@@ -1055,7 +1056,8 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
 
   private def expandVarLength(df: DataFrame, srcVar: String, rel: RelPat,
                               node: NodePat, tgtVar: String, bound: Set[String],
-                              pathVar: Option[String], allPaths: Boolean = false): DataFrame = {
+                              pathVar: Option[String], allPaths: Boolean = false,
+                              shortest: Boolean = false): DataFrame = {
     val maxHops = rel.maxHops // unbounded `*` iterates to the reachability fixpoint
     var e = g.edgesOfType(rel.types: _*)
     // relationship property predicates apply to EVERY traversed edge
@@ -1073,10 +1075,21 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     val starts = df.select(col(s"${srcVar}__id").as("__s")).distinct()
     val needPath = pathVar.isDefined
     val raw =
-      if (allPaths)
-        // allShortestPaths(): one row per distinct min-depth node sequence
-        // (row multiplicity holds even when the path itself is unnamed)
-        Traversals.varLengthExpandAllPaths(e, starts, "__s", rel.minHops, maxHops)
+      if (shortest || allPaths) {
+        // shortestPath()/allShortestPaths(): the pattern CONSTRAINS the far
+        // endpoint (bound variable or label/property scan), so the BFS can
+        // emit only target landings and stop at the last target's depth —
+        // with an unbounded `*` the untargeted expansion would enumerate
+        // every shortest node-sequence in the component first.
+        // allShortestPaths: one row per distinct min-depth node sequence
+        // (row multiplicity holds even when the path itself is unnamed).
+        val targets =
+          if (bound.contains(tgtVar))
+            df.select(col(s"${tgtVar}__id").as("__t")).distinct()
+          else scanNode(node, tgtVar).select(col(s"${tgtVar}__id").as("__t")).distinct()
+        Traversals.shortestPathsToTargets(e, starts, "__s", targets, "__t",
+          rel.minHops, maxHops, allPaths)
+      }
       else if (needPath)
         Traversals.varLengthExpandPaths(e, starts, "__s", rel.minHops, maxHops)
       else Traversals.varLengthExpand(e, starts, "__s", rel.minHops, maxHops)

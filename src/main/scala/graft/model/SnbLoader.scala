@@ -1,0 +1,232 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LDBC SNB-shaped property graph, derived DETERMINISTICALLY from the TPC-H
+  * testdata so the DuckDB oracles can recompute the identical graph in SQL
+  * (`LdbcQueries.SnbSql` mirrors every rule below — keep the two in sync).
+  *
+  * The reference's flagship validation is the 21-query SNB Interactive read
+  * suite over its CSV-loaded SF1 social network (`benches/ldbc_common/
+  * mod.rs:50-143`, `benches/ldbc_benchmark.rs:54-325`, `docs/ldbc/
+  * SNB_INTERACTIVE.md`). We reproduce the schema — Person/KNOWS, Post,
+  * Comment/REPLY_OF, Forum/HAS_MEMBER/CONTAINER_OF, Tag/TagClass,
+  * Place, Organisation/WORK_AT, LIKES, HAS_INTEREST — as a projection of
+  * the driver's tables:
+  *
+  *   Person        <- customer   (firstName = mktsegment, lastName = name)
+  *   KNOWS         <- arithmetic near-key rules (deltas 1/4/13, see below)
+  *   Post          <- orders     (creator = o_custkey, date = o_orderdate)
+  *   Comment       <- lineitem   (replyOf = order's post; id dedup'd — the
+  *                                (l_orderkey, l_linenumber) collision rule)
+  *   Forum         <- supplier   (CONTAINER_OF / HAS_MEMBER by o_orderkey
+  *                                mod |supplier|; moderator = min customer
+  *                                of the supplier's nation)
+  *   Tag           <- part       (post HAS_TAG its lineitems' parts)
+  *   TagClass      <- p_type     (id = min partkey of the type)
+  *   Place         <- nation (Country) + region (Continent)
+  *   Organisation  <- supplier   (WORK_AT with workFrom year)
+  *   LIKES         <- orders     (the two "next customers" like each post)
+  *   HAS_INTEREST  <- orders x lineitem (creator interested in post tags)
+  *
+  * All rules are pure key arithmetic + joins — no RNG, no row_number — so
+  * Spark and DuckDB derive bit-identical graphs at any scale factor.
+  */
+object SnbLoader {
+
+  // Node id-space offsets (disjoint by construction; person id = c_custkey).
+  val PostOff: Long     = 10000000L
+  val CommentOff: Long  = 100000000L   // CommentOff + l_orderkey*8 + l_linenumber
+  val TagOff: Long      = 1000000000L
+  val ForumOff: Long    = 1100000000L
+  val TagClassOff: Long = 1200000000L
+  val CountryOff: Long  = 1300000000L
+  val ContinentOff: Long = 1400000000L
+  val OrgOff: Long      = 1500000000L
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), PropertyGraph]()
+
+  def snb(spark: SparkSession, dir: String): PropertyGraph =
+    memo.computeIfAbsent((System.identityHashCode(spark), dir),
+      _ => build(spark, dir))
+
+  /** Canonical node schema: one typed column per SNB property in use. */
+  private val nodeProps = Seq(
+    "firstName" -> "string", "lastName" -> "string", "gender" -> "string",
+    "birthday" -> "long", "creationDate" -> "string", "locationIP" -> "string",
+    "browserUsed" -> "string", "content" -> "string", "imageFile" -> "string",
+    "title" -> "string", "name" -> "string")
+
+  private def nodeRow(id: Column, labels: Seq[String], props: (String, Column)*): Seq[Column] = {
+    val m = props.toMap
+    Seq(id.cast("long").as("id"), array(labels.map(lit): _*).as("labels")) ++
+      nodeProps.map { case (n, t) =>
+        m.getOrElse(n, lit(null)).cast(t).as(n)
+      }
+  }
+
+  private def edgeRow(id: Column, src: Column, dst: Column, rel: String,
+                      workFrom: Column = lit(null)): Seq[Column] =
+    Seq(id.cast("long").as("id"), src.cast("long").as("src"),
+      dst.cast("long").as("dst"), lit(rel).as("relationship"),
+      workFrom.cast("long").as("workFrom"))
+
+  private def build(spark: SparkSession, dir: String): PropertyGraph = {
+    val cust = Tables(spark, dir, "customer")
+    val ord  = Tables(spark, dir, "orders")
+    val li   = Tables(spark, dir, "lineitem")
+    val part = Tables(spark, dir, "part")
+    val supp = Tables(spark, dir, "supplier")
+    val nat  = Tables(spark, dir, "nation")
+    val reg  = Tables(spark, dir, "region")
+
+    // Stats-class driver scalars (the oracle's `(SELECT count(*) FROM …)`):
+    // two tiny counts, computed once per (session, dataset) and baked into
+    // the MV — never a per-row driver loop.
+    val nCust = cust.count()
+    val nSupp = supp.count()
+
+    val ck = col("c_custkey")
+    val persons = cust.select(nodeRow(ck, Seq("Person"),
+      "firstName" -> col("c_mktsegment"), "lastName" -> col("c_name"),
+      "gender" -> when(ck % 2 === 0, "male").otherwise("female"),
+      "birthday" -> (ck % 365),
+      "creationDate" -> (ck % 1000).cast("long").cast("string"),
+      "locationIP" -> concat((ck % 256).cast("long").cast("string"), lit("."),
+        col("c_nationkey").cast("long").cast("string")),
+      "browserUsed" -> when(ck % 3 === 0, "Firefox")
+        .when(ck % 3 === 1, "Chrome").otherwise("Safari")): _*)
+
+    val ok = col("o_orderkey")
+    // posts carry the creator's nation for IS_LOCATED_IN
+    val postBase = ord.join(cust, col("o_custkey") === ck)
+      .select((ok + PostOff).as("pid"), col("o_custkey").as("creator"),
+        when(ok % 5 === 0, lit(null)).otherwise(col("o_orderpriority")).as("content"),
+        when(ok % 5 === 0, concat(col("o_orderpriority"), lit(".jpg"))).as("imageFile"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("cdate"),
+        (lit(ForumOff) + ok % nSupp).as("forum"),
+        (col("c_nationkey") + CountryOff).as("country"), ok.as("okey"))
+    val posts = postBase.select(nodeRow(col("pid"), Seq("Post"),
+      "content" -> col("content"), "imageFile" -> col("imageFile"),
+      "creationDate" -> col("cdate")): _*)
+
+    // comment id collides where (l_orderkey, l_linenumber) repeats — the
+    // known testdata rule; min-aggregation makes the dedup deterministic
+    val cmtBase = li.groupBy(
+        (col("l_orderkey") * 8 + col("l_linenumber") + CommentOff).as("cid"),
+        col("l_orderkey").as("cok"))
+      .agg(min("l_partkey").as("pk"), min("l_suppkey").as("sk"),
+        date_format(min("l_shipdate"), "yyyy-MM-dd").as("cdate"),
+        concat(min("l_returnflag"), lit("/"), min("l_linestatus")).as("ccontent"))
+      .withColumn("creator", (col("pk") * 31 + col("sk")) % nCust)
+    val cmtLoc = cmtBase.join(supp, col("sk") === col("s_suppkey"))
+      .select(col("cid"), (col("s_nationkey") + CountryOff).as("country"))
+    val comments = cmtBase.select(nodeRow(col("cid"), Seq("Comment"),
+      "content" -> col("ccontent"), "creationDate" -> col("cdate")): _*)
+
+    val forums = supp.select(nodeRow(col("s_suppkey") + ForumOff, Seq("Forum"),
+      "title" -> col("s_name")): _*)
+    val tags = part.select(nodeRow(col("p_partkey") + TagOff, Seq("Tag"),
+      "name" -> col("p_name")): _*)
+    val tagClasses = part.groupBy(col("p_type")).agg(min("p_partkey").as("mpk"))
+      .select(nodeRow(col("mpk") + TagClassOff, Seq("TagClass"),
+        "name" -> col("p_type")): _*)
+    val countries = nat.select(nodeRow(col("n_nationkey") + CountryOff,
+      Seq("Place", "Country"), "name" -> col("n_name")): _*)
+    val continents = reg.select(nodeRow(col("r_regionkey") + ContinentOff,
+      Seq("Place", "Continent"), "name" -> col("r_name")): _*)
+    val orgs = supp.select(nodeRow(col("s_suppkey") + OrgOff, Seq("Organisation"),
+      "name" -> col("s_name")): _*)
+
+    val nodes = Seq(posts, comments, forums, tags, tagClasses, countries,
+      continents, orgs).foldLeft(persons)(_ unionByName _)
+
+    // ---- edges ----------------------------------------------------------
+
+    // KNOWS: near-key rules — (a, a+1) unless a%3=0; (a, a+4) when a%7<3;
+    // (a, a+13) when a%11<2. Sparse (deg ≈ 2.5), connected, triangle-free
+    // (no delta pair sums to a third), and SF-agnostic: the dst-existence
+    // check is a semi-join, not a count bound.
+    val pk2 = cust.select(ck.cast("long").as("dst"))
+    def knows(delta: Int, pred: Column, fam: Int): DataFrame =
+      cust.filter(pred)
+        .select(ck.cast("long").as("src"), (ck + delta).cast("long").as("dst"))
+        .join(pk2, Seq("dst"), "left_semi")
+        .select(edgeRow(lit(2000000000L) + col("src") * 8 + fam,
+          col("src"), col("dst"), "KNOWS"): _*)
+    val knowsE = knows(1, ck % 3 =!= 0, 0)
+      .unionByName(knows(4, ck % 7 < 3, 1))
+      .unionByName(knows(13, ck % 11 < 2, 2))
+
+    val postCreator = postBase.select(edgeRow(lit(3000000000L) + col("okey"),
+      col("pid"), col("creator"), "HAS_CREATOR"): _*)
+    val containerOf = postBase.select(edgeRow(lit(4000000000L) + col("okey"),
+      col("forum"), col("pid"), "CONTAINER_OF"): _*)
+    val postLoc = postBase.select(edgeRow(lit(5000000000L) + col("okey"),
+      col("pid"), col("country"), "IS_LOCATED_IN"): _*)
+    // the two "next customers" like each post (distinct by construction:
+    // +1 and +17 never coincide mod |customer|)
+    val likes = postBase.select(edgeRow(lit(6000000000L) + col("okey") * 4,
+        (col("creator") + 1) % nCust, col("pid"), "LIKES"): _*)
+      .unionByName(postBase.select(edgeRow(lit(6000000000L) + col("okey") * 4 + 1,
+        (col("creator") + 17) % nCust, col("pid"), "LIKES"): _*))
+    val member = ord.select((lit(ForumOff) + ok % nSupp).as("fid"),
+        col("o_custkey").as("mid")).distinct()
+      .select(edgeRow(lit(7000000000L) + (col("fid") - ForumOff) * 1000000L + col("mid"),
+        col("fid"), col("mid"), "HAS_MEMBER"): _*)
+    val cmtCreator = cmtBase.select(edgeRow(lit(8000000000L) + (col("cid") - CommentOff),
+      col("cid"), col("creator"), "HAS_CREATOR"): _*)
+    val replyOf = cmtBase.select(edgeRow(lit(9000000000L) + (col("cid") - CommentOff),
+      col("cid"), col("cok") + PostOff, "REPLY_OF"): _*)
+    val cmtLocE = cmtLoc.select(edgeRow(lit(10000000000L) + (col("cid") - CommentOff),
+      col("cid"), col("country"), "IS_LOCATED_IN"): _*)
+    val postTag = li.select((col("l_orderkey") + PostOff).as("mid"),
+        (col("l_partkey") + TagOff).as("tid"), col("l_orderkey").as("lok"),
+        col("l_partkey").as("lpk")).distinct()
+      .select(edgeRow(lit(1000000000000L) + col("lok") * 1000000L + col("lpk"),
+        col("mid"), col("tid"), "HAS_TAG"): _*)
+    val interest = ord.join(li, col("l_orderkey") === ok)
+      .select(col("o_custkey").as("pid"), (col("l_partkey") + TagOff).as("tid"),
+        col("l_partkey").as("lpk")).distinct()
+      .select(edgeRow(lit(2000000000000L) + col("pid") * 1000000L + col("lpk"),
+        col("pid"), col("tid"), "HAS_INTEREST"): _*)
+    val workAt = cust.select(edgeRow(lit(12000000000L) + ck,
+      ck, lit(OrgOff) + ck % nSupp, "WORK_AT", lit(1990) + ck % 25): _*)
+    val hasType = part.join(
+        part.groupBy(col("p_type").as("t2")).agg(min("p_partkey").as("mpk")),
+        col("p_type") === col("t2"))
+      .select(edgeRow(lit(13000000000L) + col("p_partkey"),
+        col("p_partkey") + TagOff, col("mpk") + TagClassOff, "HAS_TYPE"): _*)
+    val moderator = supp.join(
+        cust.groupBy(col("c_nationkey").as("mn")).agg(min("c_custkey").as("mc")),
+        col("s_nationkey") === col("mn"))
+      .select(edgeRow(lit(14000000000L) + col("s_suppkey"),
+        col("s_suppkey") + ForumOff, col("mc"), "HAS_MODERATOR"): _*)
+    val partOf = nat.select(edgeRow(lit(15000000000L) + col("n_nationkey"),
+      col("n_nationkey") + CountryOff, col("n_regionkey") + ContinentOff,
+      "IS_PART_OF"): _*)
+    val personLoc = cust.select(edgeRow(lit(16000000000L) + ck,
+      ck, col("c_nationkey") + CountryOff, "IS_LOCATED_IN"): _*)
+
+    val edges = Seq(postCreator, containerOf, postLoc, likes, member,
+      cmtCreator, replyOf, cmtLocE, postTag, interest, workAt, hasType,
+      moderator, partOf, personLoc).foldLeft(knowsE)(_ unionByName _)
+
+    // Materialize once per dataset (content-fingerprinted parquet MV — the
+    // union re-reads lineitem 4x otherwise; same rationale as the TPC-H
+    // graph MV). Bump the version on ANY derivation change above.
+    val srcTables = Seq("customer", "orders", "lineitem", "part",
+      "supplier", "nation", "region")
+    val gv = "snb-v1"
+    val nodesMv = SharedMv(spark, dir, srcTables, "snb_nodes", gv)(nodes)
+    val edgesMv = SharedMv(spark, dir, srcTables, "snb_edges", gv)(edges)
+
+    def byLbl(l: String) = nodesMv.filter(array_contains(col("labels"), l))
+    val byLabel = Seq("Person", "Post", "Comment", "Forum", "Tag", "TagClass",
+      "Place", "Country", "Continent", "Organisation").map(l => l -> byLbl(l)).toMap
+
+    PropertyGraph(nodesMv, edgesMv, byLabel, statsKey = Some(s"snb:$dir"))
+  }
+}

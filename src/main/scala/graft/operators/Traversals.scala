@@ -259,6 +259,96 @@ object Traversals {
     if (out == null) start0.withColumn("hops", lit(0)).filter(lit(false)) else out
   }
 
+  /** Target-aware shortest paths — `shortestPath((a)-[*]-(b))` /
+    * `allShortestPaths` where the pattern CONSTRAINS both endpoints: BFS
+    * per start, emitting only rows that land on a target and stopping at
+    * the depth where the last target is reached. An unbounded `*` therefore
+    * explores only to the target's BFS depth instead of enumerating every
+    * shortest node-sequence in the component (combinatorial in diamond-rich
+    * graphs — the failure mode the untargeted expansion hits at scale). */
+  def shortestPathsToTargets(edges: DataFrame, starts: DataFrame, startCol: String,
+                             targets: DataFrame, targetCol: String,
+                             minHops: Int, maxHops: Int, allPaths: Boolean): DataFrame = {
+    require(minHops >= 0 && maxHops >= minHops, "need 0 <= min <= max")
+    val cols = if (edges.columns.contains("id"))
+      edges.select(col("src"), col("dst"), col("id")) else edges.select(col("src"), col("dst"))
+    val (g, small) = graft.algo.LocalKernels.gate(cols)
+    if (small && graft.algo.LocalKernels.isSmall(starts.select(col(startCol))) &&
+        graft.algo.LocalKernels.isSmall(targets.select(col(targetCol))))
+      return graft.algo.LocalKernels.shortestPathsToTargets(
+        g, starts, startCol, targets, targetCol, minHops, maxHops, allPaths)
+    shortestPathsToTargetsDistributed(g, starts, startCol, targets, targetCol,
+      minHops, maxHops, allPaths)
+  }
+
+  private[graft] def shortestPathsToTargetsDistributed(
+      edges: DataFrame, starts: DataFrame, startCol: String,
+      targets: DataFrame, targetCol: String,
+      minHops: Int, maxHops: Int, allPaths: Boolean): DataFrame = {
+    val hasId = edges.columns.contains("id")
+    val eid = if (hasId) col("id").cast("long") else lit(null).cast("long")
+    val e = edges.select(col("src").cast("long").as("_src"),
+        col("dst").cast("long").as("_dst"), eid.as("_eid"))
+      .localCheckpoint(true)
+    val tgt = targets.select(col(targetCol).cast("long").as("_tgt")).distinct()
+      .localCheckpoint(true)
+    val start0 = starts.select(col(startCol).cast("long").as("start")).distinct()
+      .select(col("start"), col("start").as("node"), array(col("start")).as("path"),
+        array().cast("array<long>").as("epath"))
+      .localCheckpoint(true)
+    // (start, target) pairs not yet reached; a start with none left is
+    // dropped from the frontier, and the loop ends when the set drains
+    var remaining = start0.select(col("start"))
+      .crossJoin(tgt.withColumnRenamed("_tgt", "node"))
+      .filter(col("start") =!= col("node")) // depth-0 self pair is satisfied
+      .localCheckpoint(true)
+    var visited: DataFrame = start0.select("start", "node")
+    var frontier: DataFrame = start0
+    var out: DataFrame =
+      if (minHops == 0)
+        start0.join(tgt, col("node") === col("_tgt"), "left_semi").withColumn("hops", lit(0))
+      else null
+    var h = 1
+    var done = remaining.isEmpty
+    while (h <= maxHops && !done) {
+      val grown = frontier.join(e, frontier("node") === e("_src"))
+        .select(col("start"), col("_dst").as("node"),
+          concat(col("path"), array(col("_dst"))).as("path"),
+          (if (hasId) concat(col("epath"), array(col("_eid"))) else col("epath")).as("epath"))
+        .join(visited, Seq("start", "node"), "left_anti")
+      val next =
+        (if (allPaths)
+          grown.groupBy(col("start"), col("node"), col("path"))
+            .agg(min(col("epath")).as("epath"))
+        else
+          grown.groupBy(col("start"), col("node"))
+            .agg(min(struct(col("path"), col("epath"))).as("_w"))
+            .select(col("start"), col("node"), col("_w.path").as("path"),
+              col("_w.epath").as("epath")))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        if (h >= minHops) {
+          val reached = next.join(tgt, col("node") === col("_tgt"), "left_semi")
+            .withColumn("hops", lit(h))
+          out = if (out == null) reached else out.unionAll(reached)
+        }
+        remaining = remaining
+          .join(next.select("start", "node").distinct(), Seq("start", "node"), "left_anti")
+          .localCheckpoint(true)
+        if (remaining.isEmpty) done = true
+        else {
+          visited = visited.unionAll(next.select("start", "node").distinct())
+          frontier = next
+            .join(remaining.select("start").distinct(), Seq("start"), "left_semi")
+          h += 1
+        }
+      }
+    }
+    val empty = start0.withColumn("hops", lit(0)).filter(lit(false))
+    if (out == null) empty else out
+  }
+
   /** Unweighted shortest-path length between a start set and all reachable
     * nodes (`ShortestPathOperator` BFS, `operator.rs:7527-7714`), bounded by
     * maxIter; terminates early at the reachability fixpoint.
