@@ -286,19 +286,22 @@ object GraphQueries {
       val edges = g.edgesOfType("IN_NATION", "IN_REGION")
         .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
         .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
-      val sub = graft.model.PropertyGraph(nodes, edges)
+      // the subgraph feeds BOTH the export chain and the final compare —
+      // checkpoint it once so the 3-label union + double semi-join is
+      // analyzed and executed once, not re-planned inside every
+      // downstream action (the bulk of this query's fixed planning cost)
+      val sub = graft.model.PropertyGraph(
+        nodes.localCheckpoint(true), edges.localCheckpoint(true))
       val base = "http://graft.local/"
       val lines = graft.rdf.Rdf.toNTriples(graft.rdf.Rdf.exportTriples(sub, base))
       // materialize the parsed triples and the reimported tables ONCE —
       // the comparison below runs several actions, and without the lineage
       // cut each would re-run the whole export→serialize→parse→pivot chain
       val triples = graft.rdf.Rdf.parseNTriples(lines).localCheckpoint(true)
-      val back0 = graft.rdf.Rdf.importGraph(triples, base)
-      // the import PIVOTS (groupBy over the triple table) feed THREE union
-      // branches each below — cut after them too, or each branch re-runs
-      // the pivot (the r6 7.8 s drift)
-      val back = graft.model.PropertyGraph(
-        back0.nodes.localCheckpoint(true), back0.edges.localCheckpoint(true))
+      // since the compare became ONE side-tagged aggregate action, each
+      // import pivot feeds exactly one union branch — no checkpoint needed
+      // (the r6 multi-action drift that required them is gone)
+      val back = graft.rdf.Rdf.importGraph(triples, base)
       def optCol(df: org.apache.spark.sql.DataFrame, c: String, t: String) =
         (if (df.columns.contains(c)) col(c) else lit(null)).cast(t).as(c)
       def canonN(df: org.apache.spark.sql.DataFrame) = df.select(col("id"),

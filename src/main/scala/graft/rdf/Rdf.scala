@@ -29,18 +29,23 @@ object Rdf {
   private val RdfNs = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
   private val XsdNs = "http://www.w3.org/2001/XMLSchema#"
 
-  /** N-Triples string escape: \ " LF CR TAB. */
+  /** N-Triples string escape: \ " LF CR TAB. Literal `replace` (plain
+    * substring scan, codegen'd) instead of `regexp_replace` — the patterns
+    * are all literal, and five regex-engine passes per exported literal
+    * were the serialize hot path. */
   private def esc(c: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      c, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t")
+    replace(replace(replace(replace(replace(
+      c, lit("\\"), lit("\\\\")), lit("\""), lit("\\\"")),
+      lit("\n"), lit("\\n")), lit("\r"), lit("\\r")), lit("\t"), lit("\\t"))
 
   /** Inverse of [[esc]] — a sentinel keeps `\\n` (escaped backslash + n)
     * distinct from `\n` (escaped newline) in one pass chain. */
   private def unesc(c: Column): Column = {
     val sentinel = "\u0001"
-    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-      c, "\\\\\\\\", sentinel), "\\\\\"", "\""), "\\\\n", "\n"), "\\\\r", "\r"),
-      "\\\\t", "\t"), sentinel, "\\\\")
+    replace(replace(replace(replace(replace(replace(
+      c, lit("\\\\"), lit(sentinel)), lit("\\\""), lit("\"")),
+      lit("\\n"), lit("\n")), lit("\\r"), lit("\r")),
+      lit("\\t"), lit("\t")), lit(sentinel), lit("\\"))
   }
 
   /** [[unesc]] for sibling modules (SPARQL lexical-value extraction). */
@@ -81,34 +86,48 @@ object Rdf {
     val nodeIri = iri(base + "node/", col("id").cast("string"))
     def literal(value: Column, xsd: String): Column =
       concat(lit("\""), esc(value.cast("string")), lit("\"^^<" + xsd + ">"))
-    def propTriples(df: DataFrame, subj: Column, skip: Set[String]) =
+    // One (s, p, o) struct per candidate triple, exploded from a per-row
+    // array — the WHOLE export is two scan branches (nodes, edges), not a
+    // union branch per property. The per-branch union form re-analyzed the
+    // full source subtree once per property (the q_rdf_roundtrip fixed
+    // planning cost) and re-scanned the table as many times at execution.
+    // NULL properties surface as NULL `o` structs filtered after explode.
+    def tri(s: Column, p: Column, o: Column): Column =
+      struct(s.as("s"), p.as("p"), o.as("o"))
+    def propTris(df: DataFrame, subj: Column, skip: Set[String]): Seq[Column] =
       df.schema.fields
         .filter(f => !skip.contains(f.name))
         .flatMap(f => xsdOf(f.dataType).map(x => (f.name, x)))
         .map { case (k, x) =>
-          df.filter(col(k).isNotNull).select(subj.as("s"),
-            lit("<" + base + "prop/" + encSeg(k) + ">").as("p"), literal(col(k), x).as("o"))
-        }
+          tri(subj, lit("<" + base + "prop/" + encSeg(k) + ">"), literal(col(k), x))
+        }.toSeq
 
-    val labelT = g.nodes.select(nodeIri.as("s"), explode(col("labels")).as("_l"))
-      .select(col("s"), lit("<" + RdfNs + "type>").as("p"),
-        iri(base + "label/", encSeg(col("_l"))).as("o"))
-    val nodePropT = propTriples(g.nodes, nodeIri, Set("id", "labels"))
+    val labelTris = transform(col("labels"), l =>
+      tri(nodeIri, lit("<" + RdfNs + "type>"), iri(base + "label/", encSeg(l))))
+    val nodeProps = propTris(g.nodes, nodeIri, Set("id", "labels"))
+    val nodeArr =
+      if (nodeProps.isEmpty) labelTris
+      else concat(labelTris, array(nodeProps: _*))
+    val nodeT = g.nodes.select(explode(nodeArr).as("_t"))
+      .select(col("_t.s").as("s"), col("_t.p").as("p"), col("_t.o").as("o"))
+      .filter(col("o").isNotNull)
 
     val srcIri = iri(base + "node/", col("src").cast("string"))
     val dstIri = iri(base + "node/", col("dst").cast("string"))
     val edgeIri = iri(base + "edge/", col("id").cast("string"))
     val relIri = iri(base + "rel/", encSeg(col("relationship")))
-    val directT = g.edges.select(srcIri.as("s"), relIri.as("p"), dstIri.as("o"))
-    val reifT = Seq(
-      ("type", lit("<" + RdfNs + "Statement>")),
-      ("subject", srcIri), ("predicate", relIri), ("object", dstIri))
-      .map { case (pred, o) =>
-        g.edges.select(edgeIri.as("s"), lit("<" + RdfNs + pred + ">").as("p"), o.as("o"))
-      }
-    val edgePropT = propTriples(g.edges, edgeIri, Set("id", "src", "dst", "relationship"))
+    val edgeArr = array(Seq(
+      tri(srcIri, relIri, dstIri),
+      tri(edgeIri, lit("<" + RdfNs + "type>"), lit("<" + RdfNs + "Statement>")),
+      tri(edgeIri, lit("<" + RdfNs + "subject>"), srcIri),
+      tri(edgeIri, lit("<" + RdfNs + "predicate>"), relIri),
+      tri(edgeIri, lit("<" + RdfNs + "object>"), dstIri)) ++
+      propTris(g.edges, edgeIri, Set("id", "src", "dst", "relationship")): _*)
+    val edgeT = g.edges.select(explode(edgeArr).as("_t"))
+      .select(col("_t.s").as("s"), col("_t.p").as("p"), col("_t.o").as("o"))
+      .filter(col("o").isNotNull)
 
-    (Seq(labelT) ++ nodePropT ++ Seq(directT) ++ reifT ++ edgePropT).reduce(_ unionAll _)
+    nodeT.unionAll(edgeT)
   }
 
   /** Triples → N-Triples text lines (`s p o .`). */
@@ -345,12 +364,17 @@ object Rdf {
   /** N-Triples text lines → (s, p, o) term columns. Subjects and predicates
     * are IRIs (no whitespace); the object is everything up to the final dot. */
   def parseNTriples(lines: Dataset[String]): DataFrame = {
-    val re = "^(\\S+)\\s+(\\S+)\\s+(.+?)\\s*\\.\\s*$"
+    // one whitespace split + one anchored strip instead of three
+    // whole-line regex extractions (the parse hot path): s and p are the
+    // first two whitespace-delimited terms, o is the rest minus the
+    // terminating dot (an embedded " . " inside a literal survives — only
+    // the final anchored dot is stripped, as the non-greedy regex did)
+    val parts = split(trim(col("line")), "\\s+", 3)
     lines.toDF("line").filter(length(trim(col("line"))) > 0)
       .select(
-        regexp_extract(col("line"), re, 1).as("s"),
-        regexp_extract(col("line"), re, 2).as("p"),
-        regexp_extract(col("line"), re, 3).as("o"))
+        parts.getItem(0).as("s"),
+        parts.getItem(1).as("p"),
+        regexp_replace(parts.getItem(2), "\\s*\\.\\s*$", "").as("o"))
   }
 
   /** Triples → PG, inverting [[exportTriples]]: labels from `rdf:type`,
