@@ -116,7 +116,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Field order matters operationally: the harness records only the tail of
+    // stdout, and with 230+ per-query entries the line is ~6KB. Putting the
+    // bulky `queries` map FIRST keeps metric/value/unit/sf inside the
+    // captured tail (JSON object key order is semantically irrelevant).
+    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

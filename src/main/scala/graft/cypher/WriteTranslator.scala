@@ -332,7 +332,10 @@ object WriteTranslator {
           val matched = pairs.join(typed.select(col("src").as("_src"), col("dst").as("_dst"),
             col("id").as("_eid")), Seq("_src", "_dst")).select(col("_eid"))
           val assigns = onMatch.map { case (Prop(_, k), e) =>
-            k -> constCol(e).cast(edgeTypes(k))
+            // a NEW property key has no existing column type to cast to —
+            // the value expression's own type becomes the column type
+            val c = constCol(e)
+            k -> edgeTypes.get(k).map(c.cast).getOrElse(c)
           }.toMap
           val joined = cur.edges.join(matched.withColumn("_hit", lit(true)),
             col("id") === col("_eid"), "left")
@@ -375,7 +378,11 @@ object WriteTranslator {
             projectRows(gr, prefixed(matchedNodes, v), Set(v))
           }
         if (exists) {
-          val assigns = onMatch.map { case (Prop(_, k), e) => k -> constCol(e).cast(nodeTypes(k)) }.toMap
+          val assigns = onMatch.map { case (Prop(_, k), e) =>
+            // new property keys take the value's own type (no column to cast to)
+            val c = constCol(e)
+            k -> nodeTypes.get(k).map(c.cast).getOrElse(c)
+          }.toMap
           // join-based overwrite: a non-selective MERGE predicate must not
           // collect every matched id into the driver + plan (OOM at scale).
           // No ON MATCH → the graph is untouched: keep g AS-IS (preserving
@@ -442,12 +449,20 @@ object WriteTranslator {
           val target = if (isNode) cur.nodes else cur.edges
           val joined = target.join(
             vals.withColumn("_hit", lit(true)), col("id") === col("_id"), "left")
-          val updated = joined.select(target.columns.map { c =>
+          // SET on a NEW property key appends the column (NULL off the
+          // matched set — Cypher's schema-free semantics, reference
+          // operator.rs SetPropertyOperator adds unseen keys); existing
+          // columns keep their type via cast
+          val newKeys = as.map(_._1.key).distinct.filterNot(target.columns.contains)
+          val updated = joined.select((target.columns.map { c =>
             val idx = as.indexWhere(_._1.key == c)
             if (idx >= 0)
               when(col("_hit"), col(s"_v$idx").cast(types(c))).otherwise(col(c)).as(c)
             else col(c)
-          }: _*)
+          } ++ newKeys.map { k =>
+            val idx = as.lastIndexWhere(_._1.key == k) // last assignment wins
+            when(col("_hit"), col(s"_v$idx")).as(k)
+          }): _*)
           // SET on a constrained node property is guarded like an insert
           // (no-op when no registered constraint is touched)
           if (isNode)

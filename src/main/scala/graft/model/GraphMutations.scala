@@ -96,8 +96,10 @@ object GraphMutations {
   /** REMOVE node properties where `pred` holds — NULL of the column's type. */
   def removeNodeProps(g: PropertyGraph, pred: Column, keys: Seq[String]): PropertyGraph = {
     val types = g.nodes.schema.fields.map(f => f.name -> f.dataType).toMap
+    // REMOVE of a property no node carries is a no-op (Cypher: removing an
+    // absent property succeeds silently), not a lookup failure
     setNodeProps(g, pred,
-      keys.map(k => k -> lit(null).cast(types(k))).toMap)
+      keys.filter(types.contains).map(k => k -> lit(null).cast(types(k))).toMap)
   }
 
   /** SET node properties on the id set given as a DATAFRAME — the scale-safe
@@ -119,13 +121,17 @@ object GraphMutations {
   /** REMOVE node properties on an id-set DataFrame — typed NULL overwrite. */
   def removeNodePropsByIds(g: PropertyGraph, ids: DataFrame, keys: Seq[String]): PropertyGraph = {
     val types = g.nodes.schema.fields.map(f => f.name -> f.dataType).toMap
-    setNodePropsByIds(g, ids, keys.map(k => k -> lit(null).cast(types(k))).toMap)
+    // absent properties: silent no-op (Cypher REMOVE semantics)
+    setNodePropsByIds(g, ids, keys.filter(types.contains)
+      .map(k => k -> lit(null).cast(types(k))).toMap)
   }
 
   /** REMOVE edge properties on an id-set DataFrame — typed NULL overwrite. */
   def removeEdgePropsByIds(g: PropertyGraph, ids: DataFrame, keys: Seq[String]): PropertyGraph = {
     val types = g.edges.schema.fields.map(f => f.name -> f.dataType).toMap
-    setEdgePropsByIds(g, ids, keys.map(k => k -> lit(null).cast(types(k))).toMap)
+    // absent properties: silent no-op (Cypher REMOVE semantics)
+    setEdgePropsByIds(g, ids, keys.filter(types.contains)
+      .map(k => k -> lit(null).cast(types(k))).toMap)
   }
 
   /** SET one node property to PER-ID values: `values` is (id, value) rows.
@@ -208,18 +214,28 @@ object GraphMutations {
       }
     }
 
+  /** One-projection conditional overwrite. Assignments to keys the frame
+    * does not yet carry APPEND the column (NULL where the predicate is
+    * false) — Cypher's schema-free SET semantics; dropping them silently
+    * loses writes. New keys appended in sorted order for plan determinism. */
   private def applySet(df: DataFrame, pred: Column, assigns: Map[String, Column]): DataFrame =
     if (assigns.isEmpty) df
-    else df.select(df.columns.map(c =>
-      assigns.get(c).map(v => when(pred, v).otherwise(col(c)).as(c)).getOrElse(col(c))): _*)
+    else {
+      val newKeys = assigns.keys.filterNot(df.columns.contains).toSeq.sorted
+      df.select((df.columns.map(c =>
+        assigns.get(c).map(v => when(pred, v).otherwise(col(c)).as(c)).getOrElse(col(c))) ++
+        newKeys.map(k => when(pred, assigns(k)).as(k))): _*)
+    }
 
   private def applySetByIds(df: DataFrame, ids: DataFrame, assigns: Map[String, Column]): DataFrame =
     if (assigns.isEmpty) df
     else {
       val idc = ids.select(ids.columns.head).toDF("_mid").distinct()
         .withColumn("_hit", lit(true))
+      val newKeys = assigns.keys.filterNot(df.columns.contains).toSeq.sorted
       df.join(idc, col("id") === col("_mid"), "left")
-        .select(df.columns.map(c =>
-          assigns.get(c).map(v => when(col("_hit"), v).otherwise(col(c)).as(c)).getOrElse(col(c))): _*)
+        .select((df.columns.map(c =>
+          assigns.get(c).map(v => when(col("_hit"), v).otherwise(col(c)).as(c)).getOrElse(col(c))) ++
+          newKeys.map(k => when(col("_hit"), assigns(k)).as(k))): _*)
     }
 }

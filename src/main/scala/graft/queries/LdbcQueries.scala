@@ -200,7 +200,7 @@ object LdbcQueries {
   /** The SNB derivation, in SQL — line-for-line the rules in
     * `SnbLoader.build`. Unused CTEs are pruned by DuckDB's optimizer, so
     * every oracle shares this prefix. */
-  private val Pre =
+  private[queries] val Pre =
     """person AS (SELECT c_custkey AS id, c_mktsegment AS firstName, c_name AS lastName,
       |   CASE WHEN c_custkey % 2 = 0 THEN 'male' ELSE 'female' END AS gender,
       |   c_custkey % 365 AS birthday, CAST(c_custkey % 1000 AS VARCHAR) AS creationDate,
@@ -245,13 +245,13 @@ object LdbcQueries {
       |reach2 AS (SELECT id FROM r1 UNION SELECT id FROM r2),
       |reach3 AS (SELECT id FROM reach2 UNION SELECT id FROM r3)""".stripMargin
 
-  private def o(sql: String): String = s"WITH $Pre $sql"
+  private[queries] def o(sql: String): String = s"WITH $Pre $sql"
 
   /** Oracles needing the recursive BFS walk (IC13/IC14): DuckDB requires the
     * RECURSIVE keyword on the whole WITH chain. Min-length walks are exactly
     * the shortest paths (any revisit lengthens a walk), and UNION ALL keeps
     * one row per distinct edge sequence. */
-  private def oRec(sql: String): String =
+  private[queries] def oRec(sql: String): String =
     s"""WITH RECURSIVE $Pre,
        |walk(node, depth) AS (SELECT 101, 0 UNION ALL
        | SELECT ku.d, depth + 1 FROM walk JOIN ku ON ku.s = walk.node

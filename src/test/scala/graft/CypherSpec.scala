@@ -541,6 +541,33 @@ class CypherSpec extends SparkSpec {
     assert(g3.nodes.filter(array_contains($"labels", "Owner")).count() == 0L)
   }
 
+  test("SET on a NEW property key appends the column (schema-free semantics)") {
+    // swept from the reference corpus: SET/ON MATCH SET of a property no
+    // node carries yet must ADD it, not silently drop or crash
+    val (g2, s2) = QueryEngine.executeWrite(
+      "MATCH (p:Person {name: 'Alice'}) SET p.visited = true", g)
+    assert(s2.select("properties_set").as[Long].head() == 1L)
+    assert(g2.nodes.columns.contains("visited"))
+    assert(g2.nodes.filter($"name" === "Alice").select("visited").as[Boolean].head())
+    // non-matched nodes read NULL for the new property
+    assert(g2.nodes.filter($"visited".isNull).count() == g.nodes.count() - 1)
+  }
+
+  test("MERGE ON MATCH SET of a new property key adds it") {
+    val (g2, _) = QueryEngine.executeWrite(
+      "MERGE (n:Person {name: 'Alice'}) ON MATCH SET n.seen = 1", g)
+    assert(g2.nodes.filter($"name" === "Alice").select("seen").as[Long].head() == 1L)
+    assert(g2.nodes.filter($"seen".isNull).count() == g.nodes.count() - 1)
+  }
+
+  test("REMOVE of an absent property is a silent no-op") {
+    val (g2, s2) = QueryEngine.executeWrite(
+      "MATCH (n:Person {name: 'Alice'}) REMOVE n.temp", g)
+    assert(g2.nodes.count() == g.nodes.count())
+    assert(!g2.nodes.columns.contains("temp"))
+    val _ = s2 // summary row exists; Neo4j also reports the attempt count
+  }
+
   test("REMOVE on a relationship variable nulls the edge property") {
     val (g2, _) = QueryEngine.executeWrite(
       "MATCH (:Person {name: 'Alice'})-[r:KNOWS]->(:Person {name: 'Bob'}) " +
