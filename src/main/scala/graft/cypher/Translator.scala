@@ -609,6 +609,21 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
   }
 
   private var existsCount = 0
+
+  /** Seed frame for a correlated subquery: the DISTINCT outer rows
+    * projected to the columns of every outer NODE variable the pattern
+    * mentions. Distinct because the subquery only has to decide per anchor
+    * combination (EXISTS flag / one collected list), never per outer row. */
+  private def subquerySeed(outer: DataFrame, paths: Seq[PathPat])
+      : Option[(DataFrame, Set[String])] = {
+    val patVars = paths.flatMap(p => p.nodes.flatMap(_.variable)).toSet
+    val seedVars = (entityVars intersect patVars) -- edgeEntityVars
+    val cols = outer.columns.filter(c => seedVars.exists(v => c.startsWith(s"${v}__")))
+    if (seedVars.nonEmpty && seedVars.forall(v => outer.columns.contains(s"${v}__id")))
+      Some((outer.select(cols.map(col).toSeq: _*).distinct(), seedVars))
+    else None
+  }
+
   private def lowerExists(df0: DataFrame, e: Expr): (DataFrame, Expr) = {
     var df = df0
     def walk(x: Expr): Expr = x match {
@@ -616,9 +631,11 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         existsCount += 1
         val flag = s"__exists_$existsCount"
         val outerEntities = entityVars
+        val seed = subquerySeed(df, paths)
         // translate the pattern in an isolated scope
         val savedE = entityVars; val savedP = pathVars; val savedEV = edgeEntityVars
-        val (sub0, svars, _) = translateClause(MatchClause(paths, optional = false, where = None))
+        val (sub0, svars, _) =
+          translateClause(MatchClause(paths, optional = false, where = None), seed)
         entityVars = svars; pathVars = Set.empty
         val sub = where.map(wx => applyWhere(sub0, wx)).getOrElse(sub0)
         entityVars = savedE; pathVars = savedP; edgeEntityVars = savedEV
@@ -649,9 +666,10 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         existsCount += 1
         val listName = s"__pc_$existsCount"
         val outerEntities = entityVars
+        val seed = subquerySeed(df, Seq(path))
         val savedE = entityVars; val savedP = pathVars; val savedEV = edgeEntityVars
         val (sub0, svars, spaths) =
-          translateClause(MatchClause(Seq(path), optional = false, where = where))
+          translateClause(MatchClause(Seq(path), optional = false, where = where), seed)
         entityVars = svars; pathVars = spaths
         val sub = where.map(wx => applyWhere(sub0, wx)).getOrElse(sub0)
         val valCol = toCol(proj)
@@ -744,22 +762,28 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     * WHERE is still applied afterwards (idempotent for conjuncts). */
   private var pushFilters: Map[String, Seq[Expr]] = Map.empty
 
-  private def translateClause(clause: MatchClause): (DataFrame, Set[String], Set[String]) = {
+  private def translateClause(clause: MatchClause,
+                              seed: Option[(DataFrame, Set[String])] = None)
+      : (DataFrame, Set[String], Set[String]) = {
     val savedPush = pushFilters
     pushFilters = clause.where.map(w =>
       conjuncts(w).filter(c => refVars(c).size == 1 &&
           !refVars(c).contains("__nonpushable") &&
           !refVars(c).exists(scalarVars.contains))
         .groupBy(c => refVars(c).head)).getOrElse(Map.empty)
-    try translateClauseInner(clause) finally pushFilters = savedPush
+    try translateClauseInner(clause, seed) finally pushFilters = savedPush
   }
 
-  private def translateClauseInner(clause: MatchClause): (DataFrame, Set[String], Set[String]) = {
+  private def translateClauseInner(clause: MatchClause,
+                                   seed: Option[(DataFrame, Set[String])] = None)
+      : (DataFrame, Set[String], Set[String]) = {
     var df: DataFrame = null
     var vars: Set[String] = Set.empty
     var paths: Set[String] = Set.empty
     for (path <- clause.paths) {
-      val (pdf, pvars, ppaths) = translatePath(path)
+      // only the FIRST path may consume the seed frame (conservative:
+      // later paths keep the standalone-translate-then-join lowering)
+      val (pdf, pvars, ppaths) = translatePath(path, if (df == null) seed else None)
       if (df == null) { df = pdf; vars = pvars; paths = ppaths }
       else {
         val shared = (vars intersect pvars).toSeq
@@ -814,7 +838,110 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     cost
   }
 
-  private def translatePath(path0: PathPat): (DataFrame, Set[String], Set[String]) = {
+  /** @param seed outer frame to expand FROM instead of a fresh scan: when
+    *   the path's head variable (after orientation) is bound in the seed,
+    *   the translation starts from the seed rows — hops landing on other
+    *   seeded variables lower as ExpandInto / WCO cycle-close instead of
+    *   re-scanning and exploding. Used by EXISTS / pattern-comprehension
+    *   lowering, where translating the subquery unseeded materializes the
+    *   full unanchored pattern (reference plans the correlated subquery
+    *   from its bound columns for the same reason, `executor/mod.rs`
+    *   semi-join selection). */
+  private def translatePath(path0: PathPat,
+                            seed: Option[(DataFrame, Set[String])] = None)
+      : (DataFrame, Set[String], Set[String]) = {
+    seed match {
+      case Some((sdf, svars)) =>
+        val headSeeded = path0.nodes.head.variable.exists(svars.contains)
+        val lastSeeded = path0.nodes.last.variable.exists(svars.contains)
+        val canReverse = path0.rels.forall(!_.isVarLength) && path0.pathVar.isEmpty
+        val path = if (!headSeeded && lastSeeded && canReverse) reversePath(path0) else path0
+        if (path.nodes.head.variable.exists(svars.contains))
+          return translatePathSeeded(path, sdf, svars)
+        // head not bindable to the seed: fall through to the standalone
+        // lowering (the caller's anchor join restores correctness)
+      case None =>
+    }
+    translatePathStandalone(path0)
+  }
+
+  /** Seeded variant: start from the seed frame's rows (which carry
+    * `v__*` columns for every seeded variable) and expand hop by hop with
+    * every seeded variable pre-bound. Pattern constraints written on a
+    * seeded variable's node are applied as a semi-join on its id. */
+  private def translatePathSeeded(path: PathPat, sdf: DataFrame,
+                                  svars: Set[String])
+      : (DataFrame, Set[String], Set[String]) = {
+    var df = sdf
+    // label/property constraints on seeded nodes: existence check by id
+    for (n <- path.nodes; v <- n.variable if svars.contains(v) &&
+         (n.labels.nonEmpty || n.props.nonEmpty)) {
+      val chk = scanNode(n, v).select(col(s"${v}__id").as("__seed_chk"))
+      df = df.join(chk, col(s"${v}__id") === col("__seed_chk"), "left_semi")
+    }
+    val headVar = path.nodes.head.variable.get
+    var vars = svars
+    var cur = headVar
+    var nodeVarsInOrder = Seq(headVar)
+    var edgeVarsInOrder = Seq.empty[String]
+    val hops = path.rels.zip(path.nodes.tail)
+    var i = 0
+    while (i < hops.length) {
+      val (rel, node) = hops(i)
+      val tgtVar = node.variable.getOrElse(fresh())
+      val relVar = rel.variable.getOrElse(fresh())
+      val fuseNext: Option[(RelPat, String)] =
+        if (i + 1 < hops.length && !rel.isVarLength && rel.variable.isEmpty &&
+            path.pathVar.isEmpty && !vars.contains(tgtVar)) {
+          val (relB, nodeB) = hops(i + 1)
+          nodeB.variable match {
+            // seeded frames are already bound pairs, so fusing is the
+            // default; keep only the hub-degree memory guard (the fused
+            // plan holds one adjacency array per key in executor memory)
+            case Some(z) if vars.contains(z) && !relB.isVarLength &&
+              relB.variable.isEmpty && z != tgtVar &&
+              stats.forall(st => st.maxDegree(rel.types) <= 4e6 &&
+                st.maxDegree(relB.types) <= 4e6) =>
+              Some((relB, z))
+            case _ => None
+          }
+        } else None
+      fuseNext match {
+        case Some((relB, closeVar)) =>
+          df = expandCycleClose(df, cur, rel, node, tgtVar, relB, closeVar)
+          vars += tgtVar
+          nodeVarsInOrder ++= Seq(tgtVar, closeVar)
+          edgeVarsInOrder ++= Seq(relVar, fresh())
+          cur = closeVar
+          i += 2
+        case None =>
+          df =
+            if (rel.isVarLength)
+              expandVarLength(df, cur, rel, node, tgtVar, vars, path.pathVar,
+                path.allPaths, path.shortest)
+            else expandOne(df, cur, rel, node, tgtVar, vars, relVar,
+              keepEdgeId = path.pathVar.isDefined)
+          rel.variable.foreach { v => vars += v; edgeEntityVars += v }
+          vars += tgtVar
+          nodeVarsInOrder :+= tgtVar
+          edgeVarsInOrder :+= relVar
+          cur = tgtVar
+          i += 1
+      }
+    }
+    var pset = Set.empty[String]
+    path.pathVar.foreach { p =>
+      pset += p
+      if (path.rels.forall(!_.isVarLength)) {
+        df = df.withColumn(s"${p}__length", lit(path.rels.length))
+          .withColumn(s"${p}__nodes", array(nodeVarsInOrder.map(v => col(s"${v}__id")): _*))
+          .withColumn(s"${p}__edges", array(edgeVarsInOrder.map(v => col(s"${v}__id")): _*))
+      }
+    }
+    (df, vars, pset)
+  }
+
+  private def translatePathStandalone(path0: PathPat): (DataFrame, Set[String], Set[String]) = {
     // anchor selection (reference plan_enumerator.rs:18-64 — SURVEY §4.1
     // "the single most important planning decision"): with a stats catalog,
     // cost both orientations from the (label, type, label) triple counts
