@@ -126,11 +126,25 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
 
     for (clause <- sq.clauses) clause match {
       case m: MatchClause =>
-        val (cdf, cvars, cpaths) = translateClause(m)
+        // a subsequent non-OPTIONAL MATCH whose pattern head is already
+        // bound translates SEEDED from the accumulated frame: the pattern
+        // expands row by row (ExpandInto / cycle-close on other bound
+        // variables) instead of materializing the unanchored pattern and
+        // hash-joining it back — the unanchored form explodes on patterns
+        // like (boundVar)-[:A]->(x)-[:B]->(y) whose standalone cardinality
+        // is the full A⋈B fan-out. Frame multiplicity is exactly MATCH's
+        // join semantics, so seeding from the (non-distinct) frame is the
+        // same relation. OPTIONAL MATCH keeps the left-join lowering.
+        val seed = if (df != null && !m.optional) Some((df, entityVars -- edgeEntityVars)) else None
+        val (cdf, cvars, cpaths) = translateClause(m, seed)
         if (df == null) {
           df = cdf
           entityVars = entityVars union cvars; pathVars = pathVars union cpaths
           if (!m.optional) m.where.foreach(w => df = applyWhere(df, w))
+        } else if (seedConsumed) {
+          df = cdf
+          entityVars = entityVars union cvars; pathVars = pathVars union cpaths
+          m.where.foreach(w => df = applyWhere(df, w))
         } else {
           val shared = (entityVars intersect cvars).toSeq
           val joinType = if (m.optional) "left_outer" else "inner"
@@ -613,15 +627,93 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
   /** Seed frame for a correlated subquery: the DISTINCT outer rows
     * projected to the columns of every outer NODE variable the pattern
     * mentions. Distinct because the subquery only has to decide per anchor
-    * combination (EXISTS flag / one collected list), never per outer row. */
-  private def subquerySeed(outer: DataFrame, paths: Seq[PathPat])
+    * combination (EXISTS flag / one collected list), never per outer row.
+    *
+    * The projection is need-based: a seeded variable contributes only its
+    * id column plus the properties the subquery's expressions (WHERE /
+    * comprehension projection / pattern property values) actually read —
+    * dragging a document-sized `content` column through the anchor DISTINCT
+    * costs more than the whole subquery. A bare entity reference (e.g.
+    * `properties(v)`) conservatively keeps every column of that variable. */
+  private def subquerySeed(outer: DataFrame, paths: Seq[PathPat],
+                           subExprs: Seq[Expr])
       : Option[(DataFrame, Set[String])] = {
     val patVars = paths.flatMap(p => p.nodes.flatMap(_.variable)).toSet
     val seedVars = (entityVars intersect patVars) -- edgeEntityVars
-    val cols = outer.columns.filter(c => seedVars.exists(v => c.startsWith(s"${v}__")))
-    if (seedVars.nonEmpty && seedVars.forall(v => outer.columns.contains(s"${v}__id")))
-      Some((outer.select(cols.map(col).toSeq: _*).distinct(), seedVars))
-    else None
+    if (seedVars.isEmpty || !seedVars.forall(v => outer.columns.contains(s"${v}__id")))
+      return None
+    val exprs = subExprs ++
+      paths.flatMap(p => p.nodes.flatMap(_.props.map(_._2)) ++
+        p.rels.flatMap(_.props.map(_._2)))
+    val props = exprs.flatMap(propRefs).toSet
+    val bare = exprs.flatMap(bareVarRefs).toSet
+    val cols = outer.columns.filter { c =>
+      seedVars.exists { v =>
+        c.startsWith(s"${v}__") && (bare.contains(v) ||
+          c == s"${v}__id" || props.contains((v, c.stripPrefix(s"${v}__"))))
+      }
+    }
+    Some((outer.select(cols.map(col).toSeq: _*).distinct(), seedVars))
+  }
+
+  /** (variable, property) pairs an expression reads via `v.k`. */
+  private def propRefs(e: Expr): Set[(String, String)] = e match {
+    case Prop(v, k) => Set((v, k))
+    case Bin(_, l, r) => propRefs(l) ++ propRefs(r)
+    case Not(x) => propRefs(x)
+    case IsNull(x, _) => propRefs(x)
+    case StrPred(_, l, r) => propRefs(l) ++ propRefs(r)
+    case InList(x, l) => propRefs(x) ++ propRefs(l)
+    case Fn(_, args, _) => args.flatMap(propRefs).toSet
+    case CaseExpr(s, bs, d) =>
+      (s.toSeq ++ bs.flatMap(b => Seq(b._1, b._2)) ++ d.toSeq).flatMap(propRefs).toSet
+    case Index(l, i) => propRefs(l) ++ propRefs(i)
+    case Slice(l, f, t) => (Seq(l) ++ f ++ t).flatMap(propRefs).toSet
+    case LambdaPred(_, _, l, p) => propRefs(l) ++ propRefs(p)
+    case ReduceExpr(_, i, _, l, b) => propRefs(i) ++ propRefs(l) ++ propRefs(b)
+    case ListComp(_, l, p, b) =>
+      (Seq(l) ++ p.toSeq ++ b.toSeq).flatMap(propRefs).toSet
+    case ExistsPattern(ps, w) =>
+      (w.toSeq ++ ps.flatMap(p => p.nodes.flatMap(_.props.map(_._2)) ++
+        p.rels.flatMap(_.props.map(_._2)))).flatMap(propRefs).toSet
+    case PatternComp(p, w, pr) =>
+      (w.toSeq ++ Seq(pr) ++ p.nodes.flatMap(_.props.map(_._2)) ++
+        p.rels.flatMap(_.props.map(_._2))).flatMap(propRefs).toSet
+    case ListLit(items) => items.flatMap(propRefs).toSet
+    case MapLit(entries) => entries.flatMap(e => propRefs(e._2)).toSet
+    case _ => Set.empty
+  }
+
+  /** Variables an expression references BARE (not through `v.k`) — these
+    * may need any column (properties(v), v = other, collect(v), ...). */
+  private def bareVarRefs(e: Expr): Set[String] = e match {
+    case Var(n) => Set(n)
+    case Prop(_, _) => Set.empty
+    case Bin(_, l, r) => bareVarRefs(l) ++ bareVarRefs(r)
+    case Not(x) => bareVarRefs(x)
+    case IsNull(x, _) => bareVarRefs(x)
+    case StrPred(_, l, r) => bareVarRefs(l) ++ bareVarRefs(r)
+    case InList(x, l) => bareVarRefs(x) ++ bareVarRefs(l)
+    case Fn(_, args, _) => args.flatMap(bareVarRefs).toSet
+    case CaseExpr(s, bs, d) =>
+      (s.toSeq ++ bs.flatMap(b => Seq(b._1, b._2)) ++ d.toSeq).flatMap(bareVarRefs).toSet
+    case Index(l, i) => bareVarRefs(l) ++ bareVarRefs(i)
+    case Slice(l, f, t) => (Seq(l) ++ f ++ t).flatMap(bareVarRefs).toSet
+    case LambdaPred(_, v, l, p) => (bareVarRefs(l) ++ bareVarRefs(p)) - v
+    case ReduceExpr(a, i, v, l, b) =>
+      (bareVarRefs(i) ++ bareVarRefs(l) ++ bareVarRefs(b)) - a - v
+    case ListComp(v, l, p, b) =>
+      (bareVarRefs(l) ++ p.toSeq.flatMap(bareVarRefs) ++
+        b.toSeq.flatMap(bareVarRefs)) - v
+    case ExistsPattern(ps, w) =>
+      (w.toSeq ++ ps.flatMap(p => p.nodes.flatMap(_.props.map(_._2)) ++
+        p.rels.flatMap(_.props.map(_._2)))).flatMap(bareVarRefs).toSet
+    case PatternComp(p, w, pr) =>
+      (w.toSeq ++ Seq(pr) ++ p.nodes.flatMap(_.props.map(_._2)) ++
+        p.rels.flatMap(_.props.map(_._2))).flatMap(bareVarRefs).toSet
+    case ListLit(items) => items.flatMap(bareVarRefs).toSet
+    case MapLit(entries) => entries.flatMap(e => bareVarRefs(e._2)).toSet
+    case _ => Set.empty
   }
 
   private def lowerExists(df0: DataFrame, e: Expr): (DataFrame, Expr) = {
@@ -631,7 +723,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         existsCount += 1
         val flag = s"__exists_$existsCount"
         val outerEntities = entityVars
-        val seed = subquerySeed(df, paths)
+        val seed = subquerySeed(df, paths, where.toSeq)
         // translate the pattern in an isolated scope
         val savedE = entityVars; val savedP = pathVars; val savedEV = edgeEntityVars
         val (sub0, svars, _) =
@@ -666,7 +758,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         existsCount += 1
         val listName = s"__pc_$existsCount"
         val outerEntities = entityVars
-        val seed = subquerySeed(df, Seq(path))
+        val seed = subquerySeed(df, Seq(path), where.toSeq :+ proj)
         val savedE = entityVars; val savedP = pathVars; val savedEV = edgeEntityVars
         val (sub0, svars, spaths) =
           translateClause(MatchClause(Seq(path), optional = false, where = where), seed)
@@ -777,6 +869,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
   private def translateClauseInner(clause: MatchClause,
                                    seed: Option[(DataFrame, Set[String])] = None)
       : (DataFrame, Set[String], Set[String]) = {
+    seedConsumed = false
     var df: DataFrame = null
     var vars: Set[String] = Set.empty
     var paths: Set[String] = Set.empty
@@ -847,6 +940,11 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
     *   full unanchored pattern (reference plans the correlated subquery
     *   from its bound columns for the same reason, `executor/mod.rs`
     *   semi-join selection). */
+  /** Set by translatePath: whether the most recent translateClause call
+    * consumed its seed frame (so the caller must NOT join the result back —
+    * it already contains the outer columns). Single-threaded translator. */
+  private var seedConsumed = false
+
   private def translatePath(path0: PathPat,
                             seed: Option[(DataFrame, Set[String])] = None)
       : (DataFrame, Set[String], Set[String]) = {
@@ -856,10 +954,12 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         val lastSeeded = path0.nodes.last.variable.exists(svars.contains)
         val canReverse = path0.rels.forall(!_.isVarLength) && path0.pathVar.isEmpty
         val path = if (!headSeeded && lastSeeded && canReverse) reversePath(path0) else path0
-        if (path.nodes.head.variable.exists(svars.contains))
+        if (path.nodes.head.variable.exists(svars.contains)) {
+          seedConsumed = true
           return translatePathSeeded(path, sdf, svars)
+        }
         // head not bindable to the seed: fall through to the standalone
-        // lowering (the caller's anchor join restores correctness)
+        // lowering (the caller's join-on-shared-vars restores correctness)
       case None =>
     }
     translatePathStandalone(path0)
