@@ -114,13 +114,21 @@ object FinLoader {
       .foldLeft(fwd)(_ unionByName _)
 
     val srcTables = Seq("customer", "orders", "part", "supplier", "nation")
-    val gv = "fin-v1" // bump on ANY derivation change above
-    val nodesMv = SharedMv(spark, dir, srcTables, "fin_nodes", gv)(nodes)
-    val edgesMv = SharedMv(spark, dir, srcTables, "fin_edges", gv)(edges)
+    val gv = "fin-v2" // v2: hive-partitioned MVs; bump on ANY derivation change
+    // single-label graph: partition nodes by labels[0] and edges by type so
+    // label / edge-type scans prune to their directories (see SnbLoader)
+    val nodesMv = SharedMv(spark, dir, srcTables, "fin_nodes", gv,
+      partitionCols = Seq("labelset"))(
+      nodes.withColumn("labelset", col("labels").getItem(0))
+        .repartition(col("labelset"), pmod(hash(col("id")), lit(4))))
+    val edgesMv = SharedMv(spark, dir, srcTables, "fin_edges", gv,
+      partitionCols = Seq("relationship"))(
+      edges.repartition(col("relationship"), pmod(hash(col("id")), lit(4))))
 
-    def byLbl(l: String) = nodesMv.filter(array_contains(col("labels"), l))
+    def byLbl(l: String) = nodesMv.filter(col("labelset") === l).drop("labelset")
     val byLabel = Seq("Account", "Person", "Company", "Loan", "Medium")
       .map(l => l -> byLbl(l)).toMap
-    PropertyGraph(nodesMv, edgesMv, byLabel, statsKey = Some(s"fin:$dir"))
+    PropertyGraph(nodesMv.drop("labelset"), edgesMv, byLabel,
+      statsKey = Some(s"fin:$dir"))
   }
 }

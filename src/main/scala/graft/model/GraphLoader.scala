@@ -129,9 +129,15 @@ object GraphLoader {
     // logicVersion MUST be bumped whenever the node/edge derivation above
     // changes (id offsets, edge types, property projections): the MV
     // fingerprint can only see source-file metadata, not this code
-    val gv = "graph-v1"
+    val gv = "graph-v2" // v2: edge MV hive-partitioned by relationship
     val nodesMv = SharedMv(spark, dir, srcTables, "graph_nodes", gv)(nodes)
-    val edgesMv = SharedMv(spark, dir, srcTables, "graph_edges", gv)(edges)
+    // edges partitioned by relationship: every expand/edgesOfType scan
+    // prunes to its type's directories instead of filtering the full MV —
+    // the reference's edge_type index as storage layout. Pre-repartition
+    // on (relationship, hash bucket) so each type lands in a few files.
+    val edgesMv = SharedMv(spark, dir, srcTables, "graph_edges", gv,
+      partitionCols = Seq("relationship"))(
+      edges.repartition(col("relationship"), pmod(hash(col("id")), lit(4))))
     PropertyGraph(nodesMv, edgesMv, byLabel, statsKey = Some(s"tpch:$dir"))
   }
 

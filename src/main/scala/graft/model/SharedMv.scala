@@ -29,8 +29,16 @@ object SharedMv {
     * derivation itself, so any change to what `build` computes MUST bump
     * the version at the call site — otherwise the old materialization is
     * silently served. */
+  /** @param partitionCols optional hive-style partition columns for the
+    *   materialization (`write.partitionBy`). A consumer filtering on one
+    *   of these (an edge-type scan, a label scan) reads ONLY the matching
+    *   directories — partition pruning is the columnar analog of the
+    *   reference's per-type edge index (`store.rs:562`). The builder should
+    *   pre-`repartition` on the same columns so each partition lands in
+    *   O(1) files. Partition columns come back LAST in the read schema;
+    *   consumers must use names, not positions. */
   def apply(s: SparkSession, d: String, srcTables: Seq[String], name: String,
-            logicVersion: String = "1")
+            logicVersion: String = "1", partitionCols: Seq[String] = Nil)
            (build: => DataFrame): DataFrame = {
     val parts: Seq[java.io.File] = srcTables.sorted.flatMap { tbl =>
       val src = new java.io.File(d, s"$tbl.parquet")
@@ -52,7 +60,7 @@ object SharedMv {
     val stem = s"${name}_${math.abs(d.hashCode).toHexString}_"
     val dir = new java.io.File(root, stem + fp)
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
-      build.write.mode("overwrite").parquet(dir.getPath)
+      build.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(dir.getPath)
       // Evict STALE versions of this same (name, dataset) MV — a regenerated
       // source changes fp and would otherwise leave the old materialization
       // in tmp forever (same leak class as checkpoint dirs). Only AFTER the

@@ -219,14 +219,30 @@ object SnbLoader {
     // graph MV). Bump the version on ANY derivation change above.
     val srcTables = Seq("customer", "orders", "lineitem", "part",
       "supplier", "nation", "region")
-    val gv = "snb-v1"
-    val nodesMv = SharedMv(spark, dir, srcTables, "snb_nodes", gv)(nodes)
-    val edgesMv = SharedMv(spark, dir, srcTables, "snb_edges", gv)(edges)
+    val gv = "snb-v2" // v2: hive-partitioned MVs (labelset / relationship)
+    // nodes partitioned by the label SET (single string: "Place|Country"),
+    // so a label scan prunes to its directories — the label index as
+    // storage layout. The helper column is dropped before the graph is
+    // published (it must not appear in properties()/schema output).
+    val labelSets = Seq(Seq("Person"), Seq("Post"), Seq("Comment"),
+      Seq("Forum"), Seq("Tag"), Seq("TagClass"), Seq("Place", "Country"),
+      Seq("Place", "Continent"), Seq("Organisation"))
+    val nodesMv = SharedMv(spark, dir, srcTables, "snb_nodes", gv,
+      partitionCols = Seq("labelset"))(
+      nodes.withColumn("labelset", concat_ws("|", col("labels")))
+        .repartition(col("labelset"), pmod(hash(col("id")), lit(4))))
+    val edgesMv = SharedMv(spark, dir, srcTables, "snb_edges", gv,
+      partitionCols = Seq("relationship"))(
+      edges.repartition(col("relationship"), pmod(hash(col("id")), lit(4))))
 
-    def byLbl(l: String) = nodesMv.filter(array_contains(col("labels"), l))
+    def byLbl(l: String) = {
+      val sets = labelSets.filter(_.contains(l)).map(_.mkString("|"))
+      nodesMv.filter(col("labelset").isin(sets: _*)).drop("labelset")
+    }
     val byLabel = Seq("Person", "Post", "Comment", "Forum", "Tag", "TagClass",
       "Place", "Country", "Continent", "Organisation").map(l => l -> byLbl(l)).toMap
 
-    PropertyGraph(nodesMv, edgesMv, byLabel, statsKey = Some(s"snb:$dir"))
+    PropertyGraph(nodesMv.drop("labelset"), edgesMv, byLabel,
+      statsKey = Some(s"snb:$dir"))
   }
 }

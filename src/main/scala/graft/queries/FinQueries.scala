@@ -19,11 +19,14 @@ object FinQueries {
     QueryEngine.execute(cy, FinLoader.fin(s, d))
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // CR-1: transfer-in totals for one account (edge-property aggregation)
+    // CR-1: transfer-in totals for one account (edge-property aggregation).
+    // Money sums go through exact integer ten-thousandths (amounts carry at
+    // most 4 dp): a plain double sum is partition-order-dependent and can
+    // flip round(x, 2) at a half boundary between engines/layouts.
     "q_finbench_cr1" -> (run(
       """MATCH (src:Account)-[t:TRANSFER]->(a:Account {id: 1})
         |RETURN a.id AS accountId, count(t) AS transferInCount,
-        |       round(sum(t.amount), 2) AS totalIn""".stripMargin) _),
+        |       round(sum(round(t.amount * 10000)) / 10000.0, 2) AS totalIn""".stripMargin) _),
 
     // CR-2: transfers into blocked accounts within a time window (the
     // temporal-filter shape; timestamps are edge properties)
@@ -77,7 +80,7 @@ object FinQueries {
     "q_finbench_cr12" -> (run(
       """MATCH (p:Person {id: 20000001})-[:OWN]->(a:Account)-[t:TRANSFER]->(dst:Account)
         |RETURN a.id AS accountId, count(t) AS transferCount,
-        |       round(sum(t.amount), 2) AS totalAmount
+        |       round(sum(round(t.amount * 10000)) / 10000.0, 2) AS totalAmount
         |ORDER BY totalAmount DESC, accountId""".stripMargin) _)
   )
 
@@ -106,7 +109,7 @@ object FinQueries {
   val oracles: Map[String, String] = Map(
     "q_finbench_cr1" -> o(
       """SELECT CAST(1 AS BIGINT) AS accountId, count(*) AS transferInCount,
-        | round(sum(amount), 2) AS totalIn FROM xfer WHERE d = 1""".stripMargin),
+        | round(sum(round(amount * 10000)) / 10000.0, 2) AS totalIn FROM xfer WHERE d = 1""".stripMargin),
     "q_finbench_cr2" -> o(
       """SELECT x.s AS srcId, x.d AS dstId, x.amount AS amount, x.ts AS ts
         |FROM xfer x JOIN acct ON acct.id = x.d AND acct.isBlocked
@@ -148,7 +151,7 @@ object FinQueries {
         |ORDER BY otherId LIMIT 20""".stripMargin),
     "q_finbench_cr12" -> o(
       """SELECT o.aid AS accountId, count(*) AS transferCount,
-        | round(sum(x.amount), 2) AS totalAmount
+        | round(sum(round(x.amount * 10000)) / 10000.0, 2) AS totalAmount
         |FROM own o JOIN xfer x ON x.s = o.aid
         |WHERE o.pid = 20000001
         |GROUP BY 1 ORDER BY totalAmount DESC, accountId""".stripMargin)
