@@ -639,7 +639,12 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
                            subExprs: Seq[Expr])
       : Option[(DataFrame, Set[String])] = {
     val patVars = paths.flatMap(p => p.nodes.flatMap(_.variable)).toSet
-    val seedVars = (entityVars intersect patVars) -- edgeEntityVars
+    // outer variables referenced ONLY by the subquery's expressions (e.g.
+    // `WHERE x.age > n.age` with x absent from the pattern) are correlation
+    // anchors too: they ride the seed frame so the WHERE can resolve them
+    val exprVars = subExprs.flatMap(e =>
+      propRefs(e).map(_._1) ++ bareVarRefs(e)).toSet
+    val seedVars = (entityVars intersect (patVars ++ exprVars)) -- edgeEntityVars
     if (seedVars.isEmpty || !seedVars.forall(v => outer.columns.contains(s"${v}__id")))
       return None
     val exprs = subExprs ++
