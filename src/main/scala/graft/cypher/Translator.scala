@@ -953,7 +953,7 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
   private def translatePath(path0: PathPat,
                             seed: Option[(DataFrame, Set[String])] = None)
       : (DataFrame, Set[String], Set[String]) = {
-    seed match {
+    (if (Translator.seedingEnabled) seed else None) match {
       case Some((sdf, svars)) =>
         val headSeeded = path0.nodes.head.variable.exists(svars.contains)
         val lastSeeded = path0.nodes.last.variable.exists(svars.contains)
@@ -1849,4 +1849,13 @@ object QueryEngine {
       s"AST: $ast\n\n${df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))}"
     }
   }
+}
+
+object Translator {
+  /** Kill-switch for seeded correlated-pattern translation (EXISTS /
+    * pattern-comprehension / subsequent-MATCH seeding): set env
+    * GRAFT_DISABLE_SEED=1 to force the standalone-translate-then-join
+    * lowering everywhere. Operational guard + A/B lever for the sweep. */
+  private[cypher] val seedingEnabled: Boolean =
+    !sys.env.get("GRAFT_DISABLE_SEED").exists(v => v == "1" || v.equalsIgnoreCase("true"))
 }
