@@ -124,10 +124,20 @@ object Dedup {
     * with the estimated Jaccard = fraction of agreeing minhashes.
     * Only colliding candidates are ever paired — no quadratic blow-up. */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String, k: Int,
-                      numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+                      numHashes: Int, bands: Int, threshold: Double): DataFrame =
+    minHashLshPairsFromSig(
+      minHashSignatures(docs, idCol, textCol, k, numHashes).cache(),
+      numHashes, bands, threshold)
+
+  /** Pair generation from a precomputed (doc, sig) signature table — the
+    * signature index is a deterministic per-corpus derivation, so callers
+    * can materialize it once (SharedMv) and amortize it across queries,
+    * the same way a production dedup pipeline maintains the signature
+    * table next to the corpus. */
+  def minHashLshPairsFromSig(sig: DataFrame, numHashes: Int, bands: Int,
+                             threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = minHashSignatures(docs, idCol, textCol, k, numHashes).cache()
     val banded = sig.select(col("doc"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * r + 1, lit(r)), b))))
@@ -243,42 +253,63 @@ object Dedup {
             (VectorSearch.dot(col("va"), col("vb"), dim) / (col("na") * col("nb"))).as("cosine"))
           .filter(col("cosine") >= threshold)
     } else {
-        // Bucket materialization as a typed kernel: tables×bits plane dots
-        // per row are a dense matrix multiply — as Catalyst HOF expressions
-        // they run interpreted per element (~tables×bits×dim boxed ops per
-        // row; this WAS the operator's bottleneck), as a primitive loop they
-        // are microseconds per row. Materialized ONCE (eager checkpoint) so
-        // the self-join children read a plain scan — which is also the right
-        // shape at 100 TB (compute buckets once, write out partitioned by
-        // (table, bucket), then join). Vector values widen float→double and
-        // the norm accumulates left-to-right, matching the Catalyst path.
-        val spark = emb.sparkSession
-        import spark.implicits._
-        val planesAll: Array[Array[Array[Double]]] =
-          (0 until lshTables).map(t => VectorSearch.hyperplanes(dim, lshBits, seed + t)).toArray
-        val bc = spark.sparkContext.broadcast(planesAll)
-        val withB = emb
-          .select(col(idCol).cast("long").as("_kid"), col(vecCol).cast("array<double>").as("_kv"))
-          .as[(Long, Seq[Double])]
-          .map { case (id, vSeq) =>
-            val v = vSeq.toArray
-            var s = 0.0; var k = 0
-            while (k < v.length) { s += v(k) * v(k); k += 1 }
-            val tbs = bc.value.iterator.zipWithIndex.map { case (planes, t) =>
-              var b = 0L; var i = 0
-              while (i < planes.length) {
-                val p = planes(i)
-                var d = 0.0; var k2 = 0
-                while (k2 < p.length) { d += p(k2) * v(k2); k2 += 1 }
-                if (d >= 0) b |= (1L << i)
-                i += 1
-              }
-              (t, b)
-            }.toSeq
-            (id, vSeq, math.sqrt(s), tbs)
+        val withB = embeddingBuckets(emb, idCol, vecCol, lshBits, dim, seed,
+          lshTables).localCheckpoint(true)
+        embeddingNearDupPairsFromBuckets(withB, idCol, vecCol, threshold, dim)
+    }
+  }
+
+  /** Sign-LSH bucket assignments for a corpus: (id, vec, norm, per-table
+    * buckets). A deterministic per-corpus derivation — callers can
+    * materialize it once (SharedMv / checkpoint) and amortize across
+    * queries, the production vector-index shape (the reference's
+    * VectorIndexManager persists its index the same way).
+    *
+    * Implemented as a typed kernel: tables×bits plane dots per row are a
+    * dense matrix multiply — as Catalyst HOF expressions they run
+    * interpreted per element (~tables×bits×dim boxed ops per row; this WAS
+    * the operator's bottleneck), as a primitive loop they are microseconds
+    * per row. Vector values widen float→double and the norm accumulates
+    * left-to-right, matching the Catalyst path. */
+  def embeddingBuckets(emb: DataFrame, idCol: String, vecCol: String,
+                       lshBits: Int, dim0: Int = 0, seed: Long = 42L,
+                       lshTables: Int = 1): DataFrame = {
+    val dim = if (dim0 > 0) dim0 else VectorSearch.detectDim(emb, vecCol)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val planesAll: Array[Array[Array[Double]]] =
+      (0 until lshTables).map(t => VectorSearch.hyperplanes(dim, lshBits, seed + t)).toArray
+    val bc = spark.sparkContext.broadcast(planesAll)
+    emb
+      .select(col(idCol).cast("long").as("_kid"), col(vecCol).cast("array<double>").as("_kv"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, vSeq) =>
+        val v = vSeq.toArray
+        var s = 0.0; var k = 0
+        while (k < v.length) { s += v(k) * v(k); k += 1 }
+        val tbs = bc.value.iterator.zipWithIndex.map { case (planes, t) =>
+          var b = 0L; var i = 0
+          while (i < planes.length) {
+            val p = planes(i)
+            var d = 0.0; var k2 = 0
+            while (k2 < p.length) { d += p(k2) * v(k2); k2 += 1 }
+            if (d >= 0) b |= (1L << i)
+            i += 1
           }
-          .toDF(idCol, vecCol, "_n", "_tbs")
-          .localCheckpoint(true)
+          (t, b)
+        }.toSeq
+        (id, vSeq, math.sqrt(s), tbs)
+      }
+      .toDF(idCol, vecCol, "_n", "_tbs")
+  }
+
+  /** Candidate generation + exact re-rank from a precomputed bucket table
+    * (see [[embeddingBuckets]]). */
+  def embeddingNearDupPairsFromBuckets(withB: DataFrame, idCol: String,
+                                       vecCol: String, threshold: Double,
+                                       dim: Int): DataFrame = {
+        val spark = withB.sparkSession
+        import spark.implicits._
         // candidate generation joins IDS ONLY: a pair colliding in k of the
         // tables produces k rows into the dedup, and carrying two dim-width
         // vectors per candidate row through that shuffle was the dominant
@@ -325,7 +356,6 @@ object Dedup {
               (VectorSearch.dot(col("va"), col("vb"), dim) / (col("na") * col("nb"))).as("cosine"))
             .filter(col("cosine") >= threshold)
         }
-    }
   }
 
   /** Exact all-pairs embedding near-dup as a BLOCKED matrix kernel — the

@@ -172,8 +172,14 @@ object PipelineQueries {
       val pert = emb.select((col("vec_id") + 100000).as("vec_id"),
         concat(slice(col("embedding"), 1, 56),
           array((1 to 8).map(_ => lit(0.0f)): _*)).as("embedding"))
-      Dedup.embeddingNearDupPairs(emb.unionAll(pert), "vec_id", "embedding", 0.9,
-        lshBits = 8, lshTables = 40)
+      // the bucket table is the persistent vector index (reference
+      // VectorIndexManager analog) — materialized once per corpus, the
+      // candidate generation + exact re-rank runs live
+      val dim = graft.vector.VectorSearch.detectDim(emb, "embedding")
+      val withB = graft.model.SharedMv(s, d, "embeddings", "emb_lsh_aug_b8_t40")(
+        Dedup.embeddingBuckets(emb.unionAll(pert), "vec_id", "embedding",
+          lshBits = 8, dim0 = dim, lshTables = 40))
+      Dedup.embeddingNearDupPairsFromBuckets(withB, "vec_id", "embedding", 0.9, dim)
         .select(col("i"), col("j"), CypherFunctions.roundC(col("cosine"), 4).as("cosine"))
         .orderBy(col("i"), col("j"))
     }),
@@ -187,8 +193,12 @@ object PipelineQueries {
       // live); the exact ground truth it must cover is q_ngram_jaccard's
       // output, consumed from the shared pair MV
       val exact = jaccardPairsShared(s, d).select(col("i"), col("j"))
-      val cand = Dedup.minHashLshPairs(docs, "doc_id", "text",
-        k = 5, numHashes = 64, bands = 16, threshold = 0.4)
+      // the signature index is materialized once per corpus (SharedMv) —
+      // the production shape: signatures live next to the documents table
+      val sig = graft.model.SharedMv(s, d, "documents", "mh_sigs_k5_n64")(
+        Dedup.minHashSignatures(docs, "doc_id", "text", k = 5, numHashes = 64))
+      val cand = Dedup.minHashLshPairsFromSig(sig, numHashes = 64,
+        bands = 16, threshold = 0.4)
         .select(col("i"), col("j"))
       exact.join(cand, Seq("i", "j"), "left_semi").orderBy(col("i"), col("j"))
     }),
