@@ -829,6 +829,10 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
 
   /** Free variables of an expression (lambda-bound names excluded);
     * EXISTS subqueries are marked non-pushable. */
+  /** Variables an expression references (for the write path's RETURN
+    * projection: which matched entities must be pinned and re-read). */
+  private[cypher] def referencedVars(e: Expr): Set[String] = refVars(e)
+
   private def refVars(e: Expr): Set[String] = e match {
     case Var(n) => Set(n)
     case Prop(v, _) => Set(v)

@@ -14,8 +14,9 @@ import org.apache.spark.sql.functions._
   * for the write clause are computed by the READ translator on a synthesized
   * `RETURN id(v), ...` query, so SET/DELETE expressions get the full read
   * expression surface for free. `CREATE ... RETURN` / node-`MERGE ...
-  * RETURN` project the written entities (cypher.pest return_clause?); the
-  * other write clauses return summaries only.
+  * RETURN` project the written entities (cypher.pest return_clause?);
+  * `SET/REMOVE ... RETURN` pin the matched ids pre-write and project over
+  * the mutated graph; DELETE/FOREACH return summaries only.
   */
 object WriteTranslator {
 
@@ -137,6 +138,28 @@ object WriteTranslator {
       else Some(new Translator(gr, params).projectExternal(frame, vars, ret))
     def noReturn(what: String): Unit =
       require(ret.items.isEmpty, s"RETURN after $what is unsupported (summaries only)")
+    /** RETURN after SET/REMOVE: pin the matched ids against the ORIGINAL
+      * graph (the WHERE must see pre-write values — `SET n.x = 1 ... WHERE
+      * n.x = 0 RETURN n.x` returns 1), then project the RETURN over the
+      * MUTATED entities joined back on those ids, one output row per match
+      * row. */
+    def mutatedReturn(cur: PropertyGraph): Option[DataFrame] =
+      if (ret.items.isEmpty) None
+      else {
+        val tr = new Translator(cur, params)
+        val vars = (ret.items.map(_.expr) ++ ret.orderBy.map(_.expr))
+          .flatMap(tr.referencedVars).toSet intersect (nodeVars ++ edgeVars)
+        require(vars.nonEmpty, "RETURN after SET/REMOVE needs matched variables")
+        val pin = readFrame(vars.toSeq.map(v =>
+          ReturnItem(Fn("id", Seq(Var(v))), Some(s"__pin_$v"))))
+        var frame = pin
+        vars.foreach { v =>
+          val target = if (edgeVars.contains(v)) cur.edges else cur.nodes
+          frame = frame.join(prefixed(target, v),
+            col(s"__pin_$v") === col(s"${v}__id")).drop(s"__pin_$v")
+        }
+        projectRows(cur, frame, vars)
+      }
 
     /** One literal node row aligned to the node schema. */
     def nodeRow(n: NodePat, id: Long): DataFrame = {
@@ -185,17 +208,94 @@ object WriteTranslator {
           if (nextEdgeBase < 0L) nextEdgeBase = maxEdgeId()
           nextEdgeBase
         }
+        def allocEdgeId(): Long = { nextEdgeBase = edgeBase() + 1; nextEdgeBase }
+        /** Create one literal node (or return the id it was already given
+          * earlier in this CREATE via its variable). */
+        def literalNode(n: NodePat): Long =
+          n.variable.flatMap(v => createdNodeVars.find(_._1 == v).map(_._2))
+            .getOrElse {
+              val explicit = n.props.collectFirst { case ("id", e) => constVal(e) }
+                .collect { case num: Number => num.longValue() }
+              explicit.foreach(i => explicitNodeId = math.max(explicitNodeId, i))
+              val id = explicit.getOrElse(allocNodeId())
+              cur = GraphMutations.createNodes(cur, nodeRow(n, id))
+              n.variable.foreach(v => createdNodeVars :+= ((v, id)))
+              nCreated += 1
+              id
+            }
+        def edgePropCols(r: RelPat): Seq[Column] = r.props.map { case (k, e) =>
+          val c = constCol(e)
+          edgeTypes.get(k).map(c.cast).getOrElse(c).as(k)
+        }
         paths.foreach { p =>
           if (p.rels.isEmpty) {
-            // literal node create; id from the props if given, else allocated
-            val n = p.nodes.head
-            val explicit = n.props.collectFirst { case ("id", e) => constVal(e) }
-              .collect { case num: Number => num.longValue() }
-            explicit.foreach(i => explicitNodeId = math.max(explicitNodeId, i))
-            val id = explicit.getOrElse(allocNodeId())
-            cur = GraphMutations.createNodes(cur, nodeRow(n, id))
-            n.variable.foreach(v => createdNodeVars :+= ((v, id)))
-            nCreated += 1
+            literalNode(p.nodes.head): Unit
+          } else if (p.nodes.forall(n =>
+              !n.variable.exists(nodeVars.contains))) {
+            // literal path create — every node inline-new (or created
+            // earlier in this CREATE): chain node creates + one literal
+            // edge row per hop (`CREATE (a:P {..})-[:R]->(b:P {..})-...`)
+            val ids = p.nodes.map(literalNode)
+            p.rels.zipWithIndex.foreach { case (r, i) =>
+              val (sid, did) = r.dir match {
+                case Ast.In => (ids(i + 1), ids(i))
+                case _ => (ids(i), ids(i + 1))
+              }
+              val row = spark.range(1).select(Seq(lit(allocEdgeId()).as("id"),
+                lit(sid).as("src"), lit(did).as("dst"),
+                lit(r.types.headOption.getOrElse("RELATED")).as("relationship")) ++
+                edgePropCols(r): _*)
+              cur = GraphMutations.createEdges(cur, row)
+              rCreated += 1
+            }
+          } else if (p.nodes.exists(n => !n.variable.exists(nodeVars.contains))) {
+            // MATCH-correlated create with an inline-NEW endpoint:
+            // `MATCH (a ...) CREATE (a)-[:R]->(:New {..})` — one new node
+            // (and one edge) PER MATCH ROW, ids allocated partition-parallel
+            require(p.rels.size == 1 && p.nodes.size == 2,
+              "CREATE with MATCH-bound endpoints supports a single relationship per path")
+            val r = p.rels.head
+            val Seq(n0, n1) = p.nodes
+            def boundItem(n: NodePat, as: String): Option[ReturnItem] =
+              n.variable.filter(nodeVars.contains)
+                .map(v => ReturnItem(Fn("id", Seq(Var(v))), Some(as)))
+            val items = boundItem(n0, "_src").toSeq ++ boundItem(n1, "_dst").toSeq
+            require(items.nonEmpty,
+              "CREATE relationship needs at least one MATCH-bound endpoint")
+            var frame = readFrame(items).distinct().localCheckpoint()
+            val newNodes = Seq(("_src", n0), ("_dst", n1))
+              .filter { case (_, n) => !n.variable.exists(nodeVars.contains) }
+            newNodes.foreach { case (alias, n) =>
+              if (nextId < 0L) nextId = maxNodeId() + 1
+              frame = frame.withColumn(alias,
+                lit(nextId) + monotonically_increasing_id()).localCheckpoint()
+              val propCols = n.props
+                .filterNot { case (k, _) => k == "id" || k == "labels" }
+                .map { case (k, e) =>
+                  val c = constCol(e)
+                  nodeTypes.get(k).map(c.cast).getOrElse(c).as(k)
+                }
+              val nrows = frame.select(Seq(col(alias).as("id"),
+                typedlit(n.labels).as("labels")) ++ propCols: _*)
+              cur = GraphMutations.createNodes(cur, nrows)
+              val made = frame.count()
+              nCreated += made
+              nextId = if (made > 0)
+                frame.agg(max(col(alias))).first().getLong(0) + 1 else nextId
+            }
+            val propCols = edgePropCols(r)
+            val (sa, da) = if (r.dir == Ast.In) ("_dst", "_src") else ("_src", "_dst")
+            val rows = frame.withColumn("id",
+              lit(edgeBase()) + lit(1L) + monotonically_increasing_id())
+              .select(Seq(col("id"), col(sa).cast("long").as("src"),
+                col(da).cast("long").as("dst"),
+                lit(r.types.headOption.getOrElse("RELATED")).as("relationship")) ++ propCols: _*)
+              .localCheckpoint()
+            val nRows = rows.count()
+            rCreated += nRows
+            if (nRows > 0)
+              nextEdgeBase = rows.agg(max(col("id"))).first().getLong(0)
+            cur = GraphMutations.createEdges(cur, rows)
           } else {
             // edge create between two MATCH-bound node variables
             require(p.rels.size == 1 && p.nodes.size == 2,
@@ -211,10 +311,7 @@ object WriteTranslator {
             val pairs = readFrame(Seq(
               ReturnItem(Fn("id", Seq(Var(a))), Some("_src")),
               ReturnItem(Fn("id", Seq(Var(b))), Some("_dst")))).distinct()
-            val propCols = r.props.map { case (k, e) =>
-              val c = constCol(e)
-              edgeTypes.get(k).map(c.cast).getOrElse(c).as(k)
-            }
+            val propCols = edgePropCols(r)
             // partition-parallel id assignment (same shape as the MERGE
             // path): max-id offset + monotonically_increasing_id — bulk
             // MATCH…CREATE is the natural ingest idiom and must not
@@ -411,7 +508,6 @@ object WriteTranslator {
 
       // ---------- SET / REMOVE ----------
       case SetClause(assigns, labelSets) =>
-        noReturn("SET")
         var cur = g
         var nSet = 0L
         var nLbl = 0L
@@ -471,10 +567,9 @@ object WriteTranslator {
                 else PropertyGraph(cur.nodes, updated, constraints = cur.constraints)
         }
         WriteResult(cur.copy(nodeIdHw = g.nodeIdHw, edgeIdHw = g.edgeIdHw),
-          summary(propsSet = nSet, labelsAdded = nLbl))
+          summary(propsSet = nSet, labelsAdded = nLbl), mutatedReturn(cur))
 
       case RemoveClause(props, labelRemoves) =>
-        noReturn("REMOVE")
         var cur = g
         var nSet = 0L
         var nLbl = 0L
@@ -505,7 +600,7 @@ object WriteTranslator {
             else GraphMutations.removeNodePropsByIds(cur, ids, ps.map(_.key))
         }
         WriteResult(cur.copy(nodeIdHw = g.nodeIdHw, edgeIdHw = g.edgeIdHw),
-          summary(propsSet = nSet, labelsRemoved = nLbl))
+          summary(propsSet = nSet, labelsRemoved = nLbl), mutatedReturn(cur))
 
       // ---------- DELETE ----------
       case DeleteClause(vars, detach) =>

@@ -404,6 +404,49 @@ class CypherSpec extends SparkSpec {
     assert(g2.edges.filter($"relationship" === "LIKES").count() == 2L)
   }
 
+  test("CREATE of a literal path with inline nodes (single and chained rels)") {
+    val (g2, _) = QueryEngine.executeWrite(
+      "CREATE (a:Person {name: 'X'})-[:KNOWS {since: 2020}]->(b:Person {name: 'Y'})", g)
+    val Seq(xid, yid) = g2.nodes.filter($"name".isin("X", "Y"))
+      .orderBy($"name").select("id").as[Long].collect().toSeq
+    val e = g2.edges.filter($"src" === xid && $"dst" === yid &&
+      $"relationship" === "KNOWS" && $"since" === 2020L)
+    assert(e.count() == 1L)
+    val (g3, _) = QueryEngine.executeWrite(
+      "CREATE (a:P {name: 'A'})-[:R]->(b:P {name: 'B'})-[:R]->(c:P {name: 'C'})", g)
+    assert(g3.nodes.filter($"name".isin("A", "B", "C")).count() == 3L)
+    assert(g3.edges.filter($"relationship" === "R").count() == 2L)
+  }
+
+  test("MATCH ... CREATE with an inline-new endpoint creates per match row") {
+    val (g2, _) = QueryEngine.executeWrite(
+      "MATCH (a:Person) CREATE (a)-[:FOLLOWS]->(:Bot {name: 'bot'})", g)
+    // 3 Person rows in the fixture -> 3 new Bot nodes, 3 edges
+    val bots = g2.nodes.filter(array_contains($"labels", "Bot"))
+    assert(bots.count() == 3L)
+    assert(g2.edges.filter($"relationship" === "FOLLOWS").count() == 3L)
+    val ids = bots.select("id").as[Long].collect().toSeq
+    assert(ids.distinct.size == ids.size, s"duplicate node ids in $ids")
+  }
+
+  test("SET ... RETURN projects post-write values per match row") {
+    val (_, rows) = {
+      val r = graft.cypher.WriteTranslator.execute(CypherParser.parse(
+        "MATCH (p:Person {name: 'Alice'}) SET p.age = 31 RETURN p.name AS name, p.age AS age"),
+        g, Map.empty)
+      (r.graph, r.rows.get)
+    }
+    assert(rows.as[(String, Long)].collect().toSeq == Seq(("Alice", 31L)))
+  }
+
+  test("REMOVE ... RETURN reads the removed property as NULL") {
+    val r = graft.cypher.WriteTranslator.execute(CypherParser.parse(
+      "MATCH (p:Person {name: 'Bob'}) REMOVE p.age RETURN p.name AS name, p.age AS age"),
+      g, Map.empty)
+    val row = r.rows.get.collect().head
+    assert(row.getString(0) == "Bob" && row.isNullAt(1))
+  }
+
   test("string + string concatenates") {
     val r = run("MATCH (p:Person {name: 'Alice'}) RETURN p.name + '!' AS s, 'x' + 'y' AS t")
       .as[(String, String)].head()
