@@ -2,7 +2,7 @@ package graft
 
 import graft.model.GraphLoader
 import graft.operators.Traversals
-import graft.queries.{CypherQueries, FinQueries, GraphQueries, LdbcBiQueries, LdbcQueries, PipelineQueries, Relational, WriteQueries}
+import graft.queries.{CypherQueries, FinQueries, GraphQueries, LdbcBiQueries, LdbcQueries, LdbcUpdates, PipelineQueries, Relational, WriteQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -31,10 +31,10 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs ++ GraphQueries.defs ++ PipelineQueries.defs ++ CypherQueries.defs ++ LdbcQueries.defs ++ LdbcBiQueries.defs ++ FinQueries.defs ++
+    Relational.defs ++ GraphQueries.defs ++ PipelineQueries.defs ++ CypherQueries.defs ++ LdbcQueries.defs ++ LdbcBiQueries.defs ++ LdbcUpdates.defs ++ FinQueries.defs ++
       WriteQueries.defs
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ GraphQueries.oracles ++ PipelineQueries.oracles ++
-      CypherQueries.oracles ++ LdbcQueries.oracles ++ LdbcBiQueries.oracles ++ FinQueries.oracles ++ WriteQueries.oracles
+      CypherQueries.oracles ++ LdbcQueries.oracles ++ LdbcBiQueries.oracles ++ LdbcUpdates.oracles ++ FinQueries.oracles ++ WriteQueries.oracles
 }

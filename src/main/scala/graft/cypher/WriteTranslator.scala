@@ -592,7 +592,8 @@ object WriteTranslator {
           // join-based, and branched on node vs relationship variable like
           // DELETE (REMOVE r.prop must null EDGE columns, not node columns
           // whose ids happen to collide)
-          val ids = readFrame(Seq(ReturnItem(Fn("id", Seq(Var(v))), Some("_id")))).distinct()
+          val ids = readFrame(Seq(ReturnItem(Fn("id", Seq(Var(v))), Some("_id"))))
+            .distinct().localCheckpoint(true) // consumed by count + update join
           nSet += ids.count() * ps.size
           cur =
             if (edgeVars.contains(v))
@@ -609,7 +610,14 @@ object WriteTranslator {
         var nDel = 0L
         var rDel = 0L
         vars.foreach { v =>
-          val ids = readFrame(Seq(ReturnItem(Fn("id", Seq(Var(v))), Some("_id")))).distinct()
+          // pin the matched id set (same reason as the SET paths): the
+          // anti-joins embed it up to three times (nodes + edge src + edge
+          // dst for DETACH), so an unpinned frame makes CHAINED deletes
+          // re-embed the whole prior graph lineage multiplicatively —
+          // statement k's plan grows ~3^k. Pinned, each delete layers O(1)
+          // plan text over the stable base.
+          val ids = readFrame(Seq(ReturnItem(Fn("id", Seq(Var(v))), Some("_id"))))
+            .distinct().localCheckpoint(true)
           if (edgeVars.contains(v)) {
             rDel += ids.count()
             cur = GraphMutations.deleteEdges(cur, ids)
