@@ -81,8 +81,136 @@ object FinQueries {
       """MATCH (p:Person {id: 20000001})-[:OWN]->(a:Account)-[t:TRANSFER]->(dst:Account)
         |RETURN a.id AS accountId, count(t) AS transferCount,
         |       round(sum(round(t.amount * 10000)) / 10000.0, 2) AS totalAmount
-        |ORDER BY totalAmount DESC, accountId""".stripMargin) _)
+        |ORDER BY totalAmount DESC, accountId""".stripMargin) _),
+
+    // CR-5: the account owner's OTHER accounts and their outgoing transfers
+    // (the reference's WITH-rebind multi-clause shape)
+    "q_finbench_cr5" -> (run(
+      """MATCH (owner)-[:OWN]->(a:Account {id: 1})
+        |WITH owner
+        |MATCH (owner)-[:OWN]->(otherAcct:Account)
+        |MATCH (otherAcct)-[t:TRANSFER]->(dst:Account)
+        |RETURN owner.name AS ownerName, otherAcct.id AS accountId,
+        |       count(t) AS transferCount,
+        |       round(sum(round(t.amount * 10000)) / 10000.0, 2) AS totalAmount
+        |ORDER BY totalAmount DESC, accountId
+        |LIMIT 20""".stripMargin) _),
+
+    // CR-7: 2-hop transfer chain into one account
+    "q_finbench_cr7" -> (run(
+      """MATCH (up:Account)-[t1:TRANSFER]->(mid:Account)-[t2:TRANSFER]->(a:Account {id: 1})
+        |RETURN up.id AS upstreamId, mid.id AS midId,
+        |       t1.amount AS upstreamAmount, t2.amount AS midAmount
+        |ORDER BY midAmount DESC, upstreamId, midId, upstreamAmount
+        |LIMIT 20""".stripMargin) _),
+
+    // CR-8: loan-deposit distribution above a threshold (edge-property filter)
+    "q_finbench_cr8" -> (run(
+      """MATCH (l:Loan)-[d:DEPOSIT]->(a:Account)
+        |WHERE d.amount > 10000.0
+        |RETURN l.id AS loanId, l.loanAmount AS loanAmount,
+        |       a.id AS targetAccount, d.amount AS depositAmount
+        |ORDER BY depositAmount DESC, loanId
+        |LIMIT 20""".stripMargin) _),
+
+    // CR-10: investors per company ("Companies connected by INVEST" — the
+    // investor is labeled because INVEST src ids live in the Company space)
+    "q_finbench_cr10" -> (run(
+      """MATCH (investor:Company)-[inv:INVEST]->(target:Company)
+        |RETURN target.id AS companyId, target.name AS companyName,
+        |       count(investor) AS investorCount,
+        |       round(sum(round(inv.ratio * 10000)) / 10000.0, 2) AS totalRatio
+        |ORDER BY investorCount DESC, companyId
+        |LIMIT 20""".stripMargin) _),
+
+    // SR-1..SR-6: the simple-read point lookups (createTime/balance are not
+    // base-schema columns in the projection — dropped from SR-1/SR-6, the
+    // usual adaptation; W-3/W-4 exercise them as schema-free appends)
+    "q_finbench_sr1" -> (run(
+      """MATCH (a:Account {id: 1})
+        |RETURN a.id AS accountId, a.isBlocked AS isBlocked,
+        |       a.accountType AS accountType""".stripMargin) _),
+    "q_finbench_sr2" -> (run(
+      """MATCH (a:Account {id: 1})-[t:TRANSFER]->(dst:Account)
+        |WHERE t.timestamp >= 1502000000000 AND t.timestamp < 1506000000000
+        |RETURN dst.id AS dstId, t.amount AS amount, t.timestamp AS ts
+        |ORDER BY ts DESC, amount, dstId
+        |LIMIT 10""".stripMargin) _),
+    "q_finbench_sr3" -> (run(
+      """MATCH (p:Person {id: 20000001})-[:OWN]->(a:Account)
+        |RETURN a.id AS accountId, a.accountType AS accountType,
+        |       a.isBlocked AS isBlocked
+        |ORDER BY accountId""".stripMargin) _),
+    "q_finbench_sr4" -> (run(
+      """MATCH (src:Account)-[t:TRANSFER]->(a:Account {id: 1})
+        |WHERE t.timestamp >= 1502000000000 AND t.timestamp < 1506000000000
+        |RETURN src.id AS srcId, t.amount AS amount, t.timestamp AS ts
+        |ORDER BY ts DESC, amount, srcId
+        |LIMIT 10""".stripMargin) _),
+    "q_finbench_sr5" -> (run(
+      """MATCH (a:Account {id: 2})-[t:TRANSFER]->(dst:Account)
+        |WHERE t.timestamp >= 1502000000000 AND t.timestamp < 1506000000000
+        |RETURN dst.id AS dstId, t.amount AS amount, t.timestamp AS ts
+        |ORDER BY ts DESC, amount, dstId
+        |LIMIT 10""".stripMargin) _),
+    "q_finbench_sr6" -> (run(
+      """MATCH (l:Loan {id: 40000010})
+        |RETURN l.id AS loanId, l.loanAmount AS loanAmount""".stripMargin) _),
+
+    // RW-1..RW-3: the read-write ops — SET then read the post-write value
+    // in the same statement (the write path's RETURN projection)
+    "q_finbench_rw1" -> (run(
+      """MATCH (a:Account {id: 2}) SET a.isBlocked = true
+        |RETURN a.id AS accountId, a.isBlocked AS isBlocked""".stripMargin) _),
+    "q_finbench_rw2" -> (run(
+      """MATCH (m:Medium {id: 50000002}) SET m.isBlocked = true
+        |RETURN m.id AS mediumId, m.isBlocked AS isBlocked""".stripMargin) _),
+    "q_finbench_rw3" -> (run(
+      """MATCH (p:Person {id: 20000002}) SET p.isBlocked = true
+        |RETURN p.id AS personId, p.name AS name, p.isBlocked AS isBlocked""".stripMargin) _),
+
+    // W-1..W-19 executed as the reference's sequence (`finbench_benchmark.rs:
+    // 303-432`): five node creates (createTime/balance exercise schema-free
+    // property append), thirteen edge creates covering every edge type, then
+    // the final plain (non-DETACH) DELETE of the benchmark account — the
+    // reference errors on deleting a connected node, this engine's documented
+    // batch semantics leave the incident edges (GraphMutations.deleteNodes).
+    // Read-back = label/edge-type cardinalities, recomputed arithmetically
+    // by the oracle (base + literal deltas; Account nets to base).
+    "q_finbench_w" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val g0 = FinLoader.fin(s, d)
+      val g = W.foldLeft(g0)((gr, cy) => QueryEngine.executeWrite(cy, gr)._1)
+      val n = g.nodes.select(lower(col("labels")(0)).as("kind"))
+        .groupBy("kind").agg(count(lit(1)).as("cnt"))
+      val e = g.edges.select(col("relationship").as("kind"))
+        .groupBy("kind").agg(count(lit(1)).as("cnt"))
+      n.unionAll(e).orderBy(col("kind"))
+    })
   )
+
+  /** W-1..W-19, ids adapted to the projection's label id-spaces (the
+    * reference reuses 999001 across labels; ours are offset per label). */
+  private val W = Seq(
+    "CREATE (p:Person {id: 20999001, name: 'Benchmark Person', isBlocked: false})",
+    "CREATE (c:Company {id: 30999001, name: 'Benchmark Corp', isBlocked: false})",
+    "CREATE (a:Account {id: 999001, createTime: 1709251200000, isBlocked: false, accountType: 'checking'})",
+    "CREATE (l:Loan {id: 40999001, loanAmount: 50000.0, balance: 50000.0})",
+    "CREATE (m:Medium {id: 50999001, mediumType: 'phone', isBlocked: false})",
+    "MATCH (p:Person {id: 20999001}), (a:Account {id: 999001}) CREATE (p)-[:OWN {timestamp: 1709251200000}]->(a)",
+    "MATCH (c:Company {id: 30999001}), (a:Account {id: 1}) CREATE (c)-[:OWN {timestamp: 1709251200000}]->(a)",
+    "MATCH (src:Account {id: 999001}), (dst:Account {id: 1}) CREATE (src)-[:TRANSFER {timestamp: 1709251200000, amount: 1500.0}]->(dst)",
+    "MATCH (src:Account {id: 999001}), (dst:Account {id: 2}) CREATE (src)-[:WITHDRAW {timestamp: 1709251200000, amount: 500.0}]->(dst)",
+    "MATCH (l:Loan {id: 40999001}), (a:Account {id: 999001}) CREATE (l)-[:DEPOSIT {timestamp: 1709251200000, amount: 50000.0}]->(a)",
+    "MATCH (a:Account {id: 999001}), (l:Loan {id: 40999001}) CREATE (a)-[:REPAY {timestamp: 1709251200000, amount: 5000.0}]->(l)",
+    "MATCH (a:Account {id: 999001}), (m:Medium {id: 50999001}) CREATE (a)-[:SIGN_IN {timestamp: 1709251200000}]->(m)",
+    "MATCH (p:Person {id: 20999001}), (l:Loan {id: 40999001}) CREATE (p)-[:APPLY {timestamp: 1709251200000}]->(l)",
+    "MATCH (c:Company {id: 30999001}), (l:Loan {id: 40000010}) CREATE (c)-[:APPLY {timestamp: 1709251200000}]->(l)",
+    "MATCH (c1:Company {id: 30999001}), (c2:Company {id: 30000001}) CREATE (c1)-[:INVEST {timestamp: 1709251200000, ratio: 0.15}]->(c2)",
+    "MATCH (p:Person {id: 20999001}), (c:Company {id: 30000001}) CREATE (p)-[:INVEST {timestamp: 1709251200000, ratio: 0.05}]->(c)",
+    "MATCH (c1:Company {id: 30999001}), (c2:Company {id: 30000002}) CREATE (c1)-[:GUARANTEE {timestamp: 1709251200000}]->(c2)",
+    "MATCH (p1:Person {id: 20999001}), (p2:Person {id: 20000002}) CREATE (p1)-[:GUARANTEE {timestamp: 1709251200000}]->(p2)",
+    "MATCH (a:Account {id: 999001}) DELETE a")
 
   /** FinBench derivation in SQL — line-for-line `FinLoader.build`. */
   private val FinPre =
@@ -154,6 +282,93 @@ object FinQueries {
         | round(sum(round(x.amount * 10000)) / 10000.0, 2) AS totalAmount
         |FROM own o JOIN xfer x ON x.s = o.aid
         |WHERE o.pid = 20000001
-        |GROUP BY 1 ORDER BY totalAmount DESC, accountId""".stripMargin)
+        |GROUP BY 1 ORDER BY totalAmount DESC, accountId""".stripMargin),
+
+    "q_finbench_cr5" ->
+      s"""WITH $FinPre,
+         |person AS (SELECT 20000000 + s_suppkey AS id, s_name AS name FROM supplier)
+         |SELECT p.name AS ownerName, o2.aid AS accountId, count(*) AS transferCount,
+         | round(sum(round(x.amount * 10000)) / 10000.0, 2) AS totalAmount
+         |FROM own o1 JOIN own o2 ON o2.pid = o1.pid JOIN person p ON p.id = o1.pid
+         | JOIN xfer x ON x.s = o2.aid
+         |WHERE o1.aid = 1
+         |GROUP BY 1, 2 ORDER BY totalAmount DESC, accountId LIMIT 20""".stripMargin,
+    "q_finbench_cr7" -> o(
+      """SELECT x1.s AS upstreamId, x1.d AS midId,
+        | x1.amount AS upstreamAmount, x2.amount AS midAmount
+        |FROM xfer x1 JOIN xfer x2 ON x2.s = x1.d
+        |WHERE x2.d = 1
+        |ORDER BY midAmount DESC, upstreamId, midId, upstreamAmount LIMIT 20""".stripMargin),
+    "q_finbench_cr8" ->
+      s"""WITH $FinPre,
+         |loan AS (SELECT 40000000 + o_orderkey AS id, o_totalprice AS loanAmount
+         |  FROM orders WHERE o_orderkey % 10 = 0)
+         |SELECT d.lid AS loanId, l.loanAmount AS loanAmount,
+         | d.aid AS targetAccount, d.amount AS depositAmount
+         |FROM deposit d JOIN loan l ON l.id = d.lid
+         |WHERE d.amount > 10000.0
+         |ORDER BY depositAmount DESC, loanId LIMIT 20""".stripMargin,
+    "q_finbench_cr10" ->
+      s"""WITH $FinPre,
+         |invest AS (SELECT 30000000 + (p_partkey * 7 + 1) % (SELECT count(*) FROM part) AS s,
+         |   30000000 + p_partkey AS d, (p_partkey % 10) * 0.05 AS ratio FROM part)
+         |SELECT c2.id AS companyId, c2.name AS companyName,
+         | count(*) AS investorCount,
+         | round(sum(round(i.ratio * 10000)) / 10000.0, 2) AS totalRatio
+         |FROM invest i JOIN company c1 ON c1.id = i.s JOIN company c2 ON c2.id = i.d
+         |GROUP BY 1, 2 ORDER BY investorCount DESC, companyId LIMIT 20""".stripMargin,
+
+    "q_finbench_sr1" -> o(
+      """SELECT CAST(id AS BIGINT) AS accountId, isBlocked, accountType
+        |FROM acct WHERE id = 1""".stripMargin),
+    "q_finbench_sr2" -> o(
+      """SELECT d AS dstId, amount, ts FROM xfer
+        |WHERE s = 1 AND ts >= 1502000000000 AND ts < 1506000000000
+        |ORDER BY ts DESC, amount, dstId LIMIT 10""".stripMargin),
+    "q_finbench_sr3" -> o(
+      """SELECT a.id AS accountId, a.accountType AS accountType, a.isBlocked AS isBlocked
+        |FROM own o JOIN acct a ON a.id = o.aid
+        |WHERE o.pid = 20000001
+        |ORDER BY accountId""".stripMargin),
+    "q_finbench_sr4" -> o(
+      """SELECT s AS srcId, amount, ts FROM xfer
+        |WHERE d = 1 AND ts >= 1502000000000 AND ts < 1506000000000
+        |ORDER BY ts DESC, amount, srcId LIMIT 10""".stripMargin),
+    "q_finbench_sr5" -> o(
+      """SELECT d AS dstId, amount, ts FROM xfer
+        |WHERE s = 2 AND ts >= 1502000000000 AND ts < 1506000000000
+        |ORDER BY ts DESC, amount, dstId LIMIT 10""".stripMargin),
+    "q_finbench_sr6" ->
+      """SELECT CAST(40000000 + o_orderkey AS BIGINT) AS loanId,
+        | o_totalprice AS loanAmount
+        |FROM orders WHERE o_orderkey = 10""".stripMargin,
+
+    "q_finbench_rw1" ->
+      "SELECT CAST(2 AS BIGINT) AS accountId, true AS isBlocked",
+    "q_finbench_rw2" ->
+      "SELECT CAST(50000002 AS BIGINT) AS mediumId, true AS isBlocked",
+    "q_finbench_rw3" ->
+      """SELECT CAST(20000002 AS BIGINT) AS personId,
+        | (SELECT s_name FROM supplier WHERE s_suppkey = 2) AS name,
+        | true AS isBlocked""".stripMargin,
+
+    "q_finbench_w" ->
+      s"""WITH $FinPre
+         |SELECT kind, CAST(cnt AS BIGINT) AS cnt FROM (
+         | SELECT 'account' AS kind, (SELECT count(*) FROM customer) AS cnt UNION ALL
+         | SELECT 'person', (SELECT count(*) FROM supplier) + 1 UNION ALL
+         | SELECT 'company', (SELECT count(*) FROM part) + 1 UNION ALL
+         | SELECT 'loan', (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 0) + 1 UNION ALL
+         | SELECT 'medium', (SELECT count(*) FROM nation) + 1 UNION ALL
+         | SELECT 'OWN', (SELECT count(*) FROM customer) + 2 UNION ALL
+         | SELECT 'TRANSFER', 2 * (SELECT count(*) FROM orders) + 1 UNION ALL
+         | SELECT 'WITHDRAW', 1 UNION ALL
+         | SELECT 'DEPOSIT', (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 0) + 1 UNION ALL
+         | SELECT 'REPAY', 1 UNION ALL
+         | SELECT 'SIGN_IN', (SELECT count(*) FROM customer) + 1 UNION ALL
+         | SELECT 'APPLY', 2 UNION ALL
+         | SELECT 'INVEST', (SELECT count(*) FROM part) + 2 UNION ALL
+         | SELECT 'GUARANTEE', (SELECT count(*) FROM guar) + 2)
+         |ORDER BY kind""".stripMargin
   )
 }
