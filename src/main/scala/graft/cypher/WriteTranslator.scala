@@ -291,10 +291,11 @@ object WriteTranslator {
                 col(da).cast("long").as("dst"),
                 lit(r.types.headOption.getOrElse("RELATED")).as("relationship")) ++ propCols: _*)
               .localCheckpoint()
-            val nRows = rows.count()
+            // one aggregate job serves both the counter and the id watermark
+            val agg0 = rows.agg(count(lit(1)), max(col("id"))).first()
+            val nRows = agg0.getLong(0)
             rCreated += nRows
-            if (nRows > 0)
-              nextEdgeBase = rows.agg(max(col("id"))).first().getLong(0)
+            if (nRows > 0) nextEdgeBase = agg0.getLong(1)
             cur = GraphMutations.createEdges(cur, rows)
           } else {
             // edge create between two MATCH-bound node variables
@@ -324,10 +325,11 @@ object WriteTranslator {
                 col("_dst").cast("long").as("dst"),
                 lit(r.types.headOption.getOrElse("RELATED")).as("relationship")) ++ propCols: _*)
               .localCheckpoint()
-            val nRows = rows.count()
+            // one aggregate job serves both the counter and the id watermark
+            val agg0 = rows.agg(count(lit(1)), max(col("id"))).first()
+            val nRows = agg0.getLong(0)
             rCreated += nRows
-            if (nRows > 0)
-              nextEdgeBase = rows.agg(max(col("id"))).first().getLong(0)
+            if (nRows > 0) nextEdgeBase = agg0.getLong(1)
             cur = GraphMutations.createEdges(cur, rows)
           }
         }
