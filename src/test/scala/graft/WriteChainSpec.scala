@@ -1,0 +1,64 @@
+package graft
+
+import graft.cypher.QueryEngine
+import graft.model.PropertyGraph
+
+/** Chained write statements must grow the graph's plan LINEARLY, not
+  * multiplicatively. Regression pin for the round-10 fix: an unpinned
+  * DELETE id-set is embedded by up to three anti-joins (nodes + edge src +
+  * edge dst for DETACH), so statement k re-embeds statement k-1's whole
+  * plan ~3x — a 16-statement chain reached 80M-char plans and never
+  * finished. With the matched-set pinned (localCheckpoint) each statement
+  * layers O(1) plan text over a stable base. */
+class WriteChainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh: PropertyGraph = {
+    val nodes = (1L to 40L).map(i => (i, Seq("P"), s"n$i"))
+      .toDF("id", "labels", "name")
+    val edges = (1L to 39L).map(i => (100L + i, i, i + 1, "R"))
+      .toDF("id", "src", "dst", "relationship")
+    PropertyGraph(nodes, edges)
+  }
+
+  test("chained CREATE/DELETE statements keep plan growth linear") {
+    // interleave the shapes that historically multiplied: per-statement
+    // MATCH...CREATE edge (embeds the match), then DETACH DELETE (embeds
+    // the id-set three times)
+    var g = fresh
+    val planSizes = (0 until 8).map { i =>
+      val a = i * 2 + 1; val b = i * 2 + 2
+      g = QueryEngine.executeWrite(
+        s"MATCH (x:P {id: $a}), (y:P {id: $b}) CREATE (x)-[:L]->(y)", g)._1
+      g = QueryEngine.executeWrite(
+        s"MATCH (x:P {id: ${40 - i}}) DETACH DELETE x", g)._1
+      g.edges.queryExecution.logical.numberedTreeString.length +
+        g.nodes.queryExecution.logical.numberedTreeString.length
+    }
+    // linear layering: the per-statement increment must be flat, not
+    // compounding — allow generous slack over the mean early increment
+    val deltas = planSizes.sliding(2).map(p => p(1) - p(0)).toSeq
+    val early = deltas.take(3).max.toDouble
+    assert(deltas.last <= early * 3,
+      s"plan growth is compounding: deltas=$deltas sizes=$planSizes")
+    // and the final result is correct: 8 edges created, 8 nodes deleted
+    assert(g.nodes.count() == 32L)
+    assert(g.edges.filter($"relationship" === "L").count() > 0L)
+  }
+
+  test("DETACH DELETE cascade + empty-match DELETE (the SNB DEL order)") {
+    var g = fresh
+    g = QueryEngine.executeWrite("CREATE (z:P {id: 999, name: 'z'})", g)._1
+    g = QueryEngine.executeWrite(
+      "MATCH (x:P {id: 1}), (z:P {id: 999}) CREATE (x)-[:L]->(z)", g)._1
+    // DETACH DELETE removes the node and cascades the L edge
+    g = QueryEngine.executeWrite("MATCH (z:P {id: 999}) DETACH DELETE z", g)._1
+    assert(g.nodes.filter($"id" === 999L).count() == 0L)
+    assert(g.edges.filter($"relationship" === "L").count() == 0L)
+    // deleting the already-cascaded edge binds zero rows and succeeds
+    val (g2, summary) = QueryEngine.executeWrite(
+      "MATCH (x:P {id: 1})-[l:L]->(z:P {id: 999}) DELETE l", g)
+    assert(summary.select("relationships_deleted").as[Long].head() == 0L)
+    assert(g2.edges.count() == g.edges.count())
+  }
+}
