@@ -423,7 +423,8 @@ object WriteTranslator {
             col("_dst").cast("long").as("dst"),
             lit(relType).as("relationship")) ++ createProps: _*)
           .localCheckpoint()
-        val nNew = rows.count()
+        val aggM = rows.agg(count(lit(1)), max(col("id"))).first()
+        val nNew = aggM.getLong(0)
         var cur = GraphMutations.createEdges(g, rows)
         var nSet = 0L
         if (onMatch.nonEmpty && nNew < pairs.count()) {
@@ -446,7 +447,7 @@ object WriteTranslator {
           nSet = assigns.size.toLong * matched.count()
           cur = graft.model.PropertyGraph(cur.nodes, updated, constraints = cur.constraints)
         }
-        val relHw = if (nNew > 0) rows.agg(max(col("id"))).first().getLong(0) else base
+        val relHw = if (nNew > 0) aggM.getLong(1) else base
         WriteResult(cur.copy(nodeIdHw = g.nodeIdHw, edgeIdHw = Some(relHw)),
           summary(relCreated = nNew, propsSet = nSet))
 
