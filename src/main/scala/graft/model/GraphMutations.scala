@@ -45,13 +45,43 @@ object GraphMutations {
   def mergeNodes(g: PropertyGraph, incoming: DataFrame,
                  onCreateSet: Map[String, Column] = Map.empty,
                  onMatchSet: Map[String, Column] = Map.empty): PropertyGraph = {
-    val incIds = incoming.select(col("id")).distinct()
-    val untouched = g.nodes.join(incIds, Seq("id"), "left_anti")
-    val matched = applySet(g.nodes.join(incIds, Seq("id"), "left_semi"), lit(true), onMatchSet)
-    val created = applySet(
-      incoming.join(g.nodes.select(col("id")), Seq("id"), "left_anti"), lit(true), onCreateSet)
-    checkUnique(g, created)
-    val merged = untouched.unionByName(matched).unionByName(created, allowMissingColumns = true)
+    // ONE full-outer join, embedding g.nodes ONCE. The previous
+    // anti/semi/anti three-way split embedded it three times, so CHAINED
+    // merges grew plan text ~3^k (the write-chain lineage pathology —
+    // WriteChainSpec); it also probed the incoming key set three times
+    // where one pass suffices. ON CREATE values read the INCOMING row, so
+    // applying them to every incoming row up front is equivalent (they are
+    // only kept where the id turns out absent); ON MATCH values read the
+    // EXISTING node columns, which stay unprefixed in the joined frame.
+    val incPrepped = applySet(incoming.dropDuplicates("id"), lit(true), onCreateSet)
+    checkUnique(g, incPrepped.join(g.nodes.select(col("id")), Seq("id"), "left_anti"))
+    val inc = incPrepped.select(incPrepped.columns.map(c => col(c).as(s"_in_$c")): _*)
+    val joined = g.nodes.join(inc, col("id") === col(s"_in_id"), "full_outer")
+    val isNew = col("id").isNull
+    val isMatched = col("id").isNotNull && col("_in_id").isNotNull
+    val nodeCols = g.nodes.columns
+    val nodeTypes = g.nodes.schema.fields.map(f => f.name -> f.dataType).toMap
+    val incCols = incPrepped.columns.toSet
+    val incOnly = incPrepped.columns.filterNot(nodeCols.contains)
+    val matchOnly = onMatchSet.keys
+      .filterNot(k => nodeCols.contains(k) || incCols.contains(k)).toSeq.sorted
+    val merged = joined.select((
+      nodeCols.map { c =>
+        val kept = onMatchSet.get(c)
+          .map(v => when(isMatched, v).otherwise(col(c))).getOrElse(col(c))
+        val fresh =
+          if (incCols.contains(c)) col(s"_in_$c") else lit(null).cast(nodeTypes(c))
+        when(isNew, fresh).otherwise(kept).as(c)
+      } ++
+      // incoming-only columns: created rows carry their value, matched rows
+      // take an ON MATCH value when one is assigned, untouched rows -> NULL
+      incOnly.map { c =>
+        onMatchSet.get(c)
+          .map(v => when(isNew, col(s"_in_$c")).when(isMatched, v))
+          .getOrElse(when(isNew, col(s"_in_$c"))).as(c)
+      } ++
+      // ON MATCH SET of a key neither side carries appends it (schema-free)
+      matchOnly.map(k => when(isMatched, onMatchSet(k)).as(k))): _*)
     // ON MATCH SET can rewrite a constrained property on existing nodes —
     // guard the update like the insert (reference check_unique_constraint
     // guards index updates too)

@@ -46,6 +46,30 @@ class WriteChainSpec extends SparkSpec {
     assert(g.edges.filter($"relationship" === "L").count() > 0L)
   }
 
+  test("chained mergeNodes stays linear and keeps split semantics") {
+    import org.apache.spark.sql.functions._
+    import graft.model.GraphMutations
+    var g = fresh
+    val sizes = (0 until 6).map { i =>
+      // half the batch matches (ids 1..3), half is new (100+i..)
+      val incoming = Seq((1L, Seq("P"), "upd"), (2L, Seq("P"), "upd"),
+        (100L + i, Seq("Q"), s"new$i"))
+        .toDF("id", "labels", "name")
+      g = GraphMutations.mergeNodes(g, incoming,
+        onCreateSet = Map("name" -> lit(s"created$i")),
+        onMatchSet = Map("name" -> concat(col("name"), lit("+"))))
+      g.nodes.queryExecution.logical.numberedTreeString.length
+    }
+    val deltas = sizes.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(deltas.last <= math.max(deltas.head, 2000) * 3,
+      s"merge plan growth is compounding: $deltas")
+    // matched node 1 got "+" appended 6 times over its original name
+    assert(g.nodes.filter($"id" === 1L).select("name").as[String].head() == "n1++++++")
+    // each round's new node carries its ON CREATE value
+    assert(g.nodes.filter($"id" === 103L).select("name").as[String].head() == "created3")
+    assert(g.nodes.count() == 40L + 6L)
+  }
+
   test("DETACH DELETE cascade + empty-match DELETE (the SNB DEL order)") {
     var g = fresh
     g = QueryEngine.executeWrite("CREATE (z:P {id: 999, name: 'z'})", g)._1
