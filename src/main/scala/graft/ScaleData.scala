@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialize an N×-scaled copy of a testdata fixture directory for the
+  * full-catalog soak (`graft.Soak` covers 13 kernels; this feeds the whole
+  * 269-query catalog + DuckDB oracles at N× data).
+  *
+  * Scaling is SIMILARITY-PRESERVING, like Soak's:
+  *   - fact tables union N key-offset copies; every FK gets the SAME
+  *     per-copy offset, so the joined graph is N disjoint isomorphic
+  *     components (offsets stay inside GraphLoader's fixed id spaces:
+  *     custkey < OrderOff, orderkey*8 < PartOff-LineOff, ...).
+  *   - dimension tables (region, nation) stay unscaled — copies share
+  *     them, the realistic star-schema shape.
+  *   - document text gets a per-copy alphabet rotation (bijective on
+  *     shingle space: within-copy Jaccard exact, copies mutually disjoint
+  *     — an N× dedup input is a real N× problem, not an N²-pair blowup).
+  *   - embeddings get a per-copy dimension sign-flip (within-copy cosine
+  *     exact, copies decorrelated).
+  *   - events offset event_id and user_id (sessions stay per-user
+  *     disjoint); timestamps are shared, so window density rises N× —
+  *     the honest stream-at-scale shape.
+  *
+  * Usage: ScaleData <srcDir> <dstDir> [n=10]
+  */
+object ScaleData {
+  // must stay << GraphLoader.OrderOff / the *8 line-id packing
+  val CopyOff = 200000L
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0); val dst = args(1)
+    val n = if (args.length > 2) args(2).toInt else 10
+    require(n * CopyOff < graft.model.GraphLoader.OrderOff,
+      s"copy offset overflows the order id space at n=$n")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    scaleDir(spark, src, dst, n)
+    println(s"scaled $src -> $dst x$n")
+  }
+
+  def scaleDir(spark: SparkSession, src: String, dst: String, n: Int): Unit = {
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    def copies(df: DataFrame)(f: Int => DataFrame => DataFrame): DataFrame =
+      (0 until n).map(k => f(k)(df)).reduce(_ unionAll _)
+    def off(k: Int, cols: String*): DataFrame => DataFrame = df =>
+      cols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(k * CopyOff)))
+
+    // dimensions shared by all copies
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+
+    write(copies(read("customer"))(k => off(k, "c_custkey")), "customer")
+    write(copies(read("supplier"))(k => off(k, "s_suppkey")), "supplier")
+    write(copies(read("part"))(k => off(k, "p_partkey")), "part")
+    write(copies(read("orders"))(k => off(k, "o_orderkey", "o_custkey")), "orders")
+    write(copies(read("lineitem"))(
+      k => off(k, "l_orderkey", "l_partkey", "l_suppkey")), "lineitem")
+    write(copies(read("events"))(k => off(k, "event_id", "user_id")), "events")
+
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    write(copies(read("documents")) { k => df =>
+      val rot = alpha.drop(k % 26) + alpha.take(k % 26)
+      df.withColumn("doc_id", col("doc_id") + lit(k * CopyOff))
+        .withColumn("text", translate(col("text"),
+          alpha + alpha.toUpperCase, rot + rot.toUpperCase))
+    }, "documents")
+
+    write(copies(read("embeddings")) { k => df =>
+      // flip sign on dimensions where bit (i%4) of k is set: within-copy
+      // dot products are exact (signs cancel), copies decorrelate
+      val flips = typedlit((0 until 4).map(b =>
+        if (((k >> b) & 1) == 1) -1.0f else 1.0f))
+      df.withColumn("vec_id", col("vec_id") + lit(k * CopyOff))
+        .withColumn("embedding", transform(col("embedding"),
+          (x, i) => x * element_at(flips, (i % 4 + 1).cast("int"))))
+    }, "embeddings")
+  }
+}

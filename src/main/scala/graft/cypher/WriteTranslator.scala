@@ -636,25 +636,48 @@ object WriteTranslator {
       // ---------- FOREACH ----------
       case ForeachClause(v, listExpr, body) =>
         noReturn("FOREACH")
-        // fold the body over the (constant / $param) list, binding the loop
+        // Constant / $param lists fold element-by-element, binding the loop
         // variable by literal substitution — each element's writes see the
-        // previous element's graph, like the reference's sequential apply
-        val elems = constVal(listExpr) match {
-          case s: Seq[_] => s
-          case other => throw new IllegalArgumentException(s"FOREACH needs a list, got $other")
-        }
+        // previous element's graph, like the reference's sequential apply.
+        // Dynamic per-row lists (n.tags, range(id(n), ...)) take the UNWIND
+        // lowering below instead.
+        val constList: Option[Seq[Any]] =
+          try constVal(listExpr) match {
+            case s: Seq[_] => Some(s)
+            case other =>
+              throw new IllegalStateException(s"FOREACH needs a list, got $other")
+          } catch { case _: IllegalArgumentException => None }
         var cur = g
         val totals = Array.fill(7)(0L)
-        elems.foreach { elem =>
-          body.foreach { cl =>
-            val q2 = Query(SingleQuery(
-              readClauses :+ substClause(cl, v, elem),
-              ReturnSpec(distinct = false, Seq.empty, Seq.empty, None, None)), Seq.empty)
-            val r = execute(q2, cur, params)
-            cur = r.graph
-            val row = r.summary.collect()(0)
-            (0 until 7).foreach(i => totals(i) += row.getLong(i))
-          }
+        def runOne(clauses: Seq[Clause]): Unit = {
+          val q2 = Query(SingleQuery(clauses,
+            ReturnSpec(distinct = false, Seq.empty, Seq.empty, None, None)), Seq.empty)
+          val r = execute(q2, cur, params)
+          cur = r.graph
+          val row = r.summary.collect()(0)
+          (0 until 7).foreach(i => totals(i) += row.getLong(i))
+        }
+        constList match {
+          case Some(elems) =>
+            elems.foreach { elem =>
+              body.foreach(cl => runOne(readClauses :+ substClause(cl, v, elem)))
+            }
+          case None =>
+            // FOREACH (x IN <per-row list> | SET/REMOVE ...) ≡
+            // <reads> UNWIND list AS x SET/REMOVE ... — both lower as
+            // order-insensitive batch joins, so the UNWIND frame (rows with
+            // empty/NULL lists drop out — Cypher's zero-iteration no-op) is
+            // semantically the element fold; concurrent SETs of the same key
+            // resolve by the same max() convention as multi-row SET. CREATE
+            // bodies need true per-iteration apply (the literal-node path
+            // creates once, not per frame row) and stay constant-list-only.
+            body.foreach {
+              case cl @ (_: SetClause | _: RemoveClause) =>
+                runOne((readClauses :+ UnwindClause(listExpr, v)) :+ cl)
+              case other => throw new IllegalArgumentException(
+                "FOREACH over a non-constant list supports SET/REMOVE bodies, got " +
+                  other.getClass.getSimpleName)
+            }
         }
         WriteResult(cur, summary(totals(0), totals(1), totals(2), totals(3), totals(4), totals(5), totals(6)))
 

@@ -74,10 +74,15 @@ object CypherFunctions {
   def head(c: Column): Column = element_at(c, 1)
   def last0(c: Column): Column = element_at(c, -1)
   def tail(c: Column): Column = slice(c, lit(2), greatest(size(c) - 1, lit(0)))
-  /** Cypher range(start, end[, step]) is INCLUSIVE of end. */
-  def rangeList(start: Column, end: Column): Column = sequence(start, end)
+  /** Cypher range(start, end[, step]) is INCLUSIVE of end, and EMPTY when
+    * the step can't reach end from start (range(1, 0) = []) — unlike
+    * Spark's `sequence`, which auto-reverses the two-arg form and throws
+    * on a sign-mismatched step. */
+  def rangeList(start: Column, end: Column): Column =
+    when(start <= end, sequence(start, end)).otherwise(typedlit(Seq.empty[Long]))
   def rangeList(start: Column, end: Column, step: Column): Column =
-    sequence(start, end, step)
+    when((step > 0 && start <= end) || (step < 0 && start >= end),
+      sequence(start, end, step)).otherwise(typedlit(Seq.empty[Long]))
   def isEmpty(c: Column): Column = size(c) === 0
 
   // ---- aggregates (operator.rs percentileDisc) ----

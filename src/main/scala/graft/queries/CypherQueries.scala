@@ -437,6 +437,19 @@ object CypherQueries {
         "MATCH (m:Marker) RETURN id(m) AS mid, m.name AS name ORDER BY mid", g2)
     }),
 
+    // FOREACH over a DYNAMIC per-row list (executor.rs sequential element
+    // apply): lowered as an UNWIND-extended read context for SET/REMOVE
+    // bodies — empty lists (nationkey % 3 == 0 → range(1, 0) = []) skip the
+    // write, Cypher's zero-iteration semantics
+    "q_cypher_foreach_dyn" -> ((s: SparkSession, d: String) => {
+      val (g2, _) = QueryEngine.executeWrite(
+        "MATCH (n:Nation) FOREACH (x IN range(1, id(n) % 3) | SET n.touched = x)",
+        GraphLoader.tpch(s, d))
+      QueryEngine.execute(
+        "MATCH (n:Nation) RETURN coalesce(n.touched, -1) AS touched, count(*) AS n ORDER BY touched",
+        g2)
+    }),
+
     // §2.7 CALL { } subquery (uncorrelated) joined to the outer frame
     "q_cypher_call_subquery" -> (run(
       """MATCH (n:Nation)
@@ -582,6 +595,10 @@ object CypherQueries {
       "SELECT CAST(n_nationkey + 1200000000 AS BIGINT) AS nid, (SELECT count(*) FROM customer) AS total FROM nation ORDER BY 1",
     "q_cypher_foreach" ->
       "SELECT * FROM (VALUES (9000000001, 'marker'), (9000000002, 'marker'), (9000000003, 'marker')) t(mid, name) ORDER BY mid",
+    "q_cypher_foreach_dyn" ->
+      """SELECT CASE WHEN n_nationkey % 3 >= 1 THEN CAST(n_nationkey % 3 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS touched,
+        |       count(*) AS n
+        |FROM nation GROUP BY 1 ORDER BY touched""".stripMargin,
     "q_cypher_or_solve" ->
       "SELECT 'Jaya' AS algorithm, true AS feasible, true AS beats_uniform",
     "q_cypher_or_solve_de" ->
