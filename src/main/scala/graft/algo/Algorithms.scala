@@ -407,7 +407,16 @@ object Algorithms {
     fr.select(col("start") +: (1 to steps).map(i => col(s"v$i")): _*)
   }
 
+  /** SCC (reference `community.rs` Tarjan) — component = min node id in the
+    * SCC. Small inputs route to the in-task iterative Tarjan
+    * ([[LocalKernels.scc]], exact, one pass); large inputs run GraphX's
+    * Pregel SCC. Differential check: SccKernelSpec. */
   def scc(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+    val (e, small) = LocalKernels.gate(edges)
+    if (small) LocalKernels.scc(e) else sccDistributed(e, maxIter)
+  }
+
+  private[graft] def sccDistributed(edges: DataFrame, maxIter: Int = 10): DataFrame = {
     val spark = edges.sparkSession
     // GraphX Pregel honors spark.graphx.pregel.checkpointInterval only
     // when a checkpoint dir exists — ensure one, so deep SCC lineage is

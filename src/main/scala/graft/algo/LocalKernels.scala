@@ -449,6 +449,79 @@ object LocalKernels {
       }.toDF("id", "component")
   }
 
+  /** Strongly connected components — iterative Tarjan over the interned
+    * CSR, one pass, exact (no iteration bound). Component label = min
+    * external id in the SCC, the same labeling GraphX's
+    * stronglyConnectedComponents converges to ([[Algorithms.sccDistributed]]
+    * is the distributed twin; SccKernelSpec is the differential check). */
+  def scc(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val srcDs = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
+    inTask2(srcDs, cacheKey(srcDs.toDF())) { it =>
+      val vx = new Interner
+      val es = new Ints(); val ed = new Ints()
+      it.foreach { case (s, d) => es += vx.idx(s); ed += vx.idx(d) }
+      val n = vx.n
+      val (off, adj) = csr(n, es.result(), ed.result())
+      val index = Array.fill(n)(-1)
+      val low = new Array[Int](n)
+      val onStack = new Array[Boolean](n)
+      val tarjan = new Array[Int](n); var tn = 0          // Tarjan's SCC stack
+      val dfsNode = new Array[Int](n)                      // explicit DFS stack
+      val dfsEdge = new Array[Int](n)
+      val compMin = new Array[Long](n)                     // min external id per node's SCC
+      var idx = 0
+      var v = 0
+      while (v < n) {
+        if (index(v) == -1) {
+          var top = 0
+          dfsNode(0) = v; dfsEdge(0) = off(v)
+          index(v) = idx; low(v) = idx; idx += 1
+          tarjan(tn) = v; tn += 1; onStack(v) = true
+          while (top >= 0) {
+            val u = dfsNode(top)
+            val ei = dfsEdge(top)
+            if (ei < off(u + 1)) {
+              dfsEdge(top) = ei + 1
+              val w = adj(ei)
+              if (index(w) == -1) {
+                index(w) = idx; low(w) = idx; idx += 1
+                tarjan(tn) = w; tn += 1; onStack(w) = true
+                top += 1; dfsNode(top) = w; dfsEdge(top) = off(w)
+              } else if (onStack(w) && index(w) < low(u)) low(u) = index(w)
+            } else {
+              top -= 1
+              if (top >= 0) {
+                val p = dfsNode(top)
+                if (low(u) < low(p)) low(p) = low(u)
+              }
+              if (low(u) == index(u)) {
+                // pop the SCC rooted at u; label every member min external id
+                var mn = Long.MaxValue
+                var i = tn - 1
+                var done = false
+                while (!done) {
+                  val m = tarjan(i)
+                  if (vx.ids(m) < mn) mn = vx.ids(m)
+                  if (m == u) done = true else i -= 1
+                }
+                while (tn > i) {
+                  tn -= 1
+                  val m = tarjan(tn)
+                  onStack(m) = false
+                  compMin(m) = mn
+                }
+              }
+            }
+          }
+        }
+        v += 1
+      }
+      (0 until n).iterator.map(i => (vx.ids(i), compMin(i)))
+    }.toDF("id", "component")
+  }
+
   /** Synchronous fixed-round k-core peel — mirrors
     * [[Algorithms.kCoreDistributed]] exactly: symmetrize+dedup+drop self
     * loops, then `rounds` rounds each removing ALL nodes with degree < k

@@ -75,6 +75,25 @@ class LocalKernelsSpec extends SparkSpec {
     }
   }
 
+  test("scc local (Tarjan) == distributed (GraphX Pregel), exact") {
+    // dense-ish digraphs so real multi-node SCCs form; GraphX needs enough
+    // iterations to converge — Tarjan is exact in one pass
+    for (seed <- 21 to 23) {
+      val e = randGraph(seed, 40, 160)
+      assert(sortedRows(LocalKernels.scc(e)) ===
+        sortedRows(Algorithms.sccDistributed(e, maxIter = 40)))
+    }
+    // pure DAG (chain): all singletons
+    val chain = (1 to 20).map(i => (i.toLong, i + 1L)).toDF("src", "dst")
+    val got = LocalKernels.scc(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.forall { case (id, c) => id == c })
+    // one big cycle: single SCC labeled by min id
+    val cyc = ((1 to 9).map(i => (i.toLong, i + 1L)) :+ ((10L, 1L))).toDF("src", "dst")
+    val gotC = LocalKernels.scc(cyc).collect().map(_.getLong(1)).distinct
+    assert(gotC.toSeq == Seq(1L))
+  }
+
   test("cdlp local == distributed, exact (incl. parallel-edge frequency)") {
     for (seed <- 6 to 8) {
       val e = randGraph(seed, 30, 120) // dense-ish → duplicate edges matter
