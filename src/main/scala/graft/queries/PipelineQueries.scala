@@ -133,6 +133,20 @@ object PipelineQueries {
         .select(col("vec_id"), CypherFunctions.roundC(col("score"), 4).as("score"))
     }),
 
+    // §2.9 product-quantized ANN (PQ-ADC, Jégou et al.): candidate
+    // generation is m element_at adds over a 16-byte codes column (16×
+    // fewer scan bytes than float32 at m=16 over 64-d; the codes table
+    // column-prunes the vectors away), then the C winners re-rank exactly.
+    // C=100 over this corpus recovers the exact top-10 — pinned by the
+    // exact-kNN oracle; RecallSpec floors the no-re-rank ADC recall.
+    "q_knn_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+        .collect().head.getSeq[Float](0)
+      VectorSearch.knnPq(emb, "vec_id", "embedding", q, 10, m = 16, candidates = 100)
+        .select(col("vec_id"), CypherFunctions.roundC(col("score"), 4).as("score"))
+    }),
+
     // dedup: exact dup groups on a corpus with planted exact copies
     "q_dedup_exact" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
@@ -888,6 +902,10 @@ object PipelineQueries {
     // quantized prefilter + exact re-rank recovers the exact top-10 —
     // identical oracle to q_knn_exact by design
     "q_knn_quantized" ->
+      "SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 10",
+    // PQ-ADC prefilter + exact re-rank recovers the exact top-10 —
+    // identical oracle to q_knn_exact by design
+    "q_knn_pq" ->
       "SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 10",
     "q_dedup_exact" ->
       "WITH d AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents) SELECT doc_id, md5(text) AS text_hash, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id, count(*) OVER (PARTITION BY md5(text)) AS group_size FROM d ORDER BY doc_id",

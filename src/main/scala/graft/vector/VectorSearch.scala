@@ -322,4 +322,116 @@ object VectorSearch {
              k: Int, centroids: Array[Array[Double]], nprobe: Int = 3): DataFrame =
     knnIvfAssigned(ivfAssigned(emb, idCol, vecCol, centroids),
       idCol, vecCol, query, k, centroids, nprobe)
+
+  // ---- product quantization (Jégou et al., TPAMI 2011) -------------------
+
+  /** PQ codebooks: split the dim into `m` subspaces and run per-subspace
+    * k-means (`k` codes each) over a deterministic sample. Returns
+    * [m][k][dim/m]. Training is driver-side over a BOUNDED sample (like
+    * [[kmeansCentroids]]); encoding/scoring below are distributed. */
+  def pqCodebooks(emb: DataFrame, vecCol: String, dim: Int, m: Int,
+                  k: Int = 16, iters: Int = 5, sampleN: Int = 2000,
+                  seed: Long = 42L): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val sample = emb.select(col(vecCol)).limit(sampleN).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      val rnd = new scala.util.Random(seed + s)
+      var cents = rnd.shuffle(sub.toVector).take(math.min(k, sub.length)).toArray
+      for (_ <- 1 to iters) {
+        val assign = sub.groupBy(v => cents.indices.minBy(i => l2(v, cents(i))))
+        cents = cents.indices.map(i =>
+          assign.get(i).map(vs => vs.transpose.map(_.sum / vs.length))
+            .getOrElse(cents(i))).toArray
+      }
+      cents
+    }
+  }
+
+  /** PQ-encode the corpus in one typed-kernel pass: codes(s) = argmin over
+    * the subspace-s codebook. The STORED artifact is (id, m tinyint codes)
+    * — at m=16 over 64-d float32 that is a 16× smaller scan than the
+    * vectors, and the codes table column-prunes the vectors away
+    * entirely. */
+  def pqEncoded(emb: DataFrame, idCol: String, vecCol: String,
+                books: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(books)
+    val m = books.length
+    emb.select(col(idCol).cast("long").as("_kid"),
+        col(vecCol).cast("array<double>").as("_kv"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, vSeq) =>
+        val v = vSeq.toArray
+        val bks = bc.value
+        val dsub = v.length / m
+        val codes = new Array[Int](m)
+        var s = 0
+        while (s < m) {
+          val cb = bks(s)
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cb.length) {
+            val ctr = cb(c); var d = 0.0; var j = 0
+            while (j < dsub) {
+              val x = v(s * dsub + j) - ctr(j); d += x * x; j += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          codes(s) = best
+          s += 1
+        }
+        (id, codes.toSeq)
+      }
+      .toDF(idCol, "codes")
+      .withColumn("codes", col("codes").cast("array<tinyint>"))
+      .localCheckpoint(true)
+  }
+
+  /** PQ-ADC search: the per-query lookup table lut(s)(c) = q_s · book(s)(c)
+    * is a tiny literal array; the approximate dot is m element_at adds over
+    * the CODES column (whole-stage codegen, no vector bytes touched), the
+    * top C winners join back to the float vectors (broadcast — C ids) and
+    * re-rank exactly. Generous C recovers the exact top-k — q_knn_pq pins
+    * that against the exact-kNN oracle; RecallSpec floors the no-re-rank
+    * ADC recall. */
+  def knnPqEncoded(encoded: DataFrame, emb: DataFrame, idCol: String,
+                   vecCol: String, query: Seq[Float], k: Int,
+                   books: Array[Array[Array[Double]]],
+                   candidates: Int = 100): DataFrame = {
+    val m = books.length
+    val kCodes = books(0).length
+    val dsub = query.length / m
+    val lutFlat = (0 until m).flatMap { s =>
+      books(s).map { ctr =>
+        var d = 0.0; var j = 0
+        while (j < dsub) { d += query(s * dsub + j) * ctr(j); j += 1 }
+        d
+      }
+    }
+    val lut = typedlit(lutFlat)
+    val proxy = (0 until m).map(s =>
+      element_at(lut, lit(s * kCodes + 1) + element_at(col("codes"), s + 1).cast("int")))
+      .reduce(_ + _)
+    val topC = encoded.select(col(idCol), proxy.as("_adc"))
+      .orderBy(col("_adc").desc, col(idCol).asc)
+      .limit(candidates)
+    emb.join(broadcast(topC.select(idCol)), idCol)
+      .select(col(idCol), cosine(col(vecCol), typedlit(query), query.length).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** One-shot PQ search (batch callers train/encode once). */
+  def knnPq(emb: DataFrame, idCol: String, vecCol: String, query: Seq[Float],
+            k: Int, m: Int = 16, candidates: Int = 100): DataFrame = {
+    val dim = query.length
+    val books = pqCodebooks(emb, vecCol, dim, m)
+    knnPqEncoded(pqEncoded(emb, idCol, vecCol, books), emb, idCol, vecCol,
+      query, k, books, candidates)
+  }
 }

@@ -71,4 +71,20 @@ class RecallSpec extends SparkSpec {
     info(f"int8 recall@10 = $r%.3f (C=100 re-rank)")
     assert(r >= 0.9, f"int8 recall@10 $r%.3f below 0.9 floor")
   }
+
+  test("PQ-ADC recall@10: >= 0.9 with C=100 re-rank, >= 0.5 raw ADC") {
+    // train + encode ONCE; probe per query (the q_knn_pq shape)
+    val books = VectorSearch.pqCodebooks(emb, "embedding", dim, m = 16)
+    val encoded = VectorSearch.pqEncoded(emb, "vec_id", "embedding", books)
+    val rerank = recall(v => VectorSearch.knnPqEncoded(
+      encoded, emb, "vec_id", "embedding", v, K, books, candidates = 100))
+    info(f"PQ recall@10 = $rerank%.3f (m=16, C=100 re-rank)")
+    assert(rerank >= 0.9, f"PQ re-rank recall@10 $rerank%.3f below 0.9 floor")
+    // raw ADC (no re-rank): what the 16-byte codes alone buy — the quality
+    // the first-stage scan delivers before any float vector is touched
+    val raw = recall(v => VectorSearch.knnPqEncoded(
+      encoded, emb, "vec_id", "embedding", v, K, books, candidates = K))
+    info(f"PQ raw-ADC recall@10 = $raw%.3f (m=16, no re-rank)")
+    assert(raw >= 0.5, f"PQ raw-ADC recall@10 $raw%.3f below 0.5 floor")
+  }
 }
