@@ -144,9 +144,19 @@ object Soak {
       "minhash_lsh" -> { n => graft.dedup.Dedup.minHashLshPairs(
         spark.read.parquet(docCache(n)), "doc_id", "text",
         k = 5, numHashes = 64, bands = 16, threshold = 0.4).count() },
-      "embedding_lsh" -> { n => graft.dedup.Dedup.embeddingNearDupPairs(
-        spark.read.parquet(embCache(n)), "vec_id", "embedding", 0.9,
-        lshBits = 8, lshTables = 40).count() },
+      // k-core peeling: the catalog's q_kcore flips to the distributed
+      // path past the kernel gate — this row pins that path's own scaling
+      "kcore" -> { n => Algorithms.kCore(
+        spark.read.parquet(edgeCache(n, false)), 10, 4).count() },
+      // corpus-sized (bits, tables): fixed 8-bit sizing was quadratic in
+      // candidate volume (the r10 full-catalog soak's worst row); auto
+      // sizing holds bucket sizes O(1) → classic sub-quadratic LSH work
+      "embedding_lsh" -> { n =>
+        val emb = spark.read.parquet(embCache(n))
+        val (bits, tables) = graft.dedup.Dedup.lshAutoParams(emb.count(), 0.9)
+        graft.dedup.Dedup.embeddingNearDupPairs(
+          emb, "vec_id", "embedding", 0.9,
+          lshBits = bits, lshTables = tables).count() },
       // WCO cycle-close fusion end-to-end through the Cypher surface:
       // triangle census over the (disjoint-copy-scaled) co-purchase graph.
       // Copies are isomorphic, so triangles — and the fused plan's

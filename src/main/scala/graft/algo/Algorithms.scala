@@ -156,8 +156,22 @@ object Algorithms {
   }
 
   private[graft] def cdlpDistributed(edges: DataFrame, iterations: Int = 10): DataFrame = {
-    val und = edges.select(col("src").as("_usrc"), col("dst").as("_udst"))
+    // The edge relation is STATIC across rounds. When it is too big to
+    // broadcast, hash-partition + sort it on the join key ONCE and cut to a
+    // leaf: localCheckpoint preserves the physical partitioning/ordering on
+    // the LogicalRDD, so every round's label⋈edges sort-merge join
+    // exchanges-and-sorts ONLY the n-row label side — the 2m-row edge
+    // shuffle happens once, not per round. Below the broadcast class AQE
+    // turns each round's join into a broadcast join anyway, and the upfront
+    // shuffle+sort would be pure overhead — keep the plain leaf there.
+    val undRaw = edges.select(col("src").as("_usrc"), col("dst").as("_udst"))
       .unionAll(edges.select(col("dst").as("_usrc"), col("src").as("_udst")))
+    // count, not byte-estimate: parquet leaf stats are compressed-file
+    // bytes and misclassify wide row counts; count(*) over a columnar leaf
+    // is metadata-cheap next to 10 join rounds
+    val big = undRaw.count() > 8000000L
+    val und = (if (big) undRaw.repartition(col("_usrc")).sortWithinPartitions(col("_usrc"))
+               else undRaw)
       .localCheckpoint(true)
     // every vertex appears as _udst (both directions are in `und`, and the
     // vertex set is derived from the edges), so the per-round argmax over

@@ -259,6 +259,29 @@ object Dedup {
     }
   }
 
+  /** Corpus-size-adaptive sign-LSH sizing: (bits, tables) for a corpus of
+    * `n` vectors targeting per-pair miss ≤ `targetMiss` at cosine
+    * `threshold`.
+    *
+    * Fixed bits are quadratic at scale: candidate volume is
+    * Σ_buckets(size²) ≈ n²·T/2^bits, so a 10× corpus does 100× the
+    * verify work. Growing bits with log2(n) keeps the expected bucket
+    * size constant, and solving tables from the recall target
+    * (miss = (1-p^bits)^tables, p = 1 - acos(threshold)/π) restores the
+    * per-pair guarantee — total candidate work then scales as the classic
+    * LSH sub-quadratic n^(1+ρ), ρ = ln(p_near)/ln(p_random) ≈ 0.22 at
+    * threshold 0.9, instead of n². (The reference's HNSW sizes its graph
+    * per-corpus the same way: index parameters are a function of n, not
+    * constants — `src/vector/hnsw.rs` builds per-corpus structure.) */
+  def lshAutoParams(n: Long, threshold: Double,
+                    targetMiss: Double = 1e-6): (Int, Int) = {
+    val p = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    // bucket size ~2^3 per table at any corpus size
+    val bits = math.max(8, (math.log(math.max(2L, n).toDouble) / math.log(2.0)).ceil.toInt - 3)
+    val tables = math.max(1, (math.log(targetMiss) / math.log1p(-math.pow(p, bits))).ceil.toInt)
+    (bits, tables)
+  }
+
   /** Sign-LSH bucket assignments for a corpus: (id, vec, norm, per-table
     * buckets). A deterministic per-corpus derivation — callers can
     * materialize it once (SharedMv / checkpoint) and amortize across

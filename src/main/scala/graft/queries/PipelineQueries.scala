@@ -177,10 +177,12 @@ object PipelineQueries {
 
     // dedup: the SCALABLE multi-table sign-LSH path, in the high-similarity
     // regime it is designed for: the corpus is augmented with zeroed-tail
-    // copies (cosine = ||v[1..56]|| / ||v|| ~ 0.935), threshold 0.9, and
-    // 8 bits x 40 tables gives per-pair miss probability (1-p^8)^40 ~ 1e-6
-    // at p = 0.856. Oracle = DuckDB exact all-pairs >= 0.9 on the SAME
-    // augmented corpus; candidate work is ~n^2/13 vs exact's n^2/2.
+    // copies (cosine = ||v[1..56]|| / ||v|| ~ 0.935), threshold 0.9.
+    // (bits, tables) are CORPUS-SIZED (Dedup.lshAutoParams): bits grows
+    // with log2(n) so buckets stay O(1), tables solves the per-pair miss
+    // to ≤1e-6 at p(0.9) = 0.856 — candidate work scales n^1.2, not n²
+    // (the 10× soak exposed fixed 8-bit sizing as quadratic). Oracle =
+    // DuckDB exact all-pairs >= 0.9 on the SAME augmented corpus.
     "q_dedup_embedding_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val pert = emb.select((col("vec_id") + 100000).as("vec_id"),
@@ -190,9 +192,10 @@ object PipelineQueries {
       // VectorIndexManager analog) — materialized once per corpus, the
       // candidate generation + exact re-rank runs live
       val dim = graft.vector.VectorSearch.detectDim(emb, "embedding")
-      val withB = graft.model.SharedMv(s, d, "embeddings", "emb_lsh_aug_b8_t40")(
+      val (bits, tables) = Dedup.lshAutoParams(2L * emb.count(), 0.9)
+      val withB = graft.model.SharedMv(s, d, "embeddings", "emb_lsh_aug_auto")(
         Dedup.embeddingBuckets(emb.unionAll(pert), "vec_id", "embedding",
-          lshBits = 8, dim0 = dim, lshTables = 40))
+          lshBits = bits, dim0 = dim, lshTables = tables))
       Dedup.embeddingNearDupPairsFromBuckets(withB, "vec_id", "embedding", 0.9, dim)
         .select(col("i"), col("j"), CypherFunctions.roundC(col("cosine"), 4).as("cosine"))
         .orderBy(col("i"), col("j"))

@@ -19,9 +19,18 @@ object EventStream {
     * timestamp so watermarks/windows work. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // file-source streams take a DIRECTORY; glob-filter to the events table
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    // file-source streams take a DIRECTORY. The fixture ships events.parquet
+    // as a single FILE (stream the parent dir, glob-filtered to that name);
+    // Spark-written datasets (e.g. ScaleData's soak fixtures) make it a
+    // DIRECTORY of part files (stream the directory itself — the name glob
+    // would match zero part files and silently yield an empty stream).
+    val evDir = new java.io.File(dir, "events.parquet")
+    val raw =
+      if (evDir.isDirectory)
+        spark.readStream.schema(schema).parquet(evDir.getPath)
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
     // NOTE: kept as TIMESTAMP (with zone) — withWatermark rejects NTZ.
     val tsType = schema.fields.find(_.name == "ts").map(_.dataType)
     tsType match {

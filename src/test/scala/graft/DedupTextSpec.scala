@@ -50,6 +50,26 @@ class DedupTextSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("lshAutoParams: bucket size stays O(1) and the miss bound holds") {
+    // bits tracks log2(n): expected bucket size n/2^bits stays bounded,
+    // so candidate volume n²·T/2^bits scales sub-quadratically
+    val sizes = Seq(1000L, 10000L, 100000L, 1000000L, 10000000L)
+    val params = sizes.map(n => Dedup.lshAutoParams(n, 0.9))
+    params.sliding(2).foreach { case Seq((b1, _), (b2, _)) => assert(b2 > b1) }
+    sizes.zip(params).foreach { case (n, (bits, tables)) =>
+      assert(n.toDouble / (1L << bits) <= 8.5, s"bucket size at n=$n")
+      // per-pair miss (1-p^bits)^tables ≤ 1e-6 at p(cos 0.9)
+      val p = 1.0 - math.acos(0.9) / math.Pi
+      val miss = math.pow(1.0 - math.pow(p, bits), tables)
+      assert(miss <= 1.000001e-6, s"miss $miss at n=$n bits=$bits tables=$tables")
+    }
+    // candidate work n²·T/2^bits grows sub-quadratically: 10× corpus
+    // must cost well under 100× (the fixed-bits failure mode)
+    val work = sizes.zip(params).map { case (n, (b, t)) =>
+      n.toDouble * n * t / (1L << b) }
+    work.sliding(2).foreach { case Seq(w1, w2) => assert(w2 / w1 < 40.0) }
+  }
+
   test("knnExact returns self first, then nearest") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)))
