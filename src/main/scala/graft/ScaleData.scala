@@ -75,13 +75,21 @@ object ScaleData {
     }, "documents")
 
     write(copies(read("embeddings")) { k => df =>
-      // flip sign on dimensions where bit (i%4) of k is set: within-copy
-      // dot products are exact (signs cancel), copies decorrelate
-      val flips = typedlit((0 until 4).map(b =>
-        if (((k >> b) & 1) == 1) -1.0f else 1.0f))
+      // flip sign on dimensions by a splitmix64(k) bit pattern: within-copy
+      // dot products are exact (signs cancel), and any two copies differ in
+      // ~32 of 64 dims so cross-copy cosine ≈ 0. (A k-bit pattern with few
+      // distinct values would make far-apart copies exact duplicates —
+      // planting true near-dup pairs the 1× corpus doesn't have.)
+      var h = k.toLong + 0x9E3779B97F4A7C15L
+      h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+      h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+      h = h ^ (h >>> 31)
+      val pat = h
+      val flips = typedlit((0 until 64).map(b =>
+        if (((pat >>> b) & 1L) == 1L) -1.0f else 1.0f))
       df.withColumn("vec_id", col("vec_id") + lit(k * CopyOff))
         .withColumn("embedding", transform(col("embedding"),
-          (x, i) => x * element_at(flips, (i % 4 + 1).cast("int"))))
+          (x, i) => x * element_at(flips, (i % 64 + 1).cast("int"))))
     }, "embeddings")
   }
 }

@@ -89,9 +89,19 @@ object Soak {
     def embPath(n: Int): String = {
       val path = s"$tmp/emb_x$n"
       (0 until n).map { k =>
+        // per-copy flip pattern = splitmix64(k): pairwise Hamming distance
+        // ~dim/2 between any two copies, so cross-copy cosine ≈ 0. (The
+        // earlier `k >> (i % 4)` pattern had only 16 distinct values —
+        // copies 16 apart were EXACT duplicates, planting ~n·(copies-16)
+        // true dup pairs at 40×.)
+        var h = k.toLong + 0x9E3779B97F4A7C15L
+        h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+        h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+        h = h ^ (h >>> 31)
+        val pat = h
         emb.map { case (id, v) =>
           (id + k * off, v.zipWithIndex.map { case (x, i) =>
-            if (((k >> (i % 4)) & 1) == 1) -x else x })
+            if (((pat >>> (i % 64)) & 1L) == 1L) -x else x })
         }.toDF("vec_id", "embedding")
       }.reduce(_ unionAll _).write.mode("overwrite").parquet(path)
       path

@@ -373,12 +373,26 @@ object Algorithms {
       .distinct()
       .repartition(col("_ka"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val keep = e.groupBy(col("_ka")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("_ka").as("_keep"))
-      e = e.join(keep.withColumnRenamed("_keep", "_ka"), Seq("_ka"), "left_semi")
-        .join(keep.withColumnRenamed("_keep", "_kb"), Seq("_kb"), "left_semi")
+    // Peeling reaches a FIXED POINT the round nothing falls below k — skip
+    // the remaining rounds then (identical result, it's a fixed point).
+    // Without the check, a dense graph (min degree ≥ k) rewrites the full
+    // edge set every round for zero removals — the 40× soak measured 4×80 s
+    // of pure rewrite. The degree table (n-sized) is cut to a leaf so the
+    // convergence count and the keep-side joins share one aggregation pass
+    // instead of recomputing it per semi-join.
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val deg = e.groupBy(col("_ka")).agg(count(lit(1)).as("deg"))
         .localCheckpoint(true)
+      if (deg.filter(col("deg") < k).limit(1).isEmpty) done = true
+      else {
+        val keep = deg.filter(col("deg") >= k).select(col("_ka").as("_keep"))
+        e = e.join(keep.withColumnRenamed("_keep", "_ka"), Seq("_ka"), "left_semi")
+          .join(keep.withColumnRenamed("_keep", "_kb"), Seq("_kb"), "left_semi")
+          .localCheckpoint(true)
+      }
+      r += 1
     }
     e.groupBy(col("_ka")).agg(count(lit(1)).as("deg"))
       .select(col("_ka").as("id"), col("deg"))
