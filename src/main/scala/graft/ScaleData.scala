@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   *     custkey < OrderOff, orderkey*8 < PartOff-LineOff, ...).
   *   - dimension tables (region, nation) stay unscaled — copies share
   *     them, the realistic star-schema shape.
-  *   - document text gets a per-copy alphabet rotation (bijective on
-  *     shingle space: within-copy Jaccard exact, copies mutually disjoint
-  *     — an N× dedup input is a real N× problem, not an N²-pair blowup).
+  *   - document text gets a per-copy keyed alphabet permutation (bijective
+  *     on shingle space: within-copy Jaccard exact, copies mutually
+  *     disjoint at ANY n — an N× dedup input is a real N× problem, not an
+  *     N²-pair blowup).
   *   - embeddings get a per-copy dimension sign-flip (within-copy cosine
   *     exact, copies decorrelated).
   *   - events offset event_id and user_id (sessions stay per-user
@@ -28,6 +29,37 @@ import org.apache.spark.sql.functions._
 object ScaleData {
   // must stay << GraphLoader.OrderOff / the *8 line-id packing
   val CopyOff = 200000L
+
+  /** Per-copy bijective alphabet for document-text decorrelation: copy 0
+    * is the identity; copy k>0 is a Fisher–Yates permutation of the 26
+    * letters keyed by a splitmix64 stream seeded with k. A plain rotation
+    * has only 26 distinct values, so copies 26 apart were EXACT text
+    * duplicates — the same fixture-defect class as the embedding flip
+    * patterns (few distinct values ⇒ far-apart copies collide, planting
+    * true dup pairs the 1× corpus doesn't have). A keyed permutation draws
+    * from 26! states, so any two copies stay disjoint at any n. */
+  private[graft] def copyAlphabet(k: Int): String = {
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    if (k == 0) alpha
+    else {
+      var h = k.toLong
+      def next(): Long = {
+        h += 0x9E3779B97F4A7C15L
+        var z = h
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      val arr = alpha.toCharArray
+      var i = arr.length - 1
+      while (i > 0) {
+        val j = java.lang.Long.remainderUnsigned(next(), (i + 1).toLong).toInt
+        val t = arr(i); arr(i) = arr(j); arr(j) = t
+        i -= 1
+      }
+      new String(arr)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val src = args(0); val dst = args(1)
@@ -68,10 +100,10 @@ object ScaleData {
 
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     write(copies(read("documents")) { k => df =>
-      val rot = alpha.drop(k % 26) + alpha.take(k % 26)
+      val perm = copyAlphabet(k)
       df.withColumn("doc_id", col("doc_id") + lit(k * CopyOff))
         .withColumn("text", translate(col("text"),
-          alpha + alpha.toUpperCase, rot + rot.toUpperCase))
+          alpha + alpha.toUpperCase, perm + perm.toUpperCase))
     }, "documents")
 
     write(copies(read("embeddings")) { k => df =>

@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   *   - graphs: id offsets → N disjoint isomorphic components (same
   *     convergence depth, N× the per-round work); BFS/SSSP additionally get
   *     one bridge edge per copy so a single source reaches all N copies.
-  *   - text: a per-copy alphabet rotation (a bijection on shingle space)
+  *   - text: a per-copy keyed alphabet permutation (a bijection on shingle
+  *     space; 26! states, so copies stay disjoint at any n — a rotation's
+  *     26 states made copies 26 apart exact duplicates)
   *     keeps within-copy Jaccard exact and makes copies mutually disjoint.
   *   - embeddings: a per-copy sign-flip pattern on dimensions keeps
   *     within-copy cosine EXACT (signs cancel in the dot product) and
@@ -77,9 +79,11 @@ object Soak {
     def docsPath(n: Int): String = {
       val path = s"$tmp/docs_x$n"
       (0 until n).map { k =>
-        val rot = alpha.drop(k % 26) + alpha.take(k % 26)
+        // keyed permutation, not rotation: a rotation has only 26 distinct
+        // values, so copies 26 apart were EXACT duplicates at the 40× soak
+        val perm = ScaleData.copyAlphabet(k)
         docs.select((col("doc_id") + k * off).as("doc_id"),
-          translate(col("text"), alpha, rot).as("text"))
+          translate(col("text"), alpha, perm).as("text"))
       }.reduce(_ unionAll _).write.mode("overwrite").parquet(path)
       path
     }

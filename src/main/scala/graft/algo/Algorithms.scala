@@ -164,15 +164,20 @@ object Algorithms {
     // shuffle happens once, not per round. Below the broadcast class AQE
     // turns each round's join into a broadcast join anyway, and the upfront
     // shuffle+sort would be pure overhead — keep the plain leaf there.
-    val undRaw = edges.select(col("src").as("_usrc"), col("dst").as("_udst"))
+    // Checkpoint the plain union ONCE, then count the materialized leaf —
+    // counting the raw plan first would run the (possibly expensive,
+    // derived) input pipeline a second time when localCheckpoint
+    // recomputes it. Byte-estimates are no substitute for the count:
+    // parquet leaf stats are compressed-file bytes and misclassify wide
+    // row counts; count(*) over the checkpointed leaf is metadata-cheap.
+    val undPlain = edges.select(col("src").as("_usrc"), col("dst").as("_udst"))
       .unionAll(edges.select(col("dst").as("_usrc"), col("src").as("_udst")))
-    // count, not byte-estimate: parquet leaf stats are compressed-file
-    // bytes and misclassify wide row counts; count(*) over a columnar leaf
-    // is metadata-cheap next to 10 join rounds
-    val big = undRaw.count() > 8000000L
-    val und = (if (big) undRaw.repartition(col("_usrc")).sortWithinPartitions(col("_usrc"))
-               else undRaw)
       .localCheckpoint(true)
+    val big = undPlain.count() > 8000000L
+    val und = if (big)
+      undPlain.repartition(col("_usrc")).sortWithinPartitions(col("_usrc"))
+        .localCheckpoint(true)
+    else undPlain
     // every vertex appears as _udst (both directions are in `und`, and the
     // vertex set is derived from the edges), so the per-round argmax over
     // incoming neighbor labels covers ALL vertices — no join back to the
@@ -350,11 +355,14 @@ object Algorithms {
     * GraphX's is the distributed formulation). */
   /** k-core peel, SYNCHRONOUS fixed-round semantics: round r computes
     * degrees on the round-(r-1) edge set and removes ALL nodes below `k`
-    * at once; `rounds` rounds are always run (a converged graph peels as a
-    * no-op), so the result is deterministic and engine-independent without
-    * a convergence check — the DuckDB oracle unrolls the same rounds as
-    * chained CTEs. Returns (id, deg) = nodes with at least one surviving
-    * edge and their degree in the final edge set.
+    * at once, for `rounds` rounds — deterministic and engine-independent,
+    * so the DuckDB oracle unrolls the same rounds as chained CTEs. The
+    * implementation short-circuits at the FIXED POINT (a round that removes
+    * nothing): a converged graph peels as a no-op, so skipping the
+    * remaining rounds is result-identical to running them — the oracle's
+    * chained-CTE output is preserved exactly. Returns (id, deg) = nodes
+    * with at least one surviving edge and their degree in the final edge
+    * set.
     *
     * Scale shape: each round is one hash aggregate + two semi-joins on the
     * shrinking edge set, lineage cut per round; nothing driver-side. Small

@@ -270,12 +270,25 @@ object Dedup {
     * (miss = (1-p^bits)^tables, p = 1 - acos(threshold)/π) restores the
     * per-pair guarantee — total candidate work then scales as the classic
     * LSH sub-quadratic n^(1+ρ), ρ = ln(p_near)/ln(p_random) ≈ 0.22 at
-    * threshold 0.9, instead of n². (The reference's HNSW sizes its graph
-    * per-corpus the same way: index parameters are a function of n, not
-    * constants — `src/vector/hnsw.rs` builds per-corpus structure.) */
+    * threshold 0.9, instead of n². (The reference's HNSW, by contrast,
+    * uses fixed constants — m=16, ef_construction=200 at
+    * `src/vector/index.rs:159-165` — which is exactly the
+    * fixed-parameters-at-scale shape this function exists to avoid.)
+    *
+    * Guarded to the high-similarity regime (threshold ≥ 0.8): sign-LSH
+    * collision probability p = 1 - θ/π decays fast below cosine ~0.8, and
+    * the solved table count explodes (p^bits ≈ 6e-5 at threshold 0.4 /
+    * n=10M ⇒ ~220k tables — an absurd hashing cost). Near-dup detection is
+    * a high-similarity problem (the catalog uses ≥0.9); lower-similarity
+    * retrieval belongs to IVF/PQ in [[graft.vector.VectorSearch]], whose
+    * cost does not degrade with the similarity cutoff. */
   def lshAutoParams(n: Long, threshold: Double,
                     targetMiss: Double = 1e-6): (Int, Int) = {
-    val p = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    require(threshold >= 0.8,
+      s"lshAutoParams is for the near-dup regime (threshold >= 0.8, got " +
+      s"$threshold): below it the solved table count explodes — use " +
+      s"IVF/PQ retrieval for lower-similarity search")
+    val p = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
     // bucket size ~2^3 per table at any corpus size
     val bits = math.max(8, (math.log(math.max(2L, n).toDouble) / math.log(2.0)).ceil.toInt - 3)
     val tables = math.max(1, (math.log(targetMiss) / math.log1p(-math.pow(p, bits))).ceil.toInt)

@@ -220,9 +220,10 @@ object GraphQueries {
         .orderBy(col("id"))),
 
     // beyond-parity: k-core peel (k=80, 4 synchronous rounds) on the
-    // co-purchase graph — fixed-round semantics make the result
-    // deterministic without a convergence check, so the oracle unrolls the
-    // same rounds as chained CTEs (like pagerank/cdlp)
+    // co-purchase graph — fixed-round semantics, so the oracle unrolls the
+    // same rounds as chained CTEs (like pagerank/cdlp); the engine may
+    // short-circuit at the fixed point (result-identical: a converged
+    // graph peels as a no-op)
     "q_kcore" -> ((s, d) =>
       Algorithms.kCore(
         copurchaseShared(s, d).select(col("a").cast("long").as("src"),

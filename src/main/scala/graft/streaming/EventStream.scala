@@ -24,10 +24,19 @@ object EventStream {
     // Spark-written datasets (e.g. ScaleData's soak fixtures) make it a
     // DIRECTORY of part files (stream the directory itself — the name glob
     // would match zero part files and silently yield an empty stream).
-    val evDir = new java.io.File(dir, "events.parquet")
+    // Probe via the Hadoop FileSystem API, not java.io.File: a
+    // scheme-qualified dir (file:, hdfs:, s3a:) is not a local path, and a
+    // java.io probe would return false for a directory-shaped dataset on
+    // those filesystems — falling into the glob branch, which matches zero
+    // part files and silently yields an empty stream.
+    val evPath = new org.apache.hadoop.fs.Path(dir, "events.parquet")
+    val isDir = try {
+      evPath.getFileSystem(spark.sessionState.newHadoopConf())
+        .getFileStatus(evPath).isDirectory
+    } catch { case _: java.io.FileNotFoundException => false }
     val raw =
-      if (evDir.isDirectory)
-        spark.readStream.schema(schema).parquet(evDir.getPath)
+      if (isDir)
+        spark.readStream.schema(schema).parquet(evPath.toString)
       else
         spark.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)

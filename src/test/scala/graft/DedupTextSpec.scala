@@ -68,6 +68,18 @@ class DedupTextSpec extends SparkSpec {
     val work = sizes.zip(params).map { case (n, (b, t)) =>
       n.toDouble * n * t / (1L << b) }
     work.sliding(2).foreach { case Seq(w1, w2) => assert(w2 / w1 < 40.0) }
+    // below the near-dup regime the solved table count explodes — guarded
+    intercept[IllegalArgumentException] { Dedup.lshAutoParams(10000000L, 0.4) }
+  }
+
+  test("copyAlphabet: bijective and pairwise-distinct at any copy distance") {
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val perms = (0 until 200).map(ScaleData.copyAlphabet)
+    assert(perms.head == alpha)                        // copy 0 = identity
+    perms.foreach(p => assert(p.sorted == alpha))      // each a bijection
+    // a rotation's 26 states made copies 26 apart EXACT duplicates; the
+    // keyed permutation must keep every pair distinct (26! states)
+    assert(perms.distinct.size == perms.size)
   }
 
   test("knnExact returns self first, then nearest") {
