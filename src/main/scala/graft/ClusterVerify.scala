@@ -101,6 +101,14 @@ object ClusterVerify {
     * the JDK17 --add-opens set is passed explicitly — executor JVMs are
     * launched by the Worker, not by sbt, so they inherit neither. */
   def clusterSession(): SparkSession = {
+    // fail fast with the actual remedy: without these the Worker's
+    // executor launch dies with the opaque "Cannot find any build
+    // directories" (the launcher probes a source-build layout when the
+    // scala version env load-spark-env.sh would export is absent)
+    require(sys.env.contains("SPARK_HOME") && sys.env.contains("SPARK_SCALA_VERSION"),
+      "ClusterVerify needs SPARK_HOME (e.g. /opt/spark) and " +
+      "SPARK_SCALA_VERSION (e.g. 2.13) in the driver JVM's environment — " +
+      "the in-JVM Worker builds executor launch commands from the dist")
     val classesDir = getClass.getProtectionDomain.getCodeSource.getLocation.getPath
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
