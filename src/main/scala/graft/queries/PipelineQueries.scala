@@ -480,6 +480,14 @@ object PipelineQueries {
         .filter(col("n_dups") > 1)
         .orderBy(col("chunk_hash"))),
 
+    // text: exact substring dedup (Lee et al. 2022's repeated-span rule,
+    // relational formulation) — per doc, the fraction of tokens covered by
+    // an 8-token window that repeats ANYWHERE in the corpus; one global
+    // hash aggregate on the window key + a span-coverage distinct count
+    "q_substring_dedup" -> ((s, d) =>
+      TextAnalysis.substringDupStats(t(s, d, "documents"), "doc_id", "text", 8)
+        .orderBy(col("doc_id"))),
+
     // text: CCNet-style LM quality scoring — per-doc cross-entropy under a
     // corpus-trained bigram MLE model; the LM is a distributed table and
     // scoring is a shuffle join on the bigram key (no broadcast model)
@@ -1168,6 +1176,27 @@ object PipelineQueries {
         |ch AS (SELECT doc_id, md5(array_to_string(w[start + 1:start + 12], ' ')) AS chunk_hash FROM st)
         |SELECT chunk_hash, count(*) AS n_dups, min(doc_id) AS first_doc
         |FROM ch GROUP BY 1 HAVING count(*) > 1 ORDER BY chunk_hash""".stripMargin,
+    "q_substring_dedup" ->
+      """WITH toks AS (
+        | SELECT doc_id,
+        |        list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> len(x) > 0) AS t
+        | FROM documents),
+        |base AS (SELECT doc_id, t, len(t) AS total_tokens FROM toks),
+        |win AS (
+        | SELECT doc_id, i, array_to_string(t[i + 1:i + 8], ' ') AS w
+        | FROM base, UNNEST(range(0, total_tokens - 7)) AS u(i)),
+        |dup AS (SELECT w FROM win GROUP BY w HAVING count(*) > 1),
+        |cov AS (
+        | SELECT win.doc_id, count(DISTINCT j) AS covered_tokens
+        | FROM win JOIN dup USING (w), UNNEST(range(i, i + 8)) AS r(j)
+        | GROUP BY win.doc_id)
+        |SELECT b.doc_id, b.total_tokens,
+        |       COALESCE(c.covered_tokens, 0) AS covered_tokens,
+        |       CASE WHEN b.total_tokens > 0
+        |            THEN round(COALESCE(c.covered_tokens, 0) * 1.0 / b.total_tokens, 4)
+        |            ELSE 0.0 END AS dup_fraction
+        |FROM base b LEFT JOIN cov c USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     "q_lm_perplexity" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |b AS (SELECT doc_id, toks[g] AS w1, toks[g+1] AS w2 FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS g FROM w)),

@@ -57,6 +57,46 @@ object TextAnalysis {
       size(filter(split(text, "(?<=[\\s\\p{Punct}])|(?=[\\s\\p{Punct}])|(?<=[a-z])(?=[A-Z])|(?<=\\D)(?=\\d)|(?<=\\d)(?=\\D)"),
         t => length(trim(t)) > 0)))
 
+  /** Exact substring-level dedup signal: per document, how many of its
+    * tokens are covered by a k-token window that occurs MORE THAN ONCE in
+    * the whole corpus (same-document repeats count). This is the
+    * "deduplicating training data" exact-substring technique (Lee et al.
+    * 2022 use suffix arrays; the 50-token repeated-span rule) re-expressed
+    * relationally: windows are a per-row transform+posexplode (no
+    * suffix-array build), the global duplicate test is ONE hash aggregate
+    * on the window key, and coverage is an explode of the [i, i+k) span
+    * positions with a distinct-count per doc — every step a shuffle on a
+    * key, nothing driver-side, linear in total window count.
+    *
+    * Windows here group by the window STRING so the DuckDB oracle is
+    * byte-exact; at 100 TB group by a 128-bit window hash instead (two
+    * independent xxhash64 seeds) — same plan shape, ~50× less shuffle
+    * volume, collision odds ~n²/2¹²⁸.
+    *
+    * Returns (idCol, total_tokens, covered_tokens, dup_fraction). */
+  def substringDupStats(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8): DataFrame = {
+    val t = docs
+      .select(col(idCol).as("_id"), tokens(lower(col(textCol))).as("_t"))
+      .withColumn("_n", size(col("_t")))
+    val win = t.filter(col("_n") >= k)
+      .select(col("_id"), posexplode(transform(
+        sequence(lit(0), col("_n") - k),
+        i => concat_ws(" ", slice(col("_t"), i + 1, lit(k))))).as(Seq("_i", "_w")))
+    val dup = win.groupBy("_w").agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > 1).select("_w")
+    val covered = win.join(dup, "_w")
+      .select(col("_id"), explode(sequence(col("_i"), col("_i") + (k - 1))).as("_j"))
+      .groupBy("_id").agg(countDistinct(col("_j")).as("covered_tokens"))
+    t.select(col("_id"), col("_n").cast("long").as("total_tokens"))
+      .join(covered, Seq("_id"), "left")
+      .na.fill(0, Seq("covered_tokens"))
+      .select(col("_id").as(idCol), col("total_tokens"), col("covered_tokens"),
+        when(col("total_tokens") > 0, CypherFunctions.roundC(
+          col("covered_tokens").cast("double") / col("total_tokens"), 4))
+          .otherwise(0.0).as("dup_fraction"))
+  }
+
   /** Quality metrics per document: char/token counts, mean token length,
     * alphabetic & whitespace ratios, and a composite [0,1] score (rounded for
     * engine-stable comparison). */

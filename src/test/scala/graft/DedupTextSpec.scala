@@ -72,6 +72,25 @@ class DedupTextSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Dedup.lshAutoParams(10000000L, 0.4) }
   }
 
+  test("substringDupStats: corpus-repeated 8-token windows cover exact spans") {
+    val phrase = "a b c d e f g h" // the shared 8-token window
+    val docs = Seq(
+      (1L, s"x1 x2 $phrase y1"),   // window at pos 2 → tokens 2..9 of 11
+      (2L, s"z $phrase"),          // window at pos 1 → tokens 1..8 of 9
+      (3L, "p q r s t u v w x y"), // 10 unique tokens, no repeated window
+      (4L, "s t u"),               // < 8 tokens → no windows at all
+      (5L, s"$phrase $phrase")     // same-doc repeat → fully covered
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.substringDupStats(docs, "doc_id", "text", 8)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) == ((1L, 11L, 8L, 0.7273)))
+    assert(out(1) == ((2L, 9L, 8L, 0.8889)))
+    assert(out(2) == ((3L, 10L, 0L, 0.0)))
+    assert(out(3) == ((4L, 3L, 0L, 0.0)))
+    assert(out(4) == ((5L, 16L, 16L, 1.0)))
+  }
+
   test("copyAlphabet: bijective and pairwise-distinct at any copy distance") {
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     val perms = (0 until 200).map(ScaleData.copyAlphabet)
