@@ -111,6 +111,54 @@ object Algorithms {
     ranks
   }
 
+  /** Personalized PageRank: teleport AND dangling mass return to the SEED
+    * set (uniform over seeds) instead of all vertices — the
+    * recommendation/similarity variant (beyond parity: the reference ships
+    * only global pageRank). Same per-round shape as
+    * [[pageRankDistributed]]: edges hash-partitioned once and cut to a
+    * leaf, one vertex-sized eager cut per round feeding both the
+    * dangling-mass aggregate and the contribs join, dangling mass as a
+    * broadcast 1-row aggregate inside the plan. Seeds are a k-bounded
+    * literal list (an IN predicate), not a join — callers pass a handful
+    * of ids. Fixed iteration count, so a DuckDB oracle unrolls the same
+    * rounds as chained CTEs (like pageRank). */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long],
+                           iterations: Int = 8,
+                           damping: Double = 0.85): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
+    val e = edges.select(col("src").as("_esrc"), col("dst").as("_edst"))
+      .repartition(col("_esrc"))
+      .localCheckpoint(true)
+    val v = e.select(col("_esrc").as("id")).unionAll(e.select(col("_edst").as("id")))
+      .distinct().localCheckpoint(true)
+    val ns = seeds.size.toDouble
+    def isSeed = col("id").isin(seeds: _*)
+    val outDeg = e.groupBy(col("_esrc")).agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("_esrc", "_degid").localCheckpoint(true)
+    var ranks = v.withColumn("rank",
+      when(isSeed, lit(1.0 / ns)).otherwise(lit(0.0)))
+    for (_ <- 1 to iterations) {
+      val withDeg = ranks.join(outDeg, col("id") === col("_degid"), "left")
+        .select(col("id"), col("rank"), col("deg"))
+        .localCheckpoint(true)
+      val danglingDf = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("_dmass"))
+      val contribs = withDeg.filter(col("deg").isNotNull)
+        .select(col("id"), (col("rank") / col("deg")).as("c"))
+        .join(e, col("id") === col("_esrc"))
+        .groupBy(col("_edst")).agg(sum(col("c")).as("recv"))
+        .withColumnRenamed("_edst", "vid")
+      ranks = v.join(contribs, col("id") === col("vid"), "left")
+        .crossJoin(broadcast(danglingDf))
+        .select(col("id"),
+          (when(isSeed,
+            lit((1 - damping) / ns) + lit(damping) * col("_dmass") / ns)
+            .otherwise(lit(0.0)) +
+            lit(damping) * coalesce(col("recv"), lit(0.0))).as("rank"))
+    }
+    ranks
+  }
+
   /** Weakly connected components (reference `community.rs:58` union-find) —
     * distributed min-label propagation to a fixpoint. Returns (id, component)
     * where component = min node id in the component. Small inputs route to

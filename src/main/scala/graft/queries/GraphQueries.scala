@@ -202,6 +202,22 @@ object GraphQueries {
 
     // §2.10 algo.pageRank on the co-purchase graph — oracled by 8 chained
     // DuckDB CTE iterations (round 6: absorbs summation-order ULPs)
+    // beyond-parity: personalized PageRank from the two smallest product
+    // ids of the co-purchase graph — teleport + dangling mass return to
+    // the seeds; oracled by 6 unrolled CTE iterations (like q_pagerank).
+    // The 2-row seed collect is k-bounded (same class as query vectors).
+    "q_ppr" -> ((s, d) => {
+      val und = copurchaseShared(s, d)
+      val e = und.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = e.select(col("src").cast("long").as("id"))
+        .distinct().orderBy(col("id")).limit(2)
+        .collect().map(_.getLong(0)).toSeq
+      Algorithms.personalizedPageRank(e, seeds, 6)
+        .select(col("id"), CypherFunctions.roundC(col("rank"), 6).as("rank"))
+        .orderBy(col("id"))
+    }),
+
     "q_pagerank" -> ((s, d) => {
       // the materialized-view parquet leaf is cheap to read twice for the
       // both-direction union; pageRank checkpoints its own partitioned copy
@@ -759,6 +775,31 @@ object GraphQueries {
     sb.toString
   }
 
+  /** Personalized PageRank as unrolled CTEs, mirroring
+    * [[Algorithms.personalizedPageRank]]: teleport and dangling mass go to
+    * the seed set (the two smallest vertex ids, derived in SQL so both
+    * engines pick identical seeds). */
+  private def pprOracle(iters: Int, damping: Double): String = {
+    val sb = new StringBuilder(CopurchaseCte)
+    sb.append(", e AS (SELECT a AS src, b AS dst FROM pe UNION ALL SELECT b, a FROM pe)")
+    sb.append(", v AS (SELECT DISTINCT src AS id FROM e)")
+    sb.append(", seeds AS (SELECT id FROM v ORDER BY id LIMIT 2)")
+    sb.append(", ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds)")
+    sb.append(", deg AS (SELECT src AS id, count(*) AS deg FROM e GROUP BY 1)")
+    sb.append(", r0 AS (SELECT id, CASE WHEN id IN (SELECT id FROM seeds)" +
+      " THEN 1.0/(SELECT n FROM ns) ELSE 0.0 END AS rank FROM v)")
+    for (i <- 1 to iters)
+      sb.append(s", d$i AS (SELECT coalesce(sum(rank), 0.0) AS m FROM r${i - 1}" +
+        s" WHERE id NOT IN (SELECT id FROM deg))" +
+        s", r$i AS (SELECT v.id, CASE WHEN v.id IN (SELECT id FROM seeds)" +
+        s" THEN ${1 - damping}/(SELECT n FROM ns) + $damping*(SELECT m FROM d$i)/(SELECT n FROM ns)" +
+        s" ELSE 0.0 END + $damping * coalesce(s.recv, 0.0) AS rank" +
+        s" FROM v LEFT JOIN (SELECT e.dst AS id, sum(r.rank / deg.deg) AS recv" +
+        s" FROM r${i - 1} r JOIN deg ON deg.id = r.id JOIN e ON e.src = r.id GROUP BY 1) s ON s.id = v.id)")
+    sb.append(s" SELECT id, round(rank, 6) AS rank FROM r$iters ORDER BY id")
+    sb.toString
+  }
+
   /** k-core as `rounds` chained peel CTEs: round r drops every node whose
     * degree in the round-(r-1) edge set is below k (synchronous removal) —
     * the same fixed-round semantics [[Algorithms.kCore]] computes, so no
@@ -872,6 +913,7 @@ object GraphQueries {
         | UNION ALL SELECT CAST(1000000000 + l_partkey AS BIGINT), min(minq + l_extendedprice) FROM l0 JOIN nmin USING (nid) GROUP BY l_partkey
         |) ORDER BY id""".stripMargin,
     "q_pagerank" -> pagerankOracle(8, 0.85),
+    "q_ppr" -> pprOracle(6, 0.85),
     "q_cdlp" -> cdlpOracle(5),
     "q_kcore" -> kcoreOracle(80, 4),
     "q_walk_sample" -> walkOracle(3),

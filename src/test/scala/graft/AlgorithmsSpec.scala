@@ -16,6 +16,33 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("personalizedPageRank matches a naive fixed-point oracle (1e-9)") {
+    // digraph WITH a dangling node (5): the catalog's undirected graph has
+    // none, so the seed-redirected dangling-mass path is only covered here
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L)
+    val d = 0.85; val iters = 7
+    val got = Algorithms.personalizedPageRank(edges, seeds, iters, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val vs = Seq(1L, 2L, 3L, 4L, 5L)
+    val outAdj = Map(1L -> Seq(2L, 4L), 2L -> Seq(3L), 3L -> Seq(1L), 4L -> Seq(5L))
+    var rank = vs.map(v => v -> (if (seeds.contains(v)) 1.0 / seeds.size else 0.0)).toMap
+    for (_ <- 1 to iters) {
+      val dmass = vs.filterNot(outAdj.contains).map(rank).sum
+      val recv = scala.collection.mutable.Map(vs.map(_ -> 0.0): _*)
+      for (v <- vs; ns = outAdj.getOrElse(v, Nil); n <- ns)
+        recv(n) += rank(v) / ns.size
+      rank = vs.map(v => v -> (
+        (if (seeds.contains(v)) (1 - d) / seeds.size + d * dmass / seeds.size
+         else 0.0) + d * recv(v))).toMap
+    }
+    assert(got.keySet == rank.keySet)
+    // non-seed mass only flows FROM the seed; all mass stays in the system
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    vs.foreach(v => assert(math.abs(got(v) - rank(v)) < 1e-9, s"v=$v"))
+  }
+
   test("bfs distances on a chain with a shortcut") {
     // 1->2->3->4 and 1->3
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("src", "dst")
