@@ -41,6 +41,14 @@ object PipelineQueries {
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // vector: group-wise L2-renormalized centroids (cluster reps / mean
+    // pooling) in long format — one partial-aggregated shuffle of
+    // #groups×dim cells, vectors never collected
+    "q_embedding_centroid" -> ((s, d) =>
+      VectorSearch.groupCentroids(t(s, d, "embeddings"),
+        (col("vec_id") % 10).as("grp"), "embedding")
+        .orderBy(col("grp"), col("dim"))),
+
     // vector: exact k-NN, query = embedding of vec_id 0
     "q_knn_exact" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -908,6 +916,16 @@ object PipelineQueries {
         | SELECT i, var_samp(x) AS v FROM (
         |  SELECT unnest(CAST(embedding AS DOUBLE[])) AS x, unnest(range(len(embedding))) AS i FROM embeddings
         | ) GROUP BY i)""".stripMargin,
+    "q_embedding_centroid" ->
+      """WITH e AS (
+        | SELECT vec_id % 10 AS grp,
+        |        unnest(CAST(embedding AS DOUBLE[])) AS x,
+        |        unnest(range(len(embedding))) AS dim
+        | FROM embeddings),
+        |c AS (SELECT grp, dim, avg(x) AS m FROM e GROUP BY 1, 2),
+        |n AS (SELECT grp, sqrt(sum(m * m)) AS nrm FROM c GROUP BY 1)
+        |SELECT c.grp, c.dim, round(c.m / n.nrm, 6) AS value
+        |FROM c JOIN n USING (grp) ORDER BY grp, dim""".stripMargin,
     "q_knn_exact" ->
       "SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 10",
     // quantized prefilter + exact re-rank recovers the exact top-10 —

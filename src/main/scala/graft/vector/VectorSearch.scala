@@ -77,6 +77,30 @@ object VectorSearch {
       d * d
     }.reduce(_ + _))
 
+  /** Group-wise embedding centroids, L2-renormalized — cluster
+    * representatives / mean pooling (the reduction behind centroid-based
+    * dedup reps and IVF coarse quantizers). Returned LONG-format
+    * (group, dim, value) rather than as arrays: the unnested shape is what
+    * downstream joins want, and each cell is a scalar an external engine
+    * can reproduce bit-comparably.
+    *
+    * Plan shape: posexplode → ONE hash aggregate on (group, dim) — the
+    * partial-aggregate (map-side combine) does the heavy reduction before
+    * the shuffle, so shuffle volume is #groups×dim, not #vectors×dim; the
+    * per-group norm is a second tiny aggregate joined back (broadcast at
+    * any realistic group count). Values widen float→double before
+    * averaging. */
+  def groupCentroids(emb: DataFrame, groupCol: Column, vecCol: String,
+                     roundTo: Int = 6): DataFrame = {
+    val exploded = emb
+      .select(groupCol.as("grp"), posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+    val c = exploded.groupBy(col("grp"), col("dim")).agg(avg(col("x")).as("m"))
+    val n = c.groupBy(col("grp")).agg(sqrt(sum(col("m") * col("m"))).as("nrm"))
+    c.join(broadcast(n), "grp")
+      .select(col("grp"), col("dim").cast("long").as("dim"),
+        graft.functions.CypherFunctions.roundC(col("m") / col("nrm"), roundTo).as("value"))
+  }
+
   /** Exact top-k by cosine to a literal query vector.
     * `ORDER BY score DESC LIMIT k` compiles to TakeOrderedAndProject —
     * a single scan, no global sort, per-partition heaps at scale. */

@@ -101,6 +101,19 @@ class DedupTextSpec extends SparkSpec {
     assert(perms.distinct.size == perms.size)
   }
 
+  test("groupCentroids: renormalized mean per group, long format") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)), // grp 0: mean (.5,.5)
+      (1L, Seq(3.0f, 4.0f))                          // grp 1: itself, normed
+    ).toDF("vec_id", "embedding")
+    val out = VectorSearch.groupCentroids(emb, (col("vec_id") % 2).as("grp"), "embedding")
+      .orderBy("grp", "dim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 0.707107), (0L, 1L, 0.707107),  // (.5,.5)/√.5
+      (1L, 0L, 0.6), (1L, 1L, 0.8)))           // (3,4)/5
+  }
+
   test("knnExact returns self first, then nearest") {
     val emb = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.0f, 1.0f)))
