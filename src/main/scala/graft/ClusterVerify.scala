@@ -51,13 +51,14 @@ object ClusterVerify {
     "q_cypher_unwind", "q_cypher_write_create", "q_merge",
     "q_cypher_write_delete", "q_cypher_write_set",
     // graph algorithms (stats-gated kernels + distributed twins)
-    "q_pagerank", "q_wcc", "q_scc", "q_cdlp", "q_lcc", "q_triangle_count",
-    "q_kcore", "q_sssp", "q_mst", "q_maxflow", "q_walk_sample",
-    "q_cypher_or_solve",
+    "q_pagerank", "q_ppr", "q_wcc", "q_scc", "q_cdlp", "q_lcc",
+    "q_triangle_count", "q_kcore", "q_sssp", "q_mst", "q_maxflow",
+    "q_walk_sample", "q_cypher_or_solve",
     // vector search
     "q_knn_exact", "q_knn_approx", "q_knn_ivf", "q_knn_pq", "q_hybrid_rrf",
     // dedup + text pipeline
     "q_dedup_exact", "q_minhash_lsh", "q_simhash", "q_dedup_embedding_lsh",
+    "q_substring_dedup", "q_embedding_centroid",
     "q_bm25", "q_tfidf", "q_lang_id", "q_lm_perplexity",
     // data-pipeline ops
     "q_asof_join", "q_funnel", "q_retention", "q_stratified_sample",

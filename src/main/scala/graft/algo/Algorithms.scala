@@ -121,11 +121,20 @@ object Algorithms {
     * broadcast 1-row aggregate inside the plan. Seeds are a k-bounded
     * literal list (an IN predicate), not a join — callers pass a handful
     * of ids. Fixed iteration count, so a DuckDB oracle unrolls the same
-    * rounds as chained CTEs (like pageRank). */
+    * rounds as chained CTEs (like pageRank). Small inputs route to the
+    * in-task kernel ([[LocalKernels.personalizedPageRank]]). */
   def personalizedPageRank(edges: DataFrame, seeds: Seq[Long],
                            iterations: Int = 8,
                            damping: Double = 0.85): DataFrame = {
     require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
+    val (e0, small) = LocalKernels.gate(edges)
+    if (small) LocalKernels.personalizedPageRank(e0, seeds, iterations, damping)
+    else personalizedPageRankDistributed(e0, seeds, iterations, damping)
+  }
+
+  private[graft] def personalizedPageRankDistributed(
+      edges: DataFrame, seeds: Seq[Long],
+      iterations: Int, damping: Double): DataFrame = {
     val e = edges.select(col("src").as("_esrc"), col("dst").as("_edst"))
       .repartition(col("_esrc"))
       .localCheckpoint(true)

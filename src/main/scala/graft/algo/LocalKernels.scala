@@ -370,6 +370,52 @@ object LocalKernels {
       }.toDF("id", "rank")
   }
 
+  /** Personalized PageRank — identical per-round arithmetic to
+    * [[Algorithms.personalizedPageRank]]: teleport AND dangling mass go to
+    * the seed set, non-seed restart is zero. */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long],
+                           iterations: Int, damping: Double): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val seedSet = seeds.toSet
+    val src = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
+    inTask2(src, cacheKey(src.toDF())) { it =>
+        val vx = new Interner
+        val sb = new Ints(); val db = new Ints()
+        it.foreach { case (s, d) => sb += vx.idx(s); db += vx.idx(d) }
+        val (si, di) = (sb.result(), db.result())
+        val n = vx.n
+        if (n == 0) Iterator.empty
+        else {
+          val m = si.length
+          val deg = new Array[Int](n)
+          var k = 0
+          while (k < m) { deg(si(k)) += 1; k += 1 }
+          val isSeed = Array.tabulate(n)(i => seedSet.contains(vx.ids(i)))
+          val ns = seeds.size.toDouble
+          var rank = Array.tabulate(n)(i => if (isSeed(i)) 1.0 / ns else 0.0)
+          var iter = 0
+          while (iter < iterations) {
+            var dmass = 0.0
+            var i = 0
+            while (i < n) { if (deg(i) == 0) dmass += rank(i); i += 1 }
+            val recv = new Array[Double](n)
+            k = 0
+            while (k < m) { recv(di(k)) += rank(si(k)) / deg(si(k)); k += 1 }
+            val nr = new Array[Double](n)
+            i = 0
+            while (i < n) {
+              nr(i) = (if (isSeed(i)) (1 - damping) / ns + damping * dmass / ns
+                       else 0.0) + damping * recv(i)
+              i += 1
+            }
+            rank = nr; iter += 1
+          }
+          (0 until n).iterator.map(i => (vx.ids(i), rank(i)))
+        }
+      }.toDF("id", "rank")
+  }
+
   /** Synchronous label propagation, both directions incident (duplicates
     * kept), argmax frequency with min-label tie-break — the exact
     * per-round rule of [[Algorithms.cdlp]]. */

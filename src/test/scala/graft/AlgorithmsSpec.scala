@@ -23,7 +23,11 @@ class AlgorithmsSpec extends SparkSpec {
       .toDF("src", "dst")
     val seeds = Seq(1L)
     val d = 0.85; val iters = 7
+    // gated entry (kernel on this tiny graph) AND the distributed twin —
+    // both must match the naive oracle
     val got = Algorithms.personalizedPageRank(edges, seeds, iters, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dist = Algorithms.personalizedPageRankDistributed(edges, seeds, iters, d)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val vs = Seq(1L, 2L, 3L, 4L, 5L)
     val outAdj = Map(1L -> Seq(2L, 4L), 2L -> Seq(3L), 3L -> Seq(1L), 4L -> Seq(5L))
@@ -38,9 +42,13 @@ class AlgorithmsSpec extends SparkSpec {
          else 0.0) + d * recv(v))).toMap
     }
     assert(got.keySet == rank.keySet)
+    assert(dist.keySet == rank.keySet)
     // non-seed mass only flows FROM the seed; all mass stays in the system
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
-    vs.foreach(v => assert(math.abs(got(v) - rank(v)) < 1e-9, s"v=$v"))
+    vs.foreach { v =>
+      assert(math.abs(got(v) - rank(v)) < 1e-9, s"gated v=$v")
+      assert(math.abs(dist(v) - rank(v)) < 1e-9, s"distributed v=$v")
+    }
   }
 
   test("bfs distances on a chain with a shortcut") {
