@@ -45,7 +45,9 @@ object Plans {
       "q_var_length" -> "var-length expand over the materialized graph MV: one parquet leaf with real size stats routes the in-task kernel from the estimate alone (no per-query count job)",
       "q_ldbc_bi11" -> "seeded correlated NOT-EXISTS (SNB BI-11): the subquery starts from the DISTINCT (reply, post) anchor pairs and closes with the WCO adjacency-intersection fusion - no unanchored HAS_CREATOR x HAS_INTEREST x HAS_TAG wedge ever exists as rows; every edge scan shows PartitionFilters on relationship (the hive-partitioned edge MV)",
       "q_ldbc_is3" -> "SNB point lookup + 1-hop: the Person scan prunes by labelset partition AND pushes id=101; the KNOWS scan reads only its relationship directory (PartitionFilters), both joins broadcast",
-      "q_finbench_cr7" -> "FinBench 2-hop transfer chain: both TRANSFER scans read only their relationship directory of the edge MV; the point-anchored side collapses to a broadcast, so the unanchored upstream hop is the only shuffled input")
+      "q_finbench_cr7" -> "FinBench 2-hop transfer chain: both TRANSFER scans read only their relationship directory of the edge MV; the point-anchored side collapses to a broadcast, so the unanchored upstream hop is the only shuffled input",
+      "q_substring_dedup" -> "exact substring dedup: k-token windows are a transform+posexplode PROJECTION per doc (no join builds them); corpus-repeated windows are ONE hash aggregate on the window key; span coverage is a distinct-count aggregate after the window-key join - shuffle volume is the window count, never all-pairs",
+      "q_embedding_centroid" -> "group-wise renormalized centroids: posexplode then a (group, dim) hash aggregate whose partial_avg runs map-side, so the exchange carries groups x dim cells, not vectors; the per-group norm joins back as a BroadcastHashJoin")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative catalog queries\n\n")

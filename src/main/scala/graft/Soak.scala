@@ -158,6 +158,15 @@ object Soak {
       "minhash_lsh" -> { n => graft.dedup.Dedup.minHashLshPairs(
         spark.read.parquet(docCache(n)), "doc_id", "text",
         k = 5, numHashes = 64, bands = 16, threshold = 0.4).count() },
+      // exact substring dedup: copies are alphabet-disjoint, so repeated
+      // windows replicate per copy — N× rows, window aggregate scales by
+      // partition count (a quadratic pair blowup would show here)
+      "substring_dedup" -> { n => graft.text.TextAnalysis.substringDupStats(
+        spark.read.parquet(docCache(n)), "doc_id", "text", 8).count() },
+      // personalized PageRank, seeded in the first copy — every copy still
+      // processes all its vertices per round, so work is N× per round
+      "ppr" -> { n => graft.algo.Algorithms.personalizedPageRank(
+        spark.read.parquet(edgeCache(n, false)), Seq(minNode), 10).count() },
       // k-core peeling: the catalog's q_kcore flips to the distributed
       // path past the kernel gate — this row pins that path's own scaling
       "kcore" -> { n => Algorithms.kCore(
