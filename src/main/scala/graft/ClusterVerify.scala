@@ -53,7 +53,7 @@ object ClusterVerify {
     // graph algorithms (stats-gated kernels + distributed twins)
     "q_pagerank", "q_ppr", "q_wcc", "q_scc", "q_cdlp", "q_lcc",
     "q_triangle_count", "q_kcore", "q_sssp", "q_mst", "q_maxflow",
-    "q_walk_sample", "q_cypher_or_solve",
+    "q_walk_sample", "q_cypher_or_solve", "q_adamic_adar",
     // vector search
     "q_knn_exact", "q_knn_approx", "q_knn_ivf", "q_knn_pq", "q_hybrid_rrf",
     // dedup + text pipeline

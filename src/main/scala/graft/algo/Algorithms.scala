@@ -168,6 +168,43 @@ object Algorithms {
     ranks
   }
 
+  /** Adamic–Adar link-prediction scores for a set of SOURCE vertices:
+    * for each non-adjacent pair (x, y) with x in `sources`, score =
+    * Σ over common neighbors z of 1/ln(deg(z)) — the classic
+    * rare-common-neighbors-matter feature. Returns top-k by
+    * (rounded score desc, x, y).
+    *
+    * Seeded on purpose: the production shape is "recommend for these
+    * users", which bounds the wedge join to Σ_{z∈N(x)} deg(z) per source
+    * instead of the full Σ deg(z)² — hubs never materialize all-pairs.
+    * `maxCommonDeg` additionally drops common neighbors above a degree
+    * cap (each contributes ≤ 1/ln(cap); at web scale a celebrity in
+    * common carries no signal and its wedge fan-out dominates cost).
+    * Input: src/dst pairs; symmetrized + de-duped here. */
+  def adamicAdar(edges: DataFrame, sources: Seq[Long], topK: Int = 20,
+                 maxCommonDeg: Long = 10000): DataFrame = {
+    require(sources.nonEmpty, "adamicAdar needs at least one source vertex")
+    val sym = edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+      .unionAll(edges.select(col("dst").cast("long").as("a"), col("src").cast("long").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true) // consumed by deg, both wedge sides, anti-join
+    val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxCommonDeg)
+    val s1 = sym.select(col("a").as("z"), col("b").as("x"))
+      .filter(col("x").isin(sources: _*))
+    val s2 = sym.select(col("a").as("z"), col("b").as("y"))
+    val scores = s1.join(s2, "z").filter(col("x") =!= col("y"))
+      .join(deg, "z")
+      .groupBy(col("x"), col("y"))
+      .agg(sum(lit(1.0) / log(col("d"))).as("score"))
+    val existing = sym.select(col("a").as("x"), col("b").as("y"))
+    scores.join(existing, Seq("x", "y"), "left_anti")
+      .select(col("x"), col("y"),
+        graft.functions.CypherFunctions.roundC(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("x"), col("y"))
+      .limit(topK)
+  }
+
   /** Weakly connected components (reference `community.rs:58` union-find) —
     * distributed min-label propagation to a fixpoint. Returns (id, component)
     * where component = min node id in the component. Small inputs route to

@@ -202,6 +202,20 @@ object GraphQueries {
 
     // §2.10 algo.pageRank on the co-purchase graph — oracled by 8 chained
     // DuckDB CTE iterations (round 6: absorbs summation-order ULPs)
+    // beyond-parity: Adamic–Adar link prediction for the four smallest
+    // product ids — seeded wedge join + 1/ln(deg) aggregate, anti-joined
+    // against existing edges, top-20 by rounded score (4-row seed collect
+    // is k-bounded, same class as query vectors)
+    "q_adamic_adar" -> ((s, d) => {
+      val und = copurchaseShared(s, d)
+      val e = und.select(col("a").as("src"), col("b").as("dst"))
+      val seeds = e.select(col("src").cast("long").as("id"))
+        .unionAll(e.select(col("dst").cast("long").as("id")))
+        .distinct().orderBy(col("id")).limit(4)
+        .collect().map(_.getLong(0)).toSeq
+      Algorithms.adamicAdar(e, seeds, 20)
+    }),
+
     // beyond-parity: personalized PageRank from the two smallest product
     // ids of the co-purchase graph — teleport + dangling mass return to
     // the seeds; oracled by 6 unrolled CTE iterations (like q_pagerank).
@@ -914,6 +928,17 @@ object GraphQueries {
         |) ORDER BY id""".stripMargin,
     "q_pagerank" -> pagerankOracle(8, 0.85),
     "q_ppr" -> pprOracle(6, 0.85),
+    "q_adamic_adar" -> (CopurchaseCte +
+      """, sym AS (SELECT a, b FROM pe UNION SELECT b, a FROM pe)
+        |, v AS (SELECT DISTINCT a AS id FROM sym)
+        |, seeds AS (SELECT id FROM v ORDER BY id LIMIT 4)
+        |, deg AS (SELECT a AS z, count(*) AS d FROM sym GROUP BY 1 HAVING count(*) <= 10000)
+        |, w AS (SELECT s1.b AS x, s2.b AS y, s1.a AS z FROM sym s1 JOIN sym s2 ON s1.a = s2.a
+        |        WHERE s1.b IN (SELECT id FROM seeds) AND s1.b <> s2.b)
+        |, sc AS (SELECT x, y, sum(1.0/ln(d)) AS score FROM w JOIN deg ON deg.z = w.z GROUP BY 1, 2)
+        |, cand AS (SELECT sc.x, sc.y, sc.score FROM sc LEFT JOIN sym e ON e.a = sc.x AND e.b = sc.y WHERE e.a IS NULL)
+        |SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, round(score, 6) AS score
+        |FROM cand ORDER BY round(score, 6) DESC, x, y LIMIT 20""".stripMargin),
     "q_cdlp" -> cdlpOracle(5),
     "q_kcore" -> kcoreOracle(80, 4),
     "q_walk_sample" -> walkOracle(3),

@@ -51,6 +51,15 @@ class AlgorithmsSpec extends SparkSpec {
     }
   }
 
+  test("adamicAdar: two degree-2 commons score 2/ln(2), adjacency excluded") {
+    // square 1-2-3-4-1 opened at (1,3): commons of (1,3) are 2 and 4,
+    // both degree 2 → score 2/ln(2); y=2,4 are adjacent to 1 → excluded
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 4L), (4L, 3L)).toDF("src", "dst")
+    val out = Algorithms.adamicAdar(e, Seq(1L), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 3L, 2.88539)))
+  }
+
   test("bfs distances on a chain with a shortcut") {
     // 1->2->3->4 and 1->3
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("src", "dst")
