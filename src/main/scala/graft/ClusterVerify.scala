@@ -135,7 +135,8 @@ object ClusterVerify {
   def canon(v: Any): String = v match {
     case null => "∅"
     case d: Double =>
-      if (d.isNaN) "NaN" else if (d == 0.0) "0" else f"$d%.6e"
+      if (d.isNaN) "NaN" else if (d == 0.0) "0"
+      else String.format(java.util.Locale.ROOT, "%.6e", Double.box(d))
     case f: Float => canon(f.toDouble)
     case d: java.math.BigDecimal => canon(d.doubleValue())
     case d: scala.math.BigDecimal => canon(d.toDouble)
@@ -254,9 +255,12 @@ object ClusterVerify {
     val nOk = lines.count(_._4 == "match")
 
     def j(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // Locale.ROOT: the f-interpolator uses the default locale, and a
+    // comma-decimal JVM would emit invalid JSON ("local_sec": 1,234).
+    def secs(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val json = lines.map { case (n, l, c, st) =>
-      s"${j(n)}: {\"rows\": ${l.rows}, \"local_sec\": ${f"${l.sec}%.3f"}, " +
-        s"\"cluster_sec\": ${f"${c.sec}%.3f"}, \"status\": ${j(st)}}"
+      s"${j(n)}: {\"rows\": ${l.rows}, \"local_sec\": ${secs(l.sec)}, " +
+        s"\"cluster_sec\": ${secs(c.sec)}, \"status\": ${j(st)}}"
     }.mkString(
       s"""{"meta": {${clusterMeta.map { case (k, v) => s"${j(k)}: ${j(v)}" }.mkString(", ")}, "match": $nOk, "total": ${names.size}, "sf": ${j(sfDir)}},\n"queries": {""",
       ",\n", "}}")

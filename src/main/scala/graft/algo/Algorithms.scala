@@ -47,6 +47,18 @@ object Algorithms {
   private def verts(edges: DataFrame): DataFrame =
     edges.select(col("src").as("id")).unionAll(edges.select(col("dst").as("id"))).distinct()
 
+  /** Frees the cached blocks behind a `localCheckpoint(true)` DataFrame.
+    * The checkpointed Dataset's logical plan is a LogicalRDD over the
+    * persisted RDD — `Dataset.unpersist` only touches CacheManager entries,
+    * so the checkpoint's MEMORY_AND_DISK blocks must be dropped on the RDD
+    * itself. Non-blocking; a no-op on non-checkpointed plans. */
+  private[graft] def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** PageRank (reference kernel `samyama-graph-algorithms/src/pagerank.rs:35`):
     * standard damped power iteration with dangling-mass redistribution.
     * Returns (id, rank). Small inputs route to the in-task kernel
@@ -127,14 +139,18 @@ object Algorithms {
                            iterations: Int = 8,
                            damping: Double = 0.85): DataFrame = {
     require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
+    // Dedup: a repeated id must not double its teleport share (ns counts
+    // the SET the isin membership tests against, or mass stops summing to 1).
+    val sd = seeds.distinct
     val (e0, small) = LocalKernels.gate(edges)
-    if (small) LocalKernels.personalizedPageRank(e0, seeds, iterations, damping)
-    else personalizedPageRankDistributed(e0, seeds, iterations, damping)
+    if (small) LocalKernels.personalizedPageRank(e0, sd, iterations, damping)
+    else personalizedPageRankDistributed(e0, sd, iterations, damping)
   }
 
   private[graft] def personalizedPageRankDistributed(
-      edges: DataFrame, seeds: Seq[Long],
+      edges: DataFrame, seeds0: Seq[Long],
       iterations: Int, damping: Double): DataFrame = {
+    val seeds = seeds0.distinct
     val e = edges.select(col("src").as("_esrc"), col("dst").as("_edst"))
       .repartition(col("_esrc"))
       .localCheckpoint(true)
@@ -190,11 +206,14 @@ object Algorithms {
       .localCheckpoint(true) // consumed by deg, both wedge sides, anti-join
     val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("d"))
       .filter(col("d") <= maxCommonDeg)
+    // Cap BEFORE the wedge join: deg joins onto the seeded (small) side, so
+    // wedges through over-cap hubs are pruned pre-fan-out and never
+    // materialize — s1 also carries d along for the score, one join total.
     val s1 = sym.select(col("a").as("z"), col("b").as("x"))
       .filter(col("x").isin(sources: _*))
+      .join(deg, "z")
     val s2 = sym.select(col("a").as("z"), col("b").as("y"))
     val scores = s1.join(s2, "z").filter(col("x") =!= col("y"))
-      .join(deg, "z")
       .groupBy(col("x"), col("y"))
       .agg(sum(lit(1.0) / log(col("d"))).as("score"))
     val existing = sym.select(col("a").as("x"), col("b").as("y"))
@@ -268,10 +287,15 @@ object Algorithms {
       .unionAll(edges.select(col("dst").as("_usrc"), col("src").as("_udst")))
       .localCheckpoint(true)
     val big = undPlain.count() > 8000000L
-    val und = if (big)
-      undPlain.repartition(col("_usrc")).sortWithinPartitions(col("_usrc"))
+    val und = if (big) {
+      val repart = undPlain.repartition(col("_usrc")).sortWithinPartitions(col("_usrc"))
         .localCheckpoint(true)
-    else undPlain
+      // The repartitioned checkpoint is the only copy the rounds read;
+      // drop the plain union's blocks or BOTH 2m-row leaves stay pinned
+      // for the whole run — exactly at the >8M-row scale where big=true.
+      unpersistCheckpoint(undPlain)
+      repart
+    } else undPlain
     // every vertex appears as _udst (both directions are in `und`, and the
     // vertex set is derived from the edges), so the per-round argmax over
     // incoming neighbor labels covers ALL vertices — no join back to the

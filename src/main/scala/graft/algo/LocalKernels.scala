@@ -392,7 +392,7 @@ object LocalKernels {
           var k = 0
           while (k < m) { deg(si(k)) += 1; k += 1 }
           val isSeed = Array.tabulate(n)(i => seedSet.contains(vx.ids(i)))
-          val ns = seeds.size.toDouble
+          val ns = seedSet.size.toDouble // dedup: teleport share per distinct seed
           var rank = Array.tabulate(n)(i => if (isSeed(i)) 1.0 / ns else 0.0)
           var iter = 0
           while (iter < iterations) {

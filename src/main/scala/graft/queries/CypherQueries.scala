@@ -234,6 +234,17 @@ object CypherQueries {
         |       all(x IN range(1, 2) WHERE x > 0) AS b
         |ORDER BY cid""".stripMargin) _),
 
+    // r12: split with a NON-LITERAL separator — computed per row, so the
+    // regex-quoting happens in-plan. The '.' branch is the differential:
+    // an unquoted '.' is a regex that splits on EVERY character.
+    "q_cypher_split_dynamic" -> (run(
+      """MATCH (c:Customer)
+        |WHERE id(c) < 200
+        |WITH id(c) AS k, c.name AS nm,
+        |     CASE WHEN id(c) % 2 = 0 THEN '.' ELSE toString(id(c) % 10) END AS sep
+        |RETURN k, split(nm, sep) AS parts
+        |ORDER BY k""".stripMargin) _),
+
     // the SAME Cypher text as q_cypher_2hop, executed over the bucketed
     // store (sources/BucketedGraph) through the full engine — identical
     // result, but both expand joins consume the edge table in its stored
@@ -781,5 +792,7 @@ object CypherQueries {
     "q_cypher_shortestpath" ->
       "SELECT CAST(c_custkey AS BIGINT) AS cid, CAST(1200000000 + c_nationkey AS BIGINT) AS nid, CAST(1 AS INTEGER) AS len FROM customer WHERE c_custkey < 20 ORDER BY 1, 2",
     "q_cypher_listops" ->
-      "SELECT CAST(c_custkey AS BIGINT) AS cid, string_split(c_name, '#')[2] AS num, CAST(6 AS BIGINT) AS s, true AS b FROM customer WHERE c_custkey < 100 ORDER BY 1")
+      "SELECT CAST(c_custkey AS BIGINT) AS cid, string_split(c_name, '#')[2] AS num, CAST(6 AS BIGINT) AS s, true AS b FROM customer WHERE c_custkey < 100 ORDER BY 1",
+    "q_cypher_split_dynamic" ->
+      "SELECT CAST(c_custkey AS BIGINT) AS k, string_split(c_name, CASE WHEN c_custkey % 2 = 0 THEN '.' ELSE CAST(c_custkey % 10 AS VARCHAR) END) AS parts FROM customer WHERE c_custkey < 200 ORDER BY k")
 }

@@ -452,7 +452,7 @@ object GraphQueries {
           |  ?c gp:name ?cname .
           |  ?c gr:IN_NATION ?n .
           |  ?n gp:name ?nname .
-          |  FILTER(?nname < "G")
+          |  FILTER(?nname < "NATION_13")
           |} ORDER BY ?cname ?nname""".stripMargin, triples)
     }),
 
@@ -961,8 +961,10 @@ object GraphQueries {
       """SELECT CAST(2 * ((SELECT count(*) FROM nation) + (SELECT count(*) FROM region))
         |   + 5 * (SELECT count(*) FROM nation) AS BIGINT) AS n_triples,
         | true AS xml_roundtrip, true AS jsonld_roundtrip""".stripMargin,
+    // filter keeps NATION_0/1/10/11/12 — fixture names are NATION_<k>, so a
+    // "< 'G'" bound matched nothing and the row was a vacuous 0==0 green
     "q_sparql_bgp" ->
-      "SELECT c_name AS cname, n_name AS nname FROM customer JOIN nation ON n_nationkey = c_nationkey WHERE n_name < 'G' ORDER BY 1, 2",
+      "SELECT c_name AS cname, n_name AS nname FROM customer JOIN nation ON n_nationkey = c_nationkey WHERE n_name < 'NATION_13' ORDER BY 1, 2",
     "q_sparql_optional" ->
       """SELECT name, bal FROM (
         | SELECT c_name AS name, CAST(c_acctbal AS VARCHAR) AS bal FROM customer WHERE c_custkey < 100

@@ -85,4 +85,37 @@ class WriteChainSpec extends SparkSpec {
     assert(summary.select("relationships_deleted").as[Long].head() == 0L)
     assert(g2.edges.count() == g.edges.count())
   }
+
+  test("no codegen fallback: CODEGEN_ONLY survives coercion + constrained write chain") {
+    // r11 verdict #3: the coerced-equality predicate used typeof(), whose
+    // doGenCode in Spark 4.1.2 splices the type name into the generated
+    // Java UNQUOTED; ConvertToLocalRelation compiles filter predicates
+    // before constant folding, so every such predicate silently dropped to
+    // interpreter mode ("WARN Predicate: Expr codegen error"). CODEGEN_ONLY
+    // turns that silent fallback into a hard error — this test fails if
+    // the defect class returns anywhere in the read or write chain.
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val nodes = Seq((1L, Seq("P"), "a", true), (2L, Seq("P"), "b", false))
+        .toDF("id", "labels", "name", "active")
+      val g0 = PropertyGraph(nodes,
+        Seq.empty[(Long, Long, Long, String)].toDF("id", "src", "dst", "relationship"))
+      val got = QueryEngine.execute(
+        "MATCH (n:P) WHERE n.active = 'true' RETURN n.name AS nm", g0)
+        .as[String].collect().toSet
+      assert(got == Set("a"))
+      val flipped = QueryEngine.execute(
+        "MATCH (n:P) WHERE 'FALSE' = n.active RETURN n.name AS nm", g0)
+        .as[String].collect().toSet
+      assert(flipped == Set("b"))
+      // constrained write chain: register, insert distinct, reject duplicate
+      var g = QueryEngine.executeWrite(
+        "CREATE CONSTRAINT ON (n:P) ASSERT n.name IS UNIQUE", g0)._1
+      g = QueryEngine.executeWrite("CREATE (n:P {id: 3, name: 'c'})", g)._1
+      assert(g.nodes.count() == 3L)
+      intercept[IllegalStateException] {
+        QueryEngine.executeWrite("CREATE (n:P {id: 4, name: 'a'})", g)
+      }
+    } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+  }
 }
