@@ -126,6 +126,52 @@ object WriteTranslator {
       case other => lit(constVal(other))
     }
 
+    def isConst(e: Expr): Boolean =
+      try { constVal(e); true } catch { case _: IllegalArgumentException => false }
+    /** Point-write regime (the OLTP statement shape — LDBC/FinBench updates,
+      * interactive writes): every MATCH node pattern pins `id` to a constant
+      * and every relationship is single-hop, so the matched frame is bounded
+      * by the edge multiplicity between FIXED endpoints — a handful of rows
+      * regardless of graph size. Such frames collect to the driver in ONE
+      * job: the row count comes free (no second count/aggregate job), ids
+      * are allocated driver-side, and the downstream anti-/update-joins
+      * consume a broadcastable LocalRelation — an O(1)-plan-text pin with no
+      * block-manager state, strictly stronger than localCheckpoint. Bulk
+      * writes (any unpinned pattern) keep the distributed checkpoint shape
+      * and never collect. */
+    val pointAnchored = readClauses.nonEmpty &&
+      readClauses.forall(_.isInstanceOf[MatchClause]) &&
+      matches.flatMap(_.paths).forall { p =>
+        !p.shortest && !p.allPaths && p.rels.forall(!_.isVarLength) &&
+        p.nodes.forall(_.props.exists { case (k, e) => k == "id" && isConst(e) })
+      }
+    /** Literal DataFrame from collected rows (LocalRelation leaf). */
+    def localRows(arr: Array[org.apache.spark.sql.Row],
+                  schema: org.apache.spark.sql.types.StructType): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(arr: _*), schema)
+    /** Pin a matched frame and return it with its exact row count: one
+      * collect into a LocalRelation in the point-write regime,
+      * localCheckpoint + count job otherwise. */
+    def pinCounted(df: DataFrame): (DataFrame, Long) =
+      if (pointAnchored) {
+        val arr = df.collect()
+        (localRows(arr, df.schema), arr.length.toLong)
+      } else {
+        val pinned = df.localCheckpoint(true)
+        (pinned, pinned.count())
+      }
+    /** [[pinCounted]] over a frame that still needs DISTINCT: the fast path
+      * dedups driver-side, keeping the collect job SINGLE-STAGE (no distinct
+      * shuffle); the distributed path dedups in-plan before the checkpoint. */
+    def pinDistinctCounted(df: DataFrame): (DataFrame, Long) =
+      if (pointAnchored) {
+        val arr = df.collect().distinct
+        (localRows(arr, df.schema), arr.length.toLong)
+      } else {
+        val pinned = df.distinct().localCheckpoint(true)
+        (pinned, pinned.count())
+      }
+
     val nodeTypes = g.nodes.schema.fields.map(f => f.name -> f.dataType).toMap
     val edgeTypes = g.edges.schema.fields.map(f => f.name -> f.dataType).toMap
 
@@ -309,28 +355,49 @@ object WriteTranslator {
             }
             require(nodeVars.contains(a) && nodeVars.contains(b),
               "CREATE relationship endpoints must come from a preceding MATCH")
-            val pairs = readFrame(Seq(
+            val pairsRaw = readFrame(Seq(
               ReturnItem(Fn("id", Seq(Var(a))), Some("_src")),
-              ReturnItem(Fn("id", Seq(Var(b))), Some("_dst")))).distinct()
+              ReturnItem(Fn("id", Seq(Var(b))), Some("_dst"))))
             val propCols = edgePropCols(r)
-            // partition-parallel id assignment (same shape as the MERGE
-            // path): max-id offset + monotonically_increasing_id — bulk
-            // MATCH…CREATE is the natural ingest idiom and must not
-            // serialize through a single-partition Window sort. The
-            // localCheckpoint PINS the nondeterministic ids before they
-            // enter the graph lineage; ids are sparse by design
-            val rows = pairs.withColumn("id",
-              lit(edgeBase()) + lit(1L) + monotonically_increasing_id())
-              .select(Seq(col("id"), col("_src").cast("long").as("src"),
-                col("_dst").cast("long").as("dst"),
-                lit(r.types.headOption.getOrElse("RELATED")).as("relationship")) ++ propCols: _*)
-              .localCheckpoint()
-            // one aggregate job serves both the counter and the id watermark
-            val agg0 = rows.agg(count(lit(1)), max(col("id"))).first()
-            val nRows = agg0.getLong(0)
-            rCreated += nRows
-            if (nRows > 0) nextEdgeBase = agg0.getLong(1)
-            cur = GraphMutations.createEdges(cur, rows)
+            val relName = lit(r.types.headOption.getOrElse("RELATED")).as("relationship")
+            if (pointAnchored) {
+              // point-write fast path: the pair set is bounded (see
+              // pointAnchored) — ONE collect replaces the checkpoint and
+              // the count/max aggregate; the dedup happens driver-side so
+              // the job is SINGLE-STAGE (no distinct shuffle); ids are
+              // allocated driver-side (contiguous) and the append is a
+              // LocalRelation leaf
+              val arr = pairsRaw.collect().distinct
+              val base = edgeBase()
+              val rows = localRows(
+                arr.zipWithIndex.map { case (row, i) =>
+                  org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (base + 1L + i)) },
+                pairsRaw.schema.add("_pid", org.apache.spark.sql.types.LongType,
+                  nullable = false))
+                .select(Seq(col("_pid").as("id"), col("_src").cast("long").as("src"),
+                  col("_dst").cast("long").as("dst"), relName) ++ propCols: _*)
+              rCreated += arr.length
+              if (arr.nonEmpty) nextEdgeBase = base + arr.length
+              cur = GraphMutations.createEdges(cur, rows)
+            } else {
+              // partition-parallel id assignment (same shape as the MERGE
+              // path): max-id offset + monotonically_increasing_id — bulk
+              // MATCH…CREATE is the natural ingest idiom and must not
+              // serialize through a single-partition Window sort. The
+              // localCheckpoint PINS the nondeterministic ids before they
+              // enter the graph lineage; ids are sparse by design
+              val rows = pairsRaw.distinct().withColumn("id",
+                lit(edgeBase()) + lit(1L) + monotonically_increasing_id())
+                .select(Seq(col("id"), col("_src").cast("long").as("src"),
+                  col("_dst").cast("long").as("dst"), relName) ++ propCols: _*)
+                .localCheckpoint()
+              // one aggregate job serves both the counter and the id watermark
+              val agg0 = rows.agg(count(lit(1)), max(col("id"))).first()
+              val nRows = agg0.getLong(0)
+              rCreated += nRows
+              if (nRows > 0) nextEdgeBase = agg0.getLong(1)
+              cur = GraphMutations.createEdges(cur, rows)
+            }
           }
         }
         val createdRows =
@@ -521,15 +588,23 @@ object WriteTranslator {
           // lineage otherwise (the MATCH re-runs once per consuming action).
           // Carrying labels here lets the counters read the TINY pinned
           // frame instead of re-scanning the full node table per label.
-          val matched = readFrame(Seq(
+          val matchedRead = readFrame(Seq(
               ReturnItem(Fn("id", Seq(Var(v))), Some("_id")),
               ReturnItem(Fn("labels", Seq(Var(v))), Some("_lbls"))))
-            .dropDuplicates("_id").localCheckpoint(true)
+          // point-anchored: collect once (row-distinct == id-distinct here,
+          // _lbls is functionally dependent on _id) — per-label counters
+          // read the driver-side array instead of one count job per label
+          val localArr =
+            if (pointAnchored) Some(matchedRead.collect().distinct) else None
+          val matched = localArr.map(a => localRows(a, matchedRead.schema))
+            .getOrElse(matchedRead.dropDuplicates("_id").localCheckpoint(true))
           val ids = matched.select(col("_id"))
           ls.map(_._2).distinct.foreach { l =>
             // Neo4j-style counter: only labels actually ADDED count — a
             // re-run of SET n:L on already-labeled nodes reports 0
-            nLbl += matched.filter(!array_contains(col("_lbls"), l)).count()
+            nLbl += localArr
+              .map(_.count(r => !r.getSeq[String](1).contains(l)).toLong)
+              .getOrElse(matched.filter(!array_contains(col("_lbls"), l)).count())
             cur = GraphMutations.setNodeLabelByIds(cur, ids, l, add = true)
           }
         }
@@ -538,12 +613,12 @@ object WriteTranslator {
           // id + each value expression, evaluated in the MATCH context
           val items = ReturnItem(Fn("id", Seq(Var(v))), Some("_id")) +:
             as.zipWithIndex.map { case ((_, e), i) => ReturnItem(e, Some(s"_v$i")) }
-          val vals = readFrame(items)
+          // pinned (pinCounted): consumed by the count AND the update join
+          val (vals, nVals) = pinCounted(readFrame(items)
             .groupBy(col("_id"))
             .agg(as.indices.map(i => max(col(s"_v$i")).as(s"_v$i")).head,
-              as.indices.map(i => max(col(s"_v$i")).as(s"_v$i")).tail: _*)
-            .localCheckpoint(true) // consumed by the count AND the update join
-          nSet += vals.count() * as.size
+              as.indices.map(i => max(col(s"_v$i")).as(s"_v$i")).tail: _*))
+          nSet += nVals * as.size
           val types = if (isNode) nodeTypes else edgeTypes
           val target = if (isNode) cur.nodes else cur.edges
           val joined = target.join(
@@ -580,14 +655,20 @@ object WriteTranslator {
           require(!edgeVars.contains(v), "REMOVE :Label applies to node variables")
           // pinned (id, labels) for the same reason as the SET :Label path —
           // counters read the tiny frame, not the full node table
-          val matched = readFrame(Seq(
+          val matchedRead = readFrame(Seq(
               ReturnItem(Fn("id", Seq(Var(v))), Some("_id")),
               ReturnItem(Fn("labels", Seq(Var(v))), Some("_lbls"))))
-            .dropDuplicates("_id").localCheckpoint(true)
+          // row-distinct == id-distinct (_lbls functionally dependent on _id)
+          val localArr =
+            if (pointAnchored) Some(matchedRead.collect().distinct) else None
+          val matched = localArr.map(a => localRows(a, matchedRead.schema))
+            .getOrElse(matchedRead.dropDuplicates("_id").localCheckpoint(true))
           val ids = matched.select(col("_id"))
           ls.map(_._2).distinct.foreach { l =>
             // counter counts labels actually REMOVED (present before)
-            nLbl += matched.filter(array_contains(col("_lbls"), l)).count()
+            nLbl += localArr
+              .map(_.count(r => r.getSeq[String](1).contains(l)).toLong)
+              .getOrElse(matched.filter(array_contains(col("_lbls"), l)).count())
             cur = GraphMutations.setNodeLabelByIds(cur, ids, l, add = false)
           }
         }
@@ -595,9 +676,10 @@ object WriteTranslator {
           // join-based, and branched on node vs relationship variable like
           // DELETE (REMOVE r.prop must null EDGE columns, not node columns
           // whose ids happen to collide)
-          val ids = readFrame(Seq(ReturnItem(Fn("id", Seq(Var(v))), Some("_id"))))
-            .distinct().localCheckpoint(true) // consumed by count + update join
-          nSet += ids.count() * ps.size
+          // pinned: consumed by the count AND the update join
+          val (ids, nIds) = pinDistinctCounted(
+            readFrame(Seq(ReturnItem(Fn("id", Seq(Var(v))), Some("_id")))))
+          nSet += nIds * ps.size
           cur =
             if (edgeVars.contains(v))
               GraphMutations.removeEdgePropsByIds(cur, ids, ps.map(_.key))
@@ -619,13 +701,15 @@ object WriteTranslator {
           // re-embed the whole prior graph lineage multiplicatively —
           // statement k's plan grows ~3^k. Pinned, each delete layers O(1)
           // plan text over the stable base.
-          val ids = readFrame(Seq(ReturnItem(Fn("id", Seq(Var(v))), Some("_id"))))
-            .distinct().localCheckpoint(true)
+          // point-anchored id sets collect once (count free, single-stage,
+          // LocalRelation pin); bulk deletes keep distinct+checkpoint+count
+          val (ids, n) = pinDistinctCounted(
+            readFrame(Seq(ReturnItem(Fn("id", Seq(Var(v))), Some("_id")))))
           if (edgeVars.contains(v)) {
-            rDel += ids.count()
+            rDel += n
             cur = GraphMutations.deleteEdges(cur, ids)
           } else {
-            nDel += ids.count()
+            nDel += n
             cur = GraphMutations.deleteNodes(cur, ids, detach)
           }
         }
