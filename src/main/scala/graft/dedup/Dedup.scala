@@ -288,11 +288,25 @@ object Dedup {
       s"lshAutoParams is for the near-dup regime (threshold >= 0.8, got " +
       s"$threshold): below it the solved table count explodes — use " +
       s"IVF/PQ retrieval for lower-similarity search")
-    val p = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
-    // bucket size ~2^3 per table at any corpus size
-    val bits = math.max(8, (math.log(math.max(2L, n).toDouble) / math.log(2.0)).ceil.toInt - 3)
-    val tables = math.max(1, (math.log(targetMiss) / math.log1p(-math.pow(p, bits))).ceil.toInt)
-    (bits, tables)
+    val bits = lshBits(n)
+    (bits, lshTables(bits, threshold, targetMiss))
+  }
+
+  /** Occupancy-driven sign-LSH code length — the ONE bits rule shared by
+    * near-dup dedup and ANN ([[graft.vector.VectorSearch.annAutoParams]]):
+    * buckets of ~`bucket` rows per table at any corpus size (code length
+    * grows with log2(n), so probe cost stays O(bucket) per table at 100 TB).
+    * Defaults reproduce the near-dup sizing exactly: bucket 2^3, floor 8. */
+  def lshBits(n: Long, bucket: Int = 8, minBits: Int = 8): Int =
+    math.max(minBits,
+      (math.log(math.max(2L, n).toDouble) / math.log(2.0)).ceil.toInt -
+        (math.log(bucket.toDouble) / math.log(2.0)).round.toInt)
+
+  /** Table count solved for per-item miss ≤ `targetMiss` at design cosine
+    * `sim`: P[miss all tables] = (1 - p^bits)^tables with p = 1 - θ/π. */
+  def lshTables(bits: Int, sim: Double, targetMiss: Double): Int = {
+    val p = 1.0 - math.acos(math.min(1.0, sim)) / math.Pi
+    math.max(1, (math.log(targetMiss) / math.log1p(-math.pow(p, bits))).ceil.toInt)
   }
 
   /** Sign-LSH bucket assignments for a corpus: (id, vec, norm, per-table

@@ -59,6 +59,22 @@ object SharedMv {
     val root = new java.io.File(s"${System.getProperty("java.io.tmpdir")}/graft_mv")
     val stem = s"${name}_${math.abs(d.hashCode).toHexString}_"
     val dir = new java.io.File(root, stem + fp)
+    // One build per directory per JVM: without the lock two concurrent
+    // query threads both observe the missing _SUCCESS and race overwrite
+    // writes into the SAME path (ConcurrencySpec). Double-checked: the
+    // fast path (materialized MV) never takes the lock.
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      buildLocks.computeIfAbsent(dir.getPath, _ => new Object).synchronized {
+        buildMv(dir, root, stem, partitionCols)(build)
+      }
+    s.read.parquet(dir.getPath)
+  }
+
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def buildMv(dir: java.io.File, root: java.io.File, stem: String,
+                      partitionCols: Seq[String])(build: => DataFrame): Unit = {
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       build.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(dir.getPath)
       // Evict STALE versions of this same (name, dataset) MV — a regenerated
@@ -82,7 +98,6 @@ object SharedMv {
           }
       }
     }
-    s.read.parquet(dir.getPath)
   }
 
   // ---------- builder-bytecode fingerprint ----------

@@ -102,11 +102,17 @@ object PipelineQueries {
       val emb = t(s, d, "embeddings")
       val qs = emb.filter(col("vec_id") < 5).select(col("vec_id"), col("embedding"))
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-      // bucket the corpus ONCE (typed kernel), probe it per query
+      // bucket the corpus ONCE (typed kernel), probe it per query; sizing
+      // comes from the corpus size via the SAME rule dedup uses
+      // (annAutoParams = lshBits occupancy + lshTables miss solve) — no
+      // fixed (bits, tables) literals (r11 verdict task #9)
       val dim = qs.head._2.length
-      val bucketed = VectorSearch.lshBucketed(emb, "vec_id", "embedding", dim)
+      val (bits, tables) = VectorSearch.annAutoParams(emb.count(), k = 1)
+      val bucketed = VectorSearch.lshBucketed(emb, "vec_id", "embedding", dim,
+        numBits = bits, numTables = tables)
       qs.map { case (qid, v) =>
-        VectorSearch.knnApproxBucketed(bucketed, "vec_id", "embedding", v, 1, dim)
+        VectorSearch.knnApproxBucketed(bucketed, "vec_id", "embedding", v, 1, dim,
+          numBits = bits, numTables = tables)
           .select(lit(qid).as("qid"), col("vec_id").as("id"),
             CypherFunctions.roundC(col("score"), 4).as("score"))
       }.reduce(_ unionAll _).orderBy(col("qid"))

@@ -252,6 +252,21 @@ object VectorSearch {
     }
   }
 
+  /** ANN sign-LSH sizing, unified with the dedup sizing (r11 verdict task:
+    * ONE sizing function for dedup + ANN): code length from the SAME
+    * occupancy rule ([[graft.dedup.Dedup.lshBits]]) with buckets widened to
+    * ~max(8, 2k) rows so one probe scans O(k) candidates per table, and the
+    * table count solved ([[graft.dedup.Dedup.lshTables]]) for per-neighbor
+    * miss ≤ `targetMiss` at the design cosine `simFloor`. Retrieval below
+    * the high-similarity regime should prefer IVF/PQ (whose cost does not
+    * degrade with the similarity cutoff) — same guidance as lshAutoParams. */
+  def annAutoParams(n: Long, k: Int, simFloor: Double = 0.9,
+                    targetMiss: Double = 0.1): (Int, Int) = {
+    val bits = graft.dedup.Dedup.lshBits(n,
+      bucket = math.max(8, 2 * k), minBits = 4)
+    (bits, math.max(2, graft.dedup.Dedup.lshTables(bits, simFloor, targetMiss)))
+  }
+
   /** Approximate k-NN over a pre-bucketed corpus (see lshBucketed):
     * candidates collide with the query in ANY table; exact re-rank. */
   def knnApproxBucketed(bucketed: DataFrame, idCol: String, vecCol: String,

@@ -72,6 +72,29 @@ class DedupTextSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Dedup.lshAutoParams(10000000L, 0.4) }
   }
 
+  test("annAutoParams shares the dedup sizing rules (one sizing function)") {
+    import graft.vector.VectorSearch
+    // identity: lshAutoParams IS (lshBits, lshTables) at the dedup design
+    // point — dedup and ANN size off the same two primitives
+    Seq(1000L, 100000L, 10000000L).foreach { n =>
+      val (b, t) = Dedup.lshAutoParams(n, 0.9)
+      assert(b == Dedup.lshBits(n))
+      assert(t == Dedup.lshTables(b, 0.9, 1e-6))
+    }
+    // ANN: wider buckets (~2k per table) so a probe scans O(k) candidates;
+    // bits still tracks log2(n) (the fixed-bits failure mode is the thing
+    // both callers exist to avoid)
+    val sizes = Seq(1000L, 100000L, 10000000L)
+    val params = sizes.map(n => VectorSearch.annAutoParams(n, k = 10))
+    params.sliding(2).foreach { case Seq((b1, _), (b2, _)) => assert(b2 > b1) }
+    sizes.zip(params).foreach { case (n, (bits, tables)) =>
+      assert(n.toDouble / (1L << bits) <= 21.0, s"ANN bucket size at n=$n")
+      val p = 1.0 - math.acos(0.9) / math.Pi
+      val miss = math.pow(1.0 - math.pow(p, bits), tables)
+      assert(miss <= 0.1000001, s"ANN miss $miss at n=$n")
+    }
+  }
+
   test("substringDupStats: corpus-repeated 8-token windows cover exact spans") {
     val phrase = "a b c d e f g h" // the shared 8-token window
     val docs = Seq(

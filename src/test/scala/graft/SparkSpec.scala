@@ -17,6 +17,11 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // FAIR so ConcurrencySpec's per-thread scheduler pools are real
+      // (under FIFO the pool local property is a no-op); with no
+      // allocation file every pool gets default weight — serial suites
+      // see FIFO-identical behavior
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
