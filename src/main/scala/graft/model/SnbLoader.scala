@@ -52,6 +52,73 @@ object SnbLoader {
     memo.computeIfAbsent((System.identityHashCode(spark), dir),
       _ => build(spark, dir))
 
+  private val anchorMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (Long, String, Long)]()
+
+  /** Stats-derived workload anchors (r11 verdict task #8): the reference
+    * curates Interactive parameters from graph statistics — percentile-of-
+    * degree anchors — rather than fixed literals
+    * (`benches/ldbc_common/mod.rs:460-628`). Here:
+    *   - anchor PERSON = minimum id whose undirected KNOWS degree equals
+    *     the 90th percentile of degree over persons who authored ≥1 post
+    *     (the "active, well-connected person" workload character; post
+    *     authorship keeps the message-feed reads non-empty);
+    *   - anchor TAG = name of the minimum-id tag whose HAS_TAG in-degree
+    *     equals the 90th percentile of tag degrees;
+    *   - path TARGET (IC13/IC14) = maximum id at KNOWS-distance EXACTLY 3
+    *     from the anchor person — derived with the same r1/r2/r3 reach
+    *     sets the oracles already share, and near enough that the oracle's
+    *     bounded walk enumeration stays tractable (an arbitrary-distance
+    *     target makes the all-shortest-paths UNION ALL walk explode).
+    * Discrete percentile = sorted element at index ceil(0.9·n) (the
+    * [[graft.functions.CypherFunctions.percentileDisc]] rule); the DuckDB
+    * oracles recompute the identical anchors in SQL with the same
+    * ORDER BY/OFFSET formulation (`LdbcQueries.Pre` adeg/anchor/tdeg/atag
+    * CTEs — keep in sync). A few tiny aggregate jobs, memoized per
+    * (session, dataset). */
+  def anchors(spark: SparkSession, dir: String): (Long, String, Long) =
+    anchorMemo.computeIfAbsent((System.identityHashCode(spark), dir), _ => {
+      val g = snb(spark, dir)
+      val k = g.edges.filter(col("relationship") === "KNOWS")
+        .select(col("src").as("s"), col("dst").as("d"))
+      val ku = k.unionAll(k.select(col("d").as("s"), col("s").as("d")))
+      // post authors only: HAS_CREATOR src in the Post id space (comments
+      // carry the same edge type from the Comment id space)
+      val authors = g.edges.filter(col("relationship") === "HAS_CREATOR" &&
+          col("src") >= PostOff && col("src") < CommentOff)
+        .select(col("dst").as("s")).distinct()
+      val adeg = ku.join(authors, Seq("s"), "left_semi")
+        .groupBy(col("s")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true) // consumed by the percentile and the argmin
+      val p90 = adeg.agg(
+        graft.functions.CypherFunctions.percentileDisc(col("deg"), lit(0.9)))
+        .first().getLong(0)
+      val pid = adeg.filter(col("deg") === p90)
+        .agg(min(col("s"))).first().getLong(0)
+      val tdeg = g.edges.filter(col("relationship") === "HAS_TAG")
+        .groupBy(col("dst").as("tid")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      val tp90 = tdeg.agg(
+        graft.functions.CypherFunctions.percentileDisc(col("deg"), lit(0.9)))
+        .first().getLong(0)
+      val tid = tdeg.filter(col("deg") === tp90)
+        .agg(min(col("tid"))).first().getLong(0)
+      val tname = g.nodes.filter(col("id") === tid)
+        .select(col("name")).first().getString(0)
+      // distance-exactly-3 target: mirror the oracles' r1/r2/r3 reach CTEs
+      val r1 = ku.filter(col("s") === pid).select(col("d").as("id")).distinct()
+        .localCheckpoint(true)
+      val r2 = ku.join(r1.withColumnRenamed("id", "s"), Seq("s"), "left_semi")
+        .select(col("d").as("id")).distinct().localCheckpoint(true)
+      val r3 = ku.join(r2.withColumnRenamed("id", "s"), Seq("s"), "left_semi")
+        .select(col("d").as("id")).distinct()
+      val reach2 = r1.unionAll(r2).distinct()
+      val target = r3.join(reach2, Seq("id"), "left_anti")
+        .filter(col("id") =!= pid)
+        .agg(coalesce(max(col("id")), lit(pid))).first().getLong(0)
+      (pid, tname, target)
+    })
+
   /** Canonical node schema: one typed column per SNB property in use. */
   private val nodeProps = Seq(
     "firstName" -> "string", "lastName" -> "string", "gender" -> "string",

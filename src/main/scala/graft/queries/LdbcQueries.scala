@@ -12,9 +12,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Query texts mirror the reference's benchmark strings
   * (`benches/ldbc_benchmark.rs:54-325`, results in `docs/ldbc/
   * SNB_INTERACTIVE.md:18-76`) with three mechanical adaptations:
-  *   - parameters are substituted with fixture constants chosen to return
-  *     non-empty results at sf0.01 (person 933 -> 101, post anchor 10000056,
-  *     names/dates from the derived graph);
+  *   - the person/tag parameters are STATS-DERIVED at 90th-percentile
+  *     degree (`SnbLoader.anchors` — tracking the reference's parameter
+  *     curation in `benches/ldbc_common/mod.rs:460-628`), passed as
+  *     `$anchorPerson`/`$anchorTag`; the DuckDB oracles recompute the same
+  *     anchors in SQL (`Pre` adeg/anchor/tdeg/atag CTEs). The message
+  *     anchor (post 10000056) and path target (77) stay fixture constants;
+  *     names/dates come from the derived graph;
   *   - every ORDER BY gets a deterministic id tiebreaker and every returned
   *     expression an explicit alias (the driver compare hashes by column
   *     name and row order);
@@ -25,26 +29,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object LdbcQueries {
 
-  private def run(cy: String)(s: SparkSession, d: String): DataFrame =
-    QueryEngine.execute(cy, SnbLoader.snb(s, d))
+  private def run(cy: String)(s: SparkSession, d: String): DataFrame = {
+    // stats-derived anchors (SnbLoader.anchors — percentile-of-degree, the
+    // reference's parameter-curation character) passed as query parameters
+    val (pid, tag, target) = SnbLoader.anchors(s, d)
+    QueryEngine.execute(cy, SnbLoader.snb(s, d),
+      Map("anchorPerson" -> pid, "anchorTag" -> tag, "pathTarget" -> target))
+  }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- short reads -----------------------------------------------------
     "q_ldbc_is1" -> (run(
-      """MATCH (p:Person {id: 101})
+      """MATCH (p:Person {id: $anchorPerson})
         |RETURN p.firstName AS firstName, p.lastName AS lastName,
         |       p.birthday AS birthday, p.locationIP AS locationIP,
         |       p.browserUsed AS browserUsed, p.gender AS gender,
         |       p.creationDate AS creationDate""".stripMargin) _),
 
     "q_ldbc_is2" -> (run(
-      """MATCH (p:Person {id: 101})<-[:HAS_CREATOR]-(m:Post)
+      """MATCH (p:Person {id: $anchorPerson})<-[:HAS_CREATOR]-(m:Post)
         |RETURN m.id AS postId, m.content AS content, m.creationDate AS creationDate
         |ORDER BY creationDate DESC, postId DESC
         |LIMIT 10""".stripMargin) _),
 
     "q_ldbc_is3" -> (run(
-      """MATCH (p:Person {id: 101})-[:KNOWS]-(friend:Person)
+      """MATCH (p:Person {id: $anchorPerson})-[:KNOWS]-(friend:Person)
         |RETURN friend.id AS friendId, friend.firstName AS firstName,
         |       friend.lastName AS lastName
         |ORDER BY firstName, lastName, friendId""".stripMargin) _),
@@ -76,8 +85,8 @@ object LdbcQueries {
 
     // ---- complex reads ---------------------------------------------------
     "q_ldbc_ic1" -> (run(
-      """MATCH (p:Person {id: 101})-[:KNOWS*1..3]-(friend:Person {firstName: 'HOUSEHOLD'})
-        |WHERE friend.id <> 101
+      """MATCH (p:Person {id: $anchorPerson})-[:KNOWS*1..3]-(friend:Person {firstName: 'HOUSEHOLD'})
+        |WHERE friend.id <> $anchorPerson
         |RETURN DISTINCT friend.id AS friendId, friend.lastName AS lastName,
         |       friend.birthday AS birthday, friend.creationDate AS creationDate,
         |       friend.gender AS gender, friend.browserUsed AS browserUsed,
@@ -86,7 +95,7 @@ object LdbcQueries {
         |LIMIT 20""".stripMargin) _),
 
     "q_ldbc_ic2" -> (run(
-      """MATCH (p:Person {id: 101})-[:KNOWS]-(friend:Person)<-[:HAS_CREATOR]-(m:Post)
+      """MATCH (p:Person {id: $anchorPerson})-[:KNOWS]-(friend:Person)<-[:HAS_CREATOR]-(m:Post)
         |WHERE m.creationDate < '1997-01-01'
         |RETURN friend.id AS friendId, friend.firstName AS firstName,
         |       friend.lastName AS lastName, m.id AS postId,
@@ -95,8 +104,8 @@ object LdbcQueries {
         |LIMIT 20""".stripMargin) _),
 
     "q_ldbc_ic3" -> (run(
-      """MATCH (p:Person {id: 101})-[:KNOWS*1..2]-(friend:Person)
-        |WHERE friend.id <> 101
+      """MATCH (p:Person {id: $anchorPerson})-[:KNOWS*1..2]-(friend:Person)
+        |WHERE friend.id <> $anchorPerson
         |WITH DISTINCT friend
         |MATCH (friend)<-[:HAS_CREATOR]-(m:Post)-[:IS_LOCATED_IN]->(place:Place)
         |WHERE m.creationDate >= '1996-01-01' AND m.creationDate < '1997-01-01'
@@ -107,15 +116,15 @@ object LdbcQueries {
         |LIMIT 20""".stripMargin) _),
 
     "q_ldbc_ic4" -> (run(
-      """MATCH (p:Person {id: 101})-[:KNOWS]-(friend:Person)<-[:HAS_CREATOR]-(post:Post)-[:HAS_TAG]->(tag:Tag)
+      """MATCH (p:Person {id: $anchorPerson})-[:KNOWS]-(friend:Person)<-[:HAS_CREATOR]-(post:Post)-[:HAS_TAG]->(tag:Tag)
         |WHERE post.creationDate >= '1996-01-01' AND post.creationDate < '1998-01-01'
         |RETURN tag.name AS tagName, count(post) AS postCount
         |ORDER BY postCount DESC, tagName
         |LIMIT 10""".stripMargin) _),
 
     "q_ldbc_ic5" -> (run(
-      """MATCH (p:Person {id: 101})-[:KNOWS*1..2]-(friend:Person)
-        |WHERE friend.id <> 101
+      """MATCH (p:Person {id: $anchorPerson})-[:KNOWS*1..2]-(friend:Person)
+        |WHERE friend.id <> $anchorPerson
         |WITH DISTINCT friend
         |MATCH (friend)<-[:HAS_MEMBER]-(forum:Forum)
         |RETURN forum.id AS forumId, forum.title AS forumTitle,
@@ -124,17 +133,17 @@ object LdbcQueries {
         |LIMIT 20""".stripMargin) _),
 
     "q_ldbc_ic6" -> (run(
-      """MATCH (p:Person {id: 101})-[:KNOWS*1..2]-(friend:Person)<-[:HAS_CREATOR]-(post:Post)-[:HAS_TAG]->(tag:Tag {name: 'hot gizmo'})
-        |WHERE friend.id <> 101
+      """MATCH (p:Person {id: $anchorPerson})-[:KNOWS*1..2]-(friend:Person)<-[:HAS_CREATOR]-(post:Post)-[:HAS_TAG]->(tag:Tag {name: $anchorTag})
+        |WHERE friend.id <> $anchorPerson
         |WITH DISTINCT post
         |MATCH (post)-[:HAS_TAG]->(otherTag:Tag)
-        |WHERE otherTag.name <> 'hot gizmo'
+        |WHERE otherTag.name <> $anchorTag
         |RETURN otherTag.name AS tagName, count(post) AS postCount
         |ORDER BY postCount DESC, tagName
         |LIMIT 10""".stripMargin) _),
 
     "q_ldbc_ic7" -> (run(
-      """MATCH (p:Person {id: 101})<-[:HAS_CREATOR]-(m:Post)<-[:LIKES]-(liker:Person)
+      """MATCH (p:Person {id: $anchorPerson})<-[:HAS_CREATOR]-(m:Post)<-[:LIKES]-(liker:Person)
         |RETURN liker.id AS likerId, liker.firstName AS firstName,
         |       liker.lastName AS lastName, m.id AS postId,
         |       m.creationDate AS creationDate
@@ -142,7 +151,7 @@ object LdbcQueries {
         |LIMIT 20""".stripMargin) _),
 
     "q_ldbc_ic8" -> (run(
-      """MATCH (p:Person {id: 101})<-[:HAS_CREATOR]-(m:Post)<-[:REPLY_OF]-(c:Comment)-[:HAS_CREATOR]->(author:Person)
+      """MATCH (p:Person {id: $anchorPerson})<-[:HAS_CREATOR]-(m:Post)<-[:REPLY_OF]-(c:Comment)-[:HAS_CREATOR]->(author:Person)
         |RETURN author.id AS authorId, author.firstName AS firstName,
         |       author.lastName AS lastName, c.creationDate AS creationDate,
         |       c.id AS commentId, c.content AS content
@@ -150,8 +159,8 @@ object LdbcQueries {
         |LIMIT 20""".stripMargin) _),
 
     "q_ldbc_ic9" -> (run(
-      """MATCH (p:Person {id: 101})-[:KNOWS*1..2]-(friend:Person)<-[:HAS_CREATOR]-(m:Post)
-        |WHERE friend.id <> 101 AND m.creationDate < '1997-01-01'
+      """MATCH (p:Person {id: $anchorPerson})-[:KNOWS*1..2]-(friend:Person)<-[:HAS_CREATOR]-(m:Post)
+        |WHERE friend.id <> $anchorPerson AND m.creationDate < '1997-01-01'
         |RETURN DISTINCT friend.id AS friendId, friend.firstName AS firstName,
         |       friend.lastName AS lastName, m.id AS postId,
         |       coalesce(m.content, m.imageFile) AS summary,
@@ -160,8 +169,8 @@ object LdbcQueries {
         |LIMIT 20""".stripMargin) _),
 
     "q_ldbc_ic10" -> (run(
-      """MATCH (p:Person {id: 101})-[:KNOWS*2]-(stranger:Person)
-        |WHERE stranger.id <> 101 AND NOT EXISTS { MATCH (p)-[:KNOWS]-(stranger) }
+      """MATCH (p:Person {id: $anchorPerson})-[:KNOWS*2]-(stranger:Person)
+        |WHERE stranger.id <> $anchorPerson AND NOT EXISTS { MATCH (p)-[:KNOWS]-(stranger) }
         |WITH DISTINCT stranger
         |MATCH (stranger)-[:HAS_INTEREST]->(tag:Tag)
         |RETURN stranger.id AS strangerId, stranger.firstName AS firstName,
@@ -170,8 +179,8 @@ object LdbcQueries {
         |LIMIT 10""".stripMargin) _),
 
     "q_ldbc_ic11" -> (run(
-      """MATCH (p:Person {id: 101})-[:KNOWS*1..2]-(friend:Person)-[wa:WORK_AT]->(org:Organisation)
-        |WHERE friend.id <> 101 AND org.name = 'Supplier#000000084' AND wa.workFrom < 2005
+      """MATCH (p:Person {id: $anchorPerson})-[:KNOWS*1..2]-(friend:Person)-[wa:WORK_AT]->(org:Organisation)
+        |WHERE friend.id <> $anchorPerson AND org.name = 'Supplier#000000084' AND wa.workFrom < 2005
         |RETURN DISTINCT friend.id AS friendId, friend.firstName AS firstName,
         |       friend.lastName AS lastName, wa.workFrom AS workFrom,
         |       org.name AS orgName
@@ -179,7 +188,7 @@ object LdbcQueries {
         |LIMIT 10""".stripMargin) _),
 
     "q_ldbc_ic12" -> (run(
-      """MATCH (p:Person {id: 101})-[:KNOWS]-(friend:Person)<-[:HAS_CREATOR]-(c:Comment)-[:REPLY_OF]->(post:Post)-[:HAS_TAG]->(tag:Tag)-[:HAS_TYPE]->(tc:TagClass)
+      """MATCH (p:Person {id: $anchorPerson})-[:KNOWS]-(friend:Person)<-[:HAS_CREATOR]-(c:Comment)-[:REPLY_OF]->(post:Post)-[:HAS_TAG]->(tag:Tag)-[:HAS_TYPE]->(tc:TagClass)
         |WHERE tc.name = 'LARGE'
         |RETURN friend.id AS friendId, friend.firstName AS firstName,
         |       friend.lastName AS lastName, count(DISTINCT c) AS replyCount
@@ -187,11 +196,11 @@ object LdbcQueries {
         |LIMIT 10""".stripMargin) _),
 
     "q_ldbc_ic13" -> (run(
-      """MATCH p = shortestPath((p1:Person {id: 101})-[:KNOWS*]-(p2:Person {id: 77}))
+      """MATCH p = shortestPath((p1:Person {id: $anchorPerson})-[:KNOWS*]-(p2:Person {id: $pathTarget}))
         |RETURN length(p) AS pathLength""".stripMargin) _),
 
     "q_ldbc_ic14" -> (run(
-      """MATCH p = allShortestPaths((p1:Person {id: 101})-[:KNOWS*]-(p2:Person {id: 77}))
+      """MATCH p = allShortestPaths((p1:Person {id: $anchorPerson})-[:KNOWS*]-(p2:Person {id: $pathTarget}))
         |RETURN length(p) AS pathLength, count(*) AS pathCount""".stripMargin) _)
   )
 
@@ -239,7 +248,13 @@ object LdbcQueries {
       |   1990 + c_custkey % 25 AS workFrom FROM customer),
       |org AS (SELECT 1500000000 + s_suppkey AS id, s_name AS name FROM supplier),
       |country AS (SELECT 1300000000 + n_nationkey AS id, n_name AS name FROM nation),
-      |r1 AS (SELECT DISTINCT d AS id FROM ku WHERE s = 101),
+      |adeg AS (SELECT s, count(*) AS deg FROM ku WHERE s IN (SELECT DISTINCT creator FROM post) GROUP BY s),
+      |anchor AS (SELECT min(s) AS pid FROM adeg WHERE deg =
+      |   (SELECT deg FROM adeg ORDER BY deg LIMIT 1 OFFSET (SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) - 1 FROM adeg))),
+      |tdeg AS (SELECT tid, count(*) AS deg FROM ptag GROUP BY tid),
+      |atag AS (SELECT name FROM tag WHERE id = (SELECT min(tid) FROM tdeg WHERE deg =
+      |   (SELECT deg FROM tdeg ORDER BY deg LIMIT 1 OFFSET (SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) - 1 FROM tdeg)))),
+      |r1 AS (SELECT DISTINCT d AS id FROM ku WHERE s = (SELECT pid FROM anchor)),
       |r2 AS (SELECT DISTINCT ku.d AS id FROM ku JOIN r1 ON ku.s = r1.id),
       |r3 AS (SELECT DISTINCT ku.d AS id FROM ku JOIN r2 ON ku.s = r2.id),
       |reach2 AS (SELECT id FROM r1 UNION SELECT id FROM r2),
@@ -253,16 +268,18 @@ object LdbcQueries {
     * one row per distinct edge sequence. */
   private[queries] def oRec(sql: String): String =
     s"""WITH RECURSIVE $Pre,
-       |walk(node, depth) AS (SELECT 101, 0 UNION ALL
+       |ptarget AS (SELECT coalesce(max(id), (SELECT pid FROM anchor)) AS tid FROM r3
+       |   WHERE id NOT IN (SELECT id FROM reach2) AND id <> (SELECT pid FROM anchor)),
+       |walk(node, depth) AS (SELECT (SELECT pid FROM anchor), 0 UNION ALL
        | SELECT ku.d, depth + 1 FROM walk JOIN ku ON ku.s = walk.node
-       | WHERE depth < 6 AND walk.node <> 77)
+       | WHERE depth < 6 AND walk.node <> (SELECT tid FROM ptarget))
        |$sql""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_ldbc_is1" -> o(
-      "SELECT firstName, lastName, birthday, locationIP, browserUsed, gender, creationDate FROM person WHERE id = 101"),
+      "SELECT firstName, lastName, birthday, locationIP, browserUsed, gender, creationDate FROM person WHERE id = (SELECT pid FROM anchor)"),
     "q_ldbc_is2" -> o(
-      "SELECT id AS postId, content, creationDate FROM post WHERE creator = 101 ORDER BY creationDate DESC, postId DESC LIMIT 10"),
+      "SELECT id AS postId, content, creationDate FROM post WHERE creator = (SELECT pid FROM anchor) ORDER BY creationDate DESC, postId DESC LIMIT 10"),
     "q_ldbc_is3" -> o(
       """SELECT r1.id AS friendId, p.firstName AS firstName, p.lastName AS lastName
         |FROM r1 JOIN person p ON p.id = r1.id ORDER BY firstName, lastName, friendId""".stripMargin),
@@ -288,7 +305,7 @@ object LdbcQueries {
         | p.creationDate AS creationDate, p.gender AS gender, p.browserUsed AS browserUsed,
         | p.locationIP AS locationIP
         |FROM reach3 r JOIN person p ON p.id = r.id
-        |WHERE r.id <> 101 AND p.firstName = 'HOUSEHOLD'
+        |WHERE r.id <> (SELECT pid FROM anchor) AND p.firstName = 'HOUSEHOLD'
         |ORDER BY lastName, friendId LIMIT 20""".stripMargin),
     "q_ldbc_ic2" -> o(
       """SELECT r1.id AS friendId, p.firstName AS firstName, p.lastName AS lastName,
@@ -301,7 +318,7 @@ object LdbcQueries {
         | count(*) AS msgCount
         |FROM reach2 r JOIN person p ON p.id = r.id JOIN post m ON m.creator = r.id
         | JOIN country c ON c.id = m.country
-        |WHERE r.id <> 101 AND m.creationDate >= '1996-01-01' AND m.creationDate < '1997-01-01'
+        |WHERE r.id <> (SELECT pid FROM anchor) AND m.creationDate >= '1996-01-01' AND m.creationDate < '1997-01-01'
         | AND c.name IN ('NATION_20', 'NATION_15')
         |GROUP BY 1, 2, 3 ORDER BY msgCount DESC, friendId LIMIT 20""".stripMargin),
     "q_ldbc_ic4" -> o(
@@ -313,41 +330,41 @@ object LdbcQueries {
     "q_ldbc_ic5" -> o(
       """SELECT f.id AS forumId, f.title AS forumTitle, count(*) AS memberCount
         |FROM reach2 r JOIN member mb ON mb.pid = r.id JOIN forum f ON f.id = mb.fid
-        |WHERE r.id <> 101
+        |WHERE r.id <> (SELECT pid FROM anchor)
         |GROUP BY 1, 2 ORDER BY memberCount DESC, forumId LIMIT 20""".stripMargin),
     "q_ldbc_ic6" -> o(
       """SELECT t2.name AS tagName, count(*) AS postCount
         |FROM (SELECT DISTINCT m.id FROM reach2 r JOIN post m ON m.creator = r.id
         |   JOIN ptag pt ON pt.mid = m.id JOIN tag t ON t.id = pt.tid
-        |   WHERE r.id <> 101 AND t.name = 'hot gizmo') g
+        |   WHERE r.id <> (SELECT pid FROM anchor) AND t.name = (SELECT name FROM atag)) g
         | JOIN ptag pt2 ON pt2.mid = g.id JOIN tag t2 ON t2.id = pt2.tid
-        |WHERE t2.name <> 'hot gizmo'
+        |WHERE t2.name <> (SELECT name FROM atag)
         |GROUP BY 1 ORDER BY postCount DESC, tagName LIMIT 10""".stripMargin),
     "q_ldbc_ic7" -> o(
       """SELECT l.pid AS likerId, p.firstName AS firstName, p.lastName AS lastName,
         | m.id AS postId, m.creationDate AS creationDate
         |FROM post m JOIN likes l ON l.mid = m.id JOIN person p ON p.id = l.pid
-        |WHERE m.creator = 101
+        |WHERE m.creator = (SELECT pid FROM anchor)
         |ORDER BY creationDate DESC, postId, likerId LIMIT 20""".stripMargin),
     "q_ldbc_ic8" -> o(
       """SELECT c.creator AS authorId, p.firstName AS firstName, p.lastName AS lastName,
         | c.creationDate AS creationDate, c.id AS commentId, c.content AS content
         |FROM post m JOIN cmt c ON c.ok + 10000000 = m.id JOIN person p ON p.id = c.creator
-        |WHERE m.creator = 101
+        |WHERE m.creator = (SELECT pid FROM anchor)
         |ORDER BY creationDate DESC, commentId LIMIT 20""".stripMargin),
     "q_ldbc_ic9" -> o(
       """SELECT DISTINCT r.id AS friendId, p.firstName AS firstName, p.lastName AS lastName,
         | m.id AS postId, coalesce(m.content, m.imageFile) AS summary,
         | m.creationDate AS creationDate
         |FROM reach2 r JOIN person p ON p.id = r.id JOIN post m ON m.creator = r.id
-        |WHERE r.id <> 101 AND m.creationDate < '1997-01-01'
+        |WHERE r.id <> (SELECT pid FROM anchor) AND m.creationDate < '1997-01-01'
         |ORDER BY creationDate DESC, postId, friendId LIMIT 20""".stripMargin),
     "q_ldbc_ic10" -> o(
       """SELECT s.id AS strangerId, p.firstName AS firstName, p.lastName AS lastName,
         | count(*) AS commonInterests
         |FROM (SELECT DISTINCT k2.d AS id FROM ku k1 JOIN ku k2 ON k2.s = k1.d
-        |   WHERE k1.s = 101 AND k2.d <> 101
-        |    AND NOT EXISTS (SELECT 1 FROM ku WHERE ku.s = 101 AND ku.d = k2.d)) s
+        |   WHERE k1.s = (SELECT pid FROM anchor) AND k2.d <> (SELECT pid FROM anchor)
+        |    AND NOT EXISTS (SELECT 1 FROM ku WHERE ku.s = (SELECT pid FROM anchor) AND ku.d = k2.d)) s
         | JOIN person p ON p.id = s.id JOIN interest i ON i.pid = s.id
         |GROUP BY 1, 2, 3 ORDER BY commonInterests DESC, strangerId LIMIT 10""".stripMargin),
     "q_ldbc_ic11" -> o(
@@ -355,7 +372,7 @@ object LdbcQueries {
         | w.workFrom AS workFrom, o.name AS orgName
         |FROM reach2 r JOIN person p ON p.id = r.id JOIN workat w ON w.pid = r.id
         | JOIN org o ON o.id = w.oid
-        |WHERE r.id <> 101 AND o.name = 'Supplier#000000084' AND w.workFrom < 2005
+        |WHERE r.id <> (SELECT pid FROM anchor) AND o.name = 'Supplier#000000084' AND w.workFrom < 2005
         |ORDER BY workFrom, friendId LIMIT 10""".stripMargin),
     "q_ldbc_ic12" -> o(
       """SELECT r1.id AS friendId, p.firstName AS firstName, p.lastName AS lastName,
@@ -366,10 +383,10 @@ object LdbcQueries {
         |WHERE ht.tcname = 'LARGE'
         |GROUP BY 1, 2, 3 ORDER BY replyCount DESC, friendId LIMIT 10""".stripMargin),
     "q_ldbc_ic13" -> oRec(
-      "SELECT CAST(min(depth) AS BIGINT) AS pathLength FROM walk WHERE node = 77"),
+      "SELECT CAST(min(depth) AS BIGINT) AS pathLength FROM walk WHERE node = (SELECT tid FROM ptarget)"),
     "q_ldbc_ic14" -> oRec(
       """SELECT CAST(depth AS BIGINT) AS pathLength, count(*) AS pathCount
-        |FROM walk WHERE node = 77 GROUP BY depth
-        |HAVING depth = (SELECT min(depth) FROM walk WHERE node = 77)""".stripMargin)
+        |FROM walk WHERE node = (SELECT tid FROM ptarget) GROUP BY depth
+        |HAVING depth = (SELECT min(depth) FROM walk WHERE node = (SELECT tid FROM ptarget))""".stripMargin)
   )
 }
