@@ -47,7 +47,9 @@ object Plans {
       "q_ldbc_is3" -> "SNB point lookup + 1-hop: the Person scan prunes by labelset partition AND pushes id=101; the KNOWS scan reads only its relationship directory (PartitionFilters), both joins broadcast",
       "q_finbench_cr7" -> "FinBench 2-hop transfer chain: both TRANSFER scans read only their relationship directory of the edge MV; the point-anchored side collapses to a broadcast, so the unanchored upstream hop is the only shuffled input",
       "q_substring_dedup" -> "exact substring dedup: k-token windows are a transform+posexplode PROJECTION per doc (no join builds them); corpus-repeated windows are ONE hash aggregate on the window key; span coverage is a distinct-count aggregate after the window-key join - shuffle volume is the window count, never all-pairs",
-      "q_embedding_centroid" -> "group-wise renormalized centroids: posexplode then a (group, dim) hash aggregate whose partial_avg runs map-side, so the exchange carries groups x dim cells, not vectors; the per-group norm joins back as a BroadcastHashJoin")
+      "q_embedding_centroid" -> "group-wise renormalized centroids: posexplode then a (group, dim) hash aggregate whose partial_avg runs map-side, so the exchange carries groups x dim cells, not vectors; the per-group norm joins back as a BroadcastHashJoin",
+      "q_ppr" -> "personalized PageRank (distributed twin): the edge relation shuffles ONCE into a checkpointed leaf (LogicalRDD) consumed by every round; per round the only exchanges are vertex-sized (rank join + contrib aggregate) and the dangling mass is a broadcast 1-row aggregate inside the plan - no driver-side value in the loop",
+      "q_adamic_adar" -> "seeded Adamic-Adar: the degree cap joins onto the SEEDED s1 side BEFORE the wedge join, so over-cap hubs never materialize fan-out rows; the seed filter is an isin pushed at the symmetrized-edge leaf and the final top-k is TakeOrderedAndProject")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative catalog queries\n\n")

@@ -171,6 +171,28 @@ object Soak {
       // path past the kernel gate — this row pins that path's own scaling
       "kcore" -> { n => Algorithms.kCore(
         spark.read.parquet(edgeCache(n, false)), 10, 4).count() },
+      // seeded Adamic–Adar (r11 evidence debt): the hub cap prunes BEFORE
+      // the wedge join, so cost is the linear degree/symmetrize passes plus
+      // the seed's bounded neighborhood — never all-pairs
+      "adamic_adar" -> { n => Algorithms.adamicAdar(
+        spark.read.parquet(edgeCache(n, false)), Seq(minNode), topK = 20).count() },
+      // CREATE CONSTRAINT + SHOW CONSTRAINTS over an N×-bigger graph:
+      // registration matches the reference (index/manager.rs:100-106 — a
+      // registry insert, NO existing-data validation), so the ratio pins
+      // the O(1) claim the r10 soak misattributed as a linear scan
+      "show_constraints" -> { n =>
+        val e = spark.read.parquet(edgeCache(n, false))
+        val nodes = e.select(col("src").as("id"))
+          .unionAll(e.select(col("dst").as("id"))).distinct()
+          .select(col("id"), array(lit("P")).as("labels"),
+            col("id").cast("string").as("name"))
+        val edges = e.select(monotonically_increasing_id().as("id"),
+          col("src"), col("dst"), lit("CO").as("relationship"))
+        val g = graft.model.PropertyGraph(nodes, edges)
+        val (g2, _) = graft.cypher.QueryEngine.executeWrite(
+          "CREATE CONSTRAINT ON (n:P) ASSERT n.name IS UNIQUE", g)
+        graft.cypher.QueryEngine.execute("SHOW CONSTRAINTS", g2).count()
+      },
       // corpus-sized (bits, tables): fixed 8-bit sizing was quadratic in
       // candidate volume (the r10 full-catalog soak's worst row); auto
       // sizing holds bucket sizes O(1) → classic sub-quadratic LSH work
