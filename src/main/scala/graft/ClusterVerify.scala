@@ -48,7 +48,8 @@ object ClusterVerify {
     // cypher translator (read + write)
     "q_cypher_2hop", "q_cypher_with_agg", "q_cypher_wco_cycle",
     "q_cypher_varlength", "q_cypher_optional", "q_cypher_call_subquery",
-    "q_cypher_unwind", "q_cypher_write_create", "q_merge",
+    "q_cypher_unwind", "q_cypher_split_dynamic",
+    "q_cypher_write_create", "q_merge",
     "q_cypher_write_delete", "q_cypher_write_set",
     // graph algorithms (stats-gated kernels + distributed twins)
     "q_pagerank", "q_ppr", "q_wcc", "q_scc", "q_cdlp", "q_lcc",
@@ -75,6 +76,23 @@ object ClusterVerify {
     "q_finbench_w",
     // sources
     "q_csv_load", "q_json_load", "q_snapshot_roundtrip")
+
+  /** Per-round gate (r11 verdict task #10): a PINNED ~25-query subset run
+    * every round via `--gate` and recorded next to CORRECTNESS
+    * (docs/cluster/cluster_verify_r{N}.json) — cheap enough to keep honest.
+    * The full [[DefaultQueries]] still backs any "cluster-ready" claim.
+    * One row per subsystem plus the operators the current round touched. */
+  val GateQueries: Seq[String] = Seq(
+    "q1_agg", "q_top_k", "q_exists_subquery",
+    "q_expand_2hop_bucketed", "q_var_length",
+    "q_cypher_wco_cycle", "q_cypher_split_dynamic", "q_cypher_optional",
+    "q_cypher_write_create", "q_cypher_write_delete",
+    "q_pagerank", "q_ppr", "q_adamic_adar", "q_cdlp", "q_triangle_count",
+    "q_knn_exact", "q_knn_approx",
+    "q_minhash_lsh", "q_substring_dedup", "q_embedding_centroid",
+    "q_asof_join", "q_multimodal_decode",
+    "q_sparql_bgp", "q_streaming_window",
+    "q_ldbc_is3", "q_ldbc_ic13", "q_ldbc_upd", "q_finbench_w")
 
   private val sqlConfs: Map[String, String] = Map(
     "spark.sql.extensions" -> "graft.GraftExtensions",
@@ -188,8 +206,12 @@ object ClusterVerify {
     val outDir = if (args.length > 1) args(1) else "/tmp/cluster_verify"
     val rest = args.drop(2)
     val freshMv = rest.contains("--fresh-mv")
+    val gate = rest.contains("--gate")
     val names0 = rest.filterNot(_.startsWith("--")).toSeq
-    val names = if (names0.nonEmpty) names0 else DefaultQueries
+    val names =
+      if (names0.nonEmpty) names0
+      else if (gate) GateQueries
+      else DefaultQueries
     new java.io.File(outDir).mkdirs()
 
     // optionally drop the shared-MV cache so the CLUSTER run builds every
