@@ -12,9 +12,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SNB_BI.md:22-46` — 16/16 of the reference's run passing, BI-17+ timing
   * out there; all 20 run here) with the same adaptation rules as the
   * Interactive suite ([[LdbcQueries]]):
-  *   - parameters become fixture constants that exist in the derived graph
-  *     at every SF ('hot gizmo' / 'red plate' tag names, 'LARGE' TagClass,
-  *     person 101, 1996-1998 date window);
+  *   - the person/tag/path-target parameters are STATS-DERIVED
+  *     (`SnbLoader.anchors`, shared with the Interactive suite); secondary
+  *     literals stay fixture constants that exist in the derived graph at
+  *     every SF ('red plate' tag, 'LARGE' TagClass, 1996-1998 date window);
   *   - every ORDER BY ... LIMIT gets a full deterministic tiebreak (the
   *     driver compare is order-insensitive but a tied LIMIT boundary is
   *     content-nondeterministic otherwise);
@@ -33,8 +34,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object LdbcBiQueries {
 
-  private def run(cy: String)(s: SparkSession, d: String): DataFrame =
-    QueryEngine.execute(cy, SnbLoader.snb(s, d))
+  private def run(cy: String)(s: SparkSession, d: String): DataFrame = {
+    // same stats-derived anchors as the Interactive suite (SnbLoader.anchors)
+    val (pid, tag, target) = SnbLoader.anchors(s, d)
+    QueryEngine.execute(cy, SnbLoader.snb(s, d),
+      Map("anchorPerson" -> pid, "anchorTag" -> tag, "pathTarget" -> target))
+  }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ldbc_bi1" -> (run(
@@ -53,11 +58,11 @@ object LdbcBiQueries {
         |LIMIT 20""".stripMargin) _),
 
     "q_ldbc_bi3" -> (run(
-      """MATCH (p:Post)-[:HAS_TAG]->(t:Tag {name: 'hot gizmo'})
+      """MATCH (p:Post)-[:HAS_TAG]->(t:Tag {name: $anchorTag})
         |WHERE p.creationDate < '1997-06-01'
         |RETURN t.name AS tag, 'before' AS period, count(p) AS msgCount
         |UNION
-        |MATCH (p:Post)-[:HAS_TAG]->(t:Tag {name: 'hot gizmo'})
+        |MATCH (p:Post)-[:HAS_TAG]->(t:Tag {name: $anchorTag})
         |WHERE p.creationDate >= '1997-06-01'
         |RETURN t.name AS tag, 'after' AS period, count(p) AS msgCount""".stripMargin) _),
 
@@ -80,7 +85,7 @@ object LdbcBiQueries {
         |LIMIT 20""".stripMargin) _),
 
     "q_ldbc_bi6" -> (run(
-      """MATCH (p:Post)-[:HAS_TAG]->(t:Tag {name: 'hot gizmo'})
+      """MATCH (p:Post)-[:HAS_TAG]->(t:Tag {name: $anchorTag})
         |MATCH (p)-[:HAS_CREATOR]->(author:Person)
         |MATCH (liker:Person)-[:LIKES]->(p)
         |RETURN author.id AS authorId, author.firstName AS firstName,
@@ -101,16 +106,16 @@ object LdbcBiQueries {
         |LIMIT 20""".stripMargin) _),
 
     "q_ldbc_bi8" -> (run(
-      """MATCH (post:Post)-[:HAS_TAG]->(t:Tag {name: 'hot gizmo'})
+      """MATCH (post:Post)-[:HAS_TAG]->(t:Tag {name: $anchorTag})
         |MATCH (reply:Comment)-[:REPLY_OF]->(post)
         |MATCH (reply)-[:HAS_CREATOR]->(rc:Person)-[:HAS_INTEREST]->(relatedTag:Tag)
-        |WHERE relatedTag.name <> 'hot gizmo'
+        |WHERE relatedTag.name <> $anchorTag
         |RETURN relatedTag.name AS tagName, count(reply) AS replyCount
         |ORDER BY replyCount DESC, tagName
         |LIMIT 20""".stripMargin) _),
 
     "q_ldbc_bi9" -> (run(
-      """MATCH (f:Forum)-[:CONTAINER_OF]->(p1:Post)-[:HAS_TAG]->(t1:Tag {name: 'hot gizmo'})
+      """MATCH (f:Forum)-[:CONTAINER_OF]->(p1:Post)-[:HAS_TAG]->(t1:Tag {name: $anchorTag})
         |MATCH (f)-[:CONTAINER_OF]->(p2:Post)-[:HAS_TAG]->(t2:Tag {name: 'red plate'})
         |WHERE p1.id <> p2.id
         |RETURN f.id AS forumId, f.title AS forumTitle,
@@ -119,10 +124,10 @@ object LdbcBiQueries {
         |LIMIT 20""".stripMargin) _),
 
     "q_ldbc_bi10" -> (run(
-      """MATCH (p:Person {id: 101})-[:KNOWS*1..2]-(expert:Person)
-        |WHERE expert.id <> 101
+      """MATCH (p:Person {id: $anchorPerson})-[:KNOWS*1..2]-(expert:Person)
+        |WHERE expert.id <> $anchorPerson
         |WITH DISTINCT expert
-        |MATCH (expert)<-[:HAS_CREATOR]-(post:Post)-[:HAS_TAG]->(t:Tag {name: 'hot gizmo'})
+        |MATCH (expert)<-[:HAS_CREATOR]-(post:Post)-[:HAS_TAG]->(t:Tag {name: $anchorTag})
         |RETURN expert.id AS expertId, expert.firstName AS firstName,
         |       expert.lastName AS lastName, count(post) AS expertise
         |ORDER BY expertise DESC, expertId
@@ -183,15 +188,15 @@ object LdbcBiQueries {
         |RETURN count(a) AS triangleCount""".stripMargin) _),
 
     "q_ldbc_bi18" -> (run(
-      """MATCH (p1:Person {id: 101})-[:KNOWS]-(mutual:Person)-[:KNOWS]-(p2:Person)
-        |WHERE p2.id <> 101 AND NOT EXISTS { MATCH (p1)-[:KNOWS]-(p2) }
+      """MATCH (p1:Person {id: $anchorPerson})-[:KNOWS]-(mutual:Person)-[:KNOWS]-(p2:Person)
+        |WHERE p2.id <> $anchorPerson AND NOT EXISTS { MATCH (p1)-[:KNOWS]-(p2) }
         |RETURN p2.id AS personId, p2.firstName AS firstName,
         |       p2.lastName AS lastName, count(DISTINCT mutual) AS mutualFriends
         |ORDER BY mutualFriends DESC, personId
         |LIMIT 20""".stripMargin) _),
 
     "q_ldbc_bi19" -> (run(
-      """MATCH p = allShortestPaths((p1:Person {id: 101})-[:KNOWS*]-(p2:Person {id: 77}))
+      """MATCH p = allShortestPaths((p1:Person {id: $anchorPerson})-[:KNOWS*]-(p2:Person {id: $pathTarget}))
         |RETURN length(p) AS pathLength, count(*) AS pathCount""".stripMargin) _),
 
     "q_ldbc_bi20" -> (run(
@@ -225,11 +230,11 @@ object LdbcBiQueries {
     "q_ldbc_bi3" -> o(
       """SELECT t.name AS tag, 'before' AS period, count(*) AS msgCount
         |FROM post m JOIN ptag pt ON pt.mid = m.id JOIN tag t ON t.id = pt.tid
-        |WHERE t.name = 'hot gizmo' AND m.creationDate < '1997-06-01' GROUP BY 1, 2
+        |WHERE t.name = (SELECT name FROM atag) AND m.creationDate < '1997-06-01' GROUP BY 1, 2
         |UNION ALL
         |SELECT t.name, 'after', count(*)
         |FROM post m JOIN ptag pt ON pt.mid = m.id JOIN tag t ON t.id = pt.tid
-        |WHERE t.name = 'hot gizmo' AND m.creationDate >= '1997-06-01' GROUP BY 1, 2""".stripMargin),
+        |WHERE t.name = (SELECT name FROM atag) AND m.creationDate >= '1997-06-01' GROUP BY 1, 2""".stripMargin),
 
     // extra CTEs append to the shared prelude's WITH chain (leading comma)
     "q_ldbc_bi4" -> o(
@@ -252,7 +257,7 @@ object LdbcBiQueries {
         | count(*) AS likeCount
         |FROM post m JOIN ptag pt ON pt.mid = m.id JOIN tag t ON t.id = pt.tid
         | JOIN likes l ON l.mid = m.id JOIN person p ON p.id = m.creator
-        |WHERE t.name = 'hot gizmo'
+        |WHERE t.name = (SELECT name FROM atag)
         |GROUP BY 1, 2, 3 ORDER BY likeCount DESC, authorId LIMIT 20""".stripMargin),
 
     "q_ldbc_bi7" -> o(
@@ -271,7 +276,7 @@ object LdbcBiQueries {
         | JOIN cmt c ON c.ok + 10000000 = m.id
         | JOIN interest i ON i.pid = c.creator
         | JOIN tag t2 ON t2.id = i.tid
-        |WHERE t.name = 'hot gizmo' AND t2.name <> 'hot gizmo'
+        |WHERE t.name = (SELECT name FROM atag) AND t2.name <> (SELECT name FROM atag)
         |GROUP BY 1 ORDER BY replyCount DESC, tagName LIMIT 20""".stripMargin),
 
     "q_ldbc_bi9" -> o(
@@ -282,7 +287,7 @@ object LdbcBiQueries {
         | JOIN ptag a ON a.mid = p1.id JOIN tag t1 ON t1.id = a.tid
         | JOIN post p2 ON p2.forum = f.id
         | JOIN ptag b ON b.mid = p2.id JOIN tag t2 ON t2.id = b.tid
-        |WHERE t1.name = 'hot gizmo' AND t2.name = 'red plate' AND p1.id <> p2.id
+        |WHERE t1.name = (SELECT name FROM atag) AND t2.name = 'red plate' AND p1.id <> p2.id
         |GROUP BY 1, 2 ORDER BY tag1Posts DESC, forumId LIMIT 20""".stripMargin),
 
     "q_ldbc_bi10" -> o(
@@ -291,7 +296,7 @@ object LdbcBiQueries {
         |FROM reach2 r JOIN person p ON p.id = r.id
         | JOIN post m ON m.creator = r.id
         | JOIN ptag pt ON pt.mid = m.id JOIN tag t ON t.id = pt.tid
-        |WHERE r.id <> 101 AND t.name = 'hot gizmo'
+        |WHERE r.id <> (SELECT pid FROM anchor) AND t.name = (SELECT name FROM atag)
         |GROUP BY 1, 2, 3 ORDER BY expertise DESC, expertId LIMIT 20""".stripMargin),
 
     "q_ldbc_bi11" -> o(
@@ -349,14 +354,14 @@ object LdbcBiQueries {
       """SELECT k2.d AS personId, p.firstName AS firstName, p.lastName AS lastName,
         | count(DISTINCT k1.d) AS mutualFriends
         |FROM ku k1 JOIN ku k2 ON k2.s = k1.d JOIN person p ON p.id = k2.d
-        |WHERE k1.s = 101 AND k2.d <> 101
-        | AND NOT EXISTS (SELECT 1 FROM ku WHERE ku.s = 101 AND ku.d = k2.d)
+        |WHERE k1.s = (SELECT pid FROM anchor) AND k2.d <> (SELECT pid FROM anchor)
+        | AND NOT EXISTS (SELECT 1 FROM ku WHERE ku.s = (SELECT pid FROM anchor) AND ku.d = k2.d)
         |GROUP BY 1, 2, 3 ORDER BY mutualFriends DESC, personId LIMIT 20""".stripMargin),
 
     "q_ldbc_bi19" -> oRec(
       """SELECT CAST(depth AS BIGINT) AS pathLength, count(*) AS pathCount
-        |FROM walk WHERE node = 77 GROUP BY depth
-        |HAVING depth = (SELECT min(depth) FROM walk WHERE node = 77)""".stripMargin),
+        |FROM walk WHERE node = (SELECT tid FROM ptarget) GROUP BY depth
+        |HAVING depth = (SELECT min(depth) FROM walk WHERE node = (SELECT tid FROM ptarget))""".stripMargin),
 
     "q_ldbc_bi20" -> o(
       """SELECT ht.tcname AS tagClass, count(DISTINCT ht.tid) AS tagCount,
