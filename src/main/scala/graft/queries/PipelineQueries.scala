@@ -346,6 +346,23 @@ object PipelineQueries {
       TextAnalysis.packSequences(t(s, d, "documents"), "doc_id", "text", "source", 512)
         .orderBy(col("doc_id"))),
 
+    // text: harmonic bin packing — whole-document token budgets (no
+    // straddling), fit-classes rank in windows PARTITIONED BY
+    // (source, class): parallelism = shards × classes, waste ≤ 1.691× opt
+    "q_pack_harmonic" -> ((s, d) =>
+      TextAnalysis.packHarmonic(t(s, d, "documents"), "doc_id", "text", "source", 128)
+        .orderBy(col("doc_id"))),
+
+    // text: DSIR importance resampling (Xie et al. 2023) — hashed-n-gram
+    // bucket LM of the target slice vs the raw corpus, per-doc
+    // log-likelihood-ratio weight, deterministic Gumbel-top-k selection;
+    // the LM is ≤4096 rows (broadcast), the top-k threshold a 1-row
+    // aggregate — no global window anywhere
+    "q_dsir_resample" -> ((s, d) =>
+      TextAnalysis.dsirResample(t(s, d, "documents"), "doc_id", "text",
+        col("source").isin("src0", "src1"), 4096, 100)
+        .orderBy(col("doc_id"))),
+
     // text: deterministic stratified sampling — language rebalancing with an
     // arithmetic multiplicative hash (no RNG, reproducible): the
     // overrepresented 'en' keeps 30%, 'zh' 60%, the rest 100%
@@ -1090,6 +1107,27 @@ object PipelineQueries {
         |c AS (SELECT doc_id, source, n_tokens, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM tok),
         |b AS (SELECT doc_id, source, n_tokens, CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS bin FROM c)
         |SELECT doc_id, source, n_tokens, bin, CAST(row_number() OVER (PARTITION BY source, bin ORDER BY doc_id) - 1 AS INTEGER) AS pos FROM b ORDER BY doc_id""".stripMargin,
+    "q_pack_harmonic" ->
+      """WITH tok AS (SELECT doc_id, source, CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens, CASE WHEN n_tokens >= 128 OR n_tokens <= 0 THEN 1 ELSE CAST(floor(128 / n_tokens) AS BIGINT) END AS fit FROM tok),
+        |r AS (SELECT doc_id, source, n_tokens, fit, row_number() OVER (PARTITION BY source, fit ORDER BY n_tokens DESC, doc_id) - 1 AS rk FROM c)
+        |SELECT doc_id, source, n_tokens, fit, CAST(floor(rk / fit) AS BIGINT) AS bin, CAST(rk % fit AS INTEGER) AS pos FROM r ORDER BY doc_id""".stripMargin,
+    "q_dsir_resample" ->
+      """WITH docs AS (SELECT doc_id, source IN ('src0', 'src1') AS tgt,
+        |  list_filter(list_transform(string_split_regex(trim(text), '\s+'), w -> regexp_replace(lower(w), '[^a-z0-9]', '', 'g')), w -> length(w) > 0) AS toks FROM documents),
+        |uni AS (SELECT doc_id, tgt, unnest(toks) AS f FROM docs),
+        |bi AS (SELECT doc_id, tgt, toks[g] || '_' || toks[g+1] AS f FROM (SELECT doc_id, tgt, toks, unnest(generate_series(1, len(toks) - 1)) AS g FROM docs)),
+        |feats AS (SELECT doc_id, tgt, list_reduce(list_transform(regexp_split_to_array(f, ''), c -> ord(c)), (a, x) -> (a * 131 + x) % 1000003) % 4096 AS b FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |lm AS (SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct, count(*) AS cr FROM feats GROUP BY 1),
+        |tot AS (SELECT sum(ct) * 1.0 AS tt, sum(cr) * 1.0 AS rr FROM lm),
+        |pd AS (SELECT doc_id, count(*) AS n_feats, sum(ln(ct + 1) - ln(cr + 1)) AS s FROM feats JOIN lm USING (b) GROUP BY 1),
+        |sc AS (SELECT d.doc_id, coalesce(pd.n_feats, 0) AS n_feats,
+        |  round(coalesce(pd.s, 0) + coalesce(pd.n_feats, 0) * (ln(tot.rr + 4096) - ln(tot.tt + 4096)), 4) AS logw
+        | FROM (SELECT doc_id FROM docs) d LEFT JOIN pd USING (doc_id) CROSS JOIN tot),
+        |gg AS (SELECT doc_id, n_feats, logw,
+        |  round(logw - ln(-ln((((doc_id % 1000000007) * 2654435761) % 1000000 + 0.5) / 1000000.0)), 4) AS g FROM sc)
+        |SELECT doc_id, n_feats, logw, g, row_number() OVER (ORDER BY g DESC, doc_id) <= 100 AS selected
+        |FROM gg ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang, count(*) AS n_total,
         | CAST(sum(CASE WHEN (doc_id * 2654435761) % 100 < (CASE WHEN lang = 'en' THEN 30 WHEN lang = 'zh' THEN 60 ELSE 100 END) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept

@@ -525,4 +525,138 @@ object TextAnalysis {
         Window.partitionBy(col("shard")).orderBy(col("__k2"), col(idCol))))
       .select(col(idCol), col("shard"), col("pos"))
   }
+
+  // ---- DSIR: data selection via importance resampling ----------------------
+
+  /** Engine-portable feature hash: polynomial fold over the character codes
+    * of an ASCII-normalized token, `h = fold(h * 131 + code) mod 1000003`.
+    * The fold starts at 0, so step one yields the first code — identical to
+    * DuckDB's `list_reduce` (which seeds with the first element). Tokens are
+    * lowercased and stripped to [a-z0-9] BEFORE hashing so both engines fold
+    * the same byte sequence regardless of how each indexes multi-byte
+    * characters (CCNet-style normalization; DSIR is collision-tolerant by
+    * construction, so the cheap hash costs nothing in selection quality). */
+  private val HashMod = 1000003L
+
+  // split(tok, "") carries Java split's limit=-1 trailing "" — drop it, or
+  // the fold gains a phantom (h*131+0) step DuckDB's char split doesn't have
+  def featureHash(tok: Column): Column =
+    aggregate(
+      transform(filter(split(tok, ""), c => length(c) > 0),
+        c => ascii(c).cast("long")),
+      lit(0L), (acc, x) => (acc * 131L + x) % HashMod)
+
+  /** Normalized unigram + bigram features of a text, hashed into `buckets`
+    * coarse counts — the hashed n-gram feature space of DSIR (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance Resampling").
+    * Bigrams join with '_' so they share one hash function with unigrams. */
+  private def hashedFeatures(text: Column, buckets: Int): Column = {
+    val norm = filter(
+      transform(tokens(text), t => regexp_replace(lower(t), "[^a-z0-9]", "")),
+      t => length(t) > 0)
+    // slice length must be computed (start+length overflows on a
+    // Int.MaxValue sentinel → empty array); zip_with pads the shorter side
+    // with null → the trailing concat is null; drop it rather than hash it
+    val bi = filter(
+      zip_with(norm, slice(norm, lit(2), greatest(size(norm) - 1, lit(0))),
+        (a, b) => concat(a, lit("_"), b)),
+      f => f.isNotNull)
+    transform(concat(norm, bi), f => featureHash(f) % buckets)
+  }
+
+  /** DSIR importance resampling: score every document by how much more
+    * likely its hashed-n-gram features are under the target slice's unigram
+    * bucket model than under the raw corpus's, then take the Gumbel-top-k —
+    * the standard way to materialize "sample k docs with probability
+    * proportional to the importance weight" deterministically.
+    *
+    * Per-doc log-weight (add-1 smoothed over `buckets`):
+    *   logw = Σ_f [ln(ct_f + 1) − ln(cr_f + 1)] + n_f · ln((R + B)/(T + B))
+    * with ct/cr = target/raw occurrence counts of the feature's bucket and
+    * T/R their totals. The Gumbel key reuses the corpus-wide multiplicative-
+    * hash idiom (no RNG): u = ((id·2654435761) mod 10^6 + 0.5)/10^6,
+    * g = logw − ln(−ln u). Both scores round to 4 decimals before ranking
+    * so the order is engine-independent; ties break on id.
+    *
+    * Scale shape: feature extraction is a per-row transform + one explode;
+    * the bucket LM is ONE hash aggregate collapsing to ≤ `buckets` rows
+    * (broadcast back onto the exploded features); per-doc weights are one
+    * more hash aggregate. Selection takes the k-th composite key via a
+    * distributed top-k (TakeOrderedAndProject + 1-row aggregate, broadcast)
+    * — there is no global window anywhere, so nothing is single-partition
+    * at 100 TB. Returns (idCol, n_feats, logw, g, selected). */
+  def dsirResample(df: DataFrame, idCol: String, textCol: String,
+                   isTarget: Column, buckets: Int, k: Int): DataFrame = {
+    require(buckets > 0 && k > 0, s"buckets=$buckets k=$k must be positive")
+    val docs = df.select(col(idCol), hashedFeatures(col(textCol), buckets).as("__fs"),
+      isTarget.as("__t"))
+    val feats = docs.select(col(idCol), col("__t"), explode(col("__fs")).as("__b"))
+    // bucket LM: one combined aggregate for target and raw counts; the
+    // totals ride along as a broadcast 1-row aggregate, never a collect
+    val lm = feats.groupBy(col("__b")).agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
+      count(lit(1)).as("__cr"))
+    val tot = lm.agg(sum(col("__ct")).cast("double").as("__T"),
+      sum(col("__cr")).cast("double").as("__R"))
+    val perDoc = feats.join(broadcast(lm), "__b")
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_feats"),
+        sum(log(col("__ct") + 1d) - log(col("__cr") + 1d)).as("__s"))
+    val scored = docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        CypherFunctions.roundC(
+          coalesce(col("__s"), lit(0d)) +
+            coalesce(col("n_feats"), lit(0L)) *
+              (log(col("__R") + buckets) - log(col("__T") + buckets)), 4).as("logw"))
+      .withColumn("__u",
+        (pmod(pmod(col(idCol), lit(1000000007L)) * lit(2654435761L),
+          lit(1000000L)).cast("double") + 0.5d) / 1000000d)
+      .withColumn("g", CypherFunctions.roundC(
+        col("logw") - log(-log(col("__u"))), 4))
+      .withColumn("__key", struct((-col("g")).as("ng"), col(idCol).as("i")))
+    // exact k-th composite key, distributed: sort-limit-k is planned as
+    // TakeOrderedAndProject; the 1-row max broadcasts as the threshold
+    val kth = scored.select(col("__key")).orderBy(col("__key")).limit(k)
+      .agg(max(col("__key")).as("__kth"))
+    scored.crossJoin(broadcast(kth))
+      .select(col(idCol), col("n_feats"), col("logw"), col("g"),
+        (col("__key") <= col("__kth")).as("selected"))
+  }
+
+  // ---- harmonic bin packing (no-split token budgets) ------------------------
+
+  /** Harmonic bin packing of whole documents into fixed token budgets
+    * (Lee & Lee 1985): a doc with n tokens lands in fit-class
+    * f = floor(capacity / n) (how many such docs fit one bin; oversize docs
+    * get f = 1 and their own truncated bin), docs are ranked inside
+    * (shard, class) by descending size, and bins take f consecutive ranks.
+    * Every bin's token total is ≤ f · (capacity / f) ≤ capacity by
+    * construction, and harmonic packing's waste is provably bounded
+    * (≤ 1.691× optimal) — unlike [[packSequences]], which concatenates and
+    * SPLITS documents across chunk boundaries, this packs each document
+    * whole, the shape needed for SFT examples that cannot straddle windows.
+    *
+    * Scale shape: one scan computes (n_tokens, class); the only ordering is
+    * a window PARTITIONED BY (shard, class) — parallelism is shards ×
+    * classes, strictly finer than [[packSequences]]'s per-shard windows,
+    * and no state crosses partitions. Returns
+    * (idCol, shardCol, n_tokens, fit, bin, pos). */
+  def packHarmonic(df: DataFrame, idCol: String, textCol: String,
+                   shardCol: String, capacity: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val base = df.select(col(idCol), col(shardCol),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("fit",
+        when(col("n_tokens") >= capacity || col("n_tokens") <= 0, lit(1L))
+          .otherwise(floor(lit(capacity.toLong) / col("n_tokens"))))
+    val w = Window.partitionBy(col(shardCol), col("fit"))
+      .orderBy(col("n_tokens").desc, col(idCol))
+    base
+      .withColumn("__rk", row_number().over(w) - 1)
+      .withColumn("bin", floor(col("__rk") / col("fit")))
+      .withColumn("pos", (col("__rk") % col("fit")).cast("int"))
+      .drop("__rk")
+  }
 }
