@@ -49,7 +49,9 @@ object Plans {
       "q_substring_dedup" -> "exact substring dedup: k-token windows are a transform+posexplode PROJECTION per doc (no join builds them); corpus-repeated windows are ONE hash aggregate on the window key; span coverage is a distinct-count aggregate after the window-key join - shuffle volume is the window count, never all-pairs",
       "q_embedding_centroid" -> "group-wise renormalized centroids: posexplode then a (group, dim) hash aggregate whose partial_avg runs map-side, so the exchange carries groups x dim cells, not vectors; the per-group norm joins back as a BroadcastHashJoin",
       "q_ppr" -> "personalized PageRank (distributed twin): the edge relation shuffles ONCE into a checkpointed leaf (LogicalRDD) consumed by every round; per round the only exchanges are vertex-sized (rank join + contrib aggregate) and the dangling mass is a broadcast 1-row aggregate inside the plan - no driver-side value in the loop",
-      "q_adamic_adar" -> "seeded Adamic-Adar: the degree cap joins onto the SEEDED s1 side BEFORE the wedge join, so over-cap hubs never materialize fan-out rows; the seed filter is an isin pushed at the symmetrized-edge leaf and the final top-k is TakeOrderedAndProject")
+      "q_adamic_adar" -> "seeded Adamic-Adar: the degree cap joins onto the SEEDED s1 side BEFORE the wedge join, so over-cap hubs never materialize fan-out rows; the seed filter is an isin pushed at the symmetrized-edge leaf and the final top-k is TakeOrderedAndProject",
+      "q_dsir_resample" -> "DSIR importance resampling: hashed n-gram features are a per-row transform+explode; the bucket LM collapses to <=4096 rows in ONE hash aggregate and returns as a BroadcastHashJoin onto the feature stream; the Gumbel top-k threshold is TakeOrderedAndProject + a broadcast 1-row aggregate - no global window or sort anywhere",
+      "q_pack_harmonic" -> "harmonic no-split packing: one scan computes (n_tokens, fit-class); the only exchange feeds windows PARTITIONED BY (shard, class) - parallelism shards x classes, nothing global")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative catalog queries\n\n")

@@ -193,6 +193,21 @@ object Soak {
           "CREATE CONSTRAINT ON (n:P) ASSERT n.name IS UNIQUE", g)
         graft.cypher.QueryEngine.execute("SHOW CONSTRAINTS", g2).count()
       },
+      // DSIR: the bucket LM stays ≤4096 rows at ANY corpus size (broadcast),
+      // per-doc scoring is one scan + two hash aggregates, top-k constant —
+      // the ratio certifies the selection threshold never becomes a global
+      // sort. Target slice = 10% of docs by id arithmetic (the scaled
+      // fixture carries no source column).
+      "dsir_resample" -> { n => graft.text.TextAnalysis.dsirResample(
+        spark.read.parquet(docCache(n)), "doc_id", "text",
+        pmod(col("doc_id"), lit(20)) < 2, buckets = 4096, k = 100).count() },
+      // harmonic packing: windows partition by (shard, fit-class) — 20
+      // shards × ~6 classes at any N, so the only risk is one class
+      // absorbing the corpus; the ratio pins per-partition linearity
+      "pack_harmonic" -> { n => graft.text.TextAnalysis.packHarmonic(
+        spark.read.parquet(docCache(n))
+          .withColumn("shard", pmod(col("doc_id"), lit(20))),
+        "doc_id", "text", "shard", 128).count() },
       // corpus-sized (bits, tables): fixed 8-bit sizing was quadratic in
       // candidate volume (the r10 full-catalog soak's worst row); auto
       // sizing holds bucket sizes O(1) → classic sub-quadratic LSH work

@@ -227,6 +227,23 @@ object Dedup {
       .withColumn("canonical", col(idCol) === col("cluster"))
   }
 
+  /** Leakage-free train/val split: hash the near-dup CLUSTER id, not the
+    * document id, so every member of a near-duplicate cluster lands in the
+    * same split — the classic eval-contamination failure mode (a val doc's
+    * near-dup in train) is impossible by construction. Uses the same
+    * deterministic multiplicative-hash keep-rule as
+    * [[graft.text.TextAnalysis.sampleKeep]] (no RNG, oracle-rederivable).
+    * Scale: clustering cost is [[nearDupClusters]]; the split itself is a
+    * codegen'd projection. Returns (idCol, cluster, split). */
+  def leakageFreeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       trainPct: Int): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, s"trainPct in (0,100), got $trainPct")
+    nearDupClusters(docs, idCol, pairs)
+      .select(col(idCol), col("cluster"),
+        when(graft.text.TextAnalysis.sampleKeep(col("cluster"), lit(trainPct)),
+          lit("train")).otherwise(lit("val")).as("split"))
+  }
+
   /** Embedding cosine near-duplicate pairs above `threshold`.
     *
     * `lshBits = 0` → exact all-pairs (the oracle path; O(n²), small corpora

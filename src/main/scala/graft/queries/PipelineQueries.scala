@@ -363,6 +363,31 @@ object PipelineQueries {
         col("source").isin("src0", "src1"), 4096, 100)
         .orderBy(col("doc_id"))),
 
+    // dedup: leakage-free train/val split — the split key is the near-dup
+    // CLUSTER hash, so a val doc's near-duplicate can never sit in train;
+    // clustering reuses the materialized jaccard pair MV
+    "q_leakage_split" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.leakageFreeSplit(docs, "doc_id", jaccardPairsShared(s, d), 90)
+        .orderBy(col("doc_id"))
+    }),
+
+    // text: CCNet head/middle/tail buckets — per-language perplexity
+    // terciles as ONE percentile aggregate broadcast back (deliberately
+    // not an ntile window: that would sort each language inside a single
+    // partition at 100 TB)
+    "q_ppl_buckets" -> ((s, d) =>
+      TextAnalysis.perplexityBuckets(t(s, d, "documents"), "doc_id", "text", "lang")
+        .orderBy(col("doc_id"))),
+
+    // text: token-budget mixture allocation — temperature shares over
+    // TOKEN mass (not doc counts), epochs >1 flags strata the budget
+    // makes repeat; two hash aggregates + a broadcast total
+    "q_mix_token_budget" -> ((s, d) =>
+      TextAnalysis.mixTokenBudget(t(s, d, "documents"), "doc_id", "text",
+        "source", 0.5, 100000L)
+        .orderBy(col("source"))),
+
     // text: deterministic stratified sampling — language rebalancing with an
     // arithmetic multiplicative hash (no RNG, reproducible): the
     // overrepresented 'en' keeps 30%, 'zh' 60%, the rest 100%
@@ -1128,6 +1153,35 @@ object PipelineQueries {
         |  round(logw - ln(-ln((((doc_id % 1000000007) * 2654435761) % 1000000 + 0.5) / 1000000.0)), 4) AS g FROM sc)
         |SELECT doc_id, n_feats, logw, g, row_number() OVER (ORDER BY g DESC, doc_id) <= 100 AS selected
         |FROM gg ORDER BY doc_id""".stripMargin,
+    "q_leakage_split" ->
+      """WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[g:g+4], ' ') AS s FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS g FROM words)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT i, j FROM inter JOIN sz x ON i = x.doc_id JOIN sz y ON j = y.doc_id WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.5),
+        |e AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE e.b <> r.a),
+        |comp AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id)
+        |SELECT doc_id, cluster, CASE WHEN (cluster * 2654435761) % 100 < 90 THEN 'train' ELSE 'val' END AS split FROM comp ORDER BY doc_id""".stripMargin,
+    "q_ppl_buckets" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, toks[g] AS w1, toks[g+1] AS w2 FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS g FROM w)),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |cc AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+        |s AS (SELECT doc_id, -avg(log2(c12 * 1.0 / c1)) AS x FROM b JOIN bc USING (w1, w2) JOIN cc USING (w1) GROUP BY 1),
+        |p AS (SELECT doc_id, round(pow(2.0, x), 4) AS ppl FROM s),
+        |j AS (SELECT d.doc_id, d.lang, p.ppl FROM documents d LEFT JOIN p USING (doc_id)),
+        |t AS (SELECT lang, round(quantile_cont(ppl, 1.0/3), 4) AS t1, round(quantile_cont(ppl, 2.0/3), 4) AS t2 FROM j WHERE ppl IS NOT NULL GROUP BY 1)
+        |SELECT j.doc_id, j.lang, j.ppl, CASE WHEN j.ppl IS NULL THEN 'tail' WHEN j.ppl <= t.t1 THEN 'head' WHEN j.ppl <= t.t2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM j LEFT JOIN t USING (lang) ORDER BY j.doc_id""".stripMargin,
+    "q_mix_token_budget" ->
+      """WITH tok AS (SELECT source, count(*) AS n_docs, sum(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END) AS n_tokens FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(pow(n_tokens, 0.5)) AS w FROM tok)
+        |SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | round(pow(n_tokens, 0.5) / tot.w, 4) AS temp_share,
+        | round(100000.0 * pow(n_tokens, 0.5) / tot.w, 4) AS alloc_tokens,
+        | round(100000.0 * pow(n_tokens, 0.5) / tot.w / n_tokens, 4) AS epochs
+        |FROM tok CROSS JOIN tot ORDER BY source""".stripMargin,
     "q_stratified_sample" ->
       """SELECT lang, count(*) AS n_total,
         | CAST(sum(CASE WHEN (doc_id * 2654435761) % 100 < (CASE WHEN lang = 'en' THEN 30 WHEN lang = 'zh' THEN 60 ELSE 100 END) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept

@@ -526,6 +526,66 @@ object TextAnalysis {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  // ---- CCNet perplexity buckets --------------------------------------------
+
+  /** CCNet-style head/middle/tail quality buckets: per-language perplexity
+    * terciles of the corpus bigram LM ([[bigramLmScore]]); lower perplexity
+    * = head. The tercile boundaries are ONE percentile aggregate per
+    * language (groups × 2 cells) broadcast back onto the scored stream —
+    * deliberately NOT an ntile window, which would sort each language's
+    * whole corpus inside one partition at 100 TB. Thresholds round to 4
+    * decimals so the boundary comparison is engine-portable. Docs with no
+    * bigrams carry no LM score and bucket as 'tail'. Returns
+    * (idCol, langCol, ppl, bucket). */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        langCol: String): DataFrame = {
+    val r = CypherFunctions.roundC(_: Column, 4)
+    val scored = df.select(col(idCol), col(langCol))
+      .join(bigramLmScore(df, idCol, textCol).select(col(idCol), col("ppl")),
+        Seq(idCol), "left")
+    val thr = scored.filter(col("ppl").isNotNull)
+      .groupBy(col(langCol)).agg(
+        r(percentile(col("ppl"), lit(1.0 / 3))).as("__t1"),
+        r(percentile(col("ppl"), lit(2.0 / 3))).as("__t2"))
+    scored.join(broadcast(thr), Seq(langCol), "left")
+      .select(col(idCol), col(langCol), col("ppl"),
+        when(col("ppl").isNull, lit("tail"))
+          .when(col("ppl") <= col("__t1"), lit("head"))
+          .when(col("ppl") <= col("__t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  // ---- token-budget mixture allocation --------------------------------------
+
+  /** Allocate a global training-token budget across strata by temperature
+    * weighting on TOKEN counts (the budget is tokens, so shares weight
+    * token mass, not doc counts — a stratum of few huge docs competes
+    * honestly with many small ones). Per stratum:
+    * share = tokens^alpha / Σ tokens^alpha, alloc = floor(budget · share),
+    * epochs = alloc / tokens (>1 ⇒ the stratum repeats). Two hash
+    * aggregates + a broadcast 1-row total; nothing is driver-side.
+    * Returns (stratumCol, n_docs, n_tokens, temp_share, alloc_tokens,
+    * epochs). */
+  def mixTokenBudget(df: DataFrame, idCol: String, textCol: String,
+                     stratumCol: String, alpha: Double, budget: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val r = CypherFunctions.roundC(_: Column, 4)
+    val stats = df.groupBy(col(stratumCol)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(tokenCount(col(textCol))).cast("long").as("n_tokens"))
+    val tot = stats.agg(sum(pow(col("n_tokens"), alpha)).as("__w"))
+    stats.crossJoin(broadcast(tot))
+      .select(col(stratumCol), col("n_docs"), col("n_tokens"),
+        r(pow(col("n_tokens"), alpha) / col("__w")).as("temp_share"),
+        // rounded double, not floor: floor would turn a 1-ulp cross-engine
+        // difference at an integer boundary into an off-by-one token count
+        r(lit(budget.toDouble) * pow(col("n_tokens"), alpha) / col("__w"))
+          .as("alloc_tokens"),
+        r(lit(budget.toDouble) * pow(col("n_tokens"), alpha) / col("__w")
+          / col("n_tokens")).as("epochs"))
+  }
+
   // ---- DSIR: data selection via importance resampling ----------------------
 
   /** Engine-portable feature hash: polynomial fold over the character codes

@@ -1,0 +1,71 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Leakage-free split, CCNet perplexity buckets, token-budget allocation. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    (3L, "completely different content about spark query engines and columnar execution"),
+    (4L, "the quick brown fox jumps over the lazy dog again and again today")
+  ).toDF("doc_id", "text")
+
+  test("leakage-free split: near-dup cluster members share one split") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val out = Dedup.leakageFreeSplit(docs, "doc_id", pairs, 90)
+      .select("doc_id", "cluster", "split")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // 1, 2, 4 are one near-dup cluster — identical split by construction
+    assert(out(1L)._2 == out(2L)._2 && out(1L)._2 == out(4L)._2)
+    assert(out(1L)._3 == out(2L)._3 && out(1L)._3 == out(4L)._3)
+    // the split value is the documented hash rule on the CLUSTER id
+    out.values.foreach { case (_, c, s) =>
+      val expect = if ((c * 2654435761L) % 100 < 90) "train" else "val"
+      assert(s == expect, s"cluster $c: got $s")
+    }
+  }
+
+  test("perplexity buckets: repeated text heads, singleton bigrams tail") {
+    val corpus = Seq(
+      // 6 docs of one repeated sentence -> every bigram is corpus-frequent
+      (1L, "alpha beta gamma delta", "en"), (2L, "alpha beta gamma delta", "en"),
+      (3L, "alpha beta gamma delta", "en"), (4L, "alpha beta gamma delta", "en"),
+      (5L, "alpha beta gamma delta epsilon", "en"),
+      (6L, "alpha beta gamma delta zeta", "en"),
+      // unique-vocabulary docs -> unit bigram probabilities differ
+      (7L, "unique seven words that appear nowhere else here", "en"),
+      (8L, "another entirely distinct set of rare tokens", "en"),
+      (9L, "solo", "en") // one token, no bigrams -> null ppl -> tail
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.perplexityBuckets(corpus, "doc_id", "text", "lang")
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(out(9L) == "tail", "no-bigram doc must bucket tail")
+    assert(out(1L) == "head", s"repeated doc bucketed ${out(1L)}")
+    assert(Set("head", "middle", "tail").subsetOf(out.values.toSet) ||
+      out.values.toSet.subsetOf(Set("head", "middle", "tail")))
+  }
+
+  test("token budget: shares sum to 1; sub-linear alpha boosts small strata") {
+    val corpus = Seq.tabulate(40)(i =>
+      (i.toLong, ("w " * (if (i < 4) 200 else 10)).trim,
+        if (i < 4) "big" else "small")).toDF("doc_id", "text", "src")
+    val out = TextAnalysis.mixTokenBudget(corpus, "doc_id", "text", "src", 0.5, 10000L)
+      .select("src", "n_tokens", "temp_share", "alloc_tokens", "epochs")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-3)
+    // big: 800 tokens, small: 360 — at alpha .5 the small stratum's share
+    // (.4014) must exceed its raw token share (.3103)
+    val rawSmall = out("small")._2.toDouble / (out("small")._2 + out("big")._2)
+    assert(out("small")._3 > rawSmall)
+    // epochs = alloc / tokens
+    out.values.foreach { case (_, n, _, alloc, ep) =>
+      assert(math.abs(ep - alloc / n) < 1e-3)
+    }
+  }
+}
