@@ -9,13 +9,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * this repo creates does). Currently injects:
   *
   *   graft_dot(arrayA, arrayB) -> double   (graft.functions.DotProduct)
+  *   graft_polyhash(str)       -> bigint   (graft.functions.PolyHash)
   *
   * Injection (vs a UDF) keeps the function inside whole-stage codegen and
   * visible to SQL, `call_function`, and EXPLAIN like any built-in.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.polyHashFunction)
+  }
 }
 
 object GraftExtensions {
@@ -26,5 +29,15 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, s"graft_dot takes 2 arguments, got ${args.length}")
         graft.functions.DotProduct(args.head, args(1))
+      })
+
+  val polyHashFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_polyhash"),
+      new ExpressionInfo(classOf[graft.functions.PolyHash].getName, "graft_polyhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_polyhash takes 1 argument, got ${args.length}")
+        graft.functions.PolyHash(args.head)
       })
 }

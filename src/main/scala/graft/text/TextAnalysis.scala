@@ -589,28 +589,25 @@ object TextAnalysis {
   // ---- DSIR: data selection via importance resampling ----------------------
 
   /** Engine-portable feature hash: polynomial fold over the character codes
-    * of an ASCII-normalized token, `h = fold(h * 131 + code) mod 1000003`.
-    * The fold starts at 0, so step one yields the first code — identical to
-    * DuckDB's `list_reduce` (which seeds with the first element). Tokens are
-    * lowercased and stripped to [a-z0-9] BEFORE hashing so both engines fold
-    * the same byte sequence regardless of how each indexes multi-byte
-    * characters (CCNet-style normalization; DSIR is collision-tolerant by
-    * construction, so the cheap hash costs nothing in selection quality). */
-  private val HashMod = 1000003L
+    * of an ASCII-normalized token, `h = fold(h * 131 + code) mod 1000003`,
+    * starting from 0 — step one yields the first code, identical to
+    * DuckDB's `list_reduce` (which seeds with the first element). Tokens
+    * are lowercased and stripped to [a-z0-9] BEFORE hashing so both
+    * engines fold the same byte sequence (CCNet-style normalization; DSIR
+    * is collision-tolerant by construction, so the cheap hash costs
+    * nothing in selection quality). Implemented by the native codegen'd
+    * [[graft.functions.PolyHash]] — the HOF formulation
+    * (`aggregate(transform(split(…)))`) is CodegenFallback and its
+    * per-CHARACTER interpreted lambdas dominated the whole DSIR operator. */
+  def featureHash(tok: Column): Column = call_function("graft_polyhash", tok)
 
-  // split(tok, "") carries Java split's limit=-1 trailing "" — drop it, or
-  // the fold gains a phantom (h*131+0) step DuckDB's char split doesn't have
-  def featureHash(tok: Column): Column =
-    aggregate(
-      transform(filter(split(tok, ""), c => length(c) > 0),
-        c => ascii(c).cast("long")),
-      lit(0L), (acc, x) => (acc * 131L + x) % HashMod)
-
-  /** Normalized unigram + bigram features of a text, hashed into `buckets`
-    * coarse counts — the hashed n-gram feature space of DSIR (Xie et al.
-    * 2023, "Data Selection for Language Models via Importance Resampling").
-    * Bigrams join with '_' so they share one hash function with unigrams. */
-  private def hashedFeatures(text: Column, buckets: Int): Column = {
+  /** Normalized unigram + bigram feature STRINGS of a text — the hashed
+    * n-gram feature space of DSIR (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"); hashing happens after
+    * explode so it runs as one codegen'd expression per feature, not
+    * inside a HOF lambda. Bigrams join with '_' so they share one hash
+    * function with unigrams. */
+  private def featureStrings(text: Column): Column = {
     val norm = filter(
       transform(tokens(text), t => regexp_replace(lower(t), "[^a-z0-9]", "")),
       t => length(t) > 0)
@@ -621,7 +618,7 @@ object TextAnalysis {
       zip_with(norm, slice(norm, lit(2), greatest(size(norm) - 1, lit(0))),
         (a, b) => concat(a, lit("_"), b)),
       f => f.isNotNull)
-    transform(concat(norm, bi), f => featureHash(f) % buckets)
+    concat(norm, bi)
   }
 
   /** DSIR importance resampling: score every document by how much more
@@ -648,9 +645,17 @@ object TextAnalysis {
   def dsirResample(df: DataFrame, idCol: String, textCol: String,
                    isTarget: Column, buckets: Int, k: Int): DataFrame = {
     require(buckets > 0 && k > 0, s"buckets=$buckets k=$k must be positive")
-    val docs = df.select(col(idCol), hashedFeatures(col(textCol), buckets).as("__fs"),
-      isTarget.as("__t"))
-    val feats = docs.select(col(idCol), col("__t"), explode(col("__fs")).as("__b"))
+    // materialize the hashed feature stream ONCE (executor-local blocks,
+    // never the driver): it feeds BOTH the bucket-LM and the per-doc
+    // aggregate — without the cut, each branch re-tokenizes the corpus AND
+    // re-plans/re-codegens the (large) HOF feature-expression tree, which
+    // dominated the operator at catalog scale. (id, flag, bucket) is 3
+    // numbers per feature — the natural DSIR intermediate at any scale.
+    val feats = df.select(col(idCol), isTarget.as("__t"),
+        explode(featureStrings(col(textCol))).as("__f"))
+      .select(col(idCol), col("__t"),
+        pmod(featureHash(col("__f")), lit(buckets.toLong)).as("__b"))
+      .localCheckpoint(true)
     // bucket LM: one combined aggregate for target and raw counts; the
     // totals ride along as a broadcast 1-row aggregate, never a collect
     val lm = feats.groupBy(col("__b")).agg(
@@ -662,7 +667,7 @@ object TextAnalysis {
       .groupBy(col(idCol)).agg(
         count(lit(1)).as("n_feats"),
         sum(log(col("__ct") + 1d) - log(col("__cr") + 1d)).as("__s"))
-    val scored = docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+    val scored = df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .crossJoin(broadcast(tot))
       .select(col(idCol),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
