@@ -80,6 +80,56 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental ingestion near-dup gate: for every document of an incoming
+    * `batch`, find its best n-gram-Jaccard match in the existing `corpus`
+    * (≥ `threshold`) — the "is this new crawl snapshot already in the
+    * corpus" check an ingestion pipeline runs BEFORE admitting documents,
+    * asymmetric by design: batch×corpus only, never corpus×corpus (the
+    * corpus was already deduped when it was admitted).
+    *
+    * Scale shape: inverted-index join on the shingle key (shuffle ∝
+    * shingle stream, never all-pairs), `maxDocFreq` stop-shingle cap on
+    * the CORPUS side bounding fan-out, best-match per batch doc as ONE
+    * hash aggregate over a composite min-key (no window). Returns every
+    * batch doc: (idCol, is_dup, match_id, jaccard) with nulls when no
+    * corpus doc clears the threshold. */
+  def incrementalNearDups(batch: DataFrame, corpus: DataFrame, idCol: String,
+                          textCol: String, k: Int, threshold: Double,
+                          maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val bs = docShingles(batch, idCol, textCol, k)
+    val cs0 = docShingles(corpus, idCol, textCol, k)
+    val cs =
+      if (maxDocFreq == Int.MaxValue) cs0
+      else {
+        val w = Window.partitionBy(col("s"))
+        cs0.withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") <= maxDocFreq).drop("df")
+      }
+    val bn = bs.groupBy(col("doc")).agg(count(lit(1)).as("nb"))
+    val cn = cs.groupBy(col("doc")).agg(count(lit(1)).as("nc"))
+    val inter = bs.as("b").join(cs.as("c"), col("b.s") === col("c.s"))
+      .groupBy(col("b.doc").as("i"), col("c.doc").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = inter
+      .join(bn.select(col("doc").as("i"), col("nb")), Seq("i"))
+      .join(cn.select(col("doc").as("j"), col("nc")), Seq("j"))
+      .select(col("i"), col("j"),
+        (col("inter").cast("double") / (col("nb") + col("nc") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    // best match = min composite key (−jaccard, corpus id): highest
+    // similarity, ties to the smallest id — one aggregate, no window
+    val best = jac
+      .groupBy(col("i"))
+      .agg(min(struct((-col("jaccard")).as("nj"), col("j").as("m"))).as("__k"))
+      .select(col("i"), col("__k.m").as("match_id"),
+        (-col("__k.nj")).as("jaccard"))
+    batch.select(col(idCol))
+      .join(best.withColumnRenamed("i", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("match_id").isNotNull.as("is_dup"),
+        col("match_id"), col("jaccard"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing word k-gram
     * shingles with a (small) probe/eval set — the train-test contamination
     * check every training-data pipeline runs before a corpus ships.

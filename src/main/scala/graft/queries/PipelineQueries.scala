@@ -363,6 +363,18 @@ object PipelineQueries {
         col("source").isin("src0", "src1"), 4096, 100)
         .orderBy(col("doc_id"))),
 
+    // dedup: incremental ingestion gate — incoming batch (doc_id%10==0)
+    // probed against the existing corpus only (batch×corpus, never
+    // corpus×corpus); inverted-index join + one best-match aggregate
+    "q_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.incrementalNearDups(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", 5, 0.5, maxDocFreq = 10000)
+        .orderBy(col("doc_id"))
+    }),
+
     // dedup: leakage-free train/val split — the split key is the near-dup
     // CLUSTER hash, so a val doc's near-duplicate can never sit in train;
     // clustering reuses the materialized jaccard pair MV
@@ -1153,6 +1165,20 @@ object PipelineQueries {
         |  round(logw - ln(-ln((((doc_id % 1000000007) * 2654435761) % 1000000 + 0.5) / 1000000.0)), 4) AS g FROM sc)
         |SELECT doc_id, n_feats, logw, g, row_number() OVER (ORDER BY g DESC, doc_id) <= 100 AS selected
         |FROM gg ORDER BY doc_id""".stripMargin,
+    "q_incremental_dedup" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[g:g+4], ' ') AS s FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS g FROM words)),
+        |bs AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+        |cs AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+        |bn AS (SELECT doc_id, count(*) AS n FROM bs GROUP BY 1),
+        |cn AS (SELECT doc_id, count(*) AS n FROM cs GROUP BY 1),
+        |inter AS (SELECT b.doc_id AS i, c.doc_id AS j, count(*) AS inter FROM bs b JOIN cs c ON b.s = c.s GROUP BY 1, 2),
+        |jac AS (SELECT i, j, inter * 1.0 / (x.n + y.n - inter) AS jaccard FROM inter JOIN bn x ON i = x.doc_id JOIN cn y ON j = y.doc_id WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.5),
+        |best AS (SELECT i, j, jaccard, row_number() OVER (PARTITION BY i ORDER BY jaccard DESC, j) AS rk FROM jac)
+        |SELECT d.doc_id, b.j IS NOT NULL AS is_dup, b.j AS match_id, b.jaccard
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.i = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_leakage_split" ->
       """WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(w[g:g+4], ' ') AS s FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS g FROM words)),

@@ -30,6 +30,23 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: batch probes corpus only, best match wins") {
+    // corpus: 1, 2 (near-dups of each other), 3; batch: 10 (dup of 1/2), 11 (novel)
+    val corpus = docs.filter(col("doc_id") =!= 4L)
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (11L, "totally novel content that matches nothing in the existing corpus")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDups(batch, corpus, "doc_id", "text", 3, 0.5)
+      .select("doc_id", "is_dup", "match_id")
+      .as[(Long, Boolean, Option[Long])].collect().map(r => r._1 -> r).toMap
+    assert(out(10L)._2 && out(10L)._3.contains(1L),
+      s"doc 10 should match corpus doc 1 (exact dup, ties to min id): ${out(10L)}")
+    assert(!out(11L)._2 && out(11L)._3.isEmpty)
+    // corpus-internal near-dup pair (1,2) must NOT appear — output is batch rows only
+    assert(out.keySet == Set(10L, 11L))
+  }
+
   test("perplexity buckets: repeated text heads, singleton bigrams tail") {
     val corpus = Seq(
       // 6 docs of one repeated sentence -> every bigram is corpus-frequent
