@@ -57,6 +57,17 @@ object PipelineQueries {
         .select(col("vec_id"), CypherFunctions.roundC(col("score"), 4).as("score"))
     }),
 
+    // similarity: hard-negative mining — per anchor, the top-k most-similar
+    // vectors BELOW the positive threshold (>= 0.98 presumed dup/positive);
+    // bounded anchor set, one TakeOrdered scan per anchor, rank window
+    // over k rows only
+    "q_hard_negatives" -> ((s, d) =>
+      VectorSearch.hardNegatives(t(s, d, "embeddings"), "vec_id", "embedding",
+        Seq(0L, 1L, 2L), 5, 0.98)
+        .select(col("anchor_id"), col("neg_id"),
+          CypherFunctions.roundC(col("score"), 4).as("score"), col("rank"))
+        .orderBy(col("anchor_id"), col("rank"))),
+
     // §2.9 filtered kNN — metadata predicate + exact top-k, the vector-DB
     // "filtered search" shape: the filter prunes BEFORE the distance pass,
     // so selective predicates cut the scan, not just the ranking
@@ -1165,6 +1176,13 @@ object PipelineQueries {
         |  round(logw - ln(-ln((((doc_id % 1000000007) * 2654435761) % 1000000 + 0.5) / 1000000.0)), 4) AS g FROM sc)
         |SELECT doc_id, n_feats, logw, g, row_number() OVER (ORDER BY g DESC, doc_id) <= 100 AS selected
         |FROM gg ORDER BY doc_id""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH a AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS av FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |s AS (SELECT a.anchor_id, e.vec_id AS neg_id, list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av) AS raw
+        | FROM embeddings e JOIN a ON e.vec_id <> a.anchor_id
+        | WHERE list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av) < 0.98),
+        |r AS (SELECT anchor_id, neg_id, round(raw, 4) AS score, CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY raw DESC, neg_id) AS INTEGER) AS rank FROM s)
+        |SELECT anchor_id, neg_id, score, rank FROM r WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
     "q_incremental_dedup" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(w[g:g+4], ' ') AS s FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS g FROM words)),

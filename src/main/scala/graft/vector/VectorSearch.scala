@@ -124,6 +124,42 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Hard-negative mining for retrieval/embedding training: for each anchor
+    * vector, the top-`k` most-similar corpus vectors BELOW `posThreshold`
+    * cosine — the classic "hard but not positive" band (≥ threshold is
+    * presumed a duplicate/positive and excluded, as is the anchor itself).
+    *
+    * Scale shape: the anchor set is k-bounded (training pipelines mine per
+    * anchor batch), so anchors collect like query vectors (bounded rows —
+    * the established seed pattern); each anchor is one corpus scan with
+    * the native `graft_dot` cosine and a distributed TakeOrdered top-k; the
+    * per-anchor rank window runs over the k-row result, never the corpus.
+    * Returns (anchor_id, neg_id, score(raw), rank) for rank 1..k. */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+                    anchorIds: Seq[Long], k: Int,
+                    posThreshold: Double): DataFrame = {
+    require(anchorIds.nonEmpty && k > 0, "anchorIds nonempty, k positive")
+    val spark = emb.sparkSession
+    val dim = detectDim(emb, vecCol)
+    val anchors = emb.filter(col(idCol).isin(anchorIds: _*))
+      .select(col(idCol), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    anchors.toSeq.sortBy(_._1).map { case (aid, av) =>
+      val q = typedlit(av)
+      emb.filter(col(idCol) =!= aid)
+        .select(col(idCol).as("neg_id"),
+          cosineBest(spark, col(vecCol), q, dim).as("score"))
+        .filter(col("score") < posThreshold)
+        .orderBy(col("score").desc, col("neg_id")).limit(k)
+        .withColumn("anchor_id", lit(aid))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("anchor_id"))
+            .orderBy(col("score").desc, col("neg_id"))))
+        .select(col("anchor_id"), col("neg_id"), col("score"), col("rank"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Per-dimension [min, max] of the embedding corpus in ONE aggregate pass
     * (2·dim agg columns — partial/final planned by Catalyst, no shuffle
     * beyond the single-row combine). */

@@ -67,6 +67,23 @@ class PipelineOpsSpec extends SparkSpec {
       out.values.toSet.subsetOf(Set("head", "middle", "tail")))
   }
 
+  test("hard negatives: self and presumed positives excluded, rank by cosine") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.999f, 0.04f, 0.0f)), // cos ~0.999 >= 0.98 -> presumed positive
+      (2L, Seq(0.9f, 0.43f, 0.0f)),   // cos ~0.902 -> hardest negative
+      (3L, Seq(0.0f, 1.0f, 0.0f)),    // cos 0 -> easy
+      (4L, Seq(0.7f, 0.71f, 0.0f))    // cos ~0.702 -> second
+    ).toDF("vec_id", "embedding")
+    val out = graft.vector.VectorSearch
+      .hardNegatives(emb, "vec_id", "embedding", Seq(0L), 2, 0.98)
+      .select("anchor_id", "neg_id", "rank").as[(Long, Long, Int)].collect()
+    assert(out.forall(_._1 == 0L))
+    assert(!out.exists(r => r._2 == 0L || r._2 == 1L),
+      "anchor itself and the >=0.98 near-positive must be excluded")
+    assert(out.sortBy(_._3).map(_._2).toSeq == Seq(2L, 4L))
+  }
+
   test("token budget: shares sum to 1; sub-linear alpha boosts small strata") {
     val corpus = Seq.tabulate(40)(i =>
       (i.toLong, ("w " * (if (i < 4) 200 else 10)).trim,
