@@ -64,6 +64,8 @@ object ClusterVerify {
     // data-pipeline ops
     "q_asof_join", "q_funnel", "q_retention", "q_stratified_sample",
     "q_seq_pack", "q_pack_harmonic", "q_dsir_resample",
+    "q_leakage_split", "q_ppl_buckets", "q_mix_token_budget",
+    "q_incremental_dedup", "q_hard_negatives",
     "q_sketch_distinct", "q_epoch_shuffle",
     "q_temperature_mix",
     // multimodal (executor-side binary decode)
@@ -91,7 +93,8 @@ object ClusterVerify {
     "q_pagerank", "q_ppr", "q_adamic_adar", "q_cdlp", "q_triangle_count",
     "q_knn_exact", "q_knn_approx",
     "q_minhash_lsh", "q_substring_dedup", "q_embedding_centroid",
-    "q_dsir_resample", "q_pack_harmonic",
+    "q_dsir_resample", "q_pack_harmonic", "q_incremental_dedup",
+    "q_hard_negatives",
     "q_asof_join", "q_multimodal_decode",
     "q_sparql_bgp", "q_streaming_window",
     "q_ldbc_is3", "q_ldbc_ic13", "q_ldbc_upd", "q_finbench_w")
