@@ -208,6 +208,16 @@ object Soak {
         spark.read.parquet(docCache(n))
           .withColumn("shard", pmod(col("doc_id"), lit(20))),
         "doc_id", "text", "shard", 128).count() },
+      // incremental ingestion gate: batch = every 10th doc, corpus = the
+      // rest; the shingle join is inverted-index (shuffle ∝ shingles), so
+      // 40× corpus+batch must scale near-linearly — a quadratic candidate
+      // blowup or a corpus-wide window would show here
+      "incremental_dedup" -> { n =>
+        val docs = spark.read.parquet(docCache(n))
+        graft.dedup.Dedup.incrementalNearDups(
+          docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+          "doc_id", "text", 5, 0.5, maxDocFreq = 10000).count() },
       // corpus-sized (bits, tables): fixed 8-bit sizing was quadratic in
       // candidate volume (the r10 full-catalog soak's worst row); auto
       // sizing holds bucket sizes O(1) → classic sub-quadratic LSH work
