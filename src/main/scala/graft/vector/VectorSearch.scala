@@ -144,6 +144,11 @@ object VectorSearch {
     val anchors = emb.filter(col(idCol).isin(anchorIds: _*))
       .select(col(idCol), col(vecCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // a silent empty result would read as "no negatives found" — a missing
+    // anchor id is caller error, fail loudly
+    require(anchors.length == anchorIds.distinct.length,
+      s"anchor ids not found in corpus: " +
+        s"${anchorIds.distinct.toSet -- anchors.map(_._1).toSet}")
     anchors.toSeq.sortBy(_._1).map { case (aid, av) =>
       val q = typedlit(av)
       emb.filter(col(idCol) =!= aid)
