@@ -533,8 +533,12 @@ object TextAnalysis {
     * = head. The tercile boundaries are ONE percentile aggregate per
     * language (groups × 2 cells) broadcast back onto the scored stream —
     * deliberately NOT an ntile window, which would sort each language's
-    * whole corpus inside one partition at 100 TB. Thresholds round to 4
-    * decimals so the boundary comparison is engine-portable. Docs with no
+    * whole corpus inside one partition at 100 TB. (Exact `percentile`
+    * buffers a distinct-value→count map per language; ppl is rounded to 4
+    * decimals first, which bounds that map — at extreme per-language
+    * cardinality swap in `percentile_approx`, trading the oracle's
+    * exactness for fixed memory.) Thresholds round to 4 decimals so the
+    * boundary comparison is engine-portable. Docs with no
     * bigrams carry no LM score and bucket as 'tail'. Returns
     * (idCol, langCol, ppl, bucket). */
   def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
