@@ -431,6 +431,52 @@ object Algorithms {
     dist
   }
 
+  /** Truncated harmonic centrality for a bounded seed set: per seed,
+    * Σ 1/d(seed, v) over every node reachable within `radius` hops
+    * (directed; the seed itself excluded) — the standard local/truncated
+    * approximation of harmonic centrality, exact within the radius.
+    *
+    * Scale shape: ONE multi-source BFS whose frontier is keyed by
+    * (seed, node) — all seeds advance in the same per-round join against
+    * the checkpointed edge leaf (|seeds| is bounded, so the frontier is at
+    * most |seeds|× the single-source one; no per-seed job fan-out), and
+    * the final score is one hash aggregate. Seeds with nothing reachable
+    * still return a row (0, 0.0). Returns (seed, n_reached, harmonic). */
+  def harmonicCentrality(edges: DataFrame, seeds: Seq[Long],
+                         radius: Int): DataFrame = {
+    require(seeds.nonEmpty && radius > 0, "seeds nonempty, radius positive")
+    val ss = edges.sparkSession
+    val e = edges.select(col("src").as("_esrc"), col("dst").as("_edst"))
+      .localCheckpoint(true)
+    val seedDf = ss.createDataset(seeds.distinct)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("s")
+    var dist = seedDf.select(col("s"), col("s").as("id"), lit(0).as("dist"))
+    var frontier = dist.select(col("s"), col("id"))
+    var it = 0
+    var more = true
+    while (more && it < radius) {
+      val next = frontier.join(e, col("id") === col("_esrc"))
+        .select(col("s"), col("_edst").as("id")).distinct()
+        .join(dist.select(col("s").as("s2"), col("id").as("vid")),
+          col("s") === col("s2") && col("id") === col("vid"), "left_anti")
+        .localCheckpoint(true)
+      more = next.count() > 0
+      it += 1
+      if (more) {
+        dist = dist.unionAll(next.select(col("s"), col("id"), lit(it).as("dist")))
+        frontier = next
+      }
+    }
+    val agg = dist.filter(col("dist") > 0)
+      .groupBy(col("s").as("seed"))
+      .agg(count(lit(1)).as("__n"),
+        sum(lit(1.0) / col("dist")).as("__h"))
+    seedDf.select(col("s").as("seed")).join(agg, Seq("seed"), "left")
+      .select(col("seed"), coalesce(col("__n"), lit(0L)).as("n_reached"),
+        graft.functions.CypherFunctions.roundC(
+          coalesce(col("__h"), lit(0.0)), 4).as("harmonic"))
+  }
+
   /** Weighted SSSP by distributed Bellman-Ford relaxation (reference
     * Dijkstra `pathfinding.rs:91` — Dijkstra's priority queue is inherently
     * sequential; Bellman-Ford is the scalable equivalent with identical

@@ -183,6 +183,16 @@ object GraphQueries {
         1L, 4).orderBy(col("id"))
     }),
 
+    // beyond-parity: truncated harmonic centrality — one multi-source BFS
+    // keyed by (seed, node) against the checkpointed edge leaf; exact
+    // within the radius, one hash aggregate for the score
+    "q_harmonic_centrality" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      Algorithms.harmonicCentrality(
+        g.edgesOfType("PLACED", "CONTAINS", "HAS_PART", "SUPPLIED_BY"),
+        Seq(1L, 2L, 3L), 3).orderBy(col("seed"))
+    }),
+
     // §2.10 algo.weightedPath (SSSP) from order node 0
     "q_sssp" -> ((s, d) => {
       val g = GraphLoader.tpch(s, d)
@@ -915,6 +925,21 @@ object GraphQueries {
         | UNION ALL SELECT DISTINCT CAST(1000000000 + l_partkey AS BIGINT), 3 FROM l1
         | UNION ALL SELECT DISTINCT CAST(1100000000 + l_suppkey AS BIGINT), 3 FROM l1
         |) ORDER BY id""".stripMargin,
+    "q_harmonic_centrality" ->
+      // radius 3 from a customer gives id-disjoint levels (orders at 1,
+      // lineitems at 2, parts/suppliers at 3 — no shortcut can reach a
+      // later level earlier in this directed projection), so the truncated
+      // harmonic sum is n1/1 + n2/2 + n3/3 over the DISTINCT node sets
+      """WITH seeds(s) AS (VALUES (1), (2), (3)),
+        |o AS (SELECT s, o_orderkey FROM orders JOIN seeds ON o_custkey = s),
+        |l AS (SELECT DISTINCT s, 100000000 + l_orderkey * 8 + l_linenumber AS lid, l_partkey, l_suppkey FROM lineitem JOIN o ON l_orderkey = o_orderkey),
+        |lv1 AS (SELECT s, count(DISTINCT o_orderkey) AS n FROM o GROUP BY 1),
+        |lv2 AS (SELECT s, count(DISTINCT lid) AS n FROM l GROUP BY 1),
+        |lv3 AS (SELECT s, count(*) AS n FROM (SELECT DISTINCT s, 1000000000 + l_partkey AS nid FROM l UNION SELECT DISTINCT s, 1100000000 + l_suppkey FROM l) GROUP BY 1)
+        |SELECT CAST(s AS BIGINT) AS seed,
+        | CAST(coalesce(lv1.n, 0) + coalesce(lv2.n, 0) + coalesce(lv3.n, 0) AS BIGINT) AS n_reached,
+        | round(coalesce(lv1.n, 0) / 1.0 + coalesce(lv2.n, 0) / 2.0 + coalesce(lv3.n, 0) / 3.0, 4) AS harmonic
+        |FROM seeds LEFT JOIN lv1 USING (s) LEFT JOIN lv2 USING (s) LEFT JOIN lv3 USING (s) ORDER BY seed""".stripMargin,
     "q_sssp" ->
       // lineitem node ids can collide ((l_orderkey, l_linenumber) not unique):
       // dist(lineitem node) = min incoming CONTAINS weight; dist(part) = min

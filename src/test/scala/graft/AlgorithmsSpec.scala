@@ -16,6 +16,22 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("harmonicCentrality: truncated 1/d sums, min-distance dedup, empty seeds") {
+    // chain 1 -> 2 -> 3 -> 4 with shortcut 1 -> 3: from 1, dist(2)=1,
+    // dist(3)=1 (shortcut beats the 2-hop path), dist(4)=2; 9 is isolated
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("src", "dst")
+    val got = Algorithms.harmonicCentrality(e, Seq(1L, 9L), 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // seed 1: dist(2)=1, dist(3)=1 (shortcut wins over 2-hop), dist(4)=2
+    assert(got(1L)._2 == 3L && math.abs(got(1L)._3 - (1.0 + 1.0 + 0.5)) < 1e-9)
+    // isolated seed still gets a row of zeros
+    assert(got(9L)._2 == 0L && got(9L)._3 == 0.0)
+    // radius truncation: radius 1 sees only the two direct successors
+    val r1 = Algorithms.harmonicCentrality(e, Seq(1L), 1)
+      .as[(Long, Long, Double)].collect().head
+    assert(r1._2 == 2L && math.abs(r1._3 - 2.0) < 1e-9)
+  }
+
   test("personalizedPageRank matches a naive fixed-point oracle (1e-9)") {
     // digraph WITH a dangling node (5): the catalog's undirected graph has
     // none, so the seed-redirected dangling-mass path is only covered here
