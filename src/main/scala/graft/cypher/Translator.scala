@@ -516,6 +516,18 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         Algorithms.bfs(typedEdges, longArg(0), numArg(1, 30).toInt)
       case "algo.sssp" | "algo.weightedpath" =>
         Algorithms.sssp(typedEdges, longArg(0), numArg(1, 30).toInt)
+      case "algo.harmoniccentrality" =>
+        // seeds as a list literal ([1,2,3]) or a single numeric; radius is
+        // the first (list form) or second (single-seed form) numeric arg
+        val seedList = argvAll.collectFirst {
+          case l: Seq[_] => l.collect { case n: Number => n.longValue() }
+        }
+        val (seeds, radiusIdx) = seedList match {
+          case Some(l) if l.nonEmpty => (l, 0)
+          case _ => (Seq(longArg(0)), 1)
+        }
+        Algorithms.harmonicCentrality(typedEdges, seeds,
+          confNum(Seq("radius", "maxDepth"), numArg(radiusIdx, 3)).toInt)
       case "algo.trianglecount" => Algorithms.triangleCount(und)
       case "algo.lcc" => Algorithms.lcc(und)
       case "algo.kcore" =>

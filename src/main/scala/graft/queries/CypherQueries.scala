@@ -277,6 +277,13 @@ object CypherQueries {
         |YIELD id, dist
         |RETURN id, dist ORDER BY id""".stripMargin) _),
 
+    // config-map CALL of the round-12 multi-source harmonic centrality —
+    // must agree with the Scala API (same oracle as q_harmonic_centrality)
+    "q_cypher_call_harmonic" -> (run(
+      """CALL algo.harmonicCentrality([1, 2, 3], 3, 'PLACED,CONTAINS,HAS_PART,SUPPLIED_BY')
+        |YIELD seed, n_reached, harmonic
+        |RETURN seed, n_reached, harmonic ORDER BY seed""".stripMargin) _),
+
     // relationship MERGE: insert-if-absent by (src, dst, type) — applied
     // TWICE to prove idempotency; the read counts exactly one edge per pair
     "q_cypher_write_merge_rel" -> ((s: SparkSession, d: String) => {
@@ -677,6 +684,7 @@ object CypherQueries {
       "SELECT 'INTEGER' AS t_int, 'FLOAT' AS t_flt, 'STRING' AS t_str, 'BOOLEAN' AS t_bool, 'LIST' AS t_list, '12:34:56.000' AS t_time, 'INTERVAL ''1 03:30:00'' DAY TO SECOND' AS dur",
     // same traversal as q_bfs — the CALL surface must agree with the Scala API
     "q_cypher_call_bfs" -> GraphQueries.oracles("q_bfs"),
+    "q_cypher_call_harmonic" -> GraphQueries.oracles("q_harmonic_centrality"),
     // same kernel as q_wcc — the config-map CALL must agree with the Scala API
     "q_cypher_call_wcc" -> GraphQueries.oracles("q_wcc"),
     "q_cypher_call_kcore" ->
