@@ -55,6 +55,7 @@ object ClusterVerify {
     "q_pagerank", "q_ppr", "q_wcc", "q_scc", "q_cdlp", "q_lcc",
     "q_triangle_count", "q_kcore", "q_sssp", "q_mst", "q_maxflow",
     "q_walk_sample", "q_cypher_or_solve", "q_adamic_adar",
+    "q_harmonic_centrality", "q_cypher_call_harmonic",
     // vector search
     "q_knn_exact", "q_knn_approx", "q_knn_ivf", "q_knn_pq", "q_hybrid_rrf",
     // dedup + text pipeline
@@ -90,7 +91,8 @@ object ClusterVerify {
     "q_expand_2hop_bucketed", "q_var_length",
     "q_cypher_wco_cycle", "q_cypher_split_dynamic", "q_cypher_optional",
     "q_cypher_write_create", "q_cypher_write_delete",
-    "q_pagerank", "q_ppr", "q_adamic_adar", "q_cdlp", "q_triangle_count",
+    "q_pagerank", "q_ppr", "q_adamic_adar", "q_harmonic_centrality",
+    "q_cdlp", "q_triangle_count",
     "q_knn_exact", "q_knn_approx",
     "q_minhash_lsh", "q_substring_dedup", "q_embedding_centroid",
     "q_dsir_resample", "q_pack_harmonic", "q_incremental_dedup",
