@@ -885,6 +885,31 @@ object PipelineQueries {
       s.read.parquet(s"$base/out").agg(count(lit(1)).as("n"))
     }),
 
+    // streaming: decontamination at INGESTION time — every incoming doc
+    // checked against the static broadcast probe shingle sets; stateless
+    // (projection over a stream-static join), so append mode needs no
+    // watermark or state store. Same output as the batch q_decontaminate.
+    "q_streaming_decontaminate" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_decon"
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles).foreach(_.foreach(rm))
+        p.delete(); ()
+      }
+      rm(new java.io.File(base))
+      withStreamShuffle(s) {
+        val probes = t(s, d, "documents").filter(col("doc_id") % 50 === 0)
+        val rep = EventStream.contaminationStream(
+          EventStream.readDocuments(s, d), probes, "doc_id", "text", 3)
+        val q = rep.writeStream.outputMode("append").format("parquet")
+          .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(s"$base/out")
+        .select(col("doc_id"), col("probe_id"), col("n_hits"), col("contaminated"))
+        .orderBy(col("doc_id"), col("probe_id"))
+    }),
+
     // streaming: stateful sessionization in stream mode — the
     // flatMapGroupsWithState path holds one open session per user in the
     // executor state store and emits a session the moment a gap closes it.
@@ -1463,5 +1488,12 @@ object PipelineQueries {
     "q_streaming_append" ->
       "SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n, round(sum(value), 2) AS total FROM events WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events) GROUP BY 1, 2 ORDER BY 1, 2",
     "q_streaming_dedup" ->
-      "SELECT count(*) AS n FROM (SELECT DISTINCT event_id, ts FROM events)")
+      "SELECT count(*) AS n FROM (SELECT DISTINCT event_id, ts FROM events)",
+    // identical semantics to the batch report — same oracle
+    "q_streaming_decontaminate" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[g:g+2], ' ') AS s FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS g FROM words)),
+        |pr AS (SELECT doc_id AS probe_id, s FROM sh WHERE doc_id % 50 = 0),
+        |hits AS (SELECT c.doc_id, p.probe_id, count(*) AS n_hits FROM sh c JOIN pr p ON c.s = p.s AND c.doc_id <> p.probe_id GROUP BY 1, 2)
+        |SELECT doc_id, probe_id, n_hits, n_hits >= 3 AS contaminated FROM hits ORDER BY doc_id, probe_id""".stripMargin)
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -57,6 +57,52 @@ object EventStream {
   /** Tumbling-window counts/sums per event_type with a watermark for state
     * eviction — at scale, state is bounded by (#types × windows in the
     * watermark horizon). */
+  /** File-source stream over the documents table (same directory/file
+    * probe as [[readEvents]] — a Spark-written dataset is a DIRECTORY of
+    * part files, the fixture a single FILE). Documents carry no event
+    * time, so consumers must stay STATELESS (projections + stream-static
+    * joins) for append mode. */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val p = new org.apache.hadoop.fs.Path(dir, "documents.parquet")
+    val isDir = try {
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+        .getFileStatus(p).isDirectory
+    } catch { case _: java.io.FileNotFoundException => false }
+    if (isDir) spark.readStream.schema(schema).parquet(p.toString)
+    else spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
+  /** Streaming benchmark decontamination: every INCOMING document is
+    * checked against the (static, tiny) eval-probe shingle sets as it
+    * arrives — the ingestion-time twin of
+    * [[graft.dedup.Dedup.contaminationReport]], with identical output.
+    *
+    * Deliberately STATELESS so plain append mode works with no watermark:
+    * the probe side is a broadcast static table of (probe, shingle ARRAY)
+    * rows, the stream side computes its own shingle array per row, and
+    * n_hits = size(array_intersect(...)) is a PROJECTION over the
+    * stream-static cross join — |probes| comparisons per incoming doc,
+    * no streaming aggregation, no state store. array_intersect counts
+    * distinct shared shingles, matching the batch report's
+    * count(DISTINCT) semantics. */
+  def contaminationStream(docs: DataFrame, probes: DataFrame, idCol: String,
+                          textCol: String, k: Int, minHits: Int = 1,
+                          flagHits: Int = 3): DataFrame = {
+    import graft.dedup.Dedup.wordShinglesFromWords
+    def sh(c: Column) = wordShinglesFromWords(split(c, " "), k)
+    val p = broadcast(probes.select(col(idCol).as("probe_id"),
+      sh(col(textCol)).as("__ps")))
+    docs.select(col(idCol).as("doc_id"), sh(col(textCol)).as("__ds"))
+      .crossJoin(p)
+      .filter(col("doc_id") =!= col("probe_id"))
+      .select(col("doc_id"), col("probe_id"),
+        size(array_intersect(col("__ds"), col("__ps"))).cast("long").as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+      .withColumn("contaminated", col("n_hits") >= flagHits)
+  }
+
   def windowedCounts(events: DataFrame, window_ : String = "1 hour",
                      watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark)

@@ -67,6 +67,25 @@ class PipelineOpsSpec extends SparkSpec {
       out.values.toSet.subsetOf(Set("head", "middle", "tail")))
   }
 
+  test("contamination stream op: distinct-shingle hits, self-pairs excluded") {
+    // batch-mode run of the stream transform (the twin design: identical
+    // plan on a readStream source — q_streaming_decontaminate proves that
+    // end-to-end against the oracle)
+    val corpus = Seq(
+      (1L, "a b c d e f"),          // shares shingles with probe 50
+      (2L, "x y z w v u"),          // disjoint
+      (50L, "a b c d e f")          // the probe itself (self-pair excluded)
+    ).toDF("doc_id", "text")
+    val probes = corpus.filter(col("doc_id") === 50L)
+    val out = graft.streaming.EventStream
+      .contaminationStream(corpus, probes, "doc_id", "text", 3, minHits = 1, flagHits = 3)
+      .select("doc_id", "probe_id", "n_hits", "contaminated")
+      .as[(Long, Long, Long, Boolean)].collect()
+    // doc 1 shares all four 3-shingles of "a b c d e f" -> contaminated
+    assert(out.toSeq == Seq((1L, 50L, 4L, true)),
+      s"expected one contaminated row for doc 1, got ${out.toSeq}")
+  }
+
   test("hard negatives: self and presumed positives excluded, rank by cosine") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f)),
