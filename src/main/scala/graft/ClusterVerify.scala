@@ -74,7 +74,7 @@ object ClusterVerify {
     // rdf / sparql
     "q_sparql_bgp", "q_sparql_agg", "q_rdf_roundtrip",
     // structured streaming (state store on executors)
-    "q_streaming_window", "q_streaming_join",
+    "q_streaming_window", "q_streaming_join", "q_streaming_decontaminate",
     // ldbc / finbench suites (deep plans, seeded subqueries, write chains)
     "q_ldbc_ic5", "q_ldbc_bi4", "q_ldbc_upd", "q_finbench_cr4",
     "q_finbench_w",
@@ -98,7 +98,7 @@ object ClusterVerify {
     "q_dsir_resample", "q_pack_harmonic", "q_incremental_dedup",
     "q_hard_negatives",
     "q_asof_join", "q_multimodal_decode",
-    "q_sparql_bgp", "q_streaming_window",
+    "q_sparql_bgp", "q_streaming_window", "q_streaming_decontaminate",
     "q_ldbc_is3", "q_ldbc_ic13", "q_ldbc_upd", "q_finbench_w")
 
   private val sqlConfs: Map[String, String] = Map(
