@@ -52,7 +52,8 @@ object Plans {
       "q_adamic_adar" -> "seeded Adamic-Adar: the degree cap joins onto the SEEDED s1 side BEFORE the wedge join, so over-cap hubs never materialize fan-out rows; the seed filter is an isin pushed at the symmetrized-edge leaf and the final top-k is TakeOrderedAndProject",
       "q_dsir_resample" -> "DSIR importance resampling: hashed n-gram features are a per-row transform+explode; the bucket LM collapses to <=4096 rows in ONE hash aggregate and returns as a BroadcastHashJoin onto the feature stream; the Gumbel top-k threshold is TakeOrderedAndProject + a broadcast 1-row aggregate - no global window or sort anywhere",
       "q_pack_harmonic" -> "harmonic no-split packing: one scan computes (n_tokens, fit-class); the only exchange feeds windows PARTITIONED BY (shard, class) - parallelism shards x classes, nothing global",
-      "q_incremental_dedup" -> "incremental ingestion gate: batch and corpus shingle streams meet in an inverted-index join on the shingle key (shuffle ~ shingle volume, never all-pairs); best match per batch doc is ONE composite-min-key hash aggregate - no window over the corpus")
+      "q_incremental_dedup" -> "incremental ingestion gate: batch and corpus shingle streams meet in an inverted-index join on the shingle key (shuffle ~ shingle volume, never all-pairs); best match per batch doc is ONE composite-min-key hash aggregate - no window over the corpus",
+      "q_harmonic_centrality" -> "multi-source BFS: every round is one join of the (seed, node) frontier against the checkpointed edge leaf (LogicalRDD) - all seeds advance together, no per-seed job fan-out; the harmonic score is one hash aggregate")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative catalog queries\n\n")
