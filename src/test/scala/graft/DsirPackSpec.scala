@@ -52,6 +52,45 @@ class DsirPackSpec extends SparkSpec {
     assert(out(1L) == 13L, s"doc 1 n_feats = ${out(1L)}")
   }
 
+  test("dsir: logw matches an independent in-memory twin on every doc") {
+    // full-pipeline differential against a from-scratch Scala
+    // implementation — independent of both the engine plan and the DuckDB
+    // oracle, so a bug common to query and oracle SQL would still be caught
+    def norm(text: String): Seq[String] = text.trim.split("\\s+").toSeq
+      .map(_.toLowerCase.replaceAll("[^a-z0-9]", "")).filter(_.nonEmpty)
+    val buckets = 256
+    val rows = Seq(
+      (1L, "statute court ruling appeal verdict statute court", true),
+      (2L, "court verdict appeal ruling judge statute", true),
+      (3L, "statute court ruling appeal judge verdict", false),
+      (4L, "banana smoothie recipe blender tropical fruit snack", false),
+      (5L, "guitar chord strumming pattern acoustic melody", false),
+      (6L, "!!! ??? --- ///", false))
+    val featsByDoc = rows.map { case (id, text, tgt) =>
+      val n = norm(text)
+      val fs = (n ++ n.zip(n.drop(1)).map { case (a, b) => s"${a}_$b" })
+        .map(f => refHash(f) % buckets)
+      (id, tgt, fs)
+    }
+    val ct = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val cr = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    featsByDoc.foreach { case (_, tgt, fs) =>
+      fs.foreach { b => cr(b) += 1; if (tgt) ct(b) += 1 }
+    }
+    val tTot = ct.values.sum.toDouble
+    val rTot = cr.values.sum.toDouble
+    val expected = featsByDoc.map { case (id, _, fs) =>
+      id -> (fs.map(b => math.log(ct(b) + 1d) - math.log(cr(b) + 1d)).sum
+        + fs.size * (math.log(rTot + buckets) - math.log(tTot + buckets)))
+    }.toMap
+    val got = TextAnalysis.dsirResample(corpus, "doc_id", "text",
+      col("src") === "tgt", buckets, k = 3)
+      .select("doc_id", "logw").as[(Long, Double)].collect().toMap
+    expected.foreach { case (id, w) =>
+      assert(math.abs(got(id) - w) < 1e-3, s"doc $id: engine ${got(id)} vs twin $w")
+    }
+  }
+
   private val packDocs = Seq(
     // shard A: sizes 60, 60, 30, 30, 30, 200 (oversize), capacity 100
     (1L, "a " * 60, "A"), (2L, "b " * 60, "A"),
