@@ -574,6 +574,14 @@ object PipelineQueries {
       TextAnalysis.bigramLmScore(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // text: naive-Bayes quality classifier — heuristic seed labels, one
+    // explode + hash aggregate trains the Laplace-smoothed token log-odds
+    // (a DISTRIBUTED table keyed by token), class totals/prior are broadcast
+    // 1-row aggregates, scoring is a join back on the exploded stream
+    "q_nb_quality" -> ((s, d) =>
+      TextAnalysis.nbQualityScore(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // text: Gopher/MassiveText repetition signals — char fraction covered
     // by the top word 2-gram and by all duplicated word 5-grams; one
     // explode + hash aggregates per n, linear at 100 TB
@@ -1391,6 +1399,27 @@ object PipelineQueries {
         | FROM b JOIN bc USING (w1, w2) JOIN cc USING (w1) GROUP BY 1)
         |SELECT doc_id, n_bigrams, round(x, 4) AS xent_bits, round(pow(2.0, x), 4) AS ppl
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_nb_quality" ->
+      // label guard mirrors the engine: zero-token docs are negative (the
+      // dup-fraction division never runs); predicted compares the ROUNDED
+      // score so the boolean is engine-portable
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS toks FROM documents),
+        |b AS (SELECT doc_id, toks, len(toks) AS nw,
+        |  CASE WHEN len(toks) = 0 THEN false
+        |       ELSE len(toks) BETWEEN 20 AND 200
+        |            AND (1.0 - len(list_distinct(toks)) * 1.0 / len(toks)) <= 0.5 END AS label FROM w),
+        |tok AS (SELECT doc_id, label, unnest(toks) AS tk FROM b),
+        |cnt AS (SELECT tk, sum(CASE WHEN label THEN 1 ELSE 0 END) AS cp,
+        |               sum(CASE WHEN label THEN 0 ELSE 1 END) AS cn FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(cp) AS np, sum(cn) AS nn, count(*) AS v FROM cnt),
+        |lo AS (SELECT tk, ln((cp + 1.0) / (np + v)) - ln((cn + 1.0) / (nn + v)) AS lo FROM cnt, tot),
+        |pri AS (SELECT ln(sum(CASE WHEN label THEN 1 ELSE 0 END) * 1.0
+        |                 / sum(CASE WHEN label THEN 0 ELSE 1 END)) AS prior FROM b),
+        |sc AS (SELECT doc_id, sum(lo) AS s FROM tok JOIN lo ON tok.tk = lo.tk GROUP BY 1)
+        |SELECT b.doc_id, CAST(nw AS BIGINT) AS n_words, label,
+        |       round(prior + coalesce(s, 0.0), 4) AS nb_score,
+        |       round(prior + coalesce(s, 0.0), 4) > 0.0 AS predicted
+        |FROM b LEFT JOIN sc USING (doc_id), pri ORDER BY b.doc_id""".stripMargin,
     "q_rep_ngram" ->
       """WITH w AS (SELECT doc_id, length(trim(text)) * 1.0 AS chars, string_split(text, ' ') AS toks FROM documents),
         |g2 AS (SELECT doc_id, chars, array_to_string(toks[g:g+1], ' ') AS g FROM (SELECT doc_id, chars, toks, unnest(generate_series(1, len(toks) - 1)) AS g FROM w)),

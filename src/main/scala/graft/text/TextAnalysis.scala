@@ -728,4 +728,60 @@ object TextAnalysis {
       .withColumn("pos", (col("__rk") % col("fit")).cast("int"))
       .drop("__rk")
   }
+
+  // ---- naive-Bayes quality classifier ---------------------------------------
+
+  /** Multinomial naive-Bayes quality classifier with corpus-self-supervised
+    * labels — the fastText/FineWeb-Edu quality-filter shape without an
+    * external model: documents passing a cheap heuristic (word count within
+    * `[minWords, maxWords]` and duplicate-token fraction ≤ `dupCut`) are the
+    * positive exemplars, the rest negative; a Laplace-smoothed token
+    * log-odds model is trained from those labels in one pass and every
+    * document is re-scored by it. The learned score generalizes the seed
+    * rule: it transfers token-level evidence from labeled to unlabeled
+    * regions, which is why production pipelines train a classifier instead
+    * of shipping the heuristic.
+    *
+    * Scale shape: training is ONE token explode + hash aggregate (per-token
+    * class counts); the class totals and vocabulary size are a broadcast
+    * 1-row aggregate of that table, and the document prior another — the
+    * model is a DISTRIBUTED table keyed by token, never driver-side.
+    * Scoring joins the log-odds table back on the same exploded stream and
+    * sums per document — shuffle ∝ token count, linear at 100 TB. Zero-token
+    * documents keep a row (score = prior alone). Returns
+    * (idCol, n_words, label, nb_score, predicted); `predicted` compares the
+    * ROUNDED score to 0 so the boolean is reproducible across engines. */
+  def nbQualityScore(df: DataFrame, idCol: String, textCol: String,
+                     minWords: Int = 20, maxWords: Int = 200,
+                     dupCut: Double = 0.5): DataFrame = {
+    require(minWords <= maxWords, s"minWords $minWords > maxWords $maxWords")
+    val base = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__nw", size(col("__toks")))
+      .withColumn("label",
+        when(col("__nw") === 0, lit(false)).otherwise(
+          col("__nw").between(minWords, maxWords) &&
+            (lit(1.0) - size(array_distinct(col("__toks"))).cast("double")
+              / col("__nw")) <= dupCut))
+    val tok = base.select(col(idCol), col("label"),
+      explode(col("__toks")).as("__tok"))
+    val counts = tok.groupBy(col("__tok")).agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("__cp"),
+      sum(when(col("label"), 0L).otherwise(1L)).as("__cn"))
+    val totals = counts.agg(sum(col("__cp")).as("__np"),
+      sum(col("__cn")).as("__nn"), count(lit(1)).as("__v"))
+    val logOdds = counts.crossJoin(broadcast(totals))
+      .select(col("__tok"),
+        (log((col("__cp") + 1.0) / (col("__np") + col("__v")))
+          - log((col("__cn") + 1.0) / (col("__nn") + col("__v")))).as("__lo"))
+    val prior = base.agg(
+      log(sum(when(col("label"), 1L).otherwise(0L)).cast("double")
+        / sum(when(col("label"), 0L).otherwise(1L))).as("__prior"))
+    val docScore = tok.join(logOdds, "__tok")
+      .groupBy(col(idCol)).agg(sum(col("__lo")).as("__s"))
+    base.join(docScore, Seq(idCol), "left").crossJoin(broadcast(prior))
+      .select(col(idCol), col("__nw").cast("long").as("n_words"), col("label"),
+        CypherFunctions.roundC(
+          col("__prior") + coalesce(col("__s"), lit(0.0)), 4).as("nb_score"))
+      .withColumn("predicted", col("nb_score") > 0.0)
+  }
 }
