@@ -444,6 +444,46 @@ object Algorithms {
     * still return a row (0, 0.0). Returns (seed, n_reached, harmonic). */
   def harmonicCentrality(edges: DataFrame, seeds: Seq[Long],
                          radius: Int): DataFrame = {
+    val (seedDf, dist) = multiSourceBfs(edges, seeds, radius)
+    val agg = dist.filter(col("dist") > 0)
+      .groupBy(col("s").as("seed"))
+      .agg(count(lit(1)).as("__n"),
+        sum(lit(1.0) / col("dist")).as("__h"))
+    seedDf.select(col("s").as("seed")).join(agg, Seq("seed"), "left")
+      .select(col("seed"), coalesce(col("__n"), lit(0L)).as("n_reached"),
+        graft.functions.CypherFunctions.roundC(
+          coalesce(col("__h"), lit(0.0)), 4).as("harmonic"))
+  }
+
+  /** Truncated closeness centrality + eccentricity for a bounded seed set,
+    * the same one-multi-source-BFS shape as [[harmonicCentrality]] with a
+    * different final aggregate: closeness = n_reached / Σ d(seed, v)
+    * (directed, seed excluded, exact within `radius`) and eccentricity =
+    * max d within the radius. Seeds reaching nothing return
+    * (0, 0.0, 0) — the closeness of an isolated node is 0 by convention.
+    * Returns (seed, n_reached, closeness, eccentricity). */
+  def closenessCentrality(edges: DataFrame, seeds: Seq[Long],
+                          radius: Int): DataFrame = {
+    val (seedDf, dist) = multiSourceBfs(edges, seeds, radius)
+    val agg = dist.filter(col("dist") > 0)
+      .groupBy(col("s").as("seed"))
+      .agg(count(lit(1)).as("__n"), sum(col("dist")).as("__sd"),
+        max(col("dist")).as("__ecc"))
+    seedDf.select(col("s").as("seed")).join(agg, Seq("seed"), "left")
+      .select(col("seed"), coalesce(col("__n"), lit(0L)).as("n_reached"),
+        graft.functions.CypherFunctions.roundC(
+          when(col("__sd").isNull, 0.0)
+            .otherwise(col("__n").cast("double") / col("__sd")), 4)
+          .as("closeness"),
+        coalesce(col("__ecc"), lit(0)).cast("int").as("eccentricity"))
+  }
+
+  /** The shared truncated multi-source BFS: all seeds advance in the same
+    * per-round join against the checkpointed edge leaf, frontier keyed by
+    * (seed, node). Returns (seedDf("s"), dist(s, id, dist)) with the seeds
+    * themselves at dist 0. */
+  private def multiSourceBfs(edges: DataFrame, seeds: Seq[Long],
+                             radius: Int): (DataFrame, DataFrame) = {
     require(seeds.nonEmpty && radius > 0, "seeds nonempty, radius positive")
     val ss = edges.sparkSession
     val e = edges.select(col("src").as("_esrc"), col("dst").as("_edst"))
@@ -467,14 +507,7 @@ object Algorithms {
         frontier = next
       }
     }
-    val agg = dist.filter(col("dist") > 0)
-      .groupBy(col("s").as("seed"))
-      .agg(count(lit(1)).as("__n"),
-        sum(lit(1.0) / col("dist")).as("__h"))
-    seedDf.select(col("s").as("seed")).join(agg, Seq("seed"), "left")
-      .select(col("seed"), coalesce(col("__n"), lit(0L)).as("n_reached"),
-        graft.functions.CypherFunctions.roundC(
-          coalesce(col("__h"), lit(0.0)), 4).as("harmonic"))
+    (seedDf, dist)
   }
 
   /** Weighted SSSP by distributed Bellman-Ford relaxation (reference

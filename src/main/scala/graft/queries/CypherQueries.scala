@@ -284,6 +284,12 @@ object CypherQueries {
         |YIELD seed, n_reached, harmonic
         |RETURN seed, n_reached, harmonic ORDER BY seed""".stripMargin) _),
 
+    // CALL twin of q_closeness_centrality — must agree with the Scala API
+    "q_cypher_call_closeness" -> (run(
+      """CALL algo.closenessCentrality([1, 2, 3], 3, 'PLACED,CONTAINS,HAS_PART,SUPPLIED_BY')
+        |YIELD seed, n_reached, closeness, eccentricity
+        |RETURN seed, n_reached, closeness, eccentricity ORDER BY seed""".stripMargin) _),
+
     // relationship MERGE: insert-if-absent by (src, dst, type) — applied
     // TWICE to prove idempotency; the read counts exactly one edge per pair
     "q_cypher_write_merge_rel" -> ((s: SparkSession, d: String) => {
@@ -685,6 +691,7 @@ object CypherQueries {
     // same traversal as q_bfs — the CALL surface must agree with the Scala API
     "q_cypher_call_bfs" -> GraphQueries.oracles("q_bfs"),
     "q_cypher_call_harmonic" -> GraphQueries.oracles("q_harmonic_centrality"),
+    "q_cypher_call_closeness" -> GraphQueries.oracles("q_closeness_centrality"),
     // same kernel as q_wcc — the config-map CALL must agree with the Scala API
     "q_cypher_call_wcc" -> GraphQueries.oracles("q_wcc"),
     "q_cypher_call_kcore" ->

@@ -193,6 +193,16 @@ object GraphQueries {
         Seq(1L, 2L, 3L), 3).orderBy(col("seed"))
     }),
 
+    // beyond-parity: truncated closeness centrality + eccentricity — the
+    // same ONE multi-source BFS as harmonic with a different final
+    // aggregate (n/Σd and max d within the radius)
+    "q_closeness_centrality" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      Algorithms.closenessCentrality(
+        g.edgesOfType("PLACED", "CONTAINS", "HAS_PART", "SUPPLIED_BY"),
+        Seq(1L, 2L, 3L), 3).orderBy(col("seed"))
+    }),
+
     // §2.10 algo.weightedPath (SSSP) from order node 0
     "q_sssp" -> ((s, d) => {
       val g = GraphLoader.tpch(s, d)
@@ -940,6 +950,25 @@ object GraphQueries {
         | CAST(coalesce(lv1.n, 0) + coalesce(lv2.n, 0) + coalesce(lv3.n, 0) AS BIGINT) AS n_reached,
         | round(coalesce(lv1.n, 0) / 1.0 + coalesce(lv2.n, 0) / 2.0 + coalesce(lv3.n, 0) / 3.0, 4) AS harmonic
         |FROM seeds LEFT JOIN lv1 USING (s) LEFT JOIN lv2 USING (s) LEFT JOIN lv3 USING (s) ORDER BY seed""".stripMargin,
+    "q_closeness_centrality" ->
+      // same id-disjoint-level argument as q_harmonic_centrality: the
+      // directed projection reaches orders at 1, lineitems at 2,
+      // parts/suppliers at 3 — so Σd = n1 + 2·n2 + 3·n3, closeness = n/Σd,
+      // eccentricity = deepest non-empty level
+      """WITH seeds(s) AS (VALUES (1), (2), (3)),
+        |o AS (SELECT s, o_orderkey FROM orders JOIN seeds ON o_custkey = s),
+        |l AS (SELECT DISTINCT s, 100000000 + l_orderkey * 8 + l_linenumber AS lid, l_partkey, l_suppkey FROM lineitem JOIN o ON l_orderkey = o_orderkey),
+        |lv1 AS (SELECT s, count(DISTINCT o_orderkey) AS n FROM o GROUP BY 1),
+        |lv2 AS (SELECT s, count(DISTINCT lid) AS n FROM l GROUP BY 1),
+        |lv3 AS (SELECT s, count(*) AS n FROM (SELECT DISTINCT s, 1000000000 + l_partkey AS nid FROM l UNION SELECT DISTINCT s, 1100000000 + l_suppkey FROM l) GROUP BY 1),
+        |m AS (SELECT s, coalesce(lv1.n, 0) AS n1, coalesce(lv2.n, 0) AS n2, coalesce(lv3.n, 0) AS n3
+        |      FROM seeds LEFT JOIN lv1 USING (s) LEFT JOIN lv2 USING (s) LEFT JOIN lv3 USING (s))
+        |SELECT CAST(s AS BIGINT) AS seed,
+        | CAST(n1 + n2 + n3 AS BIGINT) AS n_reached,
+        | CASE WHEN n1 + n2 + n3 = 0 THEN 0.0
+        |      ELSE round((n1 + n2 + n3) * 1.0 / (n1 + 2*n2 + 3*n3), 4) END AS closeness,
+        | CAST(CASE WHEN n3 > 0 THEN 3 WHEN n2 > 0 THEN 2 WHEN n1 > 0 THEN 1 ELSE 0 END AS INTEGER) AS eccentricity
+        |FROM m ORDER BY seed""".stripMargin,
     "q_sssp" ->
       // lineitem node ids can collide ((l_orderkey, l_linenumber) not unique):
       // dist(lineitem node) = min incoming CONTAINS weight; dist(part) = min

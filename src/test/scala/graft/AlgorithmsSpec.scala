@@ -32,6 +32,21 @@ class AlgorithmsSpec extends SparkSpec {
     assert(r1._2 == 2L && math.abs(r1._3 - 2.0) < 1e-9)
   }
 
+  test("closenessCentrality: n/Σd + eccentricity, isolated-seed zeros, truncation") {
+    // same shape as the harmonic test: chain 1 -> 2 -> 3 -> 4 with a 1 -> 3
+    // shortcut; from 1: d(2)=1, d(3)=1, d(4)=2 → closeness 3/4, ecc 2
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("src", "dst")
+    val got = Algorithms.closenessCentrality(e, Seq(1L, 9L), 3)
+      .as[(Long, Long, Double, Int)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 3L && math.abs(got(1L)._3 - 0.75) < 1e-9 &&
+      got(1L)._4 == 2)
+    assert(got(9L)._2 == 0L && got(9L)._3 == 0.0 && got(9L)._4 == 0)
+    // radius 1 truncation: two direct successors, Σd = 2 → closeness 1.0
+    val r1 = Algorithms.closenessCentrality(e, Seq(1L), 1)
+      .as[(Long, Long, Double, Int)].collect().head
+    assert(r1._2 == 2L && math.abs(r1._3 - 1.0) < 1e-9 && r1._4 == 1)
+  }
+
   test("personalizedPageRank matches a naive fixed-point oracle (1e-9)") {
     // digraph WITH a dangling node (5): the catalog's undirected graph has
     // none, so the seed-redirected dangling-mass path is only covered here
