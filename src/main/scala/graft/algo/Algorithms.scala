@@ -224,6 +224,45 @@ object Algorithms {
       .limit(topK)
   }
 
+  /** Jaccard node similarity for a set of SOURCE vertices: for each pair
+    * (x, y) sharing at least one neighbor, score =
+    * |N(x)∩N(y)| / |N(x)∪N(y)| — the GDS-style nodeSimilarity shape
+    * (adjacent pairs included; this measures structural similarity, not
+    * link prediction like [[adamicAdar]]). Returns top-k by
+    * (rounded score desc, x, y).
+    *
+    * Seeded for the same reason as adamicAdar: the wedge join is bounded
+    * by Σ_{z∈N(x)} deg(z) per source instead of Σ deg(z)² over the whole
+    * graph. The union size comes from exact degrees
+    * (deg(x) + deg(y) − common), so no degree cap is applied — capping
+    * common neighbors would silently change the score; at web scale the
+    * standard approximation is instead to LSH-bucket the neighbor sets
+    * (the MinHash machinery in graft.dedup applies unchanged to
+    * neighbor-id sets). Input: src/dst pairs; symmetrized + de-duped. */
+  def jaccardSimilarity(edges: DataFrame, sources: Seq[Long],
+                        topK: Int = 20): DataFrame = {
+    require(sources.nonEmpty, "jaccardSimilarity needs at least one source")
+    val sym = edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+      .unionAll(edges.select(col("dst").cast("long").as("a"), col("src").cast("long").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true) // consumed by deg and both wedge sides
+    val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
+    val s1 = sym.select(col("a").as("z"), col("b").as("x"))
+      .filter(col("x").isin(sources: _*))
+    val s2 = sym.select(col("a").as("z"), col("b").as("y"))
+    val common = s1.join(s2, "z").filter(col("x") =!= col("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c"))
+    common
+      .join(deg.select(col("v").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("v").as("y"), col("d").as("dy")), "y")
+      .select(col("x"), col("y"),
+        graft.functions.CypherFunctions.roundC(
+          col("c").cast("double") / (col("dx") + col("dy") - col("c")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("x"), col("y"))
+      .limit(topK)
+  }
+
   /** Weakly connected components (reference `community.rs:58` union-find) —
     * distributed min-label propagation to a fixpoint. Returns (id, component)
     * where component = min node id in the component. Small inputs route to

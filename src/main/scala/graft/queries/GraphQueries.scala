@@ -236,6 +236,19 @@ object GraphQueries {
       Algorithms.adamicAdar(e, seeds, 20)
     }),
 
+    // beyond-parity: Jaccard node similarity (GDS nodeSimilarity shape)
+    // for the same four seeds — seeded wedge join for the intersection,
+    // exact degrees for the union, top-20 by rounded score
+    "q_jaccard_sim" -> ((s, d) => {
+      val und = copurchaseShared(s, d)
+      val e = und.select(col("a").as("src"), col("b").as("dst"))
+      val seeds = e.select(col("src").cast("long").as("id"))
+        .unionAll(e.select(col("dst").cast("long").as("id")))
+        .distinct().orderBy(col("id")).limit(4)
+        .collect().map(_.getLong(0)).toSeq
+      Algorithms.jaccardSimilarity(e, seeds, 20)
+    }),
+
     // beyond-parity: personalized PageRank from the two smallest product
     // ids of the co-purchase graph — teleport + dangling mass return to
     // the seeds; oracled by 6 unrolled CTE iterations (like q_pagerank).
@@ -993,6 +1006,17 @@ object GraphQueries {
         |, cand AS (SELECT sc.x, sc.y, sc.score FROM sc LEFT JOIN sym e ON e.a = sc.x AND e.b = sc.y WHERE e.a IS NULL)
         |SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y, round(score, 6) AS score
         |FROM cand ORDER BY round(score, 6) DESC, x, y LIMIT 20""".stripMargin),
+    "q_jaccard_sim" -> (CopurchaseCte +
+      """, sym AS (SELECT a, b FROM pe UNION SELECT b, a FROM pe)
+        |, v AS (SELECT DISTINCT a AS id FROM sym)
+        |, seeds AS (SELECT id FROM v ORDER BY id LIMIT 4)
+        |, deg AS (SELECT a AS vv, count(*) AS d FROM sym GROUP BY 1)
+        |, w AS (SELECT s1.b AS x, s2.b AS y, count(*) AS c FROM sym s1 JOIN sym s2 ON s1.a = s2.a
+        |        WHERE s1.b IN (SELECT id FROM seeds) AND s1.b <> s2.b GROUP BY 1, 2)
+        |SELECT CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+        |       round(c * 1.0 / (dx.d + dy.d - c), 6) AS score
+        |FROM w JOIN deg dx ON dx.vv = w.x JOIN deg dy ON dy.vv = w.y
+        |ORDER BY round(c * 1.0 / (dx.d + dy.d - c), 6) DESC, x, y LIMIT 20""".stripMargin),
     "q_cdlp" -> cdlpOracle(5),
     "q_kcore" -> kcoreOracle(80, 4),
     "q_walk_sample" -> walkOracle(3),

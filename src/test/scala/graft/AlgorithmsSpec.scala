@@ -91,6 +91,18 @@ class AlgorithmsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L, 2.88539)))
   }
 
+  test("jaccardSimilarity: intersection over exact union, adjacent pairs kept") {
+    // square 1-2-3-4-1 opened at (1,3) plus pendant 5-2:
+    // N(1)={2,4}, N(3)={2,4} → J(1,3) = 2/(2+2-2) = 1.0;
+    // N(5)={2} → J(1,5) = 1/(2+1-1) = 0.5;
+    // (1,2) share no neighbor → no row (candidates need a common neighbor)
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 4L), (4L, 3L), (5L, 2L))
+      .toDF("src", "dst")
+    val out = Algorithms.jaccardSimilarity(e, Seq(1L), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq((1L, 3L, 1.0), (1L, 5L, 0.5)), s"got $out")
+  }
+
   test("bfs distances on a chain with a shortcut") {
     // 1->2->3->4 and 1->3
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("src", "dst")
