@@ -517,6 +517,79 @@ object Algorithms {
         coalesce(col("__ecc"), lit(0)).cast("int").as("eccentricity"))
   }
 
+  /** Sampled-source betweenness centrality (Brandes 2001, truncated):
+    * exact shortest-path dependency accumulation from a bounded seed set —
+    * the standard scalable estimator (Brandes–Pich sampling; the full
+    * algorithm is one pass per VERTEX and intractable beyond small graphs).
+    * BC(v) = Σ_{s∈seeds} δ_s(v), where δ_s is Brandes' dependency from
+    * the backward pass over the shortest-path DAG, truncated at
+    * `maxDepth`. Endpoints excluded per the classic definition.
+    *
+    * Scale shape: the forward pass is the same one-multi-source-BFS join
+    * loop as [[harmonicCentrality]] with a σ (path-count) SUM folded into
+    * the frontier aggregate; the backward pass replays the DAG one LEVEL
+    * per round (a join of level d against the δ table of level d+1 on the
+    * edge key, one vertex-sized cut per round) — 2·maxDepth bounded rounds
+    * total, never a per-seed job fan-out. σ is carried as double: path
+    * COUNTS explode combinatorially at scale and δ only ever consumes
+    * σ-ratios. Returns (id, bc) for every node reached at dist ≥ 1 by any
+    * seed, bc rounded to 4. */
+  def betweennessCentrality(edges: DataFrame, seeds: Seq[Long],
+                            maxDepth: Int): DataFrame = {
+    require(seeds.nonEmpty && maxDepth > 0, "seeds nonempty, maxDepth positive")
+    val ss = edges.sparkSession
+    val e = edges.select(col("src").as("_esrc"), col("dst").as("_edst"))
+      .distinct().localCheckpoint(true)
+    val seedDf = ss.createDataset(seeds.distinct)(
+      org.apache.spark.sql.Encoders.scalaLong).toDF("s")
+    // forward: levels(d) = (s, id, sigma) — σ summed over in-DAG edges
+    var frontier = seedDf.select(col("s"), col("s").as("id"),
+      lit(1.0).as("sigma")).localCheckpoint(true)
+    var visited = frontier.select(col("s"), col("id"))
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
+    var it = 0
+    var more = true
+    while (more && it < maxDepth) {
+      val next = frontier.join(e, col("id") === col("_esrc"))
+        .select(col("s"), col("_edst").as("id"), col("sigma"))
+        .join(visited.select(col("s").as("s2"), col("id").as("vid")),
+          col("s") === col("s2") && col("id") === col("vid"), "left_anti")
+        .groupBy(col("s"), col("id")).agg(sum(col("sigma")).as("sigma"))
+        .localCheckpoint(true)
+      more = next.count() > 0
+      it += 1
+      if (more) {
+        visited = visited.unionAll(next.select(col("s"), col("id")))
+        levels += next
+        frontier = next
+      }
+    }
+    if (levels.size == 1) // nothing reached: no interior vertices, no BC
+      return seedDf.select(col("s").as("id"), lit(0.0).as("bc")).limit(0)
+    // backward: δ(level d) from δ(level d+1) over the DAG edges; the
+    // deepest level has δ = 0 and contributes only its σ to the ratios
+    var above = levels.last.withColumn("delta", lit(0.0))
+    var acc = above
+    for (d <- (levels.size - 2) to 1 by -1) {
+      val w = above.select(col("s").as("ws"), col("id").as("wid"),
+        col("sigma").as("wsigma"), col("delta").as("wdelta"))
+      val contrib = levels(d).join(e, col("id") === col("_esrc"))
+        .join(w, col("s") === col("ws") && col("_edst") === col("wid"))
+        .groupBy(col("s"), col("id"))
+        .agg(sum(col("sigma") / col("wsigma") * (lit(1.0) + col("wdelta")))
+          .as("__c"))
+      above = levels(d).join(contrib, Seq("s", "id"), "left")
+        .select(col("s"), col("id"), col("sigma"),
+          coalesce(col("__c"), lit(0.0)).as("delta"))
+        .localCheckpoint(true)
+      acc = acc.unionAll(above)
+    }
+    // seeds sit only in levels(0), which the backward loop never emits —
+    // endpoint exclusion is structural
+    acc.groupBy(col("id"))
+      .agg(graft.functions.CypherFunctions.roundC(sum(col("delta")), 4).as("bc"))
+  }
+
   /** The shared truncated multi-source BFS: all seeds advance in the same
     * per-round join against the checkpointed edge leaf, frontier keyed by
     * (seed, node). Returns (seedDf("s"), dist(s, id, dist)) with the seeds

@@ -539,6 +539,17 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         }
         Algorithms.closenessCentrality(typedEdges, seeds,
           confNum(Seq("radius", "maxDepth"), numArg(radiusIdx, 3)).toInt)
+      case "algo.betweenness" | "algo.betweennesscentrality" =>
+        // same seeds/radius argument convention as algo.harmonicCentrality
+        val seedList = argvAll.collectFirst {
+          case l: Seq[_] => l.collect { case n: Number => n.longValue() }
+        }
+        val (seeds, radiusIdx) = seedList match {
+          case Some(l) if l.nonEmpty => (l, 0)
+          case _ => (Seq(longArg(0)), 1)
+        }
+        Algorithms.betweennessCentrality(typedEdges, seeds,
+          confNum(Seq("radius", "maxDepth"), numArg(radiusIdx, 3)).toInt)
       case "algo.trianglecount" => Algorithms.triangleCount(und)
       case "algo.lcc" => Algorithms.lcc(und)
       case "algo.kcore" =>

@@ -290,6 +290,12 @@ object CypherQueries {
         |YIELD seed, n_reached, closeness, eccentricity
         |RETURN seed, n_reached, closeness, eccentricity ORDER BY seed""".stripMargin) _),
 
+    // CALL twin of q_betweenness — must agree with the Scala API
+    "q_cypher_call_betweenness" -> (run(
+      """CALL algo.betweenness([1, 2, 3], 3, 'PLACED,CONTAINS,HAS_PART,SUPPLIED_BY')
+        |YIELD id, bc
+        |RETURN id, bc ORDER BY id""".stripMargin) _),
+
     // relationship MERGE: insert-if-absent by (src, dst, type) — applied
     // TWICE to prove idempotency; the read counts exactly one edge per pair
     "q_cypher_write_merge_rel" -> ((s: SparkSession, d: String) => {
@@ -692,6 +698,7 @@ object CypherQueries {
     "q_cypher_call_bfs" -> GraphQueries.oracles("q_bfs"),
     "q_cypher_call_harmonic" -> GraphQueries.oracles("q_harmonic_centrality"),
     "q_cypher_call_closeness" -> GraphQueries.oracles("q_closeness_centrality"),
+    "q_cypher_call_betweenness" -> GraphQueries.oracles("q_betweenness"),
     // same kernel as q_wcc — the config-map CALL must agree with the Scala API
     "q_cypher_call_wcc" -> GraphQueries.oracles("q_wcc"),
     "q_cypher_call_kcore" ->

@@ -203,6 +203,16 @@ object GraphQueries {
         Seq(1L, 2L, 3L), 3).orderBy(col("seed"))
     }),
 
+    // beyond-parity: sampled-source Brandes betweenness — forward
+    // multi-source BFS with σ folded into the frontier aggregate, backward
+    // dependency accumulation one level per round over the DAG edges
+    "q_betweenness" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      Algorithms.betweennessCentrality(
+        g.edgesOfType("PLACED", "CONTAINS", "HAS_PART", "SUPPLIED_BY"),
+        Seq(1L, 2L, 3L), 3).orderBy(col("id"))
+    }),
+
     // §2.10 algo.weightedPath (SSSP) from order node 0
     "q_sssp" -> ((s, d) => {
       val g = GraphLoader.tpch(s, d)
@@ -982,6 +992,35 @@ object GraphQueries {
         |      ELSE round((n1 + n2 + n3) * 1.0 / (n1 + 2*n2 + 3*n3), 4) END AS closeness,
         | CAST(CASE WHEN n3 > 0 THEN 3 WHEN n2 > 0 THEN 2 WHEN n1 > 0 THEN 1 ELSE 0 END AS INTEGER) AS eccentricity
         |FROM m ORDER BY seed""".stripMargin,
+    "q_betweenness" ->
+      // Brandes on the id-disjoint-level DAG: every edge drops exactly one
+      // level, so σ(order)=σ(lineitem)=1 (each lineitem node belongs to
+      // exactly one order), σ(part/supplier) = #distinct lineitem edges in,
+      // δ(part/supplier)=0, δ(li)=Σ 1/σ(target), δ(order)=Σ_li (1+δ(li));
+      // BC sums δ per node over seeds (endpoints excluded structurally)
+      """WITH seeds(s) AS (VALUES (1), (2), (3)),
+        |o AS (SELECT s, o_orderkey FROM orders JOIN seeds ON o_custkey = s),
+        |lrows AS (SELECT s, o.o_orderkey, 100000000 + l_orderkey * 8 + l_linenumber AS lid,
+        |                 1000000000 + l_partkey AS pid, 1100000000 + l_suppkey AS sid
+        |          FROM lineitem JOIN o ON l_orderkey = o.o_orderkey),
+        |li AS (SELECT DISTINCT s, o_orderkey, lid FROM lrows),
+        |ep AS (SELECT DISTINCT s, lid, pid FROM lrows),
+        |es AS (SELECT DISTINCT s, lid, sid FROM lrows),
+        |sigp AS (SELECT s, pid, count(*) AS sig FROM ep GROUP BY 1, 2),
+        |sigs AS (SELECT s, sid, count(*) AS sig FROM es GROUP BY 1, 2),
+        |dlip AS (SELECT s, lid, sum(1.0 / sig) AS d FROM ep JOIN sigp USING (s, pid) GROUP BY 1, 2),
+        |dlis AS (SELECT s, lid, sum(1.0 / sig) AS d FROM es JOIN sigs USING (s, sid) GROUP BY 1, 2),
+        |dli AS (SELECT li.s, li.o_orderkey, li.lid, coalesce(dp.d, 0) + coalesce(ds.d, 0) AS delta
+        |        FROM li LEFT JOIN dlip dp ON dp.s = li.s AND dp.lid = li.lid
+        |                LEFT JOIN dlis ds ON ds.s = li.s AND ds.lid = li.lid),
+        |dord AS (SELECT s, o_orderkey, sum(1 + delta) AS delta FROM dli GROUP BY 1, 2),
+        |allbc AS (
+        | SELECT CAST(o.o_orderkey + 10000000 AS BIGINT) AS id, coalesce(dord.delta, 0) AS bc
+        |   FROM o LEFT JOIN dord ON dord.s = o.s AND dord.o_orderkey = o.o_orderkey
+        | UNION ALL SELECT CAST(lid AS BIGINT), delta FROM dli
+        | UNION ALL SELECT CAST(pid AS BIGINT), 0.0 FROM (SELECT DISTINCT pid FROM ep)
+        | UNION ALL SELECT CAST(sid AS BIGINT), 0.0 FROM (SELECT DISTINCT sid FROM es))
+        |SELECT id, round(sum(bc), 4) AS bc FROM allbc GROUP BY id ORDER BY id""".stripMargin,
     "q_sssp" ->
       // lineitem node ids can collide ((l_orderkey, l_linenumber) not unique):
       // dist(lineitem node) = min incoming CONTAINS weight; dist(part) = min

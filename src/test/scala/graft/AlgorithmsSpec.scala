@@ -103,6 +103,24 @@ class AlgorithmsSpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 1.0), (1L, 5L, 0.5)), s"got $out")
   }
 
+  test("betweennessCentrality: Brandes dependencies, non-DAG edge excluded, seed sum") {
+    // diamond 1→{2,3}→4→5 plus shortcut 2→5: from 1, σ(4)=2, σ(5)=1 (only
+    // via 2 — the 4→5 edge connects two dist-2 nodes and is NOT on any
+    // shortest path, so the backward pass must ignore it);
+    // δ(2) = σ2/σ4·1 + σ2/σ5·1 = 1.5, δ(3) = 1/2 = 0.5
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L), (2L, 5L))
+      .toDF("src", "dst")
+    val one = Algorithms.betweennessCentrality(e, Seq(1L), 5)
+      .as[(Long, Double)].collect().toMap
+    assert(one == Map(2L -> 1.5, 3L -> 0.5, 4L -> 0.0, 5L -> 0.0), s"got $one")
+    // second seed 3 adds δ_3(4) = 1 (path 3→4→5); contributions sum per node
+    val two = Algorithms.betweennessCentrality(e, Seq(1L, 3L), 5)
+      .as[(Long, Double)].collect().toMap
+    assert(two == Map(2L -> 1.5, 3L -> 0.5, 4L -> 1.0, 5L -> 0.0), s"got $two")
+    // isolated seed: nothing reached, empty result
+    assert(Algorithms.betweennessCentrality(e, Seq(99L), 3).count() == 0L)
+  }
+
   test("bfs distances on a chain with a shortcut") {
     // 1->2->3->4 and 1->3
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L)).toDF("src", "dst")
