@@ -200,6 +200,20 @@ object PipelineQueries {
         .select(col("i"), col("j"), CypherFunctions.roundC(col("cosine"), 4).as("cosine"))
         .orderBy(col("i"), col("j"))),
 
+    // dedup: SemDeDup — k-means over the embedding space (deterministic
+    // spherical Lloyd, broadcast centroids, 2 iterations), near-dup
+    // marking within clusters only; same zeroed-tail augmented corpus as
+    // the LSH path (planted dups at cosine ≈ 0.935, threshold 0.9)
+    "q_semdedup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val pert = emb.select((col("vec_id") + 100000).as("vec_id"),
+        concat(slice(col("embedding"), 1, 56),
+          array((1 to 8).map(_ => lit(0.0f)): _*)).as("embedding"))
+      VectorSearch.semDedup(emb.unionAll(pert), "vec_id", "embedding",
+        k = 8, iters = 2, tau = 0.9)
+        .orderBy(col("vec_id"))
+    }),
+
     // dedup: the SCALABLE multi-table sign-LSH path, in the high-similarity
     // regime it is designed for: the corpus is augmented with zeroed-tail
     // copies (cosine = ||v[1..56]|| / ||v|| ~ 0.935), threshold 0.9.
@@ -1060,6 +1074,31 @@ object PipelineQueries {
         |SELECT a.vec_id AS i, b.vec_id AS j, round(list_cosine_similarity(a.v, b.v), 4) AS cosine
         |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.9 ORDER BY 1, 2""".stripMargin,
+    "q_semdedup" ->
+      // two unrolled Lloyd iterations + final assignment; centroid cells
+      // rounded to 9 decimals to pin down summation-order ULPs (the engine
+      // does the same); init = the 8 smallest ids, ties to the smaller
+      // cluster id
+      """WITH aug AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        | UNION ALL SELECT vec_id + 100000, CAST(embedding AS DOUBLE[])[1:56] || [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] FROM embeddings),
+        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, e AS ce FROM (SELECT vec_id, e FROM aug ORDER BY vec_id LIMIT 8)),
+        |a1 AS (SELECT vec_id, e, cl FROM (
+        |  SELECT a.vec_id, a.e, c.cl, row_number() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.e, c.ce) DESC, c.cl) AS rk
+        |  FROM aug a CROSS JOIN c0 c) WHERE rk = 1),
+        |c1 AS (SELECT cl, list(m ORDER BY dim) AS ce FROM (
+        |  SELECT cl, dim, round(avg(x), 9) AS m FROM (SELECT cl, unnest(e) AS x, unnest(range(len(e))) AS dim FROM a1) GROUP BY 1, 2) GROUP BY cl),
+        |a2 AS (SELECT vec_id, e, cl FROM (
+        |  SELECT a.vec_id, a.e, c.cl, row_number() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.e, c.ce) DESC, c.cl) AS rk
+        |  FROM aug a CROSS JOIN c1 c) WHERE rk = 1),
+        |c2 AS (SELECT cl, list(m ORDER BY dim) AS ce FROM (
+        |  SELECT cl, dim, round(avg(x), 9) AS m FROM (SELECT cl, unnest(e) AS x, unnest(range(len(e))) AS dim FROM a2) GROUP BY 1, 2) GROUP BY cl),
+        |a3 AS (SELECT vec_id, e, cl FROM (
+        |  SELECT a.vec_id, a.e, c.cl, row_number() OVER (PARTITION BY a.vec_id ORDER BY list_cosine_similarity(a.e, c.ce) DESC, c.cl) AS rk
+        |  FROM aug a CROSS JOIN c2 c) WHERE rk = 1),
+        |dup AS (SELECT DISTINCT a.vec_id FROM a3 a JOIN a3 b ON a.cl = b.cl AND b.vec_id < a.vec_id
+        |        WHERE list_cosine_similarity(a.e, b.e) >= 0.9)
+        |SELECT a3.vec_id, CAST(a3.cl AS INTEGER) AS cluster, (dup.vec_id IS NOT NULL) AS is_dup
+        |FROM a3 LEFT JOIN dup USING (vec_id) ORDER BY a3.vec_id""".stripMargin,
     "q_minhash_lsh" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(w[g:g+4], ' ') AS s FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS g FROM words)),

@@ -101,6 +101,76 @@ object VectorSearch {
         graft.functions.CypherFunctions.roundC(col("m") / col("nrm"), roundTo).as("value"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication = k-means over the embedding space, then near-duplicate
+    * marking WITHIN each cluster only — the clustering bounds the pairwise
+    * candidate set to Σ cluster_size², never corpus². A pair straddling
+    * two clusters is missed by construction; that recall trade-off is the
+    * method (both engines run the identical algorithm, so results stay
+    * comparable).
+    *
+    * Deterministic spherical Lloyd: initial centroids are the `k` smallest
+    * ids; assignment is argmax cosine (ties to the smaller cluster id);
+    * the update is the per-cluster mean — cosine is scale-invariant, so
+    * renormalizing the mean is unnecessary. Empty clusters drop out.
+    *
+    * Scale shape: per iteration, assignment is a BROADCAST of the k×dim
+    * centroid table against the vector scan (map-side argmax via one
+    * struct-max aggregate) and the update is the groupCentroids hash
+    * aggregate — shuffle ∝ k×dim, vectors never collected; the in-cluster
+    * pair join shuffles on the cluster id. Duplicate rule: a vector is a
+    * dup if a SMALLER-id member of its cluster is within `tau` cosine
+    * (keep-first, matching the q_dedup_* family). Returns
+    * (idCol, cluster, is_dup). */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int, tau: Double): DataFrame = {
+    require(k > 0 && iters >= 0, "k positive, iters non-negative")
+    val spark = emb.sparkSession
+    val dim = detectDim(emb, vecCol)
+    val v = emb.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__e")).localCheckpoint(true)
+    def cos(a: Column, b: Column) = cosineBest(spark, a, b, dim)
+    var cents = v.orderBy(col("__id")).limit(k)
+      .select((row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__id"))) - 1)
+        .as("__cl"), col("__e").as("__ce"))
+      .localCheckpoint(true)
+    // argmax cosine as ONE struct-max aggregate (score, then -cluster so
+    // equal scores pick the smaller cluster id) — no per-vector window
+    def assign(c: DataFrame): DataFrame = v.crossJoin(broadcast(c))
+      .withColumn("__s", cos(col("__e"), col("__ce")))
+      .groupBy(col("__id"))
+      .agg(max(struct(col("__s"), (-col("__cl")).as("__nc"))).as("__m"))
+      .select(col("__id"), (-col("__m.__nc")).cast("int").as("__cl"))
+      .join(v, "__id")
+    for (_ <- 1 to iters) {
+      val a = assign(cents)
+      // centroid cells rounded to 9 decimals: double summation order is
+      // engine/partition-dependent, and an unquantized ~1e-15 cell drift
+      // could flip an argmax near a boundary — 1e-9 quantization is far
+      // above the noise and far below any real cluster margin
+      cents = a.select(col("__cl"),
+        posexplode(col("__e")).as(Seq("__dim", "__x")))
+        .groupBy(col("__cl"), col("__dim"))
+        .agg(graft.functions.CypherFunctions.roundC(avg(col("__x")), 9).as("__m"))
+        .groupBy(col("__cl"))
+        .agg(transform(array_sort(collect_list(struct(col("__dim"), col("__m")))),
+          s => s.getField("__m")).as("__ce"))
+        .localCheckpoint(true)
+    }
+    val fin = assign(cents).localCheckpoint(true) // both pair-join sides
+    val dups = fin.select(col("__cl"), col("__id").as("__i"), col("__e").as("__ea"))
+      .join(fin.select(col("__cl"), col("__id").as("__j"), col("__e").as("__eb")),
+        "__cl")
+      .filter(col("__j") < col("__i"))
+      .filter(cos(col("__ea"), col("__eb")) >= tau)
+      .select(col("__i")).distinct().withColumn("__d", lit(true))
+    fin.select(col("__id"), col("__cl"))
+      .join(dups, col("__id") === col("__i"), "left")
+      .select(col("__id").as(idCol), col("__cl").as("cluster"),
+        coalesce(col("__d"), lit(false)).as("is_dup"))
+  }
+
   /** Exact top-k by cosine to a literal query vector.
     * `ORDER BY score DESC LIMIT k` compiles to TakeOrderedAndProject —
     * a single scan, no global sort, per-partition heaps at scale. */
