@@ -715,6 +715,59 @@ object Algorithms {
       .select(col("_ka").as("id"), col("deg"))
   }
 
+  /** Bounded-round k-truss peel (the edge analog of [[kCore]]): each round
+    * computes per-edge triangle SUPPORT and drops edges supported by fewer
+    * than k−2 triangles; after `rounds` peels (or the fixpoint, whichever
+    * first — peeling a fixpoint is the identity, so the early exit cannot
+    * change the result) the surviving edge set is reported with its
+    * support recomputed on that final set, mirroring kCore's
+    * report-degree-on-final-set contract.
+    *
+    * Scale shape: support comes from the same degree-oriented
+    * adjacency-array intersection as [[triangleCount]] (the wedge set is
+    * never shuffled as rows); each triangle row then charges its THREE
+    * edges through one exploded hash aggregate — shuffle ∝ triangle count
+    * with map-side combine, the standard distributed truss-decomposition
+    * shape. Input: src/dst pairs, symmetrized + canonicalized here.
+    * Returns (a, b, support) for the surviving canonical edges. */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int = 4): DataFrame = {
+    require(k >= 3 && rounds > 0, s"k >= 3 and rounds > 0, got k=$k rounds=$rounds")
+    def support(e: DataFrame): DataFrame = {
+      val te = triangleEdges(e).filter(size(col("ws")) > 0)
+        .localCheckpoint(true) // three downstream references
+      val contrib = te
+        .select(col("lo").as("x"), col("hi").as("y"),
+          size(col("ws")).cast("long").as("c"))
+        .unionAll(te.select(col("lo").as("x"), explode(col("ws")).as("y"))
+          .withColumn("c", lit(1L)))
+        .unionAll(te.select(col("hi").as("x"), explode(col("ws")).as("y"))
+          .withColumn("c", lit(1L)))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b"), col("c"))
+        .groupBy(col("a"), col("b")).agg(sum(col("c")).as("support"))
+      e.join(contrib, Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("support"), lit(0L)).as("support"))
+        .localCheckpoint(true)
+    }
+    var e = edges.select(least(col("src"), col("dst")).cast("long").as("a"),
+      greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    var sup = support(e)
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      if (sup.filter(col("support") < k - 2).limit(1).isEmpty) done = true
+      else {
+        e = sup.filter(col("support") >= k - 2).select(col("a"), col("b"))
+          .localCheckpoint(true)
+        sup = support(e)
+      }
+      r += 1
+    }
+    sup
+  }
+
   /** Deterministic random-walk neighbor sampling (the GraphSAGE-style
     * fan-out a GNN training pipeline runs over the graph): one walk per
     * start node, `steps` hops, the neighbor at each hop picked by an

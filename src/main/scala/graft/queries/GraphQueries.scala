@@ -246,6 +246,18 @@ object GraphQueries {
       Algorithms.adamicAdar(e, seeds, 20)
     }),
 
+    // beyond-parity: bounded-round k-truss peel on a part-id-restricted
+    // co-purchase slice (support from the degree-oriented adjacency
+    // intersection, each triangle charges its three edges through one
+    // exploded hash aggregate) — 4665 → 315 edges over three peels
+    "q_ktruss" -> ((s, d) => {
+      val und = copurchaseShared(s, d)
+        .filter(col("a") < 400 && col("b") < 400)
+      Algorithms.kTruss(und.select(col("a").as("src"), col("b").as("dst")),
+        k = 5, rounds = 3)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // beyond-parity: Jaccard node similarity (GDS nodeSimilarity shape)
     // for the same four seeds — seeded wedge join for the intersection,
     // exact degrees for the union, top-20 by rounded score
@@ -861,6 +873,24 @@ object GraphQueries {
     * degree in the round-(r-1) edge set is below k (synchronous removal) —
     * the same fixed-round semantics [[Algorithms.kCore]] computes, so no
     * convergence check is needed on either side. */
+  /** Unrolled bounded-round k-truss peel (kcoreOracle's edge analog):
+    * per round, support = common-neighbor count via the wedge join, edges
+    * below k-2 dropped; the final SELECT recomputes support on the last
+    * edge set — the engine's report-on-final-set contract. */
+  private def ktrussOracle(k: Int, rounds: Int, maxPart: Int): String = {
+    val sb = new StringBuilder(
+      s"WITH pe AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey AND a.l_partkey < $maxPart AND b.l_partkey < $maxPart), e0 AS (SELECT a, b FROM pe)")
+    for (r <- 1 to rounds)
+      sb.append(s", y$r AS (SELECT a, b FROM e${r - 1} UNION ALL SELECT b, a FROM e${r - 1})" +
+        s", t$r AS (SELECT e.a, e.b, count(*) AS sup FROM e${r - 1} e JOIN y$r s1 ON s1.a = e.a JOIN y$r s2 ON s2.a = e.b AND s2.b = s1.b GROUP BY 1, 2)" +
+        s", e$r AS (SELECT e.a, e.b FROM e${r - 1} e LEFT JOIN t$r t ON t.a = e.a AND t.b = e.b WHERE coalesce(t.sup, 0) >= ${k - 2})")
+    sb.append(s", yF AS (SELECT a, b FROM e$rounds UNION ALL SELECT b, a FROM e$rounds)" +
+      s", tF AS (SELECT e.a, e.b, count(*) AS sup FROM e$rounds e JOIN yF s1 ON s1.a = e.a JOIN yF s2 ON s2.a = e.b AND s2.b = s1.b GROUP BY 1, 2)" +
+      s" SELECT CAST(e.a AS BIGINT) AS a, CAST(e.b AS BIGINT) AS b, CAST(coalesce(t.sup, 0) AS BIGINT) AS support" +
+      s" FROM e$rounds e LEFT JOIN tF t ON t.a = e.a AND t.b = e.b ORDER BY a, b")
+    sb.toString
+  }
+
   private def kcoreOracle(k: Int, rounds: Int): String = {
     val sb = new StringBuilder(CopurchaseCte)
     sb.append(", e0 AS (SELECT a, b FROM pe UNION ALL SELECT b, a FROM pe)")
@@ -1058,6 +1088,7 @@ object GraphQueries {
         |ORDER BY round(c * 1.0 / (dx.d + dy.d - c), 6) DESC, x, y LIMIT 20""".stripMargin),
     "q_cdlp" -> cdlpOracle(5),
     "q_kcore" -> kcoreOracle(80, 4),
+    "q_ktruss" -> ktrussOracle(5, 3, 400),
     "q_walk_sample" -> walkOracle(3),
     "q_snapshot_roundtrip" ->
       "SELECT CAST(n_nationkey + 1200000000 AS BIGINT) AS src, CAST(n_regionkey + 1300000000 AS BIGINT) AS dst FROM nation ORDER BY 1",

@@ -103,6 +103,30 @@ class AlgorithmsSpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 1.0), (1L, 5L, 0.5)), s"got $out")
   }
 
+  test("kTruss: peel threshold, cascade, bounded-rounds report-on-final-set") {
+    // 4-clique {1,2,3,4} (every edge support 2) + triangle {4,5,6}
+    // (support 1 each) + pendant 6-7 (support 0)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (6L, 7L)).toDF("src", "dst")
+    val k4 = Algorithms.kTruss(e, 4, 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(k4 == Set((1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 2L), (2L, 3L, 2L),
+      (2L, 4L, 2L), (3L, 4L, 2L)), s"got $k4")
+    val k3 = Algorithms.kTruss(e, 3, 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(k3.size == 9 && k3.contains((4L, 5L, 1L)) && !k3.exists(_._1 == 6L),
+      s"got $k3")
+    // cascade: triangle strip 1-2-3, 2-3-4, 3-4-5 — k=4 keeps {2-3, 3-4}
+    // after round 1, but their support on the SURVIVING set is 0, so
+    // rounds=1 reports them at 0 and rounds=2 peels them away entirely
+    val strip = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L)).toDF("src", "dst")
+    val r1 = Algorithms.kTruss(strip, 4, 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r1 == Set((2L, 3L, 0L), (3L, 4L, 0L)), s"got $r1")
+    assert(Algorithms.kTruss(strip, 4, 2).count() == 0L)
+  }
+
   test("betweennessCentrality: Brandes dependencies, non-DAG edge excluded, seed sum") {
     // diamond 1→{2,3}→4→5 plus shortcut 2→5: from 1, σ(4)=2, σ(5)=1 (only
     // via 2 — the 4→5 edge connects two dist-2 nodes and is NOT on any
