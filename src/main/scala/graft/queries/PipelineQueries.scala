@@ -932,6 +932,32 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("probe_id"))
     }),
 
+    // streaming: ingestion-time quality scoring — the hash-bucketed NB
+    // model (fastText deployment shape, a bounded 4096-double array) is
+    // trained batch-side and applied to the stream as a pure per-row
+    // projection: no aggregation, no state store, plain append mode
+    "q_streaming_nb_quality" -> ((s, d) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_stream_nbq"
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles).foreach(_.foreach(rm))
+        p.delete(); ()
+      }
+      rm(new java.io.File(base))
+      val (lo, prior) = TextAnalysis.nbHashedModel(
+        t(s, d, "documents"), "doc_id", "text")
+      withStreamShuffle(s) {
+        val scored = TextAnalysis.nbQualityApply(
+          EventStream.readDocuments(s, d), "doc_id", "text", lo, prior)
+        val q = scored.writeStream.outputMode("append").format("parquet")
+          .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+          .start()
+        q.processAllAvailable(); q.stop()
+      }
+      s.read.parquet(s"$base/out")
+        .select(col("doc_id"), col("n_words"), col("nb_score"), col("predicted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // streaming: stateful sessionization in stream mode — the
     // flatMapGroupsWithState path holds one open session per user in the
     // executor state store and emits a session the moment a gap closes it.
@@ -1456,6 +1482,29 @@ object PipelineQueries {
         |                 / sum(CASE WHEN label THEN 0 ELSE 1 END)) AS prior FROM b),
         |sc AS (SELECT doc_id, sum(lo) AS s FROM tok JOIN lo ON tok.tk = lo.tk GROUP BY 1)
         |SELECT b.doc_id, CAST(nw AS BIGINT) AS n_words, label,
+        |       round(prior + coalesce(s, 0.0), 4) AS nb_score,
+        |       round(prior + coalesce(s, 0.0), 4) > 0.0 AS predicted
+        |FROM b LEFT JOIN sc USING (doc_id), pri ORDER BY b.doc_id""".stripMargin,
+    "q_streaming_nb_quality" ->
+      // hashed-bucket twin of q_nb_quality: token → polyhash % 4096 slot
+      // (the DSIR oracle's list_reduce hash), Laplace over BUCKETS; the
+      // scoring corpus equals the training corpus so every scored token's
+      // bucket exists in cnt
+      """WITH w AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS toks FROM documents),
+        |b AS (SELECT doc_id, toks, len(toks) AS nw,
+        |  CASE WHEN len(toks) = 0 THEN false
+        |       ELSE len(toks) BETWEEN 20 AND 200
+        |            AND (1.0 - len(list_distinct(toks)) * 1.0 / len(toks)) <= 0.5 END AS label FROM w),
+        |tok AS (SELECT doc_id, label, unnest(toks) AS tk FROM b),
+        |hb AS (SELECT doc_id, label, list_reduce(list_transform(regexp_split_to_array(tk, ''), c -> ord(c)), (a, x) -> (a * 131 + x) % 1000003) % 4096 AS bk FROM tok),
+        |cnt AS (SELECT bk, sum(CASE WHEN label THEN 1 ELSE 0 END) AS cp,
+        |               sum(CASE WHEN label THEN 0 ELSE 1 END) AS cn FROM hb GROUP BY 1),
+        |tot AS (SELECT sum(cp) AS np, sum(cn) AS nn FROM cnt),
+        |pri AS (SELECT ln(sum(CASE WHEN label THEN 1 ELSE 0 END) * 1.0
+        |                 / sum(CASE WHEN label THEN 0 ELSE 1 END)) AS prior FROM b),
+        |sc AS (SELECT doc_id, sum(ln((cp + 1.0) / (np + 4096)) - ln((cn + 1.0) / (nn + 4096))) AS s
+        |       FROM hb JOIN cnt USING (bk) CROSS JOIN tot GROUP BY 1)
+        |SELECT b.doc_id, CAST(nw AS BIGINT) AS n_words,
         |       round(prior + coalesce(s, 0.0), 4) AS nb_score,
         |       round(prior + coalesce(s, 0.0), 4) > 0.0 AS predicted
         |FROM b LEFT JOIN sc USING (doc_id), pri ORDER BY b.doc_id""".stripMargin,

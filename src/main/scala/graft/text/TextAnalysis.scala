@@ -784,4 +784,64 @@ object TextAnalysis {
           col("__prior") + coalesce(col("__s"), lit(0.0)), 4).as("nb_score"))
       .withColumn("predicted", col("nb_score") > 0.0)
   }
+
+  /** Hash-bucketed variant of the [[nbQualityScore]] model — the fastText
+    * DEPLOYMENT shape: tokens hash to `buckets` fixed slots
+    * (graft_polyhash % B, collisions merge counts), so the trained model is
+    * a bounded B-double array regardless of corpus size. Training stays the
+    * one-explode + hash-aggregate plan; ONLY the B-bucket reduction is
+    * collected (bounded by construction, same class as k-bounded seed
+    * collects — at 100 TB the array is still `buckets` doubles). Buckets no
+    * training token hashed into carry the Laplace default, so unseen
+    * stream tokens score neutrally rather than erroring. Returns
+    * (per-bucket log-odds array, document prior). */
+  def nbHashedModel(df: DataFrame, idCol: String, textCol: String,
+                    buckets: Int = 4096, minWords: Int = 20,
+                    maxWords: Int = 200, dupCut: Double = 0.5): (Seq[Double], Double) = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val base = df.select(tokens(col(textCol)).as("__toks"))
+      .withColumn("__nw", size(col("__toks")))
+      .withColumn("label",
+        when(col("__nw") === 0, lit(false)).otherwise(
+          col("__nw").between(minWords, maxWords) &&
+            (lit(1.0) - size(array_distinct(col("__toks"))).cast("double")
+              / col("__nw")) <= dupCut))
+    val hb = base.select(col("label"), explode(col("__toks")).as("__tok"))
+      .select(col("label"), pmod(featureHash(col("__tok")), lit(buckets.toLong))
+        .cast("int").as("__bk"))
+    val counts = hb.groupBy(col("__bk")).agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("__cp"),
+      sum(when(col("label"), 0L).otherwise(1L)).as("__cn"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val np = counts.valuesIterator.map(_._1).sum.toDouble
+    val nn = counts.valuesIterator.map(_._2).sum.toDouble
+    val lo = (0 until buckets).map { b =>
+      val (cp, cn) = counts.getOrElse(b, (0L, 0L))
+      math.log((cp + 1.0) / (np + buckets)) - math.log((cn + 1.0) / (nn + buckets))
+    }
+    val labels = base.agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("p"),
+      sum(when(col("label"), 0L).otherwise(1L)).as("n")).head()
+    (lo, math.log(labels.getLong(0).toDouble / labels.getLong(1)))
+  }
+
+  /** Stateless quality scoring against a pre-trained hashed NB model —
+    * works unchanged on a STREAMING DataFrame (pure per-row projection:
+    * no aggregation, no state store, plain append mode). The model rides
+    * as a literal array column (fixed `buckets` doubles broadcast with the
+    * plan); each token costs one polyhash + one O(1) array lookup inside
+    * the fold. Returns (idCol, n_words, nb_score, predicted). */
+  def nbQualityApply(docs: DataFrame, idCol: String, textCol: String,
+                     modelLogOdds: Seq[Double], prior: Double): DataFrame = {
+    val arr = typedlit(modelLogOdds)
+    val b = lit(modelLogOdds.size.toLong)
+    val toks = tokens(col(textCol))
+    docs
+      .select(col(idCol), size(toks).cast("long").as("n_words"),
+        CypherFunctions.roundC(
+          lit(prior) + aggregate(toks, lit(0.0), (acc, t) =>
+            acc + element_at(arr, (pmod(featureHash(t), b) + 1).cast("int"))),
+          4).as("nb_score"))
+      .withColumn("predicted", col("nb_score") > 0.0)
+  }
 }

@@ -93,4 +93,55 @@ class NbQualitySpec extends SparkSpec {
     assert(math.abs(got(7L)._3 - expected) < 1e-9,
       s"empty doc score ${got(7L)._3} != rounded prior $expected")
   }
+
+  // plain-Scala twin of graft_polyhash (same fold as DsirPackSpec)
+  private def refHash(tok: String): Long =
+    tok.foldLeft(0L)((a, c) => (a * 131L + c.toLong) % 1000003L)
+
+  test("hashed model + apply matches an in-memory twin; unseen token is neutral") {
+    val B = 64
+    val (lo, prior) = TextAnalysis.nbHashedModel(corpus, "doc_id", "text",
+      buckets = B, minWords = 3, maxWords = 5, dupCut = 0.5)
+    assert(lo.size == B)
+    // twin: rebuild bucket counts from the same labels as the twin() above
+    def toks(t: String) = t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    val docs = Seq(1L -> "clear prose sentence here",
+      2L -> "clear concise prose paragraph", 3L -> "spam",
+      4L -> "buy buy cheap cheap pills pills", 5L -> "spam spam spam spam pills",
+      6L -> "clear prose", 7L -> "   ")
+    val labeled = docs.map { case (id, t) =>
+      val tk = toks(t)
+      (id, tk, tk.nonEmpty && tk.size >= 3 && tk.size <= 5 &&
+        (1.0 - tk.distinct.size.toDouble / tk.size) <= 0.5)
+    }
+    val cp = new Array[Long](B); val cn = new Array[Long](B)
+    labeled.foreach { case (_, tk, lab) =>
+      tk.foreach { t =>
+        val b = (refHash(t) % B).toInt
+        if (lab) cp(b) += 1 else cn(b) += 1
+      }
+    }
+    val np = cp.sum.toDouble; val nn = cn.sum.toDouble
+    val expLo = (0 until B).map(b => math.log((cp(b) + 1.0) / (np + B))
+      - math.log((cn(b) + 1.0) / (nn + B)))
+    (0 until B).foreach(b => assert(math.abs(lo(b) - expLo(b)) < 1e-12,
+      s"bucket $b: ${lo(b)} != ${expLo(b)}"))
+    assert(math.abs(prior - math.log(2.0 / 5.0)) < 1e-12)
+    // apply on batch (same code path the stream runs) matches the twin
+    val got = TextAnalysis.nbQualityApply(corpus, "doc_id", "text", lo, prior)
+      .select("doc_id", "nb_score").as[(Long, Double)].collect().toMap
+    labeled.foreach { case (id, tk, _) =>
+      val s = prior + tk.map(t => expLo((refHash(t) % B).toInt)).sum
+      val exp = BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(id) - exp) < 1e-9, s"doc $id: ${got(id)} != $exp")
+    }
+    // a token absent from training hits its bucket's Laplace default —
+    // scoring must not error and must equal the twin's default lookup
+    val unseen = Seq((100L, "zzqqxv")).toDF("doc_id", "text")
+    val u = TextAnalysis.nbQualityApply(unseen, "doc_id", "text", lo, prior)
+      .select("nb_score").as[Double].head()
+    val exp = BigDecimal(prior + expLo((refHash("zzqqxv") % B).toInt))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(u - exp) < 1e-9, s"unseen-token score $u != $exp")
+  }
 }
