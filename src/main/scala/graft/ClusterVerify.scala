@@ -56,12 +56,13 @@ object ClusterVerify {
     "q_triangle_count", "q_kcore", "q_sssp", "q_mst", "q_maxflow",
     "q_walk_sample", "q_cypher_or_solve", "q_adamic_adar",
     "q_harmonic_centrality", "q_cypher_call_harmonic",
+    "q_closeness_centrality", "q_betweenness", "q_jaccard_sim", "q_ktruss",
     // vector search
     "q_knn_exact", "q_knn_approx", "q_knn_ivf", "q_knn_pq", "q_hybrid_rrf",
     // dedup + text pipeline
     "q_dedup_exact", "q_minhash_lsh", "q_simhash", "q_dedup_embedding_lsh",
-    "q_substring_dedup", "q_embedding_centroid",
-    "q_bm25", "q_tfidf", "q_lang_id", "q_lm_perplexity",
+    "q_substring_dedup", "q_embedding_centroid", "q_semdedup",
+    "q_bm25", "q_tfidf", "q_lang_id", "q_lm_perplexity", "q_nb_quality",
     // data-pipeline ops
     "q_asof_join", "q_funnel", "q_retention", "q_stratified_sample",
     "q_seq_pack", "q_pack_harmonic", "q_dsir_resample",
@@ -75,6 +76,7 @@ object ClusterVerify {
     "q_sparql_bgp", "q_sparql_agg", "q_rdf_roundtrip",
     // structured streaming (state store on executors)
     "q_streaming_window", "q_streaming_join", "q_streaming_decontaminate",
+    "q_streaming_nb_quality",
     // ldbc / finbench suites (deep plans, seeded subqueries, write chains)
     "q_ldbc_ic5", "q_ldbc_bi4", "q_ldbc_upd", "q_finbench_cr4",
     "q_finbench_w",
@@ -92,13 +94,15 @@ object ClusterVerify {
     "q_cypher_wco_cycle", "q_cypher_split_dynamic", "q_cypher_optional",
     "q_cypher_write_create", "q_cypher_write_delete",
     "q_pagerank", "q_ppr", "q_adamic_adar", "q_harmonic_centrality",
+    "q_betweenness", "q_ktruss", "q_closeness_centrality", "q_jaccard_sim",
     "q_cdlp", "q_triangle_count",
-    "q_knn_exact", "q_knn_approx",
+    "q_knn_exact", "q_knn_approx", "q_semdedup",
     "q_minhash_lsh", "q_substring_dedup", "q_embedding_centroid",
     "q_dsir_resample", "q_pack_harmonic", "q_incremental_dedup",
-    "q_hard_negatives",
+    "q_hard_negatives", "q_nb_quality",
     "q_asof_join", "q_multimodal_decode",
     "q_sparql_bgp", "q_streaming_window", "q_streaming_decontaminate",
+    "q_streaming_nb_quality",
     "q_ldbc_is3", "q_ldbc_ic13", "q_ldbc_upd", "q_finbench_w")
 
   private val sqlConfs: Map[String, String] = Map(

@@ -53,7 +53,12 @@ object Plans {
       "q_dsir_resample" -> "DSIR importance resampling: hashed n-gram features are a per-row transform+explode; the bucket LM collapses to <=4096 rows in ONE hash aggregate and returns as a BroadcastHashJoin onto the feature stream; the Gumbel top-k threshold is TakeOrderedAndProject + a broadcast 1-row aggregate - no global window or sort anywhere",
       "q_pack_harmonic" -> "harmonic no-split packing: one scan computes (n_tokens, fit-class); the only exchange feeds windows PARTITIONED BY (shard, class) - parallelism shards x classes, nothing global",
       "q_incremental_dedup" -> "incremental ingestion gate: batch and corpus shingle streams meet in an inverted-index join on the shingle key (shuffle ~ shingle volume, never all-pairs); best match per batch doc is ONE composite-min-key hash aggregate - no window over the corpus",
-      "q_harmonic_centrality" -> "multi-source BFS: every round is one join of the (seed, node) frontier against the checkpointed edge leaf (LogicalRDD) - all seeds advance together, no per-seed job fan-out; the harmonic score is one hash aggregate")
+      "q_harmonic_centrality" -> "multi-source BFS: every round is one join of the (seed, node) frontier against the checkpointed edge leaf (LogicalRDD) - all seeds advance together, no per-seed job fan-out; the harmonic score is one hash aggregate",
+      "q_betweenness" -> "sampled-source Brandes: forward levels are checkpointed leaves (LogicalRDD) carrying sigma; each backward round joins level d against the level-d+1 delta table on the edge key - the shortest-path DAG is replayed one level per round, never per-seed jobs; BC is one final hash aggregate",
+      "q_jaccard_sim" -> "seeded Jaccard node similarity: the wedge join is bounded by the seeded s1 side (isin pushed at the symmetrized leaf); exact degrees join back onto the per-pair intersection aggregate and the top-k is TakeOrderedAndProject",
+      "q_ktruss" -> "bounded-round k-truss: per-edge support from the degree-oriented adjacency intersection (the wedge set never shuffles as rows) + one exploded hash aggregate charging each triangle to its 3 edges with partial (map-side) combine; each peel round ends in a checkpointed edge leaf",
+      "q_semdedup" -> "SemDeDup: every Lloyd assignment is a BroadcastNestedLoopJoin of the k x dim centroid table against the vector scan reduced by ONE struct-max hash aggregate (no per-vector window); the update is the posexplode (cluster, dim) aggregate; the in-cluster pair join shuffles on the cluster id only",
+      "q_nb_quality" -> "naive-Bayes quality: one explode + hash aggregate trains the token log-odds as a DISTRIBUTED table; class totals and the prior are broadcast 1-row aggregates; scoring re-joins the exploded token stream on the token key - shuffle ~ token count, model never on the driver")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative catalog queries\n\n")

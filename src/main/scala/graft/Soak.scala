@@ -248,7 +248,34 @@ object Soak {
         graft.cypher.QueryEngine.execute(
           "MATCH (x:P)-[:CO]->(y:P)-[:CO]->(z:P)<-[:CO]-(x) RETURN count(*) AS n", g)
           .collect()(0).getLong(0)
-      })
+      },
+      // seeded Brandes betweenness: the seed lives in copy 0 so the
+      // forward/backward BFS region is constant across scales — the linear
+      // cost is the edge distinct+checkpoint pass (same class as
+      // adamic_adar); per-seed fan-out would show as a superlinear ratio
+      "betweenness" -> { n => Algorithms.betweennessCentrality(
+        spark.read.parquet(edgeCache(n, false)), Seq(minNode), 4).count() },
+      // seeded Jaccard node similarity: bounded wedge join + exact-degree
+      // union — the degree aggregate is the linear part
+      "jaccard_sim" -> { n => Algorithms.jaccardSimilarity(
+        spark.read.parquet(edgeCache(n, false)), Seq(minNode), 20).count() },
+      // bounded-round k-truss over the WHOLE scaled graph: the
+      // triangle-charge explode is ∝ triangle count (disjoint copies →
+      // exactly N× triangles) — the quadratic-blowup tripwire for the
+      // wedge machinery; k=12 so round 2 peels a real fraction
+      "ktruss" -> { n => Algorithms.kTruss(
+        spark.read.parquet(edgeCache(n, false)), 12, 1).count() },
+      // SemDeDup with production sizing: clusters scale WITH the corpus
+      // (k ∝ n, the paper's LAION runs use ~100k clusters for the same
+      // reason) so in-cluster pair work stays linear; a FIXED k would be
+      // quadratic in the pair join and this row would catch it
+      "semdedup" -> { n => graft.vector.VectorSearch.semDedup(
+        spark.read.parquet(embCache(n)), "vec_id", "embedding",
+        k = 8 * n, iters = 2, tau = 0.9).count() },
+      // NB quality classifier: one explode + token-keyed hash aggregates,
+      // shuffle ∝ token count — linear by construction
+      "nb_quality" -> { n => graft.text.TextAnalysis.nbQualityScore(
+        spark.read.parquet(docCache(n)), "doc_id", "text").count() })
 
     // SPARK_GRAFT_SOAK_ONLY=op1,op2 restricts the sweep (local iteration)
     val onlyOps = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
