@@ -65,6 +65,7 @@ object ClusterVerify {
     "q_bm25", "q_tfidf", "q_lang_id", "q_lm_perplexity", "q_nb_quality",
     // data-pipeline ops
     "q_asof_join", "q_funnel", "q_retention", "q_stratified_sample",
+    "q_weighted_sample",
     "q_seq_pack", "q_pack_harmonic", "q_dsir_resample",
     "q_leakage_split", "q_ppl_buckets", "q_mix_token_budget",
     "q_incremental_dedup", "q_hard_negatives",

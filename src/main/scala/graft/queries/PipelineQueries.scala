@@ -603,6 +603,14 @@ object PipelineQueries {
       TextAnalysis.repetitionSignals(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // text: deterministic token-weighted sampling without replacement
+    // (Efraimidis–Spirakis keys from the multiplicative-hash draw) — the
+    // k-th key is TakeOrdered + a broadcast 1-row max, never a global sort
+    "q_weighted_sample" -> ((s, d) =>
+      TextAnalysis.weightedSample(t(s, d, "documents"), "doc_id",
+        TextAnalysis.tokenCount(col("text")), 100)
+        .orderBy(col("doc_id"))),
+
     // text: deterministic training-epoch shuffle — shard + within-shard
     // position from arithmetic on the id alone (reproducible across
     // engines/runs; the at-scale export is partitionBy(shard) +
@@ -1519,6 +1527,14 @@ object PipelineQueries {
         |d5 AS (SELECT doc_id, round(sum(CASE WHEN n > 1 THEN n * length(g) ELSE 0 END) / chars, 4) AS dup_5gram_frac FROM c5 GROUP BY doc_id, chars)
         |SELECT doc_id, top_bigram, top_bigram_n, top_bigram_frac, dup_5gram_frac
         |FROM t2 JOIN d5 USING (doc_id) WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH w AS (SELECT doc_id, len(list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0)) AS nw FROM documents),
+        |e AS (SELECT doc_id, CAST(nw AS DOUBLE) AS weight,
+        |  round(ln((((doc_id % 1000000007) * 2654435761) % 1000000 + 0.5) / 1000000.0) / nw, 6) AS key
+        |  FROM w WHERE nw > 0)
+        |SELECT doc_id, weight, key,
+        |  row_number() OVER (ORDER BY key DESC, doc_id) <= 100 AS selected
+        |FROM e ORDER BY doc_id""".stripMargin,
     "q_epoch_shuffle" ->
       """WITH k AS (SELECT doc_id,
         |  ((doc_id % 1000000007) * 2654435761 + 1) % 1000000007 AS k1,

@@ -694,6 +694,40 @@ object TextAnalysis {
         (col("__key") <= col("__kth")).as("selected"))
   }
 
+  // ---- deterministic weighted sampling (Efraimidis–Spirakis) ----------------
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * IPL 97(5)): each row draws key = ln(u)/w — the log form of u^(1/w) —
+    * and the k LARGEST keys are exactly a w-weighted sample without
+    * replacement (the token-weighted document selection step of a corpus
+    * pipeline). u comes from the corpus multiplicative-hash idiom (same
+    * as DSIR's Gumbel draw): no RNG, reproducible across engines and
+    * runs. Rows with weight ≤ 0 are never eligible.
+    *
+    * Scale shape: one scan + a codegen'd projection; the k-th composite
+    * key is TakeOrderedAndProject + a broadcast 1-row max, so selection
+    * never becomes a global sort or window. Returns every eligible row
+    * with (idCol, weight, key, selected); key rounded to 6 so the
+    * boolean's tie-break is engine-portable. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+                     k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val scored = df
+      .select(col(idCol), weight.cast("double").as("weight"))
+      .filter(col("weight") > 0)
+      .withColumn("__u",
+        (pmod(pmod(col(idCol), lit(1000000007L)) * lit(2654435761L),
+          lit(1000000L)).cast("double") + 0.5d) / 1000000d)
+      .withColumn("key",
+        CypherFunctions.roundC(log(col("__u")) / col("weight"), 6))
+      .withColumn("__k", struct((-col("key")).as("nk"), col(idCol).as("i")))
+    val kth = scored.select(col("__k")).orderBy(col("__k")).limit(k)
+      .agg(max(col("__k")).as("__kth"))
+    scored.crossJoin(broadcast(kth))
+      .select(col(idCol), col("weight"), col("key"),
+        (col("__k") <= col("__kth")).as("selected"))
+  }
+
   // ---- harmonic bin packing (no-split token budgets) ------------------------
 
   /** Harmonic bin packing of whole documents into fixed token budgets

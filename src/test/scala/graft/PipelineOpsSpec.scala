@@ -121,4 +121,27 @@ class PipelineOpsSpec extends SparkSpec {
       assert(math.abs(ep - alloc / n) < 1e-3)
     }
   }
+
+  test("weighted sample: ES keys match the twin, exactly k, zero-weight excluded") {
+    import graft.text.TextAnalysis
+    val rows = (1L to 60L).map(i => (i, if (i % 7 == 0) 0L else i % 13 + 1))
+    val df = rows.toDF("id", "w")
+    val got = TextAnalysis.weightedSample(df, "id", col("w"), 10)
+      .as[(Long, Double, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    // in-memory twin of the key formula + top-k rule
+    def key(id: Long, w: Long): Double = {
+      val u = (((id % 1000000007L) * 2654435761L) % 1000000L + 0.5) / 1000000.0
+      BigDecimal(math.log(u) / w).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val eligible = rows.filter(_._2 > 0)
+    assert(got.size == eligible.size, "zero-weight rows must be ineligible")
+    eligible.foreach { case (id, w) =>
+      assert(math.abs(got(id)._3 - key(id, w)) < 1e-9, s"key mismatch at $id")
+    }
+    val expSel = eligible.map { case (id, w) => (id, key(id, w)) }
+      .sortBy { case (id, k) => (-k, id) }.take(10).map(_._1).toSet
+    assert(got.values.count(_._4) == 10)
+    assert(got.filter(_._2._4).keySet == expSel)
+  }
 }
