@@ -123,6 +123,46 @@ object Algorithms {
     ranks
   }
 
+  /** WEIGHTED PageRank (the GDS relationshipWeightProperty variant; the
+    * reference's pageRank is unweighted): a vertex distributes its rank
+    * over out-edges proportionally to edge weight — contribution =
+    * rank · w(e) / W(v) with W(v) the out-weight sum. Same audited plan
+    * shape as [[pageRankDistributed]]: the weighted edge relation shuffles
+    * ONCE into a checkpointed leaf, each round cuts one vertex-sized
+    * rank⋈out-weight table feeding both the dangling-mass broadcast 1-row
+    * aggregate and the contribution join. Input: (src, dst, weight > 0). */
+  def pageRankWeighted(edges: DataFrame, iterations: Int = 20,
+                       damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src").as("_esrc"), col("dst").as("_edst"),
+      col("weight").cast("double").as("_ew"))
+      .repartition(col("_esrc"))
+      .localCheckpoint(true)
+    val v = e.select(col("_esrc").as("id")).unionAll(e.select(col("_edst").as("id")))
+      .distinct().localCheckpoint(true)
+    val n = v.count().toDouble
+    val outW = e.groupBy(col("_esrc")).agg(sum(col("_ew")).as("_ow"))
+      .withColumnRenamed("_esrc", "_owid").localCheckpoint(true)
+    var ranks = v.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iterations) {
+      val withW = ranks.join(outW, col("id") === col("_owid"), "left")
+        .select(col("id"), col("rank"), col("_ow"))
+        .localCheckpoint(true)
+      val danglingDf = withW.filter(col("_ow").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("_dmass"))
+      val contribs = withW.filter(col("_ow").isNotNull)
+        .select(col("id"), (col("rank") / col("_ow")).as("_rw"))
+        .join(e, col("id") === col("_esrc"))
+        .groupBy(col("_edst")).agg(sum(col("_rw") * col("_ew")).as("recv"))
+        .withColumnRenamed("_edst", "vid")
+      ranks = v.join(contribs, col("id") === col("vid"), "left")
+        .crossJoin(broadcast(danglingDf))
+        .select(col("id"),
+          (lit((1 - damping) / n) + lit(damping) *
+            (coalesce(col("recv"), lit(0.0)) + col("_dmass") / n)).as("rank"))
+    }
+    ranks
+  }
+
   /** Personalized PageRank: teleport AND dangling mass return to the SEED
     * set (uniform over seeds) instead of all vertices — the
     * recommendation/similarity variant (beyond parity: the reference ships

@@ -506,6 +506,12 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         Algorithms.pageRank(typedEdges,
           confNum(Seq("maxIterations", "iterations"), numArg(0, 20)).toInt,
           confNum(Seq("dampingFactor", "damping"), numArg(1, 0.85)))
+      case "algo.pagerankweighted" =>
+        Algorithms.pageRankWeighted(typedEdges.select(col("src"), col("dst"),
+          (if (typedEdges.columns.contains("weight")) col("weight")
+           else lit(1.0)).as("weight")),
+          confNum(Seq("maxIterations", "iterations"), numArg(0, 20)).toInt,
+          confNum(Seq("dampingFactor", "damping"), numArg(1, 0.85)))
       case "algo.wcc" =>
         Algorithms.wcc(typedEdges, confNum(Seq("maxIterations"), 50).toInt)
       case "algo.cdlp" =>

@@ -287,6 +287,24 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // beyond-parity: WEIGHTED PageRank over the multiplicity-weighted
+    // co-purchase graph (w = #distinct shared orders per part pair) —
+    // contributions proportional to w(e)/W(v); integer weights keep the
+    // out-weight sums exact across engines
+    "q_pagerank_weighted" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
+      val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("b"))
+      val pw = a.join(b, "ok").filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(countDistinct(col("ok")).as("w"))
+      val e = pw.select(col("a").as("src"), col("b").as("dst"), col("w").as("weight"))
+        .unionAll(pw.select(col("b").as("src"), col("a").as("dst"), col("w").as("weight")))
+      Algorithms.pageRankWeighted(e, 6)
+        .select(col("id"), CypherFunctions.roundC(col("rank"), 6).as("rank"))
+        .orderBy(col("id"))
+    }),
+
     "q_pagerank" -> ((s, d) => {
       // the materialized-view parquet leaf is cheap to read twice for the
       // both-direction union; pageRank checkpoints its own partitioned copy
@@ -829,6 +847,27 @@ object GraphQueries {
     * no dangling vertices, so the damped update needs no dangling term).
     * Constants are interpolated from the SAME Scala doubles the Spark side
     * uses, so both engines parse bit-identical literals. */
+  /** Weighted-PageRank twin of [[pagerankOracle]] over the
+    * multiplicity-weighted co-purchase graph: recv sums
+    * rank · w / out-weight; the symmetric graph has no dangling nodes, so
+    * the engine's dangling term is identically zero here. */
+  private def pagerankWeightedOracle(iters: Int, damping: Double): String = {
+    val sb = new StringBuilder(
+      "WITH pw AS (SELECT a.l_partkey AS a, b.l_partkey AS b, count(DISTINCT a.l_orderkey) AS w" +
+        " FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2)")
+    sb.append(", e AS (SELECT a AS src, b AS dst, w FROM pw UNION ALL SELECT b, a, w FROM pw)")
+    sb.append(", v AS (SELECT DISTINCT src AS id FROM e)")
+    sb.append(", nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v)")
+    sb.append(", ow AS (SELECT src AS id, CAST(sum(w) AS DOUBLE) AS ow FROM e GROUP BY 1)")
+    sb.append(", r0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM v)")
+    for (i <- 1 to iters)
+      sb.append(s", r$i AS (SELECT v.id, ${1 - damping}/(SELECT n FROM nn) + $damping * coalesce(s.recv, 0.0) AS rank" +
+        s" FROM v LEFT JOIN (SELECT e.dst AS id, sum(r.rank * e.w / ow.ow) AS recv" +
+        s" FROM r${i - 1} r JOIN ow ON ow.id = r.id JOIN e ON e.src = r.id GROUP BY 1) s ON s.id = v.id)")
+    sb.append(s" SELECT id, round(rank, 6) AS rank FROM r$iters ORDER BY id")
+    sb.toString
+  }
+
   private def pagerankOracle(iters: Int, damping: Double): String = {
     val sb = new StringBuilder(CopurchaseCte)
     sb.append(", e AS (SELECT a AS src, b AS dst FROM pe UNION ALL SELECT b, a FROM pe)")
@@ -1063,6 +1102,7 @@ object GraphQueries {
         | UNION ALL SELECT CAST(1000000000 + l_partkey AS BIGINT), min(minq + l_extendedprice) FROM l0 JOIN nmin USING (nid) GROUP BY l_partkey
         |) ORDER BY id""".stripMargin,
     "q_pagerank" -> pagerankOracle(8, 0.85),
+    "q_pagerank_weighted" -> pagerankWeightedOracle(6, 0.85),
     "q_ppr" -> pprOracle(6, 0.85),
     "q_adamic_adar" -> (CopurchaseCte +
       """, sym AS (SELECT a, b FROM pe UNION SELECT b, a FROM pe)

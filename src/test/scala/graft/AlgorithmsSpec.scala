@@ -103,6 +103,32 @@ class AlgorithmsSpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 1.0), (1L, 5L, 0.5)), s"got $out")
   }
 
+  test("pageRankWeighted matches a naive weighted fixed-point (1e-9)") {
+    // weighted digraph WITH a dangling node (4): 1 splits 3:1 between 2
+    // and 3; 3 feeds the dangler
+    val edges = Seq((1L, 2L, 3.0), (1L, 3L, 1.0), (2L, 1L, 2.0),
+      (3L, 4L, 5.0)).toDF("src", "dst", "weight")
+    val d = 0.85; val iters = 7
+    val got = Algorithms.pageRankWeighted(edges, iters, d)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val vs = Seq(1L, 2L, 3L, 4L)
+    val out = Map(1L -> Seq((2L, 3.0), (3L, 1.0)), 2L -> Seq((1L, 2.0)),
+      3L -> Seq((4L, 5.0)))
+    var rank = vs.map(_ -> 0.25).toMap
+    for (_ <- 1 to iters) {
+      val dmass = vs.filterNot(out.contains).map(rank).sum
+      val recv = scala.collection.mutable.Map(vs.map(_ -> 0.0): _*)
+      for (v <- vs; es = out.getOrElse(v, Nil); tw = es.map(_._2).sum;
+           (t, w) <- es) recv(t) += rank(v) * w / tw
+      rank = vs.map(v => v ->
+        ((1 - d) / 4 + d * (recv(v) + dmass / 4))).toMap
+    }
+    vs.foreach(v => assert(math.abs(got(v) - rank(v)) < 1e-9,
+      s"node $v: ${got(v)} != ${rank(v)}"))
+    // 3:1 split must show: node 2 outranks node 3
+    assert(got(2L) > got(3L))
+  }
+
   test("kTruss: peel threshold, cascade, bounded-rounds report-on-final-set") {
     // 4-clique {1,2,3,4} (every edge support 2) + triangle {4,5,6}
     // (support 1 each) + pendant 6-7 (support 0)

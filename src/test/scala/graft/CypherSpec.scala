@@ -490,6 +490,21 @@ class CypherSpec extends SparkSpec {
     assert(os == (("PSO", true)))
   }
 
+  test("CALL algo.pageRankWeighted degenerates to pageRank without a weight property") {
+    // the fixture edges carry no weight column → uniform 1.0 weights, so
+    // the weighted variant must reproduce the unweighted ranks exactly
+    val w = run("CALL algo.pageRankWeighted({maxIterations: 4}, 'KNOWS') " +
+      "YIELD id, rank RETURN id, rank ORDER BY id")
+      .as[(Long, Double)].collect().toMap
+    val u = run("CALL algo.pageRank({maxIterations: 4}, 'KNOWS') " +
+      "YIELD id, rank RETURN id, rank ORDER BY id")
+      .as[(Long, Double)].collect().toMap
+    assert(w.keySet == u.keySet && w.keySet.nonEmpty)
+    w.foreach { case (id, r) =>
+      assert(math.abs(r - u(id)) < 1e-12, s"node $id: $r != ${u(id)}")
+    }
+  }
+
   test("datetime from a component map") {
     val dt = run("RETURN toString(datetime({year: 2026, month: 3, day: 4})) AS d")
       .as[String].head()
