@@ -449,6 +449,27 @@ object Algorithms {
       .select(col("lo"), col("hi"), array_intersect(col("nl"), col("nh")).as("ws"))
   }
 
+  /** DOULION approximate triangle counting (Tsourakakis et al., KDD 2009):
+    * count triangles on a p-sampled edge set and scale by 1/p³ — the
+    * unbiased sparsifier estimator for graphs whose exact count is too
+    * expensive. Sampling is DETERMINISTIC (the corpus multiplicative-hash
+    * idiom on the canonical edge pair), so the estimate is reproducible
+    * across engines and runs; the sampled count reuses the degree-oriented
+    * intersection (wedges never shuffle as rows). Returns one row
+    * (triangles_sampled, estimate). Input: canonical (a, b) pairs. */
+  def triangleCountApprox(undirected: DataFrame, pPct: Int): DataFrame = {
+    require(pPct > 0 && pPct <= 100, s"pPct in (0,100], got $pPct")
+    val h = pmod(pmod(col("a"), lit(1000003L)) * lit(131L)
+      + pmod(col("b"), lit(1000003L)), lit(1000003L))
+    val kept = undirected.select(col("a"), col("b"))
+      .filter(pmod(h * lit(2654435761L), lit(100L)) < pPct)
+    val scale = math.pow(100.0 / pPct, 3)
+    triangleCountDistributed(kept)
+      .select(col("triangles").as("triangles_sampled"),
+        graft.functions.CypherFunctions.roundC(
+          col("triangles") * lit(scale), 1).as("estimate"))
+  }
+
   /** Per-vertex triangle participation + local clustering coefficient
     * (reference `lcc.rs:29-42`): lcc = 2*tri / (deg*(deg-1)). Corner
     * attribution from the intersection rows: edge endpoints each get |ws|,

@@ -225,6 +225,11 @@ object GraphQueries {
     "q_triangle_count" -> ((s, d) =>
       Algorithms.triangleCount(copurchaseShared(s, d))),
 
+    // beyond-parity: DOULION sampled-edge triangle estimate (deterministic
+    // 30% sparsifier, 1/p³ scale-up) next to the exact twin
+    "q_triangle_approx" -> ((s, d) =>
+      Algorithms.triangleCountApprox(copurchaseShared(s, d), 30)),
+
     // §2.10 algo.lcc on the co-purchase graph
     "q_lcc" -> ((s, d) => Algorithms.lcc(copurchaseShared(s, d))
       .select(col("id"), col("deg"), col("triangles"), CypherFunctions.roundC(col("lcc"), 4).as("lcc"))
@@ -1241,6 +1246,10 @@ object GraphQueries {
         | JOIN customer c ON c.c_custkey = oc.o_custkey GROUP BY 1)""".stripMargin,
     "q_triangle_count" -> (CopurchaseCte +
       " SELECT count(*) AS triangles FROM pe e1 JOIN pe e2 ON e1.b = e2.a JOIN pe e3 ON e1.a = e3.a AND e2.b = e3.b"),
+    "q_triangle_approx" -> (CopurchaseCte +
+      ", ke AS (SELECT a, b FROM pe WHERE ((((a % 1000003) * 131 + (b % 1000003)) % 1000003) * 2654435761) % 100 < 30)" +
+      " SELECT count(*) AS triangles_sampled, round(count(*) * power(100.0 / 30.0, 3), 1) AS estimate" +
+      " FROM ke e1 JOIN ke e2 ON e1.b = e2.a JOIN ke e3 ON e1.a = e3.a AND e2.b = e3.b"),
     "q_lcc" -> (CopurchaseCte +
       """, deg AS (SELECT id, count(*) AS deg FROM (SELECT a AS id FROM pe UNION ALL SELECT b AS id FROM pe) GROUP BY 1),
         |tri AS (SELECT id, count(*) AS tri FROM (SELECT unnest([e1.a, e1.b, e2.b]) AS id FROM pe e1 JOIN pe e2 ON e1.b = e2.a JOIN pe e3 ON e1.a = e3.a AND e2.b = e3.b) GROUP BY 1)

@@ -191,6 +191,16 @@ class AlgorithmsSpec extends SparkSpec {
     assert(Algorithms.triangleCount(und).as[Long].head() == 1L)
   }
 
+  test("triangleCountApprox: p=100 equals exact, sampling is deterministic") {
+    // triangles {1,2,3} and {2,3,4}
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 4L)).toDF("a", "b")
+    val full = Algorithms.triangleCountApprox(und, 100).collect().head
+    assert(full.getLong(0) == 2L && full.getDouble(1) == 2.0)
+    val s1 = Algorithms.triangleCountApprox(und, 50).collect().head
+    val s2 = Algorithms.triangleCountApprox(und, 50).collect().head
+    assert(s1 == s2, "hash sampling must be reproducible")
+  }
+
   test("lcc: triangle vertices 1.0, pendant 0.0") {
     val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
     val got = Algorithms.lcc(und).select("id", "lcc").as[(Long, Double)].collect().toMap
