@@ -557,6 +557,19 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         Algorithms.betweennessCentrality(typedEdges, seeds,
           confNum(Seq("radius", "maxDepth"), numArg(radiusIdx, 3)).toInt)
       case "algo.trianglecount" => Algorithms.triangleCount(und)
+      case "algo.jaccardsimilarity" | "algo.nodesimilarity" =>
+        // seeds as a list literal; optional numeric topK second
+        val seedList = argvAll.collectFirst {
+          case l: Seq[_] => l.collect { case n: Number => n.longValue() }
+        }.getOrElse(Seq(longArg(0)))
+        Algorithms.jaccardSimilarity(
+          und.select(col("a").as("src"), col("b").as("dst")), seedList,
+          confNum(Seq("topK", "k"), numArg(1, 20)).toInt)
+      case "algo.ktruss" =>
+        Algorithms.kTruss(
+          und.select(col("a").as("src"), col("b").as("dst")),
+          confNum(Seq("k"), numArg(0, 4)).toInt,
+          confNum(Seq("rounds", "maxIterations"), numArg(1, 4)).toInt)
       case "algo.lcc" => Algorithms.lcc(und)
       case "algo.kcore" =>
         Algorithms.kCore(typedEdges.select(col("src").cast("long"),

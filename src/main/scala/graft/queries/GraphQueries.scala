@@ -56,6 +56,19 @@ object GraphQueries {
   private def copurchaseShared(s: SparkSession, d: String): DataFrame =
     sharedMv(s, d, "copurchase")(copurchase(s, d))
 
+  /** Weighted co-purchase projection MV (w = #distinct shared orders):
+    * the countDistinct self-join is the dominant cost of weighted
+    * PageRank — materialized once per dataset like the unweighted MV. */
+  private def copurchaseWeightedShared(s: SparkSession, d: String): DataFrame =
+    sharedMv(s, d, "copurchase_w") {
+      val li = t(s, d, "lineitem")
+      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
+      val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("b"))
+      a.join(b, "ok").filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(countDistinct(col("ok")).as("w"))
+    }
+
   private val CopurchaseCte: String =
     "WITH pe AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"
 
@@ -297,12 +310,7 @@ object GraphQueries {
     // contributions proportional to w(e)/W(v); integer weights keep the
     // out-weight sums exact across engines
     "q_pagerank_weighted" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("a"))
-      val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("b"))
-      val pw = a.join(b, "ok").filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b"))
-        .agg(countDistinct(col("ok")).as("w"))
+      val pw = copurchaseWeightedShared(s, d)
       val e = pw.select(col("a").as("src"), col("b").as("dst"), col("w").as("weight"))
         .unionAll(pw.select(col("b").as("src"), col("a").as("dst"), col("w").as("weight")))
       Algorithms.pageRankWeighted(e, 6)

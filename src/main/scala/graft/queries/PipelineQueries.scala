@@ -774,6 +774,13 @@ object PipelineQueries {
     // step within 24h of the user's FIRST view — three min-aggregates
     // chained by range joins (no window over the whole event log); at
     // scale each step is a shuffle on user_id only
+    // diagnostics: key-skew report over the event stream's user key — one
+    // map-side-combined count aggregate + broadcast 1-row total +
+    // TakeOrdered top-k; the pre-join check that decides broadcast/salt
+    "q_skew_report" -> ((s, d) =>
+      graft.operators.Diagnostics.keySkewReport(
+        t(s, d, "events"), col("user_id"), 10)),
+
     "q_funnel" -> ((s, d) => {
       val ev = t(s, d, "events").select(col("user_id"), col("ts"), col("event_type"))
       val v = ev.filter(col("event_type") === "view")
@@ -1574,6 +1581,12 @@ object PipelineQueries {
         |      GROUP BY 1, 2)
         |SELECT user_id, count(pid) AS n_purchases, count(lct) AS n_attributed
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_skew_report" ->
+      """WITH c AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT sum(cnt) * 1.0 AS t, count(*) AS n_keys FROM c)
+        |SELECT key, cnt, round(cnt / t, 6) AS share, n_keys,
+        |       CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT) AS rank
+        |FROM c, t ORDER BY cnt DESC, key LIMIT 10""".stripMargin,
     "q_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
         |c AS (SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1 FROM events e JOIN v USING (user_id)

@@ -505,6 +505,28 @@ class CypherSpec extends SparkSpec {
     }
   }
 
+  test("CALL algo.jaccardSimilarity / algo.ktruss agree with the Scala API") {
+    import graft.algo.Algorithms
+    import org.apache.spark.sql.functions.col
+    val knows = g.edges.filter(col("relationship") === "KNOWS")
+      .select(col("src"), col("dst"))
+    val js = run("CALL algo.jaccardSimilarity([1], 5, 'KNOWS') " +
+      "YIELD x, y, score RETURN x, y, score ORDER BY score DESC, x, y")
+      .as[(Long, Long, Double)].collect().toSeq
+    val jsApi = Algorithms.jaccardSimilarity(knows, Seq(1L), 5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(js == jsApi && js.nonEmpty, s"CALL $js vs API $jsApi")
+    val kt = run("CALL algo.ktruss(3, 2, 'KNOWS') YIELD a, b, support " +
+      "RETURN a, b, support ORDER BY a, b")
+      .as[(Long, Long, Long)].collect().toSeq
+    val ktApi = Algorithms.kTruss(knows, 3, 2)
+      .orderBy(col("a"), col("b"))
+      .as[(Long, Long, Long)].collect().toSeq
+    // KNOWS triangle 1-2-3: all three edges survive k=3 with support 1
+    assert(kt == ktApi && kt == Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L)),
+      s"CALL $kt vs API $ktApi")
+  }
+
   test("datetime from a component map") {
     val dt = run("RETURN toString(datetime({year: 2026, month: 3, day: 4})) AS d")
       .as[String].head()
