@@ -346,6 +346,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // dedup: cross-source duplication matrix — per (source, source) pair,
+    // how many near-dup pairs straddle them (which crawls copy which);
+    // consumes the materialized pair set, two broadcast-able id joins +
+    // one tiny aggregate
+    "q_dup_matrix" -> ((s, d) => {
+      val src = t(s, d, "documents").select(col("doc_id"), col("source"))
+      jaccardPairsShared(s, d)
+        .join(src.select(col("doc_id").as("i"), col("source").as("__si")), "i")
+        .join(src.select(col("doc_id").as("j"), col("source").as("__sj")), "j")
+        .select(least(col("__si"), col("__sj")).as("src_a"),
+          greatest(col("__si"), col("__sj")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // dedup: representative SELECTION — the canonicalization policy after
     // clustering: within each near-dup cluster KEEP the highest-quality
     // document (composite quality score, ties to min id), not blindly the
@@ -1103,6 +1118,16 @@ object PipelineQueries {
         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT i, j, round(inter * 1.0 / (x.n + y.n - inter), 4) AS jaccard FROM inter JOIN sz x ON i = x.doc_id JOIN sz y ON j = y.doc_id WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.5 ORDER BY i, j""".stripMargin,
+    "q_dup_matrix" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[g:g+4], ' ') AS s FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS g FROM words)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pr AS (SELECT i, j FROM inter JOIN sz x ON i = x.doc_id JOIN sz y ON j = y.doc_id
+        |       WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.5),
+        |m AS (SELECT least(a.source, b.source) AS src_a, greatest(a.source, b.source) AS src_b
+        |      FROM pr JOIN documents a ON pr.i = a.doc_id JOIN documents b ON pr.j = b.doc_id)
+        |SELECT src_a, src_b, count(*) AS n_pairs FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_knn_approx" ->
       "SELECT vec_id AS qid, vec_id AS id, 1.0 AS score FROM embeddings WHERE vec_id < 5 ORDER BY 1",
     "q_knn_ivf" ->
