@@ -424,6 +424,43 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // pipeline: the END-TO-END corpus-prep chain a training run actually
+    // executes, composed purely from the library's own stages — heuristic
+    // quality gate → near-dup cluster + keep-best representative →
+    // leakage-free train/val split on the cluster id → token-weighted
+    // sample of the train half. Every stage is the already-oracle-gated
+    // operator; this entry proves they COMPOSE (one DataFrame plan, the
+    // MV consumed once, no driver round-trips between stages)
+    "q_pipeline_e2e" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = TextAnalysis.tokens(col("text"))
+      val gated = docs
+        .withColumn("__nw", size(toks))
+        .filter(when(col("__nw") === 0, lit(false)).otherwise(
+          col("__nw").between(20, 200) &&
+            (lit(1.0) - size(array_distinct(toks)).cast("double")
+              / col("__nw")) <= 0.5))
+        .select(col("doc_id"), col("__nw").cast("long").as("n_words"))
+      val pairs = jaccardPairsShared(s, d)
+      val split = Dedup.leakageFreeSplit(docs, "doc_id", pairs, 90)
+        .select(col("doc_id"), col("cluster"), col("split"))
+      val scored = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("__q"))
+      val keep = split.join(scored, "doc_id")
+        .withColumn("__rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("cluster"))
+            .orderBy(col("__q").desc, col("doc_id"))))
+        .filter(col("__rk") === 1).select(col("doc_id"))
+      val surv = gated.join(keep, "doc_id").join(split, "doc_id")
+      val sampled = TextAnalysis.weightedSample(
+        surv.filter(col("split") === "train"), "doc_id", col("n_words"), 50)
+        .filter(col("selected")).select(col("doc_id"), col("selected"))
+      surv.join(sampled, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster"), col("n_words"), col("split"),
+          coalesce(col("selected"), lit(false)).as("selected"))
+        .orderBy(col("doc_id"))
+    }),
+
     // text: CCNet head/middle/tail buckets — per-language perplexity
     // terciles as ONE percentile aggregate broadcast back (deliberately
     // not an ntile window: that would sort each language inside a single
@@ -1345,6 +1382,32 @@ object PipelineQueries {
         |reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE e.b <> r.a),
         |comp AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id)
         |SELECT doc_id, cluster, CASE WHEN (cluster * 2654435761) % 100 < 90 THEN 'train' ELSE 'val' END AS split FROM comp ORDER BY doc_id""".stripMargin,
+    "q_pipeline_e2e" ->
+      // the composed chain: each CTE block is the already-proven oracle of
+      // its stage (cluster/keep-best/split/ES-sample), applied in sequence
+      """WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[g:g+4], ' ') AS s FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS g FROM words)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT i, j FROM inter JOIN sz x ON i = x.doc_id JOIN sz y ON j = y.doc_id WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.5),
+        |e AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM e UNION SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a WHERE e.b <> r.a),
+        |comp AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster FROM documents d LEFT JOIN reach r ON r.a = d.doc_id GROUP BY d.doc_id),
+        |qs AS (SELECT doc_id, round((
+        |   (CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0 WHEN length(text) < 50 THEN length(text) / 50.0 ELSE 5000.0 / length(text) END)
+        |   + (CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / CAST(length(text) AS DOUBLE) ELSE 0.0 END)
+        |   + (CASE WHEN (CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0 THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) ELSE 0.0 END) BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END)
+        | ) / 3.0, 4) AS q FROM documents),
+        |rr AS (SELECT c.doc_id, c.cluster, row_number() OVER (PARTITION BY c.cluster ORDER BY qs.q DESC, c.doc_id) AS rk FROM comp c JOIN qs ON qs.doc_id = c.doc_id),
+        |tkt AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> length(x) > 0) AS tk FROM documents),
+        |gate AS (SELECT doc_id, len(tk) AS nw FROM tkt WHERE len(tk) BETWEEN 20 AND 200 AND (1.0 - len(list_distinct(tk)) * 1.0 / len(tk)) <= 0.5),
+        |surv AS (SELECT g.doc_id, c.cluster, g.nw,
+        |         CASE WHEN (c.cluster * 2654435761) % 100 < 90 THEN 'train' ELSE 'val' END AS split
+        |         FROM gate g JOIN rr ON rr.doc_id = g.doc_id AND rr.rk = 1 JOIN comp c ON c.doc_id = g.doc_id),
+        |keys AS (SELECT doc_id, round(ln((((doc_id % 1000000007) * 2654435761) % 1000000 + 0.5) / 1000000.0) / nw, 6) AS key FROM surv WHERE split = 'train'),
+        |sel AS (SELECT doc_id, row_number() OVER (ORDER BY key DESC, doc_id) <= 50 AS s FROM keys)
+        |SELECT surv.doc_id, surv.cluster, CAST(surv.nw AS BIGINT) AS n_words, surv.split, coalesce(sel.s, false) AS selected
+        |FROM surv LEFT JOIN sel USING (doc_id) ORDER BY surv.doc_id""".stripMargin,
     "q_ppl_buckets" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |b AS (SELECT doc_id, toks[g] AS w1, toks[g+1] AS w2 FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS g FROM w)),
