@@ -52,8 +52,9 @@ object ClusterVerify {
     "q_cypher_write_create", "q_merge",
     "q_cypher_write_delete", "q_cypher_write_set",
     // graph algorithms (stats-gated kernels + distributed twins)
-    "q_pagerank", "q_ppr", "q_wcc", "q_scc", "q_cdlp", "q_lcc",
-    "q_triangle_count", "q_kcore", "q_sssp", "q_mst", "q_maxflow",
+    "q_pagerank", "q_pagerank_weighted", "q_ppr", "q_wcc", "q_scc", "q_cdlp",
+    "q_lcc", "q_triangle_count", "q_triangle_approx", "q_square_count",
+    "q_kcore", "q_sssp", "q_mst", "q_maxflow",
     "q_walk_sample", "q_cypher_or_solve", "q_adamic_adar",
     "q_harmonic_centrality", "q_cypher_call_harmonic",
     "q_closeness_centrality", "q_betweenness", "q_jaccard_sim", "q_ktruss",
@@ -65,7 +66,7 @@ object ClusterVerify {
     "q_bm25", "q_tfidf", "q_lang_id", "q_lm_perplexity", "q_nb_quality",
     // data-pipeline ops
     "q_asof_join", "q_funnel", "q_retention", "q_stratified_sample",
-    "q_weighted_sample",
+    "q_weighted_sample", "q_skew_report", "q_dup_matrix", "q_pipeline_e2e",
     "q_seq_pack", "q_pack_harmonic", "q_dsir_resample",
     "q_leakage_split", "q_ppl_buckets", "q_mix_token_budget",
     "q_incremental_dedup", "q_hard_negatives",
@@ -100,7 +101,7 @@ object ClusterVerify {
     "q_knn_exact", "q_knn_approx", "q_semdedup",
     "q_minhash_lsh", "q_substring_dedup", "q_embedding_centroid",
     "q_dsir_resample", "q_pack_harmonic", "q_incremental_dedup",
-    "q_hard_negatives", "q_nb_quality",
+    "q_hard_negatives", "q_nb_quality", "q_pipeline_e2e",
     "q_asof_join", "q_multimodal_decode",
     "q_sparql_bgp", "q_streaming_window", "q_streaming_decontaminate",
     "q_streaming_nb_quality",

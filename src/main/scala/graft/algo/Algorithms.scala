@@ -449,6 +449,26 @@ object Algorithms {
       .select(col("lo"), col("hi"), array_intersect(col("nl"), col("nh")).as("ws"))
   }
 
+  /** Global 4-cycle (square) count: #C4 = ½ Σ_{u<w} C(λ(u,w), 2) where
+    * λ(u,w) = |N(u)∩N(v)| — every 4-cycle is counted once per diagonal
+    * pair, and chords don't change the count. Unlike triangles, the
+    * pair-keyed λ IS the output granularity, so the wedge stream must
+    * reach the (u,w) aggregate — map-side combine collapses it during the
+    * shuffle; at 100 TB the standard mitigations compose: cap hub degrees
+    * (each wedge through a hub carries ≤1/λ signal) or apply the DOULION
+    * edge sampler first (a p-sampled graph estimates C4 at 1/p⁴). Input:
+    * canonical (a, b) pairs; returns one (squares) row. */
+  def squareCount(undirected: DataFrame): DataFrame = {
+    val und = undirected.select(col("a"), col("b")).localCheckpoint(true)
+    val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+    val lam = sym.select(col("a").as("z"), col("b").as("u"))
+      .join(sym.select(col("a").as("z"), col("b").as("w")), "z")
+      .filter(col("u") < col("w"))
+      .groupBy(col("u"), col("w")).agg(count(lit(1)).as("lam"))
+    lam.agg((sum(col("lam") * (col("lam") - 1) / 2) / 2)
+      .cast("long").as("squares"))
+  }
+
   /** DOULION approximate triangle counting (Tsourakakis et al., KDD 2009):
     * count triangles on a p-sampled edge set and scale by 1/p³ — the
     * unbiased sparsifier estimator for graphs whose exact count is too

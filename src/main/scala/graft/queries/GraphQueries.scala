@@ -243,6 +243,13 @@ object GraphQueries {
     "q_triangle_approx" -> ((s, d) =>
       Algorithms.triangleCountApprox(copurchaseShared(s, d), 30)),
 
+    // beyond-parity: global 4-cycle count on the part-id-restricted slice
+    // (pair-keyed λ aggregate with map-side combine; diagonals count each
+    // square twice)
+    "q_square_count" -> ((s, d) =>
+      Algorithms.squareCount(
+        copurchaseShared(s, d).filter(col("a") < 400 && col("b") < 400))),
+
     // §2.10 algo.lcc on the co-purchase graph
     "q_lcc" -> ((s, d) => Algorithms.lcc(copurchaseShared(s, d))
       .select(col("id"), col("deg"), col("triangles"), CypherFunctions.roundC(col("lcc"), 4).as("lcc"))
@@ -1254,6 +1261,11 @@ object GraphQueries {
         | JOIN customer c ON c.c_custkey = oc.o_custkey GROUP BY 1)""".stripMargin,
     "q_triangle_count" -> (CopurchaseCte +
       " SELECT count(*) AS triangles FROM pe e1 JOIN pe e2 ON e1.b = e2.a JOIN pe e3 ON e1.a = e3.a AND e2.b = e3.b"),
+    "q_square_count" ->
+      """WITH pe AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey AND a.l_partkey < 400 AND b.l_partkey < 400),
+        |sym AS (SELECT a, b FROM pe UNION ALL SELECT b, a FROM pe),
+        |lam AS (SELECT s1.b AS u, s2.b AS w, count(*) AS lam FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b GROUP BY 1, 2)
+        |SELECT CAST(sum(lam * (lam - 1) / 2) / 2 AS BIGINT) AS squares FROM lam""".stripMargin,
     "q_triangle_approx" -> (CopurchaseCte +
       ", ke AS (SELECT a, b FROM pe WHERE ((((a % 1000003) * 131 + (b % 1000003)) % 1000003) * 2654435761) % 100 < 30)" +
       " SELECT count(*) AS triangles_sampled, round(count(*) * power(100.0 / 30.0, 3), 1) AS estimate" +

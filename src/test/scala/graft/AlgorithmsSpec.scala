@@ -201,6 +201,21 @@ class AlgorithmsSpec extends SparkSpec {
     assert(s1 == s2, "hash sampling must be reproducible")
   }
 
+  test("squareCount: one 4-cycle, chord-invariant, pendant-free") {
+    // square 1-2-3-4-1 → 1; adding chord (1,3) creates triangles but no
+    // new 4-cycle; pendant 4-5 adds none
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    assert(Algorithms.squareCount(sq).as[Long].head() == 1L)
+    val chord = sq.unionAll(Seq((1L, 3L)).toDF("a", "b"))
+    assert(Algorithms.squareCount(chord).as[Long].head() == 1L)
+    val pend = chord.unionAll(Seq((4L, 5L)).toDF("a", "b"))
+    assert(Algorithms.squareCount(pend).as[Long].head() == 1L)
+    // K4 has 3 distinct 4-cycles
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    assert(Algorithms.squareCount(k4).as[Long].head() == 3L)
+  }
+
   test("lcc: triangle vertices 1.0, pendant 0.0") {
     val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
     val got = Algorithms.lcc(und).select("id", "lcc").as[(Long, Double)].collect().toMap
