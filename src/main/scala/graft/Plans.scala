@@ -58,7 +58,11 @@ object Plans {
       "q_jaccard_sim" -> "seeded Jaccard node similarity: the wedge join is bounded by the seeded s1 side (isin pushed at the symmetrized leaf); exact degrees join back onto the per-pair intersection aggregate and the top-k is TakeOrderedAndProject",
       "q_ktruss" -> "bounded-round k-truss: per-edge support from the degree-oriented adjacency intersection (the wedge set never shuffles as rows) + one exploded hash aggregate charging each triangle to its 3 edges with partial (map-side) combine; each peel round ends in a checkpointed edge leaf",
       "q_semdedup" -> "SemDeDup: every Lloyd assignment is a BroadcastNestedLoopJoin of the k x dim centroid table against the vector scan reduced by ONE struct-max hash aggregate (no per-vector window); the update is the posexplode (cluster, dim) aggregate; the in-cluster pair join shuffles on the cluster id only",
-      "q_nb_quality" -> "naive-Bayes quality: one explode + hash aggregate trains the token log-odds as a DISTRIBUTED table; class totals and the prior are broadcast 1-row aggregates; scoring re-joins the exploded token stream on the token key - shuffle ~ token count, model never on the driver")
+      "q_nb_quality" -> "naive-Bayes quality: one explode + hash aggregate trains the token log-odds as a DISTRIBUTED table; class totals and the prior are broadcast 1-row aggregates; scoring re-joins the exploded token stream on the token key - shuffle ~ token count, model never on the driver",
+      "q_weighted_sample" -> "Efraimidis-Spirakis weighted sampling: key = ln(u)/w as a codegen'd projection; the k-th composite key is TakeOrderedAndProject + a broadcast 1-row max - selection never becomes a global sort or window",
+      "q_pagerank_weighted" -> "weighted PageRank: the multiplicity-weighted co-purchase MV is a parquet leaf; per round one vertex-sized rank-join-outweight cut feeds both the dangling broadcast aggregate and the contribution join - same audited shape as the unweighted twin",
+      "q_skew_report" -> "key-skew report: ONE map-side-combined count aggregate, a broadcast 1-row total, TakeOrderedAndProject for the top-k; the rank window sees only the k survivors",
+      "q_pipeline_e2e" -> "composed corpus-prep chain: gate/cluster/keep-best/split/sample fuse into ONE plan - the near-dup pair MV is a parquet leaf consumed once, the ES sample threshold is TakeOrdered + broadcast 1-row max, no driver round-trips between stages")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative catalog queries\n\n")

@@ -275,7 +275,20 @@ object Soak {
       // NB quality classifier: one explode + token-keyed hash aggregates,
       // shuffle ∝ token count — linear by construction
       "nb_quality" -> { n => graft.text.TextAnalysis.nbQualityScore(
-        spark.read.parquet(docCache(n)), "doc_id", "text").count() })
+        spark.read.parquet(docCache(n)), "doc_id", "text").count() },
+      // square counting: the wedge stream must reach the pair-keyed λ
+      // aggregate — disjoint copies scale wedges linearly, so the ratio
+      // pins that the combine happens map-side and nothing goes quadratic
+      // ACROSS copies
+      "square_count" -> { n => Algorithms.squareCount(
+        spark.read.parquet(edgeCache(n, false))
+          .select(col("src").as("a"), col("dst").as("b"))).count() },
+      // weighted PageRank: same audited per-round shape as pagerank/ppr —
+      // the ratio pins the weighted out-weight join adds no extra pass
+      "pagerank_weighted" -> { n => Algorithms.pageRankWeighted(
+        spark.read.parquet(edgeCache(n, false))
+          .withColumn("weight", lit(1.0) + pmod(col("src"), lit(5L))),
+        10, 0.85).count() })
 
     // SPARK_GRAFT_SOAK_ONLY=op1,op2 restricts the sweep (local iteration)
     val onlyOps = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
