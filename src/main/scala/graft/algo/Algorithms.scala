@@ -133,8 +133,14 @@ object Algorithms {
     * aggregate and the contribution join. Input: (src, dst, weight > 0). */
   def pageRankWeighted(edges: DataFrame, iterations: Int = 20,
                        damping: Double = 0.85): DataFrame = {
+    // weight > 0 enforced by FILTER, not assumption: a null/zero weight
+    // carries no walk probability, so the edge is simply not an edge —
+    // without the filter a null weight nulls rank/W(v) and the sum()
+    // silently LEAKS that vertex's rank mass every iteration (neither
+    // dangling nor contributing)
     val e = edges.select(col("src").as("_esrc"), col("dst").as("_edst"),
       col("weight").cast("double").as("_ew"))
+      .filter(col("_ew") > 0)
       .repartition(col("_esrc"))
       .localCheckpoint(true)
     val v = e.select(col("_esrc").as("id")).unionAll(e.select(col("_edst").as("id")))
@@ -459,7 +465,12 @@ object Algorithms {
     * edge sampler first (a p-sampled graph estimates C4 at 1/p⁴). Input:
     * canonical (a, b) pairs; returns one (squares) row. */
   def squareCount(undirected: DataFrame): DataFrame = {
-    val und = undirected.select(col("a"), col("b")).localCheckpoint(true)
+    // defensive canonicalization (same as kTruss): duplicated or
+    // bidirectional input would inflate every λ and silently quadruple
+    // C(λ,2) — dedup first so any edge-list shape counts correctly
+    val und = undirected
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
     val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
     val lam = sym.select(col("a").as("z"), col("b").as("u"))
       .join(sym.select(col("a").as("z"), col("b").as("w")), "z")

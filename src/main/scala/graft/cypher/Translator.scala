@@ -475,6 +475,19 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
       case d if d.isNaN => throw new IllegalArgumentException(s"missing argument $i of ${c.proc}")
       case d => d.toLong
     }
+    // shared seeds-argument convention for the seeded algorithms: seeds as
+    // a non-empty list literal ([1,2,3]) or a single numeric. Returns the
+    // seeds and the index of the NEXT positional numeric argument — a list
+    // is not a Number, so in list form the next numeric arg is index 0,
+    // in single-seed form it is index 1 (keeping one copy of this dance
+    // prevents the off-by-one the per-case copies once had)
+    def seededArgs(): (Seq[Long], Int) =
+      argvAll.collectFirst {
+        case l: Seq[_] => l.collect { case n: Number => n.longValue() }
+      } match {
+        case Some(l) if l.nonEmpty => (l, 0)
+        case _ => (Seq(longArg(0)), 1)
+      }
     // string args: (label, edgeTypes) when two, edge-type restriction when
     // one (back-compatible); config-map `label`/`edgeType` override either
     val strArgs = argv.collect { case s: String => s }
@@ -523,48 +536,23 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
       case "algo.sssp" | "algo.weightedpath" =>
         Algorithms.sssp(typedEdges, longArg(0), numArg(1, 30).toInt)
       case "algo.harmoniccentrality" =>
-        // seeds as a list literal ([1,2,3]) or a single numeric; radius is
-        // the first (list form) or second (single-seed form) numeric arg
-        val seedList = argvAll.collectFirst {
-          case l: Seq[_] => l.collect { case n: Number => n.longValue() }
-        }
-        val (seeds, radiusIdx) = seedList match {
-          case Some(l) if l.nonEmpty => (l, 0)
-          case _ => (Seq(longArg(0)), 1)
-        }
+        val (seeds, nextIdx) = seededArgs()
         Algorithms.harmonicCentrality(typedEdges, seeds,
-          confNum(Seq("radius", "maxDepth"), numArg(radiusIdx, 3)).toInt)
+          confNum(Seq("radius", "maxDepth"), numArg(nextIdx, 3)).toInt)
       case "algo.closenesscentrality" =>
-        // same seeds/radius argument convention as algo.harmonicCentrality
-        val seedList = argvAll.collectFirst {
-          case l: Seq[_] => l.collect { case n: Number => n.longValue() }
-        }
-        val (seeds, radiusIdx) = seedList match {
-          case Some(l) if l.nonEmpty => (l, 0)
-          case _ => (Seq(longArg(0)), 1)
-        }
+        val (seeds, nextIdx) = seededArgs()
         Algorithms.closenessCentrality(typedEdges, seeds,
-          confNum(Seq("radius", "maxDepth"), numArg(radiusIdx, 3)).toInt)
+          confNum(Seq("radius", "maxDepth"), numArg(nextIdx, 3)).toInt)
       case "algo.betweenness" | "algo.betweennesscentrality" =>
-        // same seeds/radius argument convention as algo.harmonicCentrality
-        val seedList = argvAll.collectFirst {
-          case l: Seq[_] => l.collect { case n: Number => n.longValue() }
-        }
-        val (seeds, radiusIdx) = seedList match {
-          case Some(l) if l.nonEmpty => (l, 0)
-          case _ => (Seq(longArg(0)), 1)
-        }
+        val (seeds, nextIdx) = seededArgs()
         Algorithms.betweennessCentrality(typedEdges, seeds,
-          confNum(Seq("radius", "maxDepth"), numArg(radiusIdx, 3)).toInt)
+          confNum(Seq("radius", "maxDepth"), numArg(nextIdx, 3)).toInt)
       case "algo.trianglecount" => Algorithms.triangleCount(und)
       case "algo.jaccardsimilarity" | "algo.nodesimilarity" =>
-        // seeds as a list literal; optional numeric topK second
-        val seedList = argvAll.collectFirst {
-          case l: Seq[_] => l.collect { case n: Number => n.longValue() }
-        }.getOrElse(Seq(longArg(0)))
+        val (seeds, nextIdx) = seededArgs()
         Algorithms.jaccardSimilarity(
-          und.select(col("a").as("src"), col("b").as("dst")), seedList,
-          confNum(Seq("topK", "k"), numArg(1, 20)).toInt)
+          und.select(col("a").as("src"), col("b").as("dst")), seeds,
+          confNum(Seq("topK", "k"), numArg(nextIdx, 20)).toInt)
       case "algo.ktruss" =>
         Algorithms.kTruss(
           und.select(col("a").as("src"), col("b").as("dst")),

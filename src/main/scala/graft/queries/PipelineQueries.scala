@@ -436,10 +436,7 @@ object PipelineQueries {
       val toks = TextAnalysis.tokens(col("text"))
       val gated = docs
         .withColumn("__nw", size(toks))
-        .filter(when(col("__nw") === 0, lit(false)).otherwise(
-          col("__nw").between(20, 200) &&
-            (lit(1.0) - size(array_distinct(toks)).cast("double")
-              / col("__nw")) <= 0.5))
+        .filter(TextAnalysis.heuristicQualityLabel(toks))
         .select(col("doc_id"), col("__nw").cast("long").as("n_words"))
       val pairs = jaccardPairsShared(s, d)
       val split = Dedup.leakageFreeSplit(docs, "doc_id", pairs, 90)

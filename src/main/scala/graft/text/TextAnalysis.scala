@@ -785,6 +785,21 @@ object TextAnalysis {
     * documents keep a row (score = prior alone). Returns
     * (idCol, n_words, label, nb_score, predicted); `predicted` compares the
     * ROUNDED score to 0 so the boolean is reproducible across engines. */
+  /** The corpus-self-supervised quality label shared by [[nbQualityScore]],
+    * [[nbHashedModel]], and the composed pipeline entry: word count within
+    * the band AND duplicate-token fraction at most `dupCut`; zero-token
+    * docs are negative (the dup-fraction division never runs). ONE
+    * definition so the classifier's training labels and any gate built on
+    * the rule cannot desynchronize. `toks` must be the [[tokens]] array. */
+  def heuristicQualityLabel(toks: Column, minWords: Int = 20,
+                            maxWords: Int = 200,
+                            dupCut: Double = 0.5): Column = {
+    val nw = size(toks)
+    when(nw === 0, lit(false)).otherwise(
+      nw.between(minWords, maxWords) &&
+        (lit(1.0) - size(array_distinct(toks)).cast("double") / nw) <= dupCut)
+  }
+
   def nbQualityScore(df: DataFrame, idCol: String, textCol: String,
                      minWords: Int = 20, maxWords: Int = 200,
                      dupCut: Double = 0.5): DataFrame = {
@@ -792,10 +807,7 @@ object TextAnalysis {
     val base = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .withColumn("__nw", size(col("__toks")))
       .withColumn("label",
-        when(col("__nw") === 0, lit(false)).otherwise(
-          col("__nw").between(minWords, maxWords) &&
-            (lit(1.0) - size(array_distinct(col("__toks"))).cast("double")
-              / col("__nw")) <= dupCut))
+        heuristicQualityLabel(col("__toks"), minWords, maxWords, dupCut))
     val tok = base.select(col(idCol), col("label"),
       explode(col("__toks")).as("__tok"))
     val counts = tok.groupBy(col("__tok")).agg(
@@ -807,9 +819,17 @@ object TextAnalysis {
       .select(col("__tok"),
         (log((col("__cp") + 1.0) / (col("__np") + col("__v")))
           - log((col("__cn") + 1.0) / (col("__nn") + col("__v")))).as("__lo"))
+    // degenerate corpora (all one class) raise IN the plan instead of
+    // silently nulling every score: log(P/0) is null in Spark and the
+    // nulls would flow to nb_score/predicted without this guard
     val prior = base.agg(
-      log(sum(when(col("label"), 1L).otherwise(0L)).cast("double")
-        / sum(when(col("label"), 0L).otherwise(1L))).as("__prior"))
+      when(sum(when(col("label"), 1L).otherwise(0L)) === 0 ||
+        sum(when(col("label"), 0L).otherwise(1L)) === 0,
+        raise_error(lit("nbQualityScore: the heuristic labeled every " +
+          "document one class — adjust minWords/maxWords/dupCut")))
+        .otherwise(
+          log(sum(when(col("label"), 1L).otherwise(0L)).cast("double")
+            / sum(when(col("label"), 0L).otherwise(1L)))).as("__prior"))
     val docScore = tok.join(logOdds, "__tok")
       .groupBy(col(idCol)).agg(sum(col("__lo")).as("__s"))
     base.join(docScore, Seq(idCol), "left").crossJoin(broadcast(prior))
@@ -834,12 +854,8 @@ object TextAnalysis {
                     maxWords: Int = 200, dupCut: Double = 0.5): (Seq[Double], Double) = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val base = df.select(tokens(col(textCol)).as("__toks"))
-      .withColumn("__nw", size(col("__toks")))
       .withColumn("label",
-        when(col("__nw") === 0, lit(false)).otherwise(
-          col("__nw").between(minWords, maxWords) &&
-            (lit(1.0) - size(array_distinct(col("__toks"))).cast("double")
-              / col("__nw")) <= dupCut))
+        heuristicQualityLabel(col("__toks"), minWords, maxWords, dupCut))
     val hb = base.select(col("label"), explode(col("__toks")).as("__tok"))
       .select(col("label"), pmod(featureHash(col("__tok")), lit(buckets.toLong))
         .cast("int").as("__bk"))
@@ -854,9 +870,13 @@ object TextAnalysis {
       math.log((cp + 1.0) / (np + buckets)) - math.log((cn + 1.0) / (nn + buckets))
     }
     val labels = base.agg(
-      sum(when(col("label"), 1L).otherwise(0L)).as("p"),
-      sum(when(col("label"), 0L).otherwise(1L)).as("n")).head()
-    (lo, math.log(labels.getLong(0).toDouble / labels.getLong(1)))
+      coalesce(sum(when(col("label"), 1L).otherwise(0L)), lit(0L)).as("p"),
+      coalesce(sum(when(col("label"), 0L).otherwise(1L)), lit(0L)).as("n")).head()
+    val (p, nl) = (labels.getLong(0), labels.getLong(1))
+    require(p > 0 && nl > 0,
+      "nbHashedModel: the heuristic labeled every document one class " +
+        s"(positives=$p, negatives=$nl) — adjust minWords/maxWords/dupCut")
+    (lo, math.log(p.toDouble / nl))
   }
 
   /** Stateless quality scoring against a pre-trained hashed NB model —

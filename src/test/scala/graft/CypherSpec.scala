@@ -516,6 +516,12 @@ class CypherSpec extends SparkSpec {
     val jsApi = Algorithms.jaccardSimilarity(knows, Seq(1L), 5)
       .as[(Long, Long, Double)].collect().toSeq
     assert(js == jsApi && js.nonEmpty, s"CALL $js vs API $jsApi")
+    // topK must BIND in list form (list is not a Number, so the next
+    // positional numeric is index 0 — a wrong index silently returns the
+    // default-20 rows; the fixture has 2 candidates, so ask for 1)
+    val js1 = run("CALL algo.jaccardSimilarity([1], 1, 'KNOWS') " +
+      "YIELD x, y, score RETURN count(*) AS n").as[Long].head()
+    assert(js1 == 1L, s"topK=1 must cap the result, got $js1 rows")
     val kt = run("CALL algo.ktruss(3, 2, 'KNOWS') YIELD a, b, support " +
       "RETURN a, b, support ORDER BY a, b")
       .as[(Long, Long, Long)].collect().toSeq
