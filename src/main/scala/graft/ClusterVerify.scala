@@ -52,7 +52,7 @@ object ClusterVerify {
     "q_cypher_write_create", "q_merge",
     "q_cypher_write_delete", "q_cypher_write_set",
     // graph algorithms (stats-gated kernels + distributed twins)
-    "q_pagerank", "q_pagerank_weighted", "q_ppr", "q_wcc", "q_scc", "q_cdlp",
+    "q_pagerank", "q_pagerank_weighted", "q_hits", "q_ppr", "q_wcc", "q_scc", "q_cdlp",
     "q_lcc", "q_triangle_count", "q_triangle_approx", "q_square_count",
     "q_kcore", "q_sssp", "q_mst", "q_maxflow",
     "q_walk_sample", "q_cypher_or_solve", "q_adamic_adar",

@@ -270,6 +270,43 @@ object Algorithms {
       .limit(topK)
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999), sum-normalized per
+    * iteration (L1 keeps the oracle SQL exact; the hub/authority RANKING
+    * is identical under any positive normalization): auth(v) = Σ_{u→v}
+    * hub(u), hub(u) = Σ_{u→v} auth(v), each divided by its global sum.
+    *
+    * Same audited iterative shape as pageRank: the deduped edge relation
+    * is ONE checkpointed leaf, each half-step is a vertex-sized join +
+    * aggregate, and the normalizing sums are broadcast 1-row aggregates
+    * inside the plan — no driver-side value in the loop. Returns
+    * (id, hub, auth) for every vertex. */
+  def hits(edges: DataFrame, iterations: Int = 6): DataFrame = {
+    require(iterations > 0, s"iterations must be positive, got $iterations")
+    val e = edges.select(col("src").as("_hsrc"), col("dst").as("_hdst"))
+      .distinct().localCheckpoint(true)
+    val v = e.select(col("_hsrc").as("id")).unionAll(e.select(col("_hdst").as("id")))
+      .distinct().localCheckpoint(true)
+    var hub = v.withColumn("hub", lit(1.0))
+    var auth = v.withColumn("auth", lit(0.0))
+    for (_ <- 1 to iterations) {
+      val ar = hub.join(e, col("id") === col("_hsrc"))
+        .groupBy(col("_hdst")).agg(sum(col("hub")).as("__x"))
+      val as = ar.agg(sum(col("__x")).as("__s"))
+      auth = v.join(ar, col("id") === col("_hdst"), "left")
+        .crossJoin(broadcast(as))
+        .select(col("id"), (coalesce(col("__x"), lit(0.0)) / col("__s")).as("auth"))
+        .localCheckpoint(true)
+      val hr = auth.join(e, col("id") === col("_hdst"))
+        .groupBy(col("_hsrc")).agg(sum(col("auth")).as("__x"))
+      val hs = hr.agg(sum(col("__x")).as("__s"))
+      hub = v.join(hr, col("id") === col("_hsrc"), "left")
+        .crossJoin(broadcast(hs))
+        .select(col("id"), (coalesce(col("__x"), lit(0.0)) / col("__s")).as("hub"))
+        .localCheckpoint(true)
+    }
+    hub.join(auth, "id")
+  }
+
   /** Jaccard node similarity for a set of SOURCE vertices: for each pair
     * (x, y) sharing at least one neighbor, score =
     * |N(x)∩N(y)| / |N(x)∪N(y)| — the GDS-style nodeSimilarity shape

@@ -243,6 +243,18 @@ object GraphQueries {
     "q_triangle_approx" -> ((s, d) =>
       Algorithms.triangleCountApprox(copurchaseShared(s, d), 30)),
 
+    // beyond-parity: HITS hubs & authorities on the directed TPC-H
+    // projection — per-iteration vertex-sized joins against the deduped
+    // checkpointed edge leaf, L1 normalization as broadcast 1-row sums
+    "q_hits" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      Algorithms.hits(
+        g.edgesOfType("PLACED", "CONTAINS", "HAS_PART", "SUPPLIED_BY"), 6)
+        .select(col("id"), CypherFunctions.roundC(col("hub"), 6).as("hub"),
+          CypherFunctions.roundC(col("auth"), 6).as("auth"))
+        .orderBy(col("id"))
+    }),
+
     // beyond-parity: global 4-cycle count on the part-id-restricted slice
     // (pair-keyed λ aggregate with map-side combine; diagonals count each
     // square twice)
@@ -867,6 +879,37 @@ object GraphQueries {
     * no dangling vertices, so the damped update needs no dangling term).
     * Constants are interpolated from the SAME Scala doubles the Spark side
     * uses, so both engines parse bit-identical literals. */
+  /** HITS as unrolled CTEs on the directed TPC-H projection, mirroring
+    * [[Algorithms.hits]] exactly: the edge blocks replicate GraphLoader's
+    * node-id arithmetic (DISTINCT within each block — lineitem node ids
+    * collide by design; id spaces are disjoint so UNION ALL across
+    * blocks), L1 normalization per half-step. */
+  private def hitsOracle(iters: Int): String = {
+    // AS MATERIALIZED: DuckDB inlines plain CTEs, so every one of the
+    // 24 iteration subplans would re-scan the parquet (and run out of
+    // file handles); materializing e/v pins them to one scan each
+    val sb = new StringBuilder(
+      "WITH e AS MATERIALIZED (" +
+        "SELECT CAST(o_custkey AS BIGINT) AS src, CAST(o_orderkey + 10000000 AS BIGINT) AS dst FROM orders" +
+        " UNION ALL SELECT DISTINCT CAST(l_orderkey + 10000000 AS BIGINT), CAST(100000000 + l_orderkey*8 + l_linenumber AS BIGINT) FROM lineitem" +
+        " UNION ALL SELECT DISTINCT CAST(100000000 + l_orderkey*8 + l_linenumber AS BIGINT), CAST(1000000000 + l_partkey AS BIGINT) FROM lineitem" +
+        " UNION ALL SELECT DISTINCT CAST(100000000 + l_orderkey*8 + l_linenumber AS BIGINT), CAST(1100000000 + l_suppkey AS BIGINT) FROM lineitem)")
+    sb.append(", v AS MATERIALIZED (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e)")
+    sb.append(", h0 AS (SELECT id, 1.0 AS hub FROM v)")
+    // every iteration CTE is referenced twice (join + normalizing scalar),
+    // so plain CTEs would re-inline the whole chain EXPONENTIALLY (2^(2k)
+    // subplans at k iterations) — MATERIALIZED keeps it linear
+    for (i <- 1 to iters) {
+      sb.append(s", ar$i AS MATERIALIZED (SELECT e.dst AS id, sum(h.hub) AS x FROM h${i - 1} h JOIN e ON e.src = h.id GROUP BY 1)")
+      sb.append(s", a$i AS MATERIALIZED (SELECT v.id, coalesce(ar.x, 0.0) / (SELECT sum(x) FROM ar$i) AS auth FROM v LEFT JOIN ar$i ar ON ar.id = v.id)")
+      sb.append(s", hr$i AS MATERIALIZED (SELECT e.src AS id, sum(a.auth) AS x FROM a$i a JOIN e ON e.dst = a.id GROUP BY 1)")
+      sb.append(s", h$i AS MATERIALIZED (SELECT v.id, coalesce(hr.x, 0.0) / (SELECT sum(x) FROM hr$i) AS hub FROM v LEFT JOIN hr$i hr ON hr.id = v.id)")
+    }
+    sb.append(s" SELECT h.id, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth" +
+      s" FROM h$iters h JOIN a$iters a ON h.id = a.id ORDER BY h.id")
+    sb.toString
+  }
+
   /** Weighted-PageRank twin of [[pagerankOracle]] over the
     * multiplicity-weighted co-purchase graph: recv sums
     * rank · w / out-weight; the symmetric graph has no dangling nodes, so
@@ -1261,6 +1304,7 @@ object GraphQueries {
         | JOIN customer c ON c.c_custkey = oc.o_custkey GROUP BY 1)""".stripMargin,
     "q_triangle_count" -> (CopurchaseCte +
       " SELECT count(*) AS triangles FROM pe e1 JOIN pe e2 ON e1.b = e2.a JOIN pe e3 ON e1.a = e3.a AND e2.b = e3.b"),
+    "q_hits" -> hitsOracle(6),
     "q_square_count" ->
       """WITH pe AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey AND a.l_partkey < 400 AND b.l_partkey < 400),
         |sym AS (SELECT a, b FROM pe UNION ALL SELECT b, a FROM pe),

@@ -103,6 +103,34 @@ class AlgorithmsSpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 1.0), (1L, 5L, 0.5)), s"got $out")
   }
 
+  test("hits matches a naive sum-normalized fixed-point (1e-9)") {
+    // 1 and 2 point at 3 and 4; 3 points at 4 — 4 is the top authority,
+    // 1 the top hub (links to both authorities); 4 has hub 0
+    val e = Seq((1L, 3L), (1L, 4L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val iters = 5
+    val got = Algorithms.hits(e, iters).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val vs = Seq(1L, 2L, 3L, 4L)
+    val out = Map(1L -> Seq(3L, 4L), 2L -> Seq(3L), 3L -> Seq(4L))
+    val in = Map(3L -> Seq(1L, 2L), 4L -> Seq(1L, 3L))
+    var hub = vs.map(_ -> 1.0).toMap
+    var auth = vs.map(_ -> 0.0).toMap
+    for (_ <- 1 to iters) {
+      val ar = vs.map(v => v -> in.getOrElse(v, Nil).map(hub).sum).toMap
+      val as = ar.values.sum
+      auth = ar.map { case (v, x) => v -> x / as }
+      val hr = vs.map(v => v -> out.getOrElse(v, Nil).map(auth).sum).toMap
+      val hs = hr.values.sum
+      hub = hr.map { case (v, x) => v -> x / hs }
+    }
+    vs.foreach { v =>
+      assert(math.abs(got(v)._1 - hub(v)) < 1e-9, s"hub $v: ${got(v)._1} != ${hub(v)}")
+      assert(math.abs(got(v)._2 - auth(v)) < 1e-9, s"auth $v: ${got(v)._2} != ${auth(v)}")
+    }
+    assert(got(4L)._2 == vs.map(got(_)._2).max && got(1L)._1 == vs.map(got(_)._1).max)
+    assert(got(4L)._1 == 0.0)
+  }
+
   test("pageRankWeighted matches a naive weighted fixed-point (1e-9)") {
     // weighted digraph WITH a dangling node (4): 1 splits 3:1 between 2
     // and 3; 3 feeds the dangler
