@@ -119,6 +119,84 @@ object SnbLoader {
       (pid, tname, target)
     })
 
+  /** IC3/IC11 stats-derived filter parameters (r12 verdict task #2). */
+  final case class IcParams(nation1: String, nation2: String,
+                            from: String, to: String,
+                            org: String, yearLt: Long)
+
+  private val icMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), IcParams]()
+
+  /** IC3's (nation pair, date window) and IC11's (organisation, workFrom
+    * bound), derived from the curated anchor's ACTUAL 1..2-hop neighborhood
+    * so the rows are non-empty BY CONSTRUCTION at any scale factor — the
+    * r12 percentile anchors made both queries vacuous (0 == 0 greens)
+    * because the fixed literals missed the new anchor's neighborhood:
+    *   - IC3 nations = the two most-posted-from countries among the
+    *     friend set's posts (count DESC, name ASC); window = the modal
+    *     post YEAR within those countries (count DESC, year ASC), as
+    *     [year-01-01, year+1-01-01) — the modal year has >=1 post;
+    *   - IC11 org = the friend set's modal WORK_AT employer (count DESC,
+    *     id ASC); workFrom bound = p50(workFrom at that org) + 1, so the
+    *     p50 element itself always qualifies.
+    * The DuckDB oracles recompute the identical parameters in SQL
+    * (`LdbcQueries.Pre` fr2/fpost/ic3nat/ic3yr/fwork/ic11org/ic11wf CTEs
+    * — keep in sync; same percentileDisc OFFSET formulation as `anchor`).
+    * Reference parameter-curation character: `benches/ldbc_common/
+    * mod.rs:460-628`. Tiny aggregate jobs, memoized per (session, dataset). */
+  def icParams(spark: SparkSession, dir: String): IcParams =
+    icMemo.computeIfAbsent((System.identityHashCode(spark), dir), _ => {
+      val (pid, _, _) = anchors(spark, dir)
+      val g = snb(spark, dir)
+      val k = g.edges.filter(col("relationship") === "KNOWS")
+        .select(col("src").as("s"), col("dst").as("d"))
+      val ku = k.unionAll(k.select(col("d").as("s"), col("s").as("d")))
+      val r1 = ku.filter(col("s") === pid).select(col("d").as("id")).distinct()
+        .localCheckpoint(true)
+      val r2 = ku.join(r1.withColumnRenamed("id", "s"), Seq("s"), "left_semi")
+        .select(col("d").as("id")).distinct()
+      // the oracles' reach2 \ {anchor} — the IC3/IC11 friend set
+      val fr2 = r1.unionAll(r2).distinct().filter(col("id") =!= pid)
+        .localCheckpoint(true) // consumed by fposts AND fw
+      val postCreator = g.edges.filter(col("relationship") === "HAS_CREATOR" &&
+          col("src") >= PostOff && col("src") < CommentOff)
+        .select(col("src").as("mid"), col("dst").as("creator"))
+      val postLoc = g.edges.filter(col("relationship") === "IS_LOCATED_IN" &&
+          col("src") >= PostOff && col("src") < CommentOff)
+        .select(col("src").as("mid"), col("dst").as("cid"))
+      val countries = g.nodes.filter(col("id") >= CountryOff && col("id") < ContinentOff)
+        .select(col("id").as("cid"), col("name").as("cname"))
+      val fposts = postCreator
+        .join(fr2.withColumnRenamed("id", "creator"), Seq("creator"), "left_semi")
+        .join(postLoc, Seq("mid")).join(countries, Seq("cid"))
+        .localCheckpoint(true) // consumed by the nation top-2 AND the year
+      val top2 = fposts.groupBy(col("cname")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("cname")).limit(2)
+        .select(col("cname")).collect().map(_.getString(0))
+      require(top2.nonEmpty, s"IC3 derivation: anchor $pid's friends authored no posts")
+      val (n1, n2) = (top2(0), if (top2.length > 1) top2(1) else top2(0))
+      val dates = g.nodes.filter(col("id") >= PostOff && col("id") < CommentOff)
+        .select(col("id").as("mid"), col("creationDate"))
+      val year = fposts.filter(col("cname").isin(top2.toSeq: _*))
+        .join(dates, Seq("mid"))
+        .groupBy(substring(col("creationDate"), 1, 4).as("y"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("y")).limit(1)
+        .select(col("y")).first().getString(0).toInt
+      val fw = g.edges.filter(col("relationship") === "WORK_AT")
+        .join(fr2.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .select(col("dst").as("oid"), col("workFrom"))
+        .localCheckpoint(true) // consumed by the org argmax AND the p50
+      val oid = fw.groupBy(col("oid")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("oid")).limit(1).first().getLong(0)
+      val orgName = g.nodes.filter(col("id") === oid)
+        .select(col("name")).first().getString(0)
+      val yearLt = fw.filter(col("oid") === oid)
+        .agg(graft.functions.CypherFunctions.percentileDisc(col("workFrom"), lit(0.5)))
+        .first().getLong(0) + 1
+      IcParams(n1, n2, s"$year-01-01", s"${year + 1}-01-01", orgName, yearLt)
+    })
+
   /** Canonical node schema: one typed column per SNB property in use. */
   private val nodeProps = Seq(
     "firstName" -> "string", "lastName" -> "string", "gender" -> "string",

@@ -236,14 +236,21 @@ object CypherQueries {
 
     // r12: split with a NON-LITERAL separator — computed per row, so the
     // regex-quoting happens in-plan. The '.' branch is the differential:
-    // an unquoted '.' is a regex that splits on EVERY character.
-    "q_cypher_split_dynamic" -> (run(
-      """MATCH (c:Customer)
-        |WHERE id(c) < 200
-        |WITH id(c) AS k, c.name AS nm,
-        |     CASE WHEN id(c) % 2 = 0 THEN '.' ELSE toString(id(c) % 10) END AS sep
-        |RETURN k, split(nm, sep) AS parts
-        |ORDER BY k""".stripMargin) _),
+    // an unquoted '.' is a regex that splits on EVERY character. The array
+    // is joined to a scalar string (q_collect_list convention) so the
+    // cross-engine compare never has to hash an array column; the split
+    // itself still runs inside the Cypher plan.
+    "q_cypher_split_dynamic" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions.{array_join, col}
+      run(
+        """MATCH (c:Customer)
+          |WHERE id(c) < 200
+          |WITH id(c) AS k, c.name AS nm,
+          |     CASE WHEN id(c) % 2 = 0 THEN '.' ELSE toString(id(c) % 10) END AS sep
+          |RETURN k, split(nm, sep) AS parts
+          |ORDER BY k""".stripMargin)(s, d)
+        .select(col("k"), array_join(col("parts"), "|").as("parts"))
+    }),
 
     // the SAME Cypher text as q_cypher_2hop, executed over the bucketed
     // store (sources/BucketedGraph) through the full engine — identical
@@ -816,5 +823,5 @@ object CypherQueries {
     "q_cypher_listops" ->
       "SELECT CAST(c_custkey AS BIGINT) AS cid, string_split(c_name, '#')[2] AS num, CAST(6 AS BIGINT) AS s, true AS b FROM customer WHERE c_custkey < 100 ORDER BY 1",
     "q_cypher_split_dynamic" ->
-      "SELECT CAST(c_custkey AS BIGINT) AS k, string_split(c_name, CASE WHEN c_custkey % 2 = 0 THEN '.' ELSE CAST(c_custkey % 10 AS VARCHAR) END) AS parts FROM customer WHERE c_custkey < 200 ORDER BY k")
+      "SELECT CAST(c_custkey AS BIGINT) AS k, array_to_string(string_split(c_name, CASE WHEN c_custkey % 2 = 0 THEN '.' ELSE CAST(c_custkey % 10 AS VARCHAR) END), '|') AS parts FROM customer WHERE c_custkey < 200 ORDER BY k")
 }

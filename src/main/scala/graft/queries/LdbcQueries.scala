@@ -33,8 +33,18 @@ object LdbcQueries {
     // stats-derived anchors (SnbLoader.anchors — percentile-of-degree, the
     // reference's parameter-curation character) passed as query parameters
     val (pid, tag, target) = SnbLoader.anchors(s, d)
-    QueryEngine.execute(cy, SnbLoader.snb(s, d),
-      Map("anchorPerson" -> pid, "anchorTag" -> tag, "pathTarget" -> target))
+    // IC3/IC11 neighborhood-derived filters (SnbLoader.icParams): computed
+    // lazily so the 19 queries that don't use them never pay the jobs
+    lazy val ic = SnbLoader.icParams(s, d)
+    val base = Map[String, Any](
+      "anchorPerson" -> pid, "anchorTag" -> tag, "pathTarget" -> target)
+    val params =
+      if (!cy.contains("$ic")) base
+      else base ++ Map[String, Any](
+        "ic3Nation1" -> ic.nation1, "ic3Nation2" -> ic.nation2,
+        "ic3From" -> ic.from, "ic3To" -> ic.to,
+        "ic11Org" -> ic.org, "ic11YearLt" -> ic.yearLt)
+    QueryEngine.execute(cy, SnbLoader.snb(s, d), params)
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -108,8 +118,8 @@ object LdbcQueries {
         |WHERE friend.id <> $anchorPerson
         |WITH DISTINCT friend
         |MATCH (friend)<-[:HAS_CREATOR]-(m:Post)-[:IS_LOCATED_IN]->(place:Place)
-        |WHERE m.creationDate >= '1996-01-01' AND m.creationDate < '1997-01-01'
-        |  AND (place.name = 'NATION_20' OR place.name = 'NATION_15')
+        |WHERE m.creationDate >= $ic3From AND m.creationDate < $ic3To
+        |  AND (place.name = $ic3Nation1 OR place.name = $ic3Nation2)
         |RETURN friend.id AS friendId, friend.firstName AS firstName,
         |       friend.lastName AS lastName, count(m) AS msgCount
         |ORDER BY msgCount DESC, friendId
@@ -180,7 +190,7 @@ object LdbcQueries {
 
     "q_ldbc_ic11" -> (run(
       """MATCH (p:Person {id: $anchorPerson})-[:KNOWS*1..2]-(friend:Person)-[wa:WORK_AT]->(org:Organisation)
-        |WHERE friend.id <> $anchorPerson AND org.name = 'Supplier#000000084' AND wa.workFrom < 2005
+        |WHERE friend.id <> $anchorPerson AND org.name = $ic11Org AND wa.workFrom < $ic11YearLt
         |RETURN DISTINCT friend.id AS friendId, friend.firstName AS firstName,
         |       friend.lastName AS lastName, wa.workFrom AS workFrom,
         |       org.name AS orgName
@@ -258,7 +268,16 @@ object LdbcQueries {
       |r2 AS (SELECT DISTINCT ku.d AS id FROM ku JOIN r1 ON ku.s = r1.id),
       |r3 AS (SELECT DISTINCT ku.d AS id FROM ku JOIN r2 ON ku.s = r2.id),
       |reach2 AS (SELECT id FROM r1 UNION SELECT id FROM r2),
-      |reach3 AS (SELECT id FROM reach2 UNION SELECT id FROM r3)""".stripMargin
+      |reach3 AS (SELECT id FROM reach2 UNION SELECT id FROM r3),
+      |fr2 AS (SELECT id FROM reach2 WHERE id <> (SELECT pid FROM anchor)),
+      |fpost AS (SELECT m.id, m.country, m.creationDate FROM post m JOIN fr2 ON m.creator = fr2.id),
+      |ic3nat AS (SELECT c.name FROM fpost f JOIN country c ON c.id = f.country GROUP BY c.name ORDER BY count(*) DESC, c.name LIMIT 2),
+      |ic3yr AS (SELECT CAST(substr(f.creationDate, 1, 4) AS INTEGER) AS y FROM fpost f JOIN country c ON c.id = f.country
+      |   WHERE c.name IN (SELECT name FROM ic3nat) GROUP BY 1 ORDER BY count(*) DESC, y LIMIT 1),
+      |fwork AS (SELECT w.oid, w.workFrom FROM workat w JOIN fr2 ON w.pid = fr2.id),
+      |ic11org AS (SELECT oid FROM fwork GROUP BY oid ORDER BY count(*) DESC, oid LIMIT 1),
+      |ic11wf AS (SELECT workFrom + 1 AS yearLt FROM fwork WHERE oid = (SELECT oid FROM ic11org) ORDER BY workFrom
+      |   LIMIT 1 OFFSET (SELECT CAST(ceil(0.5 * count(*)) AS BIGINT) - 1 FROM fwork WHERE oid = (SELECT oid FROM ic11org)))""".stripMargin
 
   private[queries] def o(sql: String): String = s"WITH $Pre $sql"
 
@@ -318,8 +337,10 @@ object LdbcQueries {
         | count(*) AS msgCount
         |FROM reach2 r JOIN person p ON p.id = r.id JOIN post m ON m.creator = r.id
         | JOIN country c ON c.id = m.country
-        |WHERE r.id <> (SELECT pid FROM anchor) AND m.creationDate >= '1996-01-01' AND m.creationDate < '1997-01-01'
-        | AND c.name IN ('NATION_20', 'NATION_15')
+        |WHERE r.id <> (SELECT pid FROM anchor)
+        | AND m.creationDate >= CAST((SELECT y FROM ic3yr) AS VARCHAR) || '-01-01'
+        | AND m.creationDate < CAST((SELECT y FROM ic3yr) + 1 AS VARCHAR) || '-01-01'
+        | AND c.name IN (SELECT name FROM ic3nat)
         |GROUP BY 1, 2, 3 ORDER BY msgCount DESC, friendId LIMIT 20""".stripMargin),
     "q_ldbc_ic4" -> o(
       """SELECT t.name AS tagName, count(*) AS postCount
@@ -372,7 +393,9 @@ object LdbcQueries {
         | w.workFrom AS workFrom, o.name AS orgName
         |FROM reach2 r JOIN person p ON p.id = r.id JOIN workat w ON w.pid = r.id
         | JOIN org o ON o.id = w.oid
-        |WHERE r.id <> (SELECT pid FROM anchor) AND o.name = 'Supplier#000000084' AND w.workFrom < 2005
+        |WHERE r.id <> (SELECT pid FROM anchor)
+        | AND o.name = (SELECT name FROM org WHERE id = (SELECT oid FROM ic11org))
+        | AND w.workFrom < (SELECT yearLt FROM ic11wf)
         |ORDER BY workFrom, friendId LIMIT 10""".stripMargin),
     "q_ldbc_ic12" -> o(
       """SELECT r1.id AS friendId, p.firstName AS firstName, p.lastName AS lastName,

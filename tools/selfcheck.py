@@ -64,7 +64,7 @@ def cmp_cell(a, b):
         return len(a2) == len(b2) and all(cmp_cell(x, y) for x, y in zip(a2, b2))
     return a == b
 
-fails, passes, skips = [], [], []
+fails, passes, skips, zero_rows = [], [], [], []
 names = ONLY if ONLY else sorted(oracle.keys())
 for name in names:
     sql = oracle.get(name)
@@ -94,11 +94,29 @@ for name in names:
                 bad = f"col {c} row {i}: {x!r} vs {y!r}"; break
         if bad: break
     if bad: fails.append((name, bad))
-    else: passes.append(name)
+    else:
+        passes.append(name)
+        if len(g) == 0:
+            zero_rows.append(name)
 
 no_oracle = sorted(set(json.load(open(f"{OUT}/oracle_sql.json")).keys()))
 print(f"\nPASS {len(passes)}: {' '.join(passes)}")
 print(f"\nFAIL {len(fails)}:")
 for n, why in fails:
     print(f"  {n}: {why}")
-sys.exit(0 if not fails else 2)
+
+# Zero-row tripwire (r12 verdict task #2): a "pass" where BOTH engines
+# return 0 rows proves nothing — the q_sparql_bgp (r11) / q_ldbc_ic3+ic11
+# (r12) defect class. Any zero-row green not pinned in the allowlist
+# fails the gate so a fixture change can't silently vacate a query.
+import os
+allow_path = os.path.join(os.path.dirname(__file__), "zero_row_allowlist.txt")
+allowed = set()
+if os.path.exists(allow_path):
+    allowed = {l.strip() for l in open(allow_path) if l.strip() and not l.startswith("#")}
+new_zero = [n for n in zero_rows if n not in allowed]
+if zero_rows:
+    print(f"\nZERO-ROW greens {len(zero_rows)}: {' '.join(zero_rows)}")
+if new_zero:
+    print(f"TRIPWIRE: {len(new_zero)} zero-row green(s) NOT in {allow_path}: {' '.join(new_zero)}")
+sys.exit(0 if not fails and not new_zero else 2)
