@@ -51,6 +51,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Machine-state stamp (r12 verdict task #5): the driver/builder spread
+    // reached 20% purely from window drift, so the bench line carries the
+    // PRE-RUN host load average — the next reader can attribute a slow line
+    // to a busy window instead of bisecting phantom code regressions (the
+    // r13 bisect: bit-identical r11 code measured 1.98s vs the r11 window's
+    // 1.66s on q_triangle_count — pure drift).
+    val loadBefore: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ").take(3).mkString(",")
+      catch { case _: Throwable => "n/a" }
+
     // local iteration: SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the suite
     // (unset in the driver's run — full suite)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -120,7 +130,7 @@ object Bench {
     // stdout, and with 230+ per-query entries the line is ~6KB. Putting the
     // bulky `queries` map FIRST keeps metric/value/unit/sf inside the
     // captured tail (JSON object key order is semantically irrelevant).
-    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","loadavg_before":"$loadBefore"}""")
     spark.stop()
   }
 }

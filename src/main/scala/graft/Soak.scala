@@ -288,7 +288,31 @@ object Soak {
       "pagerank_weighted" -> { n => Algorithms.pageRankWeighted(
         spark.read.parquet(edgeCache(n, false))
           .withColumn("weight", lit(1.0) + pmod(col("src"), lit(5L))),
-        10, 0.85).count() })
+        10, 0.85).count() },
+      // HITS (r12 evidence debt): two vertex-sized half-step joins per
+      // iteration against the deduped checkpointed edge leaf, L1
+      // normalizers as broadcast 1-row aggregates — disjoint copies give
+      // exactly N× rows per half-step and N× output vertices
+      "hits" -> { n => Algorithms.hits(
+        spark.read.parquet(edgeCache(n, false)), 6).count() },
+      // DOULION sampled triangle estimate: deterministic 30% sparsifier,
+      // then the exact twin's degree-oriented intersection — linear in
+      // the sampled edge volume (output is the single estimate row)
+      "triangle_approx" -> { n => Algorithms.triangleCountApprox(
+        spark.read.parquet(edgeCache(n, false))
+          .select(col("src").as("a"), col("dst").as("b")), 30).count() },
+      // Efraimidis–Spirakis weighted sampling: key projection is codegen'd,
+      // the k-th key is TakeOrdered + broadcast 1-row max — the ratio pins
+      // that selection never becomes a global sort/window; output = every
+      // eligible row, so rows scale exactly N×
+      "weighted_sample" -> { n => graft.text.TextAnalysis.weightedSample(
+        spark.read.parquet(docCache(n)), "doc_id",
+        length(col("text")).cast("double"), 100).count() },
+      // closeness centrality: same multi-source BFS leaf as harmonic —
+      // seed in copy 0 keeps the reached region constant; the linear part
+      // is the edge distinct+checkpoint pass
+      "closeness" -> { n => Algorithms.closenessCentrality(
+        spark.read.parquet(edgeCache(n, false)), Seq(minNode), 4).count() })
 
     // SPARK_GRAFT_SOAK_ONLY=op1,op2 restricts the sweep (local iteration)
     val onlyOps = sys.env.get("SPARK_GRAFT_SOAK_ONLY")

@@ -319,9 +319,9 @@ object Algorithms {
     * graph. The union size comes from exact degrees
     * (deg(x) + deg(y) − common), so no degree cap is applied — capping
     * common neighbors would silently change the score; at web scale the
-    * standard approximation is instead to LSH-bucket the neighbor sets
-    * (the MinHash machinery in graft.dedup applies unchanged to
-    * neighbor-id sets). Input: src/dst pairs; symmetrized + de-duped. */
+    * standard approximation is instead to LSH-bucket the neighbor sets —
+    * implemented as [[jaccardSimilarityApprox]], differentially gated
+    * against this exact twin. Input: src/dst pairs; symmetrized + de-duped. */
   def jaccardSimilarity(edges: DataFrame, sources: Seq[Long],
                         topK: Int = 20): DataFrame = {
     require(sources.nonEmpty, "jaccardSimilarity needs at least one source")
@@ -344,6 +344,38 @@ object Algorithms {
           .as("score"))
       .orderBy(col("score").desc, col("x"), col("y"))
       .limit(topK)
+  }
+
+  /** APPROXIMATE all-pairs Jaccard node similarity via MinHash+LSH over
+    * neighbor-id sets — the at-scale path [[jaccardSimilarity]]'s scaladoc
+    * documents: a vertex's neighbor set is its "document", neighbor ids are
+    * the shingles, and the banded-signature machinery from graft.dedup
+    * applies UNCHANGED ([[graft.dedup.Dedup.minHashLshPairsFromSig]] — the
+    * identical band→bucket→join shape, so candidate volume is bucket-bounded
+    * and never all-pairs). Signatures are seeded murmur3 minima, so the
+    * output is deterministic across runs and engines.
+    *
+    * Returns canonical candidate pairs (x < y) with
+    * est_jaccard = agreeing-minhash fraction ≥ `threshold`. Recall contract
+    * (RecallSpec): with r = numHashes/bands hashes per band, a true pair at
+    * similarity s collides with prob 1-(1-s^r)^bands — size bands/r for the
+    * similarity regime the caller cares about (the defaults catch s ≥ 0.5
+    * with ≥ 99.99% per-pair probability at r=2, bands=32). */
+  def jaccardSimilarityApprox(edges: DataFrame, numHashes: Int = 64,
+                              bands: Int = 32,
+                              threshold: Double = 0.3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sym = edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+      .unionAll(edges.select(col("dst").cast("long").as("a"), col("src").cast("long").as("b")))
+      .filter(col("a") =!= col("b")).distinct()
+    val mins = (0 until numHashes).map(i => min(hash(lit(i), col("b"))).as(s"h$i"))
+    // one hash aggregate builds every signature; the leaf cut is consumed
+    // by both sides of the band-bucket self-join
+    val sig = sym.groupBy(col("a").as("doc")).agg(mins.head, mins.tail: _*)
+      .select(col("doc"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+      .localCheckpoint(true)
+    graft.dedup.Dedup.minHashLshPairsFromSig(sig, numHashes, bands, threshold)
+      .select(col("i").as("x"), col("j").as("y"), col("est_jaccard"))
   }
 
   /** Weakly connected components (reference `community.rs:58` union-find) —
@@ -524,7 +556,10 @@ object Algorithms {
     * idiom on the canonical edge pair), so the estimate is reproducible
     * across engines and runs; the sampled count reuses the degree-oriented
     * intersection (wedges never shuffle as rows). Returns one row
-    * (triangles_sampled, estimate). Input: canonical (a, b) pairs. */
+    * (triangles_sampled, estimate). Input: canonical (a, b) pairs with
+    * NON-NEGATIVE ids — the sampler's Spark `pmod` and a SQL-oracle `%`
+    * diverge on negative operands, so a cross-engine differential over
+    * negative ids would mismatch (current graph ids are offsets ≥ 0). */
   def triangleCountApprox(undirected: DataFrame, pPct: Int): DataFrame = {
     require(pPct > 0 && pPct <= 100, s"pPct in (0,100], got $pPct")
     val h = pmod(pmod(col("a"), lit(1000003L)) * lit(131L)
@@ -661,8 +696,12 @@ object Algorithms {
     * edge key, one vertex-sized cut per round) — 2·maxDepth bounded rounds
     * total, never a per-seed job fan-out. σ is carried as double: path
     * COUNTS explode combinatorially at scale and δ only ever consumes
-    * σ-ratios. Returns (id, bc) for every node reached at dist ≥ 1 by any
-    * seed, bc rounded to 4. */
+    * σ-ratios. Memory note: every forward level is retained (checkpointed)
+    * for the backward replay, so storage is O(Σ per-level (seed, node)
+    * pairs) — bounded by the sampled-seed contract (|seeds| and maxDepth
+    * small), NOT by the graph; an unbounded seed set or depth would need
+    * level eviction after its backward round. Returns (id, bc) for every
+    * node reached at dist ≥ 1 by any seed, bc rounded to 4. */
   def betweennessCentrality(edges: DataFrame, seeds: Seq[Long],
                             maxDepth: Int): DataFrame = {
     require(seeds.nonEmpty && maxDepth > 0, "seeds nonempty, maxDepth positive")

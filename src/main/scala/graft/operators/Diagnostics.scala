@@ -33,5 +33,8 @@ object Diagnostics {
       .orderBy(col("cnt").desc, col("key")).limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("cnt").desc, col("key"))).cast("long"))
+      // explicit output order: the contract must not depend on the window
+      // sort incidentally surviving into the returned DataFrame
+      .orderBy(col("rank"))
   }
 }

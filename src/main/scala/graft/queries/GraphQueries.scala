@@ -308,6 +308,38 @@ object GraphQueries {
       Algorithms.jaccardSimilarity(e, seeds, 20)
     }),
 
+    // beyond-parity: APPROXIMATE Jaccard node similarity — MinHash+LSH over
+    // neighbor-id sets (the at-scale path q_jaccard_sim's exact wedge join
+    // can't take). Planted ground truth (q_simhash convention — the natural
+    // copurchase max is ~0.12, below any useful LSH regime): the 10
+    // smallest vertices get a twin at id+5e6 carrying their neighbor set
+    // minus every 5th neighbor (true jaccard = kept/orig, typically ~0.8);
+    // every planted pair with true jaccard >= 0.5 must be recalled by the
+    // banded candidates (r=2 x 32 bands: >= 99.99% per-pair, est filter at
+    // 0.25 is ~4 sigma below a 0.5-pair's mean) — a silent recall loss
+    // fails the row count
+    "q_jaccard_approx" -> ((s, d) => {
+      val und = copurchaseShared(s, d)
+      val off = 5000000L
+      val sym = und.select(col("a").as("v"), col("b").as("n"))
+        .unionAll(und.select(col("b").as("v"), col("a").as("n")))
+      val seeds = sym.select(col("v")).distinct().orderBy(col("v")).limit(10)
+      val seedNbrs = sym.join(seeds, Seq("v"), "left_semi")
+      val planted = seedNbrs.filter(pmod(col("n"), lit(5)) =!= 0)
+      // ground truth: planted pairs whose true jaccard (= kept/orig, the
+      // twin's set is a subset) is >= 0.5 — the LSH sizing's regime
+      val truth = seedNbrs.groupBy(col("v")).agg(
+          count(lit(1)).as("orig"),
+          sum(when(pmod(col("n"), lit(5)) =!= 0, 1L).otherwise(0L)).as("kept"))
+        .filter(col("kept") * 2 >= col("orig") && col("kept") > 0)
+        .select(col("v").as("x"), (col("v") + off).as("y"))
+      val e = und.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(planted.select((col("v") + off).as("src"), col("n").as("dst")))
+      val cand = Algorithms.jaccardSimilarityApprox(e, 64, 32, 0.25)
+        .select(col("x"), col("y"))
+      truth.join(cand, Seq("x", "y"), "left_semi").orderBy(col("x"))
+    }),
+
     // beyond-parity: personalized PageRank from the two smallest product
     // ids of the co-purchase graph — teleport + dangling mass return to
     // the seeds; oracled by 6 unrolled CTE iterations (like q_pagerank).
@@ -1189,6 +1221,14 @@ object GraphQueries {
         |       round(c * 1.0 / (dx.d + dy.d - c), 6) AS score
         |FROM w JOIN deg dx ON dx.vv = w.x JOIN deg dy ON dy.vv = w.y
         |ORDER BY round(c * 1.0 / (dx.d + dy.d - c), 6) DESC, x, y LIMIT 20""".stripMargin),
+    "q_jaccard_approx" -> (CopurchaseCte +
+      """, sym AS (SELECT a, b FROM pe UNION SELECT b, a FROM pe)
+        |, seeds AS (SELECT DISTINCT a AS v FROM sym ORDER BY v LIMIT 10)
+        |, st AS (SELECT s.v, count(*) AS orig,
+        |         count(*) FILTER (sym.b % 5 <> 0) AS kept
+        |         FROM seeds s JOIN sym ON sym.a = s.v GROUP BY 1)
+        |SELECT CAST(v AS BIGINT) AS x, CAST(v + 5000000 AS BIGINT) AS y
+        |FROM st WHERE kept * 2 >= orig AND kept > 0 ORDER BY x""".stripMargin),
     "q_cdlp" -> cdlpOracle(5),
     "q_kcore" -> kcoreOracle(80, 4),
     "q_ktruss" -> ktrussOracle(5, 3, 400),

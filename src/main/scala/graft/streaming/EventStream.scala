@@ -95,9 +95,11 @@ object EventStream {
     // per-pair intersect builds a probe set per (doc, probe) row, and
     // hashing 30-element long arrays beats 40-char string arrays ~4×.
     // xxhash64 is codegen'd and collision odds across a corpus's distinct
-    // shingles are ~|shingles|²/2⁶⁵ (≈1e-12 here) — and a collision could
-    // only INFLATE n_hits, which the oracle compare would catch, so the
-    // speedup is not a silent-correctness trade.
+    // shingles are ~|shingles|²/2⁶⁵ (≈1e-12 here). A collision can perturb
+    // n_hits in EITHER direction (two distinct shingles inside one
+    // doc∩probe intersection collapse to one hash → deflate; a cross-side
+    // collision → inflate) — the safety argument is the negligible
+    // probability plus the oracle gate, not a one-sided bias.
     def sh(c: Column) =
       transform(wordShinglesFromWords(split(c, " "), k), s => xxhash64(s))
     val p = broadcast(probes.select(col(idCol).as("probe_id"),

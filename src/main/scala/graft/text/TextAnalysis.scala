@@ -702,7 +702,10 @@ object TextAnalysis {
     * replacement (the token-weighted document selection step of a corpus
     * pipeline). u comes from the corpus multiplicative-hash idiom (same
     * as DSIR's Gumbel draw): no RNG, reproducible across engines and
-    * runs. Rows with weight ≤ 0 are never eligible.
+    * runs. Rows with weight ≤ 0 are never eligible. Ids must be
+    * NON-NEGATIVE: the multiplicative-hash `pmod` and a SQL oracle's `%`
+    * diverge on negative operands (same precondition as
+    * [[graft.algo.Algorithms.triangleCountApprox]]).
     *
     * Scale shape: one scan + a codegen'd projection; the k-th composite
     * key is TakeOrderedAndProject + a broadcast 1-row max, so selection

@@ -103,6 +103,38 @@ class AlgorithmsSpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 1.0), (1L, 5L, 0.5)), s"got $out")
   }
 
+  test("jaccardSimilarityApprox: recall >= 0.9 vs the exact twin (RecallSpec pattern)") {
+    // 40 hubs with disjoint 20-leaf neighbor sets; each hub gets a twin
+    // sharing 18 of its leaves plus 2 unique ones (J = 18/22 ≈ 0.818) —
+    // deterministic construction, no RNG. Shared leaves also form
+    // identical-{hub, twin} neighbor-set pairs (J = 1.0), so the exact
+    // >= 0.5 pair set exercises both the graded and the trivial regime.
+    val edges = (0 until 40).flatMap { h =>
+      val hub = 100L + h; val twin = 10000L + h
+      val leaves = (0 until 20).map(i => 1000000L + h * 100L + i)
+      leaves.map(n => (hub, n)) ++ leaves.drop(2).map(n => (twin, n)) ++
+        Seq((twin, 2000000L + h * 2), (twin, 2000001L + h * 2))
+    }
+    val adj = collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val vs = adj.keys.toSeq.sorted
+    val exact = for {
+      i <- vs; j <- vs if i < j
+      inter = (adj(i) & adj(j)).size if inter > 0
+      if inter.toDouble / (adj(i) | adj(j)).size >= 0.5
+    } yield (i, j)
+    val cand = Algorithms.jaccardSimilarityApprox(
+        edges.toDF("src", "dst"), 64, 32, 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rec = exact.count(cand.contains).toDouble / exact.size
+    info(f"approx recall over ${exact.size} exact >=0.5 pairs = $rec%.3f")
+    assert(rec >= 0.9, f"recall $rec%.3f below the 0.9 floor")
+    // every planted hub-twin pair specifically must be recalled
+    (0 until 40).foreach { h =>
+      assert(cand.contains((100L + h, 10000L + h)), s"planted pair for hub $h missed")
+    }
+  }
+
   test("hits matches a naive sum-normalized fixed-point (1e-9)") {
     // 1 and 2 point at 3 and 4; 3 points at 4 — 4 is the top authority,
     // 1 the top hub (links to both authorities); 4 has hub 0
