@@ -524,9 +524,13 @@ object Sparql {
       // Algorithms.scala): a small edge set pays ~2 Spark jobs per frontier
       // round in the distributed loop — 10-50x the actual closure work.
       // Budget ≤ 100k edges (strings, ~10 MB); past it the distributed
-      // loop below is the only path that exists.
+      // loop below is the only path that exists. The threshold reads from
+      // spark.graft.sparql.closureLocalEdges so SparqlSpec can pin BOTH
+      // paths on the same data (set 0 to force the distributed loop).
       val nEdges = e.count()
-      if (nEdges <= 100000L) {
+      val localMax = triples.sparkSession.conf
+        .get("spark.graft.sparql.closureLocalEdges", "100000").toLong
+      if (nEdges <= localMax) {
         val spark = triples.sparkSession
         val adj = new scala.collection.mutable.HashMap[String, List[String]]()
         e.collect().foreach { r =>

@@ -55,6 +55,44 @@ class ConcurrencySpec extends SparkSpec {
     assert(errors.isEmpty, s"concurrent divergences: $errors")
   }
 
+  // the r12 spec raced only reads; the state that would ACTUALLY corrupt
+  // under concurrent sessions is the write path — the MV-backed loader
+  // (SharedMv build lock), the constraint check's driver-side collect
+  // (GraphMutations.checkUnique), and WriteTranslator's localCheckpoint
+  // id-pinning all run per-thread against ONE SparkSession here. Each
+  // catalog write chain mutates its own PropertyGraph value derived from
+  // the SHARED loader graph, so threads are disjoint by construction —
+  // any cross-thread bleed (a clone batch visible to another thread's
+  // readback, a constraint check seeing foreign in-flight rows) diverges
+  // the canon hash from the serial baseline.
+  private val writeNames = Seq("q_create", "q_merge", "q_set", "q_delete",
+    "q_cypher_write_create", "q_cypher_write_set", "q_cypher_write_merge",
+    "q_cypher_unique_constraint")
+
+  test("8 threads x write chains: every mutation chain matches the serial baseline") {
+    val expected = writeNames.map(n => n -> canon(n)).toMap
+    val pool = Executors.newFixedThreadPool(8)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    (0 until 8).map { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-w$t")
+          (0 until 2).foreach { i =>
+            val n = writeNames((t + i * 3) % writeNames.length)
+            Try(canon(n)).fold(
+              e => { errors.add(s"$n on thread $t threw: $e"); () },
+              got => if (got != expected(n)) {
+                errors.add(s"$n on thread $t diverged from the serial baseline"); ()
+              })
+          }
+        }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(600, TimeUnit.SECONDS), "write threads timed out")
+    assert(errors.isEmpty, s"concurrent write divergences: $errors")
+  }
+
   test("SharedMv: 8 threads racing a COLD build produce one consistent MV") {
     import org.apache.spark.sql.functions._
     val buildCount = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -180,6 +180,28 @@ class SparqlSpec extends SparkSpec {
     assert(names == Seq("bob", "carol"))
   }
 
+  test("closure threshold boundary: driver fast-path == distributed loop") {
+    // the maxFlow-style dual-path pin (r12 verdict task #9): the SAME p+
+    // and p* queries under the driver fast-path (edge count under the
+    // threshold) and with the threshold forced to 0 (distributed frontier
+    // loop is the only path) must be cell-identical
+    val qs = Seq(
+      "SELECT ?s ?o WHERE { ?s gr:KNOWS+ ?o } ORDER BY ?s ?o",
+      "SELECT ?s ?o WHERE { ?s gr:KNOWS* ?o . FILTER(?s = \"http://ex.org/node/1\") } ORDER BY ?s ?o")
+    qs.foreach { q =>
+      val local = Sparql.execute(prefixes + q, triples)
+        .as[(String, String)].collect().toSeq
+      spark.conf.set("spark.graft.sparql.closureLocalEdges", "0")
+      try {
+        val dist = Sparql.execute(prefixes + q, triples)
+          .as[(String, String)].collect().toSeq
+        assert(local == dist,
+          s"closure paths diverged across the threshold boundary for: $q\nlocal=$local\ndist=$dist")
+        assert(local.nonEmpty, "vacuous boundary check")
+      } finally spark.conf.unset("spark.graft.sparql.closureLocalEdges")
+    }
+  }
+
   test("property paths: full-IRI elements and ^inverse") {
     // sequence of full IRIs — the `/` INSIDE each IRI must not split
     val seq1 = Sparql.execute(
