@@ -57,7 +57,8 @@ object ClusterVerify {
     "q_kcore", "q_sssp", "q_mst", "q_maxflow",
     "q_walk_sample", "q_cypher_or_solve", "q_adamic_adar",
     "q_harmonic_centrality", "q_cypher_call_harmonic",
-    "q_closeness_centrality", "q_betweenness", "q_jaccard_sim", "q_ktruss",
+    "q_closeness_centrality", "q_betweenness", "q_jaccard_sim",
+    "q_jaccard_approx", "q_ktruss",
     // vector search
     "q_knn_exact", "q_knn_approx", "q_knn_ivf", "q_knn_pq", "q_hybrid_rrf",
     // dedup + text pipeline
@@ -105,7 +106,12 @@ object ClusterVerify {
     "q_asof_join", "q_multimodal_decode",
     "q_sparql_bgp", "q_streaming_window", "q_streaming_decontaminate",
     "q_streaming_nb_quality",
-    "q_ldbc_is3", "q_ldbc_ic13", "q_ldbc_upd", "q_finbench_w")
+    "q_ldbc_is3", "q_ldbc_ic13", "q_ldbc_upd", "q_finbench_w",
+    // round-13-touched: the q_hits evidence debt (r12 verdict #3), the
+    // new approx-jaccard, the de-vacuified IC3/IC11 (icParams on the
+    // executors), and the dual-path SPARQL closure
+    "q_hits", "q_jaccard_approx", "q_ldbc_ic3", "q_ldbc_ic11",
+    "q_sparql_path")
 
   private val sqlConfs: Map[String, String] = Map(
     "spark.sql.extensions" -> "graft.GraftExtensions",

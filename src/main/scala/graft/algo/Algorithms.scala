@@ -378,6 +378,80 @@ object Algorithms {
       .select(col("i").as("x"), col("j").as("y"), col("est_jaccard"))
   }
 
+  /** Modularity Q of a community assignment over an undirected graph
+    * (Newman & Girvan 2004): Q = Σ_c [ m_c/m − (D_c/2m)² ], where m_c =
+    * intra-community edge count and D_c = the community's total degree —
+    * the objective Louvain/Leiden maximize and the standard quality score
+    * for ANY community output (cdlp, wcc, an external label).
+    *
+    * One non-iterative pass: a degree aggregate, the canonical edge list
+    * joined against the assignment on both endpoints (broadcast when the
+    * assignment is small, shuffle otherwise — Catalyst's call), and two
+    * hash aggregates; the m and 2m scalars ride as a broadcast 1-row
+    * aggregate inside the plan. Input: canonical (a, b) edges with
+    * a ≠ b, assignment (id, community); nodes missing from the assignment
+    * contribute degree to no community (their edges still count in m). */
+  def modularity(undirected: DataFrame, assignment: DataFrame): DataFrame = {
+    val und = undirected.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true) // consumed by m, deg, and the intra join
+    val asg = assignment.select(col("id"), col("community"))
+    val m2 = und.agg((count(lit(1)) * 2).cast("double").as("__2m"))
+    val deg = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val dc = deg.join(asg, Seq("id"))
+      .groupBy(col("community")).agg(sum(col("d")).cast("double").as("dc"))
+    val mc = und
+      .join(asg.select(col("id").as("a"), col("community").as("__ca")), Seq("a"))
+      .join(asg.select(col("id").as("b"), col("community").as("__cb")), Seq("b"))
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community")).agg(count(lit(1)).cast("double").as("mc"))
+    dc.join(mc, Seq("community"), "left").crossJoin(broadcast(m2))
+      .select((coalesce(col("mc"), lit(0.0)) * 2 / col("__2m")
+        - (col("dc") / col("__2m")) * (col("dc") / col("__2m"))).as("q"))
+      .agg(graft.functions.CypherFunctions.roundC(sum(col("q")), 6).as("modularity"))
+  }
+
+  /** Graph summary statistics — the ANALYZE-style diagnostic a planner (or
+    * an engineer sizing a job) reads before picking join strategies:
+    * node/edge counts, density, degree min/mean/max/p90, and a log2 degree
+    * histogram (bucket = floor(log2(deg)), the shape that exposes a
+    * power-law tail at a glance). One degree aggregate + two tiny
+    * aggregates; returns (stat, value) rows, values as double. Input:
+    * canonical undirected (a, b) pairs. */
+  def graphStats(undirected: DataFrame): DataFrame = {
+    val und = undirected.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    val deg = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true) // consumed by the summary AND the histogram
+    val r6 = (c: org.apache.spark.sql.Column) =>
+      graft.functions.CypherFunctions.roundC(c, 6)
+    val summary = deg.agg(
+        count(lit(1)).cast("double").as("nodes"),
+        min(col("d")).cast("double").as("deg_min"),
+        r6(avg(col("d"))).as("deg_mean"),
+        max(col("d")).cast("double").as("deg_max"),
+        graft.functions.CypherFunctions.percentileDisc(col("d"), lit(0.9))
+          .cast("double").as("deg_p90"))
+      .crossJoin(broadcast(und.agg(count(lit(1)).cast("double").as("edges"))))
+      .select(col("nodes"), col("edges"),
+        r6(col("edges") * 2 / (col("nodes") * (col("nodes") - 1))).as("density"),
+        col("deg_min"), col("deg_mean"), col("deg_max"), col("deg_p90"))
+    val longRows = summary.select(explode(array(Seq(
+        "nodes", "edges", "density", "deg_min", "deg_mean", "deg_max", "deg_p90")
+        .map(n => struct(lit(n).as("stat"), col(n).as("value"))): _*)).as("r"))
+      .select(col("r.stat"), col("r.value"))
+    // exact integer log2 via the binary-string length (floor(log(2,d)) as
+    // a FLOAT can land at 2.9999... for exact powers of two and disagree
+    // with the oracle's float by one whole bucket)
+    val hist = deg
+      .groupBy((length(conv(col("d"), 10, 2)) - 1).cast("long").as("b"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(concat(lit("deg_log2_"), col("b")).as("stat"), col("value"))
+    longRows.unionAll(hist)
+  }
+
   /** Weakly connected components (reference `community.rs:58` union-find) —
     * distributed min-label propagation to a fixpoint. Returns (id, component)
     * where component = min node id in the component. Small inputs route to

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval-overlap join via grid bucketing — the range-join class the
+  * reference's temporal predicates and every event-analytics pipeline need
+  * (overlapping sessions, concurrent incidents, ad-exposure windows).
+  *
+  * A raw range condition (`a.s <= b.e AND b.s <= a.e`) gives Spark no
+  * equi-key, so the planner falls back to BroadcastNestedLoopJoin — O(n·m)
+  * comparisons and a broadcast that dies at scale. Spark-first shape:
+  * explode each interval into the fixed-width grid cells it covers, meet
+  * candidates in an ordinary hash join ON THE CELL ID, then filter with the
+  * exact overlap predicate. Shuffle volume is Σ length/cellWidth + n rows —
+  * linear in total interval length, never all-pairs.
+  *
+  * Dedup-free pair attribution: a pair overlapping across k shared cells
+  * would emit k copies; instead of a distinct, each pair is kept only in
+  * the one cell containing the overlap's START (max of the two starts) —
+  * exactly one cell contains it, so no post-join dedup shuffle exists.
+  *
+  * `cellWidth` tunes the classic grid trade-off: small cells → more
+  * exploded rows; large cells → more false-positive candidates per cell.
+  * Size it near the median interval length. Closed-interval semantics
+  * (touching endpoints overlap), matching the SQL predicate. */
+object IntervalJoin {
+
+  /** All (left, right) pairs whose [s, e] intervals overlap. Inputs carry
+    * (idCol, startCol, endCol); starts/ends cast to long. Output columns:
+    * (a_id, a_s, a_e, b_id, b_s, b_e). Rows with s > e are dropped
+    * (empty intervals), matching the SQL predicate's vacuous-false. */
+  def overlap(left: DataFrame, right: DataFrame,
+              leftCols: (String, String, String),
+              rightCols: (String, String, String),
+              cellWidth: Long): DataFrame = {
+    require(cellWidth > 0, s"cellWidth must be positive, got $cellWidth")
+    def gridded(df: DataFrame, cols: (String, String, String), tag: String) =
+      df.select(col(cols._1).as(s"${tag}_id"),
+          col(cols._2).cast("long").as(s"${tag}_s"),
+          col(cols._3).cast("long").as(s"${tag}_e"))
+        .filter(col(s"${tag}_s") <= col(s"${tag}_e") &&
+          col(s"${tag}_s").isNotNull && col(s"${tag}_e").isNotNull)
+        .withColumn("__cell", explode(sequence(
+          floor(col(s"${tag}_s") / cellWidth).cast("long"),
+          floor(col(s"${tag}_e") / cellWidth).cast("long"))))
+    gridded(left, leftCols, "a")
+      .join(gridded(right, rightCols, "b"), Seq("__cell"))
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      // keep the pair only in the cell where the overlap starts
+      .filter(col("__cell") ===
+        floor(greatest(col("a_s"), col("b_s")) / cellWidth).cast("long"))
+      .drop("__cell")
+  }
+}

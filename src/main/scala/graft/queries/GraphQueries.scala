@@ -340,6 +340,25 @@ object GraphQueries {
       truth.join(cand, Seq("x", "y"), "left_semi").orderBy(col("x"))
     }),
 
+    // beyond-parity: graph summary statistics (ANALYZE-style diagnostic) —
+    // node/edge counts, density, degree min/mean/max/p90, exact-integer
+    // log2 degree histogram; one degree aggregate + tiny scalar aggregates
+    "q_graph_stats" -> ((s, d) =>
+      Algorithms.graphStats(copurchaseShared(s, d)).orderBy(col("stat"))),
+
+    // beyond-parity: modularity Q (Newman-Girvan) of a deterministic
+    // 8-way hash partition of the co-purchase graph — the community-
+    // quality score for any assignment (cdlp's output is spec-gated
+    // against a naive twin in AlgorithmsSpec); a hash partition's Q is
+    // near 0 by construction, which the oracle reproduces exactly
+    "q_modularity" -> ((s, d) => {
+      val und = copurchaseShared(s, d)
+      val nodes = und.select(col("a").as("id"))
+        .unionAll(und.select(col("b").as("id"))).distinct()
+      Algorithms.modularity(und,
+        nodes.select(col("id"), pmod(col("id"), lit(8L)).as("community")))
+    }),
+
     // beyond-parity: personalized PageRank from the two smallest product
     // ids of the co-purchase graph — teleport + dangling mass return to
     // the seeds; oracled by 6 unrolled CTE iterations (like q_pagerank).
@@ -1221,6 +1240,39 @@ object GraphQueries {
         |       round(c * 1.0 / (dx.d + dy.d - c), 6) AS score
         |FROM w JOIN deg dx ON dx.vv = w.x JOIN deg dy ON dy.vv = w.y
         |ORDER BY round(c * 1.0 / (dx.d + dy.d - c), 6) DESC, x, y LIMIT 20""".stripMargin),
+    "q_graph_stats" -> (CopurchaseCte +
+      """, sym AS (SELECT a, b FROM pe UNION SELECT b, a FROM pe)
+        |, deg AS (SELECT a AS id, count(*) AS d FROM sym GROUP BY 1)
+        |, s AS (SELECT CAST(count(*) AS DOUBLE) AS nodes,
+        |        CAST(min(d) AS DOUBLE) AS deg_min, round(avg(d), 6) AS deg_mean,
+        |        CAST(max(d) AS DOUBLE) AS deg_max,
+        |        CAST((SELECT d FROM deg ORDER BY d LIMIT 1 OFFSET
+        |          (SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) - 1 FROM deg)) AS DOUBLE) AS deg_p90
+        |        FROM deg)
+        |, e AS (SELECT CAST(count(*) AS DOUBLE) AS edges FROM pe)
+        |, rows1 AS (
+        |  SELECT 'nodes' AS stat, nodes AS value FROM s
+        |  UNION ALL SELECT 'edges', edges FROM e
+        |  UNION ALL SELECT 'density', round(edges * 2 / (nodes * (nodes - 1)), 6) FROM s, e
+        |  UNION ALL SELECT 'deg_min', deg_min FROM s
+        |  UNION ALL SELECT 'deg_mean', deg_mean FROM s
+        |  UNION ALL SELECT 'deg_max', deg_max FROM s
+        |  UNION ALL SELECT 'deg_p90', deg_p90 FROM s
+        |  UNION ALL SELECT 'deg_log2_' || CAST(length(bin(d)) - 1 AS VARCHAR),
+        |    CAST(count(*) AS DOUBLE) FROM deg GROUP BY 1)
+        |SELECT stat, value FROM rows1 ORDER BY stat""".stripMargin),
+    "q_modularity" -> (CopurchaseCte +
+      """, sym AS (SELECT a, b FROM pe UNION SELECT b, a FROM pe)
+        |, asg AS (SELECT DISTINCT a AS id, a % 8 AS community FROM sym)
+        |, m2 AS (SELECT CAST(count(*) * 2 AS DOUBLE) AS m2 FROM pe)
+        |, deg AS (SELECT a AS id, count(*) AS d FROM sym GROUP BY 1)
+        |, dc AS (SELECT community, CAST(sum(d) AS DOUBLE) AS dc
+        |         FROM deg JOIN asg USING (id) GROUP BY 1)
+        |, mc AS (SELECT ca.community, CAST(count(*) AS DOUBLE) AS mc
+        |         FROM pe JOIN asg ca ON ca.id = pe.a JOIN asg cb ON cb.id = pe.b
+        |         WHERE ca.community = cb.community GROUP BY 1)
+        |SELECT round(sum(coalesce(mc, 0) * 2 / m2 - (dc / m2) * (dc / m2)), 6) AS modularity
+        |FROM dc LEFT JOIN mc USING (community), m2""".stripMargin),
     "q_jaccard_approx" -> (CopurchaseCte +
       """, sym AS (SELECT a, b FROM pe UNION SELECT b, a FROM pe)
         |, seeds AS (SELECT DISTINCT a AS v FROM sym ORDER BY v LIMIT 10)

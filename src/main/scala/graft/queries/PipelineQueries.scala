@@ -886,6 +886,40 @@ object PipelineQueries {
         .orderBy(col("event_id"))
     }),
 
+    // events: interval-overlap join via grid bucketing — click exposure
+    // windows x view sessions (deterministic 1-7h / 1-5h durations from
+    // event ids). A raw range condition would be a BroadcastNestedLoop;
+    // the grid join shuffles Σ length/cell + n rows on the cell key and
+    // attributes each pair to the single cell containing the overlap
+    // start (no dedup shuffle) — graft.operators.IntervalJoin
+    "q_interval_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      def iv(tp: String, modK: Int) = ev
+        .filter(col("event_type") === tp && pmod(col("user_id"), lit(20)) === 0)
+        .select(col("event_id"),
+          unix_millis(col("ts").cast("timestamp")).as("s0"))
+        .withColumn("e0", col("s0") + (pmod(col("event_id"), lit(modK)) + 1) * 3600000L)
+      graft.operators.IntervalJoin.overlap(
+          iv("click", 7), iv("view", 5),
+          ("event_id", "s0", "e0"), ("event_id", "s0", "e0"),
+          cellWidth = 4 * 3600000L)
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
+    // skew mitigation end-to-end: the salted join's result must be
+    // EXACTLY the plain join's (the oracle computes the unsalted join) —
+    // lineitem spread over 8 sub-keys per part, part side replicated x8
+    "q_salted_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_orderkey"), col("l_quantity"))
+      val p = t(s, d, "part").select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      graft.operators.SkewJoin.saltedJoin(li, p, "l_partkey", 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          CypherFunctions.roundC(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("p_brand"))
+    }),
+
     // events: last-touch attribution — each purchase credits the LAST
     // click of the same user within the 24h lookback; (ct, cid) struct max
     // makes the winner deterministic even under timestamp ties. Range join
@@ -1658,6 +1692,19 @@ object PipelineQueries {
         |                FROM events WHERE event_type = 'signup' GROUP BY 1, 2) s
         |  ON c.user_id = s.user_id AND c.ts >= s.ts
         |ORDER BY c.event_id""".stripMargin,
+    "q_interval_join" ->
+      """WITH a AS (SELECT event_id AS a_id, epoch_ms(ts) AS a_s,
+        |             epoch_ms(ts) + (event_id % 7 + 1) * 3600000 AS a_e
+        |           FROM events WHERE event_type = 'click' AND user_id % 20 = 0),
+        |b AS (SELECT event_id AS b_id, epoch_ms(ts) AS b_s,
+        |        epoch_ms(ts) + (event_id % 5 + 1) * 3600000 AS b_e
+        |      FROM events WHERE event_type = 'view' AND user_id % 20 = 0)
+        |SELECT a_id, a_s, a_e, b_id, b_s, b_e
+        |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e ORDER BY a_id, b_id""".stripMargin,
+    "q_salted_join" ->
+      """SELECT p_brand, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_attribution" ->
       """WITH p AS (SELECT user_id, ts AS pt, event_id AS pid FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT user_id, ts AS ct, event_id AS cid FROM events WHERE event_type = 'click'),

@@ -135,6 +135,51 @@ class AlgorithmsSpec extends SparkSpec {
     }
   }
 
+  test("modularity: naive twin on two triangles + bridge, cdlp assignment and hash assignment") {
+    // two triangles {1,2,3} {4,5,6} joined by bridge 3-4: the natural
+    // 2-community split has high Q; compute the naive Newman sum for any
+    // assignment and compare both a good and a bad (hash) assignment
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    def naive(assign: Map[Long, Long]): Double = {
+      val m = edges.size.toDouble
+      val deg = edges.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).view.mapValues(_.size.toDouble).toMap
+      val byC = assign.values.toSeq.distinct
+      byC.map { c =>
+        val mc = edges.count { case (a, b) => assign(a) == c && assign(b) == c } / m
+        val dc = deg.collect { case (v, d) if assign(v) == c => d }.sum / (2 * m)
+        mc - dc * dc
+      }.sum
+    }
+    val e = edges.toDF("a", "b")
+    Seq(
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L), // natural
+      (1L to 6L).map(v => v -> (v % 2)).toMap                          // hash-bad
+    ).foreach { assign =>
+      val got = Algorithms.modularity(e,
+          assign.toSeq.toDF("id", "community"))
+        .head().getDouble(0)
+      val want = naive(assign)
+      assert(math.abs(got - want) < 1e-6, s"got $got want $want for $assign")
+    }
+    // and the natural split strictly beats the hash split
+    val qGood = naive(Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
+    val qBad = naive((1L to 6L).map(v => v -> (v % 2)).toMap)
+    assert(qGood > qBad)
+  }
+
+  test("graphStats: counts, density, degree stats and exact log2 histogram") {
+    // star 1-{2..9}: node 1 deg 8, leaves deg 1 → density 8/(9*8/2)... =
+    // 2*8/(9*8) = 0.2222; log2 buckets: deg 8 → 3, deg 1 → 0
+    val e = (2L to 9L).map(v => (1L, v)).toDF("a", "b")
+    val m = Algorithms.graphStats(e).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("nodes") == 9.0 && m("edges") == 8.0)
+    assert(math.abs(m("density") - 2.0 * 8 / (9 * 8)) < 1e-6)
+    assert(m("deg_min") == 1.0 && m("deg_max") == 8.0)
+    assert(m("deg_log2_3") == 1.0 && m("deg_log2_0") == 8.0)
+  }
+
   test("hits matches a naive sum-normalized fixed-point (1e-9)") {
     // 1 and 2 point at 3 and 4; 3 points at 4 — 4 is the top authority,
     // 1 the top hub (links to both authorities); 4 has hub 0

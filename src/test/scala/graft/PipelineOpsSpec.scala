@@ -15,6 +15,39 @@ class PipelineOpsSpec extends SparkSpec {
     (4L, "the quick brown fox jumps over the lazy dog again and again today")
   ).toDF("doc_id", "text")
 
+  test("interval join: grid cells == naive range predicate, boundary and cross-cell cases") {
+    // spans chosen to cross cell boundaries (w=10), touch exactly at an
+    // endpoint (closed semantics), and sit far apart
+    val a = Seq((1L, 0L, 25L), (2L, 30L, 30L), (3L, 100L, 110L))
+      .toDF("id", "s", "e")
+    val b = Seq((10L, 20L, 40L), (11L, 30L, 35L), (12L, 111L, 120L), (13L, 5L, 9L))
+      .toDF("id", "s", "e")
+    val got = graft.operators.IntervalJoin.overlap(
+        a, b, ("id", "s", "e"), ("id", "s", "e"), cellWidth = 10L)
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive: 1x[0,25] meets 10x[20,40] and 13x[5,9]; 2x[30,30] touches
+    // 10x[20,40] and 11x[30,35]; 3x[100,110] does NOT meet 12x[111,120]
+    assert(got == Set((1L, 10L), (1L, 13L), (2L, 10L), (2L, 11L)), s"got $got")
+    // each pair appears exactly once despite multi-cell overlaps
+    val rows = graft.operators.IntervalJoin.overlap(
+        a, b, ("id", "s", "e"), ("id", "s", "e"), cellWidth = 10L).count()
+    assert(rows == 4L, s"pair attributed to more than one cell: $rows rows")
+  }
+
+  test("salted join == plain join, hot key spread across salts") {
+    // 100 rows of one hot key + 10 cold rows
+    val big = ((1 to 100).map(i => (7L, i.toLong)) ++
+      (1 to 10).map(i => (i.toLong + 100, i.toLong))).toDF("k", "v")
+    val small = Seq((7L, "hot"), (101L, "c1"), (105L, "c5")).toDF("k", "tag")
+    val salted = graft.operators.SkewJoin.saltedJoin(big, small, "k", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val plain = big.join(small, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(salted.toSeq == plain.toSeq)
+    assert(salted.length == 102)
+  }
+
   test("leakage-free split: near-dup cluster members share one split") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
     val out = Dedup.leakageFreeSplit(docs, "doc_id", pairs, 90)
