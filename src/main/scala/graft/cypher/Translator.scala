@@ -548,6 +548,15 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         Algorithms.betweennessCentrality(typedEdges, seeds,
           confNum(Seq("radius", "maxDepth"), numArg(nextIdx, 3)).toInt)
       case "algo.trianglecount" => Algorithms.triangleCount(und)
+      case "algo.graphstats" => Algorithms.graphStats(und)
+      case "algo.modularity" =>
+        // community column from a prior algo run is out of CALL scope here;
+        // the assignment is the deterministic k-way id hash (k = arg 0)
+        val k = confNum(Seq("k", "communities"), numArg(0, 8)).toInt
+        val nodes = und.select(col("a").as("id"))
+          .unionAll(und.select(col("b").as("id"))).distinct()
+        Algorithms.modularity(und,
+          nodes.select(col("id"), pmod(col("id"), lit(k.toLong)).as("community")))
       case "algo.jaccardsimilarity" | "algo.nodesimilarity" =>
         val (seeds, nextIdx) = seededArgs()
         Algorithms.jaccardSimilarity(

@@ -291,6 +291,15 @@ object CypherQueries {
         |YIELD seed, n_reached, harmonic
         |RETURN seed, n_reached, harmonic ORDER BY seed""".stripMargin) _),
 
+    // CALL twins of q_graph_stats / q_modularity over the PLACED bipartite
+    // projection — the procedure surface must agree with the Scala APIs
+    "q_cypher_call_stats" -> (run(
+      """CALL algo.graphStats('PLACED') YIELD stat, value
+        |RETURN stat, value ORDER BY stat""".stripMargin) _),
+    "q_cypher_call_modularity" -> (run(
+      """CALL algo.modularity(8, 'PLACED') YIELD modularity
+        |RETURN modularity""".stripMargin) _),
+
     // CALL twin of q_closeness_centrality — must agree with the Scala API
     "q_cypher_call_closeness" -> (run(
       """CALL algo.closenessCentrality([1, 2, 3], 3, 'PLACED,CONTAINS,HAS_PART,SUPPLIED_BY')
@@ -703,6 +712,41 @@ object CypherQueries {
       "SELECT 'INTEGER' AS t_int, 'FLOAT' AS t_flt, 'STRING' AS t_str, 'BOOLEAN' AS t_bool, 'LIST' AS t_list, '12:34:56.000' AS t_time, 'INTERVAL ''1 03:30:00'' DAY TO SECOND' AS dur",
     // same traversal as q_bfs — the CALL surface must agree with the Scala API
     "q_cypher_call_bfs" -> GraphQueries.oracles("q_bfs"),
+    "q_cypher_call_stats" ->
+      """WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a, CAST(o_orderkey + 10000000 AS BIGINT) AS b FROM orders),
+        |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |deg AS (SELECT a AS id, count(*) AS d FROM sym GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS nodes,
+        |      CAST(min(d) AS DOUBLE) AS deg_min, round(avg(d), 6) AS deg_mean,
+        |      CAST(max(d) AS DOUBLE) AS deg_max,
+        |      CAST((SELECT d FROM deg ORDER BY d LIMIT 1 OFFSET
+        |        (SELECT CAST(ceil(0.9 * count(*)) AS BIGINT) - 1 FROM deg)) AS DOUBLE) AS deg_p90
+        |      FROM deg),
+        |ec AS (SELECT CAST(count(*) AS DOUBLE) AS edges FROM e),
+        |rows1 AS (
+        |  SELECT 'nodes' AS stat, nodes AS value FROM s
+        |  UNION ALL SELECT 'edges', edges FROM ec
+        |  UNION ALL SELECT 'density', round(edges * 2 / (nodes * (nodes - 1)), 6) FROM s, ec
+        |  UNION ALL SELECT 'deg_min', deg_min FROM s
+        |  UNION ALL SELECT 'deg_mean', deg_mean FROM s
+        |  UNION ALL SELECT 'deg_max', deg_max FROM s
+        |  UNION ALL SELECT 'deg_p90', deg_p90 FROM s
+        |  UNION ALL SELECT 'deg_log2_' || CAST(length(bin(d)) - 1 AS VARCHAR),
+        |    CAST(count(*) AS DOUBLE) FROM deg GROUP BY 1)
+        |SELECT stat, value FROM rows1 ORDER BY stat""".stripMargin,
+    "q_cypher_call_modularity" ->
+      """WITH e AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a, CAST(o_orderkey + 10000000 AS BIGINT) AS b FROM orders),
+        |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |asg AS (SELECT DISTINCT a AS id, a % 8 AS community FROM sym),
+        |m2 AS (SELECT CAST(count(*) * 2 AS DOUBLE) AS m2 FROM e),
+        |deg AS (SELECT a AS id, count(*) AS d FROM sym GROUP BY 1),
+        |dc AS (SELECT community, CAST(sum(d) AS DOUBLE) AS dc
+        |       FROM deg JOIN asg USING (id) GROUP BY 1),
+        |mc AS (SELECT ca.community, CAST(count(*) AS DOUBLE) AS mc
+        |       FROM e JOIN asg ca ON ca.id = e.a JOIN asg cb ON cb.id = e.b
+        |       WHERE ca.community = cb.community GROUP BY 1)
+        |SELECT round(sum(coalesce(mc, 0) * 2 / m2 - (dc / m2) * (dc / m2)), 6) AS modularity
+        |FROM dc LEFT JOIN mc USING (community), m2""".stripMargin,
     "q_cypher_call_harmonic" -> GraphQueries.oracles("q_harmonic_centrality"),
     "q_cypher_call_closeness" -> GraphQueries.oracles("q_closeness_centrality"),
     "q_cypher_call_betweenness" -> GraphQueries.oracles("q_betweenness"),

@@ -906,6 +906,17 @@ object PipelineQueries {
         .orderBy(col("a_id"), col("b_id"))
     }),
 
+    // exact heavy hitters (two-pass Misra-Gries): tokens with >= 2% corpus
+    // share — pass 1 is a bounded k-counter summary per partition (no
+    // shuffle, never the full token cardinality), pass 2 exactly recounts
+    // the pruned candidate set, so the result is exact and layout-free
+    "q_heavy_hitters" -> ((s, d) => {
+      val tok = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("token"))
+      graft.operators.HeavyHitters.heavyHitters(tok, "token", 0.02)
+        .orderBy(col("token"))
+    }),
+
     // skew mitigation end-to-end: the salted join's result must be
     // EXACTLY the plain join's (the oracle computes the unsalted join) —
     // lineitem spread over 8 sub-keys per part, part side replicated x8
@@ -1705,6 +1716,12 @@ object PipelineQueries {
       """SELECT p_brand, count(*) AS n, round(sum(l_quantity), 2) AS qty
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |n AS (SELECT count(*) AS n FROM tok)
+        |SELECT token, count(*) AS freq, round(count(*) * 1.0 / max(n.n), 6) AS share
+        |FROM tok, n GROUP BY token HAVING count(*) >= 0.02 * max(n.n)
+        |ORDER BY token""".stripMargin,
     "q_attribution" ->
       """WITH p AS (SELECT user_id, ts AS pt, event_id AS pid FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT user_id, ts AS ct, event_id AS cid FROM events WHERE event_type = 'click'),

@@ -35,6 +35,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows == 4L, s"pair attributed to more than one cell: $rows rows")
   }
 
+  test("heavy hitters: exact over a high-cardinality tail, MG pruning never drops a hitter") {
+    // 1 hot key (~12.7%), one sub-threshold key (~3%), 10k unique fillers:
+    // with minShare 0.05 → k=40, each partition's MG summary holds ≤40 of
+    // the 10k+ distinct keys, yet the exact recount returns precisely the
+    // one qualifying key with its exact count
+    val rows = Seq.fill(1500)("hot") ++ Seq.fill(350)("warm") ++
+      (1 to 10000).map(i => s"u$i")
+    val got = graft.operators.HeavyHitters
+      .heavyHitters(rows.toDF("token"), "token", 0.05)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("hot", 1500L)), s"got $got")
+  }
+
   test("salted join == plain join, hot key spread across salts") {
     // 100 rows of one hot key + 10 cold rows
     val big = ((1 to 100).map(i => (7L, i.toLong)) ++
