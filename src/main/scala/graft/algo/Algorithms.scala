@@ -901,6 +901,49 @@ object Algorithms {
     dist
   }
 
+  /** Weighted shortest PATH (not just the distance): the actual node
+    * sequence source→target on top of [[sssp]]'s converged distance table.
+    *
+    * Parents derive POST-HOC instead of being carried through the
+    * relaxation rounds: parent(v) = min u with dist(u) + w(u,v) == dist(v)
+    * — one edges⋈dist join + a min aggregate. The exact FP equality is
+    * safe because dist(v) was literally produced by one of those same
+    * additions (identical operands → identical double on any engine), and
+    * the min-u tie-break makes the tree deterministic. The walk is
+    * `maxHops` LAZY self-joins against the checkpointed parent table in
+    * ONE plan — no driver loop, no per-round parent state in the
+    * relaxation. Returns (pos, id, dist) rows, pos = hops from TARGET
+    * (pos 0 = target … last = source), dist rounded to 4. Unreachable
+    * target → empty. */
+  def ssspPath(edges: DataFrame, source: Long, target: Long,
+               maxHops: Int = 16): DataFrame = {
+    require(maxHops > 0 && maxHops <= 64, s"maxHops in (0,64], got $maxHops")
+    val e = edges.select(col("src"), col("dst"),
+      coalesce(col("weight"), lit(1.0)).as("weight")).localCheckpoint(true)
+    val dist = ssspDistributed(e, source, maxHops * 2) // already a leaf
+    val parent = e
+      .join(dist.select(col("id").as("src"), col("dist").as("__du")), Seq("src"))
+      .join(dist.select(col("id").as("dst"), col("dist").as("__dv")), Seq("dst"))
+      .filter(col("__du") + col("weight") === col("__dv") && col("dst") =!= lit(source))
+      .groupBy(col("dst").as("id")).agg(min(col("src")).as("__par"))
+      .localCheckpoint(true) // consumed once per walk hop
+    var cur = dist.filter(col("id") === target)
+      .select(lit(0).as("pos"), col("id"), col("dist"))
+    val steps = scala.collection.mutable.ArrayBuffer(cur)
+    for (i <- 1 to maxHops) {
+      cur = cur.select(col("id"))
+        .join(parent, Seq("id"))
+        .select(col("__par").as("id"))
+        .join(dist, Seq("id"))
+        .select(lit(i).as("pos"), col("id"), col("dist"))
+      steps += cur
+    }
+    steps.reduce(_ unionAll _)
+      .select(col("pos"), col("id"),
+        graft.functions.CypherFunctions.roundC(col("dist"), 4).as("dist"))
+      .orderBy(col("pos"))
+  }
+
   /** Strongly connected components — delegated to GraphX's Pregel
     * implementation (reference Tarjan `community.rs:96` is sequential;
     * GraphX's is the distributed formulation). */

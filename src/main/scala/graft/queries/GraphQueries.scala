@@ -234,6 +234,18 @@ object GraphQueries {
         .orderBy(col("id"))
     }),
 
+    // beyond-parity: the sssp PATH, not just the distance — post-hoc
+    // parent tree from the converged dist table, bounded lazy walk in one
+    // plan; target = the farthest part node (max id, a bounded scalar of
+    // the seed-selection class)
+    "q_sssp_path" -> ((s, d) => {
+      val g = GraphLoader.tpch(s, d)
+      val e = g.edgesOfType("CONTAINS", "HAS_PART")
+      val target = Algorithms.sssp(e, 10000000L, 6)
+        .filter(col("id") >= 1000000000L).agg(max(col("id"))).first().getLong(0)
+      Algorithms.ssspPath(e, 10000000L, target, 4)
+    }),
+
     // §2.10 algo.triangleCount on the co-purchase graph
     "q_triangle_count" -> ((s, d) =>
       Algorithms.triangleCount(copurchaseShared(s, d))),
@@ -1215,6 +1227,22 @@ object GraphQueries {
         | UNION ALL SELECT nid, minq FROM nmin
         | UNION ALL SELECT CAST(1000000000 + l_partkey AS BIGINT), min(minq + l_extendedprice) FROM l0 JOIN nmin USING (nid) GROUP BY l_partkey
         |) ORDER BY id""".stripMargin,
+    "q_sssp_path" ->
+      // order 0's subgraph (same derivation as q_sssp): path = target part
+      // node <- its min equality-holding lineitem node <- the source
+      """WITH l0 AS (SELECT CAST(100000000 + l_orderkey*8 + l_linenumber AS BIGINT) AS nid, l_quantity, l_partkey, l_extendedprice FROM lineitem WHERE l_orderkey = 0),
+        |nmin AS (SELECT nid, min(l_quantity) AS minq FROM l0 GROUP BY 1),
+        |dpart AS (SELECT CAST(1000000000 + l_partkey AS BIGINT) AS id, min(minq + l_extendedprice) AS dist FROM l0 JOIN nmin USING (nid) GROUP BY l_partkey),
+        |tgt AS (SELECT max(id) AS tid FROM dpart),
+        |trow AS (SELECT id, dist FROM dpart WHERE id = (SELECT tid FROM tgt)),
+        |par AS (SELECT min(nid) AS pid FROM l0 JOIN nmin USING (nid)
+        |        WHERE CAST(1000000000 + l_partkey AS BIGINT) = (SELECT tid FROM tgt)
+        |          AND minq + l_extendedprice = (SELECT dist FROM trow))
+        |SELECT CAST(0 AS INTEGER) AS pos, id, round(dist, 4) AS dist FROM trow
+        |UNION ALL SELECT 1, (SELECT pid FROM par),
+        |  round((SELECT minq FROM nmin WHERE nid = (SELECT pid FROM par)), 4)
+        |UNION ALL SELECT 2, CAST(10000000 AS BIGINT), 0.0
+        |ORDER BY pos""".stripMargin,
     "q_pagerank" -> pagerankOracle(8, 0.85),
     "q_pagerank_weighted" -> pagerankWeightedOracle(6, 0.85),
     "q_ppr" -> pprOracle(6, 0.85),

@@ -135,6 +135,22 @@ class AlgorithmsSpec extends SparkSpec {
     }
   }
 
+  test("ssspPath: reconstructed path matches hand-computed Dijkstra, ties to min parent") {
+    // 0-(1)->1, 0-(4)->2, 1-(1)->2: shortest to 2 is 0->1->2 (dist 2);
+    // 0-(2)->3 and 1-(1)->3 both give dist(3)=2 -> parent tie breaks to
+    // min id 0, so the path to 3 is the DIRECT edge
+    val e = Seq((0L, 1L, 1.0), (0L, 2L, 4.0), (1L, 2L, 1.0),
+      (0L, 3L, 2.0), (1L, 3L, 1.0)).toDF("src", "dst", "weight")
+    val p2 = Algorithms.ssspPath(e, 0L, 2L, 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(p2 == Seq((0, 2L, 2.0), (1, 1L, 1.0), (2, 0L, 0.0)), s"got $p2")
+    val p3 = Algorithms.ssspPath(e, 0L, 3L, 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(p3 == Seq((0, 3L, 2.0), (1, 0L, 0.0)), s"got $p3")
+    // unreachable target -> empty
+    assert(Algorithms.ssspPath(e.filter(col("dst") =!= 3L), 3L, 0L, 4).count() == 0)
+  }
+
   test("modularity: naive twin on two triangles + bridge, cdlp assignment and hash assignment") {
     // two triangles {1,2,3} {4,5,6} joined by bridge 3-4: the natural
     // 2-community split has high Q; compute the naive Newman sum for any
