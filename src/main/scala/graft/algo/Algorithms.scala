@@ -278,31 +278,47 @@ object Algorithms {
     * Same audited iterative shape as pageRank: the deduped edge relation
     * is ONE checkpointed leaf, each half-step is a vertex-sized join +
     * aggregate, and the normalizing sums are broadcast 1-row aggregates
-    * inside the plan — no driver-side value in the loop. Returns
-    * (id, hub, auth) for every vertex. */
+    * inside the plan — no driver-side value in the loop. Small inputs
+    * route to the in-task kernel ([[LocalKernels.hits]]) like the other
+    * linear-pass iteratives — 12 sequential half-step jobs are pure
+    * scheduling overhead on a sub-64MB graph (r13: q_hits 16.3 s → sub-s
+    * at sf0.1). Returns (id, hub, auth) for every vertex. */
   def hits(edges: DataFrame, iterations: Int = 6): DataFrame = {
     require(iterations > 0, s"iterations must be positive, got $iterations")
+    val (e0, small) = LocalKernels.gate(edges.select(col("src"), col("dst")))
+    if (small) LocalKernels.hits(e0, iterations)
+    else hitsDistributed(e0, iterations)
+  }
+
+  private[graft] def hitsDistributed(edges: DataFrame, iterations: Int): DataFrame = {
     val e = edges.select(col("src").as("_hsrc"), col("dst").as("_hdst"))
       .distinct().localCheckpoint(true)
     val v = e.select(col("_hsrc").as("id")).unionAll(e.select(col("_hdst").as("id")))
       .distinct().localCheckpoint(true)
     var hub = v.withColumn("hub", lit(1.0))
     var auth = v.withColumn("auth", lit(0.0))
+    // per half-step the CHECKPOINT target is the UNNORMALIZED sum table
+    // `ar`/`hr` (vertex-sized), not the normalized frame: the normalized
+    // frame references the sums twice (join side + the L1 normalizer
+    // aggregate), so checkpointing after normalization evaluated the
+    // edge-join aggregate TWICE per half-step — cutting the leaf before
+    // normalization halves the heavy work (r13: q_hits 16.3 s → see
+    // BENCH_R13.md). Normalization stays lazy: it only reads the leaf.
     for (_ <- 1 to iterations) {
       val ar = hub.join(e, col("id") === col("_hsrc"))
         .groupBy(col("_hdst")).agg(sum(col("hub")).as("__x"))
+        .localCheckpoint(true)
       val as = ar.agg(sum(col("__x")).as("__s"))
       auth = v.join(ar, col("id") === col("_hdst"), "left")
         .crossJoin(broadcast(as))
         .select(col("id"), (coalesce(col("__x"), lit(0.0)) / col("__s")).as("auth"))
-        .localCheckpoint(true)
       val hr = auth.join(e, col("id") === col("_hdst"))
         .groupBy(col("_hsrc")).agg(sum(col("auth")).as("__x"))
+        .localCheckpoint(true)
       val hs = hr.agg(sum(col("__x")).as("__s"))
       hub = v.join(hr, col("id") === col("_hsrc"), "left")
         .crossJoin(broadcast(hs))
         .select(col("id"), (coalesce(col("__x"), lit(0.0)) / col("__s")).as("hub"))
-        .localCheckpoint(true)
     }
     hub.join(auth, "id")
   }

@@ -370,6 +370,51 @@ object LocalKernels {
       }.toDF("id", "rank")
   }
 
+  /** HITS hubs & authorities — same half-step updates and L1
+    * normalization as [[Algorithms.hits]]'s distributed loop (edges
+    * deduped first, matching its distinct). */
+  def hits(edges: DataFrame, iterations: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val src = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
+    inTask2(src, cacheKey(src.toDF())) { it =>
+      val vx = new Interner
+      val seen = mutable.HashSet.empty[Long]
+      val sb = new Ints(); val db = new Ints()
+      it.foreach { case (s, d) =>
+        val a = vx.idx(s); val b = vx.idx(d)
+        if (seen.add((a.toLong << 32) | (b.toLong & 0xffffffffL))) { sb += a; db += b }
+      }
+      val (si, di) = (sb.result(), db.result())
+      val n = vx.n
+      if (n == 0) Iterator.empty
+      else {
+        val m = si.length
+        var hub = Array.fill(n)(1.0)
+        var auth = new Array[Double](n)
+        var iter = 0
+        while (iter < iterations) {
+          val ar = new Array[Double](n)
+          var k = 0
+          while (k < m) { ar(di(k)) += hub(si(k)); k += 1 }
+          var s = 0.0; var i = 0
+          while (i < n) { s += ar(i); i += 1 }
+          i = 0; while (i < n) { ar(i) /= s; i += 1 }
+          auth = ar
+          val hr = new Array[Double](n)
+          k = 0
+          while (k < m) { hr(si(k)) += auth(di(k)); k += 1 }
+          s = 0.0; i = 0
+          while (i < n) { s += hr(i); i += 1 }
+          i = 0; while (i < n) { hr(i) /= s; i += 1 }
+          hub = hr
+          iter += 1
+        }
+        (0 until n).iterator.map(i => (vx.ids(i), hub(i), auth(i)))
+      }
+    }.toDF("id", "hub", "auth")
+  }
+
   /** Personalized PageRank — identical per-round arithmetic to
     * [[Algorithms.personalizedPageRank]]: teleport AND dangling mass go to
     * the seed set, non-seed restart is zero. */

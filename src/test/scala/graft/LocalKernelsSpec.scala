@@ -67,6 +67,24 @@ class LocalKernelsSpec extends SparkSpec {
     assert(math.abs(loc.values.sum - 1.0) < 1e-9)
   }
 
+  test("hits local == distributed (1e-9)") {
+    for (seed <- 11 to 12) {
+      val e = randGraph(seed, 40, 150)
+      val loc = LocalKernels.hits(e, 6).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val dist = Algorithms.hitsDistributed(e, 6).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      assert(loc.keySet == dist.keySet)
+      loc.foreach { case (id, (h, a)) =>
+        assert(math.abs(h - dist(id)._1) < 1e-9, s"hub id $id seed $seed")
+        assert(math.abs(a - dist(id)._2) < 1e-9, s"auth id $id seed $seed")
+      }
+      // both L1-normalized
+      assert(math.abs(loc.values.map(_._1).sum - 1.0) < 1e-9)
+      assert(math.abs(loc.values.map(_._2).sum - 1.0) < 1e-9)
+    }
+  }
+
   test("wcc local == distributed, exact") {
     for (seed <- 3 to 5) {
       val e = randGraph(seed, 60, 70) // sparse → several components
