@@ -133,6 +133,16 @@ object Algorithms {
     * aggregate and the contribution join. Input: (src, dst, weight > 0). */
   def pageRankWeighted(edges: DataFrame, iterations: Int = 20,
                        damping: Double = 0.85): DataFrame = {
+    // small inputs route in-task like the unweighted twin — the per-round
+    // join jobs are pure scheduling overhead on a sub-64MB edge set
+    val (e0, small) = LocalKernels.gate(
+      edges.select(col("src"), col("dst"), col("weight")))
+    if (small) LocalKernels.pageRankWeighted(e0, iterations, damping)
+    else pageRankWeightedDistributed(e0, iterations, damping)
+  }
+
+  private[graft] def pageRankWeightedDistributed(edges: DataFrame, iterations: Int = 20,
+                                                 damping: Double = 0.85): DataFrame = {
     // weight > 0 enforced by FILTER, not assumption: a null/zero weight
     // carries no walk probability, so the edge is simply not an edge —
     // without the filter a null weight nulls rank/W(v) and the sum()

@@ -370,6 +370,50 @@ object LocalKernels {
       }.toDF("id", "rank")
   }
 
+  /** Weighted PageRank — identical per-round float association to
+    * [[Algorithms.pageRankWeighted]]'s distributed loop:
+    * recv(v) += (rank(u)/W(u))·w(e), rank' = (1−d)/n + d·(recv + dmass/n);
+    * weight ≤ 0 edges dropped (not an edge), dangling = zero surviving
+    * out-weight. */
+  def pageRankWeighted(edges: DataFrame, iterations: Int, damping: Double): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val srcDs = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("weight").cast("double")).filter(col("weight") > 0)
+      .as[(Long, Long, Double)]
+    inTask3(srcDs, cacheKey(srcDs.toDF())) { it =>
+      val vx = new Interner
+      val sb = new Ints(); val db = new Ints(); val wb = mutable.ArrayBuffer.empty[Double]
+      it.foreach { case (s, d, w) => sb += vx.idx(s); db += vx.idx(d); wb += w }
+      val (si, di, w) = (sb.result(), db.result(), wb.toArray)
+      val n = vx.n
+      if (n == 0) Iterator.empty
+      else {
+        val m = si.length
+        val outW = new Array[Double](n)
+        var k = 0
+        while (k < m) { outW(si(k)) += w(k); k += 1 }
+        var rank = Array.fill(n)(1.0 / n)
+        var iter = 0
+        while (iter < iterations) {
+          var dmass = 0.0
+          var i = 0
+          while (i < n) { if (outW(i) == 0.0) dmass += rank(i); i += 1 }
+          val recv = new Array[Double](n)
+          k = 0
+          while (k < m) { recv(di(k)) += (rank(si(k)) / outW(si(k))) * w(k); k += 1 }
+          val nr = new Array[Double](n)
+          i = 0
+          while (i < n) {
+            nr(i) = (1 - damping) / n + damping * (recv(i) + dmass / n); i += 1
+          }
+          rank = nr; iter += 1
+        }
+        (0 until n).iterator.map(i => (vx.ids(i), rank(i)))
+      }
+    }.toDF("id", "rank")
+  }
+
   /** HITS hubs & authorities — same half-step updates and L1
     * normalization as [[Algorithms.hits]]'s distributed loop (edges
     * deduped first, matching its distinct). */

@@ -67,6 +67,23 @@ class LocalKernelsSpec extends SparkSpec {
     assert(math.abs(loc.values.sum - 1.0) < 1e-9)
   }
 
+  test("pageRankWeighted local == distributed (1e-9), zero-weight edges are not edges") {
+    import org.apache.spark.sql.functions._
+    for (seed <- 15 to 16) {
+      val e = randGraph(seed, 40, 150)
+        .withColumn("weight",
+          (pmod(col("src") * 7 + col("dst") * 3, lit(5)) + lit(0)).cast("double"))
+      // weight 0 rows exist by construction -> exercises the drop rule
+      val loc = LocalKernels.pageRankWeighted(e, 8, 0.85).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val dist = Algorithms.pageRankWeightedDistributed(e, 8, 0.85).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(loc.keySet == dist.keySet, s"seed $seed")
+      loc.foreach { case (id, r) =>
+        assert(math.abs(r - dist(id)) < 1e-9, s"id $id seed $seed") }
+    }
+  }
+
   test("hits local == distributed (1e-9)") {
     for (seed <- 11 to 12) {
       val e = randGraph(seed, 40, 150)
