@@ -24,6 +24,10 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // the dumps audit the DISTRIBUTED shapes — at sf0.001 every gated
+    // kernel would otherwise route in-task and the plan would be one
+    // opaque mapPartitions (same pin as the soak harness)
+    spark.conf.set("spark.graft.algo.localSizeBytes", "0")
 
     val picks: Seq[(String, String)] = Seq(
       "q_scan_filter" -> "label scan + pushed predicate: PushedFilters reach the parquet scan; only referenced columns in ReadSchema",

@@ -747,6 +747,13 @@ object Algorithms {
     * still return a row (0, 0.0). Returns (seed, n_reached, harmonic). */
   def harmonicCentrality(edges: DataFrame, seeds: Seq[Long],
                          radius: Int): DataFrame = {
+    val (e0, small) = LocalKernels.gate(edges.select(col("src"), col("dst")))
+    if (small) LocalKernels.harmonicCentrality(e0, seeds, radius)
+    else harmonicDistributed(e0, seeds, radius)
+  }
+
+  private[graft] def harmonicDistributed(edges: DataFrame, seeds: Seq[Long],
+                                         radius: Int): DataFrame = {
     val (seedDf, dist) = multiSourceBfs(edges, seeds, radius)
     val agg = dist.filter(col("dist") > 0)
       .groupBy(col("s").as("seed"))
@@ -767,6 +774,13 @@ object Algorithms {
     * Returns (seed, n_reached, closeness, eccentricity). */
   def closenessCentrality(edges: DataFrame, seeds: Seq[Long],
                           radius: Int): DataFrame = {
+    val (e0, small) = LocalKernels.gate(edges.select(col("src"), col("dst")))
+    if (small) LocalKernels.closenessCentrality(e0, seeds, radius)
+    else closenessDistributed(e0, seeds, radius)
+  }
+
+  private[graft] def closenessDistributed(edges: DataFrame, seeds: Seq[Long],
+                                          radius: Int): DataFrame = {
     val (seedDf, dist) = multiSourceBfs(edges, seeds, radius)
     val agg = dist.filter(col("dist") > 0)
       .groupBy(col("s").as("seed"))
@@ -805,6 +819,13 @@ object Algorithms {
   def betweennessCentrality(edges: DataFrame, seeds: Seq[Long],
                             maxDepth: Int): DataFrame = {
     require(seeds.nonEmpty && maxDepth > 0, "seeds nonempty, maxDepth positive")
+    val (e0, small) = LocalKernels.gate(edges.select(col("src"), col("dst")))
+    if (small) LocalKernels.betweennessCentrality(e0, seeds, maxDepth)
+    else betweennessDistributed(e0, seeds, maxDepth)
+  }
+
+  private[graft] def betweennessDistributed(edges: DataFrame, seeds: Seq[Long],
+                                            maxDepth: Int): DataFrame = {
     val ss = edges.sparkSession
     val e = edges.select(col("src").as("_esrc"), col("dst").as("_edst"))
       .distinct().localCheckpoint(true)

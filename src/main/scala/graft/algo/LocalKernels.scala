@@ -370,6 +370,156 @@ object LocalKernels {
       }.toDF("id", "rank")
   }
 
+  /** Shared in-task truncated directed BFS from one seed over a CSR.
+    * Returns (dist array (-1 unreached), level order list) with seed at
+    * dist 0, truncated at `radius`. */
+  private def bfsFrom(seed: Int, n: Int, off: Array[Int], tgt: Array[Int],
+                      radius: Int): (Array[Int], Array[Int]) = {
+    val dist = Array.fill(n)(-1)
+    dist(seed) = 0
+    val order = new Ints()
+    var frontier = List(seed)
+    var d = 0
+    while (frontier.nonEmpty && d < radius) {
+      var nf: List[Int] = Nil
+      frontier.foreach { u =>
+        var k = off(u)
+        while (k < off(u + 1)) {
+          val w = tgt(k)
+          if (dist(w) < 0) { dist(w) = d + 1; order += w; nf ::= w }
+          k += 1
+        }
+      }
+      frontier = nf
+      d += 1
+    }
+    (dist, order.result())
+  }
+
+  /** Truncated harmonic centrality — same semantics as
+    * [[Algorithms.harmonicCentrality]]'s distributed multi-source BFS:
+    * directed, seed excluded, exact within radius; absent/isolated seeds
+    * return (seed, 0, 0.0). */
+  def harmonicCentrality(edges: DataFrame, seeds: Seq[Long], radius: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sd = seeds.distinct
+    val src = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
+    inTask2(src, cacheKey(src.toDF())) { it =>
+      val vx = new Interner
+      val sb = new Ints(); val db = new Ints()
+      it.foreach { case (s, d) => sb += vx.idx(s); db += vx.idx(d) }
+      val (si, di) = (sb.result(), db.result())
+      val n = vx.n
+      val (off, tgt) = csr(n, si, di)
+      sd.iterator.map { s =>
+        vx.idOf.get(s) match {
+          case Some(seed) =>
+            val (dist, order) = bfsFrom(seed, n, off, tgt, radius)
+            var h = 0.0; var c = 0L; var i = 0
+            while (i < order.length) { h += 1.0 / dist(order(i)); c += 1; i += 1 }
+            (s, c, math.signum(h) * math.floor(math.abs(h) * 1e4 + 0.5) / 1e4)
+          case None => (s, 0L, 0.0)
+        }
+      }
+    }.toDF("seed", "n_reached", "harmonic")
+  }
+
+  /** Truncated closeness + eccentricity — same semantics as
+    * [[Algorithms.closenessCentrality]]. */
+  def closenessCentrality(edges: DataFrame, seeds: Seq[Long], radius: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sd = seeds.distinct
+    val src = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
+    inTask2(src, cacheKey(src.toDF())) { it =>
+      val vx = new Interner
+      val sb = new Ints(); val db = new Ints()
+      it.foreach { case (s, d) => sb += vx.idx(s); db += vx.idx(d) }
+      val (si, di) = (sb.result(), db.result())
+      val n = vx.n
+      val (off, tgt) = csr(n, si, di)
+      sd.iterator.map { s =>
+        vx.idOf.get(s) match {
+          case Some(seed) =>
+            val (dist, order) = bfsFrom(seed, n, off, tgt, radius)
+            var sdist = 0L; var c = 0L; var ecc = 0; var i = 0
+            while (i < order.length) {
+              val d = dist(order(i)); sdist += d; if (d > ecc) ecc = d; c += 1; i += 1
+            }
+            val cl = if (c == 0) 0.0 else c.toDouble / sdist
+            (s, c, math.signum(cl) * math.floor(math.abs(cl) * 1e4 + 0.5) / 1e4, ecc)
+          case None => (s, 0L, 0.0, 0)
+        }
+      }
+    }.toDF("seed", "n_reached", "closeness", "eccentricity")
+  }
+
+  /** Sampled-source Brandes betweenness — same semantics as
+    * [[Algorithms.betweennessCentrality]]'s distributed loop: directed,
+    * edges deduped, σ over ≤maxDepth-hop shortest paths (exact integers in
+    * FP, so identical to the distributed hash aggregate), endpoints
+    * excluded structurally; every node reached at dist ≥ 1 by any seed
+    * emits a row (deepest-level nodes carry δ = 0), bc rounded to 4. */
+  def betweennessCentrality(edges: DataFrame, seeds: Seq[Long], maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sd = seeds.distinct
+    val src = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
+    inTask2(src, cacheKey(src.toDF())) { it =>
+      val vx = new Interner
+      val seen = mutable.HashSet.empty[Long]
+      val sb = new Ints(); val db = new Ints()
+      it.foreach { case (s, d) =>
+        val a = vx.idx(s); val b = vx.idx(d)
+        if (seen.add((a.toLong << 32) | (b.toLong & 0xffffffffL))) { sb += a; db += b }
+      }
+      val (si, di) = (sb.result(), db.result())
+      val n = vx.n
+      val (off, tgt) = csr(n, si, di)
+      val bc = new Array[Double](n)
+      val emit = new Array[Boolean](n)
+      sd.foreach { s =>
+        vx.idOf.get(s).foreach { seed =>
+          val (dist, order) = bfsFrom(seed, n, off, tgt, maxDepth)
+          val sigma = new Array[Double](n)
+          sigma(seed) = 1.0
+          // forward σ: order is level-sorted, so pushing seed then each
+          // node in order completes σ(w) = Σ σ(v) over DAG edges before
+          // w itself is pushed
+          def push(u: Int): Unit = {
+            var k = off(u)
+            while (k < off(u + 1)) {
+              val w = tgt(k)
+              if (dist(w) == dist(u) + 1) sigma(w) += sigma(u)
+              k += 1
+            }
+          }
+          push(seed)
+          var i = 0
+          while (i < order.length) { push(order(i)); i += 1 }
+          // backward δ: reverse level order; deepest level δ = 0
+          val delta = new Array[Double](n)
+          i = order.length - 1
+          while (i >= 0) {
+            val v = order(i)
+            var k = off(v)
+            while (k < off(v + 1)) {
+              val w = tgt(k)
+              if (dist(w) == dist(v) + 1)
+                delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w))
+              k += 1
+            }
+            bc(v) += delta(v); emit(v) = true
+            i -= 1
+          }
+        }
+      }
+      (0 until n).iterator.filter(emit).map(i =>
+        (vx.ids(i), math.signum(bc(i)) * math.floor(math.abs(bc(i)) * 1e4 + 0.5) / 1e4))
+    }.toDF("id", "bc")
+  }
+
   /** Weighted PageRank — identical per-round float association to
     * [[Algorithms.pageRankWeighted]]'s distributed loop:
     * recv(v) += (rank(u)/W(u))·w(e), rank' = (1−d)/n + d·(recv + dmass/n);

@@ -84,6 +84,30 @@ class LocalKernelsSpec extends SparkSpec {
     }
   }
 
+  test("harmonic/closeness local == distributed, exact (absent seed, truncation)") {
+    for (seed <- 31 to 32) {
+      val e = randGraph(seed, 50, 90)
+      val seeds = Seq(1L, 2L, 999999L) // 999999 absent from the graph
+      assert(sortedRows(LocalKernels.harmonicCentrality(e, seeds, 3)) ===
+        sortedRows(Algorithms.harmonicDistributed(e, seeds, 3)))
+      assert(sortedRows(LocalKernels.closenessCentrality(e, seeds, 3)) ===
+        sortedRows(Algorithms.closenessDistributed(e, seeds, 3)))
+    }
+  }
+
+  test("betweenness local == distributed (rounded-4 equality over random graphs)") {
+    for (seed <- 41 to 42) {
+      val e = randGraph(seed, 40, 120)
+      val loc = LocalKernels.betweennessCentrality(e, Seq(1L, 2L, 3L), 4).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val dist = Algorithms.betweennessDistributed(e, Seq(1L, 2L, 3L), 4).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(loc.keySet == dist.keySet, s"seed $seed")
+      loc.foreach { case (id, b) =>
+        assert(math.abs(b - dist(id)) < 1e-9, s"id $id seed $seed: $b vs ${dist(id)}") }
+    }
+  }
+
   test("hits local == distributed (1e-9)") {
     for (seed <- 11 to 12) {
       val e = randGraph(seed, 40, 150)
