@@ -404,6 +404,69 @@ object Algorithms {
       .select(col("i").as("x"), col("j").as("y"), col("est_jaccard"))
   }
 
+  /** Deterministic per-node neighbor sampling — the GraphSAGE-style fanout
+    * step of a graph-ML training pipeline: every node keeps its `k`
+    * out-neighbors with the smallest multiplicative-hash rank (the corpus
+    * no-RNG idiom; NON-NEGATIVE ids, see [[triangleCountApprox]]), then
+    * the sampled frontier expands once more at fanout `k2` — the classic
+    * 2-layer (k, k2) fanout. Ranking is a per-src window (partitioned,
+    * never global) over the edge table; layer 2 semi-joins the layer-1
+    * frontier before ranking, so work is ∝ sampled-frontier degree sum.
+    * Returns (layer, src, dst) rows. */
+  def neighborSample(edges: DataFrame, k: Int, k2: Int): DataFrame = {
+    require(k > 0 && k2 > 0, s"fanouts positive, got ($k, $k2)")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
+    def sample(in: DataFrame, fan: Int): DataFrame = {
+      val h = pmod(pmod(col("dst"), lit(1000003L)) * lit(131L)
+        + pmod(col("src"), lit(1000003L)) * lit(37L), lit(1000003L))
+      in.withColumn("__r", row_number().over(
+          Window.partitionBy(col("src")).orderBy(h, col("dst"))))
+        .filter(col("__r") <= fan).drop("__r")
+    }
+    val l1 = sample(e, k).localCheckpoint(true) // consumed by output + frontier
+    val l2 = sample(
+      e.join(l1.select(col("dst").as("src")).distinct(), Seq("src"), "left_semi"), k2)
+    l1.select(lit(1).as("layer"), col("src"), col("dst"))
+      .unionAll(l2.select(lit(2).as("layer"), col("src"), col("dst")))
+  }
+
+  /** Deterministic NEGATIVE edge sampling — the link-prediction training
+    * counterpart of [[neighborSample]]: per node u, propose candidate ids
+    * v_i = multihash(u, i) mod (maxId+1) for i < proposals, keep those
+    * that ARE vertices (semi-join), are not u, and are NOT true edges in
+    * either direction (anti-join), then the first `k` by proposal index.
+    * No RNG — reproducible across engines and runs; ids non-negative.
+    * Proposal count bounds the false-negative-miss risk: with hit rate h
+    * (vertex density in [0, maxId]) expect ~proposals·h survivors, so
+    * callers size proposals ≥ 2k/h. Returns (src, neg_dst, rank). */
+  def negativeSample(edges: DataFrame, k: Int, proposals: Int): DataFrame = {
+    require(k > 0 && proposals >= k, s"need proposals >= k, got ($proposals, $k)")
+    import org.apache.spark.sql.expressions.Window
+    val und = edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+    val v = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
+      .distinct().localCheckpoint(true) // consumed by proposals + the semi-join
+    val maxId = v.agg(max(col("id")).as("__m"))
+    val cand = v.select(col("id").as("src"))
+      .crossJoin(broadcast(maxId))
+      .select(col("src"), explode(sequence(lit(0), lit(proposals - 1))).as("i"),
+        col("__m"))
+      .select(col("src"), col("i"),
+        pmod(pmod(col("src"), lit(1000003L)) * lit(2654435761L)
+          + col("i") * lit(131L), col("__m") + 1).as("cand"))
+      .filter(col("cand") =!= col("src"))
+      .join(v.select(col("id").as("cand")), Seq("cand"), "left_semi")
+      .join(sym.select(col("a").as("src"), col("b").as("cand")),
+        Seq("src", "cand"), "left_anti")
+    cand.withColumn("rank", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("i"))))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("cand").as("neg_dst"), col("rank").cast("long").as("rank"))
+  }
+
   /** Modularity Q of a community assignment over an undirected graph
     * (Newman & Girvan 2004): Q = Σ_c [ m_c/m − (D_c/2m)² ], where m_c =
     * intra-community edge count and D_c = the community's total degree —

@@ -246,6 +246,23 @@ object GraphQueries {
       Algorithms.ssspPath(e, 10000000L, target, 4)
     }),
 
+    // graph-ML training prep: GraphSAGE-style 2-layer (3, 2) neighbor
+    // fanout — deterministic multiplicative-hash ranking, per-src
+    // (partitioned, never global) windows, layer 2 bounded by the sampled
+    // frontier
+    "q_neighbor_sample" -> ((s, d) =>
+      Algorithms.neighborSample(copurchaseShared(s, d)
+          .select(col("a").as("src"), col("b").as("dst")), 3, 2)
+        .orderBy(col("layer"), col("src"), col("dst"))),
+
+    // graph-ML training prep: deterministic negative edge sampling for
+    // link prediction — hash-proposed candidates, vertex semi-join, true-
+    // edge anti-join, first k surviving proposals per node
+    "q_negative_sample" -> ((s, d) =>
+      Algorithms.negativeSample(copurchaseShared(s, d)
+          .select(col("a").as("src"), col("b").as("dst")), 2, 8)
+        .orderBy(col("src"), col("rank"))),
+
     // §2.10 algo.triangleCount on the co-purchase graph
     "q_triangle_count" -> ((s, d) =>
       Algorithms.triangleCount(copurchaseShared(s, d))),
@@ -1268,6 +1285,31 @@ object GraphQueries {
         |       round(c * 1.0 / (dx.d + dy.d - c), 6) AS score
         |FROM w JOIN deg dx ON dx.vv = w.x JOIN deg dy ON dy.vv = w.y
         |ORDER BY round(c * 1.0 / (dx.d + dy.d - c), 6) DESC, x, y LIMIT 20""".stripMargin),
+    "q_neighbor_sample" -> (CopurchaseCte +
+      """, l1 AS (SELECT src, dst FROM (
+        |    SELECT a AS src, b AS dst, row_number() OVER (PARTITION BY a
+        |      ORDER BY ((b % 1000003) * 131 + (a % 1000003) * 37) % 1000003, b) AS r
+        |    FROM pe) WHERE r <= 3)
+        |, l2 AS (SELECT src, dst FROM (
+        |    SELECT a AS src, b AS dst, row_number() OVER (PARTITION BY a
+        |      ORDER BY ((b % 1000003) * 131 + (a % 1000003) * 37) % 1000003, b) AS r
+        |    FROM pe WHERE a IN (SELECT DISTINCT dst FROM l1)) WHERE r <= 2)
+        |SELECT CAST(layer AS INTEGER) AS layer, CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst FROM (
+        |  SELECT 1 AS layer, src, dst FROM l1 UNION ALL SELECT 2, src, dst FROM l2)
+        |ORDER BY layer, src, dst""".stripMargin),
+    "q_negative_sample" -> (CopurchaseCte +
+      """, sym AS (SELECT a, b FROM pe UNION SELECT b, a FROM pe)
+        |, v AS (SELECT DISTINCT a AS id FROM sym)
+        |, mx AS (SELECT max(id) AS m FROM v)
+        |, cand AS (SELECT v.id AS src, t.i AS i,
+        |    ((v.id % 1000003) * 2654435761 + t.i * 131) % (mx.m + 1) AS c
+        |  FROM v, mx, generate_series(0, 7) t(i))
+        |, ok AS (SELECT src, c, i FROM cand
+        |  WHERE c <> src AND c IN (SELECT id FROM v)
+        |    AND NOT EXISTS (SELECT 1 FROM sym WHERE sym.a = cand.src AND sym.b = cand.c))
+        |SELECT CAST(src AS BIGINT) AS src, CAST(c AS BIGINT) AS neg_dst, rank FROM (
+        |  SELECT src, c, row_number() OVER (PARTITION BY src ORDER BY i) AS rank FROM ok)
+        |WHERE rank <= 2 ORDER BY src, rank""".stripMargin),
     "q_graph_stats" -> (CopurchaseCte +
       """, sym AS (SELECT a, b FROM pe UNION SELECT b, a FROM pe)
         |, deg AS (SELECT a AS id, count(*) AS d FROM sym GROUP BY 1)

@@ -135,6 +135,38 @@ class AlgorithmsSpec extends SparkSpec {
     }
   }
 
+  test("neighborSample: fanout caps respected, layer 2 only expands the sampled frontier") {
+    val e = (1L to 10L).map(i => (0L, i)).toDF("src", "dst")
+      .unionAll(Seq((1L, 100L), (1L, 101L), (1L, 102L), (99L, 7L)).toDF("src", "dst"))
+    val out = Algorithms.neighborSample(e, 3, 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val l1 = out.filter(_._1 == 1); val l2 = out.filter(_._1 == 2)
+    // every src keeps at most 3 in layer 1; node 0 has 10 neighbors -> exactly 3
+    assert(l1.groupBy(_._2).forall(_._2.length <= 3))
+    assert(l1.count(_._2 == 0L) == 3)
+    // layer 2 srcs are a subset of layer-1 dsts (99 never sampled into l1)
+    val frontier = l1.map(_._3).toSet
+    assert(l2.map(_._2).toSet.subsetOf(frontier))
+    assert(l2.groupBy(_._2).forall(_._2.length <= 2))
+  }
+
+  test("negativeSample: k per node, never a true edge or self, deterministic") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+      .toDF("src", "dst")
+    val out = Algorithms.negativeSample(e, 2, 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edges = Set((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    out.foreach { case (s, d, _) =>
+      assert(s != d, s"self pair $s")
+      assert(!edges.contains((s, d)) && !edges.contains((d, s)), s"true edge ($s,$d)")
+    }
+    assert(out.groupBy(_._1).forall(_._2.length <= 2))
+    // deterministic: a second run is identical
+    val out2 = Algorithms.negativeSample(e, 2, 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sorted.toSeq == out2.sorted.toSeq)
+  }
+
   test("ssspPath: reconstructed path matches hand-computed Dijkstra, ties to min parent") {
     // 0-(1)->1, 0-(4)->2, 1-(1)->2: shortest to 2 is 0->1->2 (dist 2);
     // 0-(2)->3 and 1-(1)->3 both give dist(3)=2 -> parent tie breaks to
