@@ -66,7 +66,10 @@ object ClusterVerify {
     "q_substring_dedup", "q_embedding_centroid", "q_semdedup",
     "q_bm25", "q_tfidf", "q_lang_id", "q_lm_perplexity", "q_nb_quality",
     // data-pipeline ops
-    "q_asof_join", "q_funnel", "q_retention", "q_stratified_sample",
+    "q_asof_join", "q_interval_join", "q_salted_join", "q_heavy_hitters",
+    "q_neighbor_sample", "q_negative_sample", "q_sssp_path",
+    "q_modularity", "q_graph_stats",
+    "q_funnel", "q_retention", "q_stratified_sample",
     "q_weighted_sample", "q_skew_report", "q_dup_matrix", "q_pipeline_e2e",
     "q_seq_pack", "q_pack_harmonic", "q_dsir_resample",
     "q_leakage_split", "q_ppl_buckets", "q_mix_token_budget",
@@ -111,7 +114,13 @@ object ClusterVerify {
     // new approx-jaccard, the de-vacuified IC3/IC11 (icParams on the
     // executors), and the dual-path SPARQL closure
     "q_hits", "q_jaccard_approx", "q_ldbc_ic3", "q_ldbc_ic11",
-    "q_sparql_path")
+    "q_sparql_path",
+    // round-13 waves 4-6: grid interval join, salted join, modularity +
+    // stats (and their CALL twins), MG heavy hitters, sssp path
+    // reconstruction, GraphSAGE fanout + negative sampling
+    "q_interval_join", "q_salted_join", "q_modularity", "q_graph_stats",
+    "q_cypher_call_stats", "q_cypher_call_modularity", "q_heavy_hitters",
+    "q_sssp_path", "q_neighbor_sample", "q_negative_sample")
 
   private val sqlConfs: Map[String, String] = Map(
     "spark.sql.extensions" -> "graft.GraftExtensions",

