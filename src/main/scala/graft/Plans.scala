@@ -67,7 +67,12 @@ object Plans {
       "q_pagerank_weighted" -> "weighted PageRank: the multiplicity-weighted co-purchase MV is a parquet leaf; per round one vertex-sized rank-join-outweight cut feeds both the dangling broadcast aggregate and the contribution join - same audited shape as the unweighted twin",
       "q_skew_report" -> "key-skew report: ONE map-side-combined count aggregate, a broadcast 1-row total, TakeOrderedAndProject for the top-k; the rank window sees only the k survivors",
       "q_pipeline_e2e" -> "composed corpus-prep chain: gate/cluster/keep-best/split/sample fuse into ONE plan - the near-dup pair MV is a parquet leaf consumed once, the ES sample threshold is TakeOrdered + broadcast 1-row max, no driver round-trips between stages",
-      "q_hits" -> "HITS hubs & authorities: the deduped directed edge set is ONE checkpointed leaf (LogicalRDD) consumed by every half-step; per iteration the auth/hub updates are vertex-sized joins + hash aggregates and each L1 normalizer is a broadcast 1-row sum inside the plan - no driver-side value in the loop")
+      "q_hits" -> "HITS hubs & authorities: the deduped directed edge set is ONE checkpointed leaf (LogicalRDD) consumed by every half-step; per iteration the auth/hub updates are vertex-sized joins + hash aggregates and each L1 normalizer is a broadcast 1-row sum inside the plan - no driver-side value in the loop",
+      "q_interval_join" -> "grid-bucketed interval overlap: both sides explode into fixed-width cells and meet in an ORDINARY hash join on the cell id - no BroadcastNestedLoopJoin anywhere in the plan (the raw range condition's fate); the overlap-start filter keeps each pair exactly once with no dedup exchange",
+      "q_salted_join" -> "salted skew join: the join runs on (key, salt) - the big side's exchange spreads the hot key over 8 sub-keys (salt = per-row hash), the small side explodes x8 BEFORE its exchange; the aggregate after is an ordinary partial-combined hash aggregate",
+      "q_heavy_hitters" -> "two-pass Misra-Gries: pass 1 is one mapPartitions over the token scan (bounded k-counter state, NO exchange before it); the only shuffles are the candidate distinct and the pass-2 recount whose aggregate is semi-join-pruned to <= k*partitions keys - the full token cardinality never crosses the wire",
+      "q_jaccard_approx" -> "MinHash-over-neighbor-sets: ONE hash aggregate builds all 64 signature minima; the banded candidate join is a self-join on (band, bucket) hash keys - bucket-bounded, never all-pairs; the planted-truth semi-join broadcasts the small truth side",
+      "q_neighbor_sample" -> "GraphSAGE fanout: per-src PARTITIONED windows (exchange on src, never a global sort); layer 2's edge scan is semi-join-pruned by the sampled layer-1 frontier before its window")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative catalog queries\n\n")

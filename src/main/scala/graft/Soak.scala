@@ -312,7 +312,57 @@ object Soak {
       // seed in copy 0 keeps the reached region constant; the linear part
       // is the edge distinct+checkpoint pass
       "closeness" -> { n => Algorithms.closenessCentrality(
-        spark.read.parquet(edgeCache(n, false)), Seq(minNode), 4).count() })
+        spark.read.parquet(edgeCache(n, false)), Seq(minNode), 4).count() },
+      // approx jaccard over neighbor sets: the signature aggregate is one
+      // pass, the banded self-join is bucket-bounded — disjoint copies
+      // give linearly more buckets, never cross-copy candidates. Each
+      // copy's image of minNode gets a planted twin carrying 4/5 of its
+      // neighbors (the q_jaccard_approx construction), so rows = recalled
+      // planted pairs — exactly N× when recall holds
+      "jaccard_approx" -> { n =>
+        val e = spark.read.parquet(edgeCache(n, false))
+        val sym = e.select(col("src").as("v"), col("dst").as("nb"))
+          .unionAll(e.select(col("dst").as("v"), col("src").as("nb")))
+        val tw = sym.filter(pmod(col("v"), lit(off)) === lit(minNode) &&
+            pmod(col("nb"), lit(5)) =!= 0)
+          .select((col("v") + 5000000L).as("src"), col("nb").as("dst"))
+        Algorithms.jaccardSimilarityApprox(e.unionAll(tw), 64, 32, 0.25)
+          .filter(col("y") === col("x") + 5000000L).count() },
+      // MG heavy hitters: pass-1 summaries are k-bounded per partition at
+      // ANY size; pass 2 recounts ≤ k·partitions keys — the ratio pins
+      // that neither pass materializes the full token cardinality
+      "heavy_hitters" -> { n => graft.operators.HeavyHitters.heavyHitters(
+        spark.read.parquet(docCache(n))
+          .select(explode(split(col("text"), " ")).as("token")),
+        "token", 0.0005).count() },
+      // grid interval join: synthetic intervals from edge endpoints; each
+      // copy's intervals land in a DISJOINT 2e9 time range (copy index =
+      // id div off), so pairs scale exactly linearly — shuffle ∝ Σ
+      // length/cell, the no-BNLJ tripwire
+      "interval_join" -> { n =>
+        val e = spark.read.parquet(edgeCache(n, false))
+        def iv(c: String) = e.select(col(c).as("id"),
+            ((col(c) / off).cast("long") * 2000000000L
+              + pmod(col(c), lit(100000L)) * 10000).as("s0"))
+          .withColumn("e0", col("s0") + pmod(col("id"), lit(7L)) * 50 + 50)
+        graft.operators.IntervalJoin.overlap(iv("src"), iv("dst"),
+          ("id", "s0", "e0"), ("id", "s0", "e0"), 5000L).count() },
+      // GraphSAGE fanout: per-src partitioned windows — work ∝ edges, the
+      // layer-2 semi-join bounds the second pass by the sampled frontier
+      "neighbor_sample" -> { n => Algorithms.neighborSample(
+        spark.read.parquet(edgeCache(n, false)), 3, 2).count() },
+      // negative sampling: proposals ∝ vertices, one semi- + one anti-join
+      "negative_sample" -> { n => Algorithms.negativeSample(
+        spark.read.parquet(edgeCache(n, false)), 2, 8).count() },
+      // modularity of the 8-way id-hash partition: one degree aggregate +
+      // a double-endpoint assignment join — strictly one-pass shapes
+      "modularity" -> { n =>
+        val e = spark.read.parquet(edgeCache(n, false))
+          .select(col("src").as("a"), col("dst").as("b"))
+        val nodes = e.select(col("a").as("id"))
+          .unionAll(e.select(col("b").as("id"))).distinct()
+        Algorithms.modularity(e,
+          nodes.select(col("id"), pmod(col("id"), lit(8L)).as("community"))).count() })
 
     // SPARK_GRAFT_SOAK_ONLY=op1,op2 restricts the sweep (local iteration)
     val onlyOps = sys.env.get("SPARK_GRAFT_SOAK_ONLY")

@@ -433,14 +433,18 @@ object Algorithms {
   }
 
   /** Deterministic NEGATIVE edge sampling — the link-prediction training
-    * counterpart of [[neighborSample]]: per node u, propose candidate ids
-    * v_i = multihash(u, i) mod (maxId+1) for i < proposals, keep those
-    * that ARE vertices (semi-join), are not u, and are NOT true edges in
-    * either direction (anti-join), then the first `k` by proposal index.
-    * No RNG — reproducible across engines and runs; ids non-negative.
-    * Proposal count bounds the false-negative-miss risk: with hit rate h
-    * (vertex density in [0, maxId]) expect ~proposals·h survivors, so
-    * callers size proposals ≥ 2k/h. Returns (src, neg_dst, rank). */
+    * counterpart of [[neighborSample]]. DENSITY-FREE formulation: every
+    * vertex hashes into one of |V| buckets; proposal i of node u targets
+    * bucket multihash(u, i) mod |V| and resolves to that bucket's MIN
+    * vertex id — so proposals land on REAL vertices regardless of how
+    * sparse the id space is (a "hash mod maxId" scheme dies on sparse
+    * 64-bit ids: the r13 40× soak measured an ~1e-5 hit rate). Self pairs
+    * and TRUE edges (either direction) are dropped, then the first `k`
+    * surviving proposals per node by proposal index win. No RNG —
+    * reproducible across engines and runs; ids non-negative (pmod/% —
+    * see [[triangleCountApprox]]). ~63% of proposals hit a non-empty
+    * bucket (balls-in-bins), so size proposals ≈ 2k + slack.
+    * Returns (src, neg_dst, rank). */
   def negativeSample(edges: DataFrame, k: Int, proposals: Int): DataFrame = {
     require(k > 0 && proposals >= k, s"need proposals >= k, got ($proposals, $k)")
     import org.apache.spark.sql.expressions.Window
@@ -448,17 +452,22 @@ object Algorithms {
       .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
     val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
     val v = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
-      .distinct().localCheckpoint(true) // consumed by proposals + the semi-join
-    val maxId = v.agg(max(col("id")).as("__m"))
+      .distinct().localCheckpoint(true) // consumed by buckets + proposals
+    val nv = v.agg(count(lit(1)).as("__nv"))
+    // bucket representative: min vertex id per hash bucket (one aggregate)
+    val bmin = v.crossJoin(broadcast(nv))
+      .select(col("id"),
+        pmod(pmod(col("id"), lit(1000003L)) * lit(2654435761L), col("__nv")).as("__b"))
+      .groupBy(col("__b")).agg(min(col("id")).as("cand"))
     val cand = v.select(col("id").as("src"))
-      .crossJoin(broadcast(maxId))
+      .crossJoin(broadcast(nv))
       .select(col("src"), explode(sequence(lit(0), lit(proposals - 1))).as("i"),
-        col("__m"))
+        col("__nv"))
       .select(col("src"), col("i"),
-        pmod(pmod(col("src"), lit(1000003L)) * lit(2654435761L)
-          + col("i") * lit(131L), col("__m") + 1).as("cand"))
+        pmod(pmod(col("src"), lit(1000003L)) * lit(131L)
+          + col("i") * lit(2654435761L), col("__nv")).as("__b"))
+      .join(bmin, Seq("__b"))
       .filter(col("cand") =!= col("src"))
-      .join(v.select(col("id").as("cand")), Seq("cand"), "left_semi")
       .join(sym.select(col("a").as("src"), col("b").as("cand")),
         Seq("src", "cand"), "left_anti")
     cand.withColumn("rank", row_number().over(

@@ -1304,13 +1304,15 @@ object GraphQueries {
     "q_negative_sample" -> (CopurchaseCte +
       """, sym AS (SELECT a, b FROM pe UNION SELECT b, a FROM pe)
         |, v AS (SELECT DISTINCT a AS id FROM sym)
-        |, mx AS (SELECT max(id) AS m FROM v)
+        |, nv AS (SELECT count(*) AS n FROM v)
+        |, bmin AS (SELECT ((id % 1000003) * 2654435761) % nv.n AS b, min(id) AS c
+        |  FROM v, nv GROUP BY 1)
         |, cand AS (SELECT v.id AS src, t.i AS i,
-        |    ((v.id % 1000003) * 2654435761 + t.i * 131) % (mx.m + 1) AS c
-        |  FROM v, mx, generate_series(0, 7) t(i))
-        |, ok AS (SELECT src, c, i FROM cand
-        |  WHERE c <> src AND c IN (SELECT id FROM v)
-        |    AND NOT EXISTS (SELECT 1 FROM sym WHERE sym.a = cand.src AND sym.b = cand.c))
+        |    ((v.id % 1000003) * 131 + t.i * 2654435761) % nv.n AS b
+        |  FROM v, nv, generate_series(0, 7) t(i))
+        |, ok AS (SELECT src, c, i FROM cand JOIN bmin USING (b)
+        |  WHERE c <> src
+        |    AND NOT EXISTS (SELECT 1 FROM sym WHERE sym.a = cand.src AND sym.b = bmin.c))
         |SELECT CAST(src AS BIGINT) AS src, CAST(c AS BIGINT) AS neg_dst, rank FROM (
         |  SELECT src, c, row_number() OVER (PARTITION BY src ORDER BY i) AS rank FROM ok)
         |WHERE rank <= 2 ORDER BY src, rank""".stripMargin),
