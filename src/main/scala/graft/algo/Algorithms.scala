@@ -510,6 +510,61 @@ object Algorithms {
       .agg(graft.functions.CypherFunctions.roundC(sum(col("q")), 6).as("modularity"))
   }
 
+  /** Louvain-style SYNCHRONOUS local-move rounds (one level): each round
+    * every node evaluates joining each neighbor community — or staying —
+    * by the standard modularity gain k_{v,C} − deg(v)·D′_C/(2m), where
+    * D′_C excludes v itself when C is v's current community, and movers
+    * adopt their argmax (ties to the smaller community id) simultaneously.
+    * Only nodes with (id + round) even move each round — the standard
+    * distributed-Louvain symmetry breaker: fully synchronous moves make
+    * adjacent pairs swap communities forever (two-coloring oscillation);
+    * the deterministic parity alternation lets each side settle against
+    * the other's fixed state. Fixed `rounds` for determinism (the
+    * Graphalytics-cdlp discipline; the DuckDB oracle unrolls the same
+    * rounds, parity rule included).
+    * One-level only — full Louvain coarsens between levels; use
+    * [[modularity]] to score the result. Scale shape per round: one
+    * community-degree aggregate, one map-side-combined neighbor-community
+    * count, a struct-max argmax — no windows over the graph, no driver
+    * state in the loop. Input: canonical (a, b); returns (id, community). */
+  def louvainMoves(undirected: DataFrame, rounds: Int): DataFrame = {
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    val und = undirected.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true) // consumed by deg and every round's k aggregate
+    val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val m2 = und.agg((count(lit(1)) * 2).cast("double").as("m2"))
+    var asg = deg.select(col("id"), col("id").as("community"))
+    for (r <- 1 to rounds) {
+      val dc = asg.join(deg, Seq("id"))
+        .groupBy(col("community").as("C")).agg(sum(col("d")).as("dc"))
+      val nbrC = sym.select(col("a").as("id"), col("b").as("nb"))
+        .join(asg.select(col("id").as("nb"), col("community").as("C")), Seq("nb"))
+        .groupBy(col("id"), col("C")).agg(count(lit(1)).cast("double").as("k"))
+      // the current community is always a candidate, even with no
+      // neighbors left in it (k = 0) — max(k) merges the duplicate
+      val cand = nbrC
+        .unionByName(asg.select(col("id"), col("community").as("C"), lit(0.0).as("k")))
+        .groupBy(col("id"), col("C")).agg(max(col("k")).as("k"))
+      val scored = cand
+        .join(asg, Seq("id")).join(deg, Seq("id")).join(dc, Seq("C"))
+        .crossJoin(broadcast(m2))
+        .select(col("id"), col("community"), col("C"),
+          (col("k") - col("d") * when(col("C") === col("community"),
+            col("dc") - col("d")).otherwise(col("dc")) / col("m2")).as("score"))
+      asg = scored.groupBy(col("id"))
+        .agg(max(struct(col("score"), (-col("C")).as("nc"))).as("__m"),
+          first(col("community")).as("__cur"))
+        .select(col("id"),
+          when(pmod(col("id") + r, lit(2L)) === 0, -col("__m.nc"))
+            .otherwise(col("__cur")).as("community"))
+        .localCheckpoint(true)
+    }
+    asg
+  }
+
   /** Graph summary statistics — the ANALYZE-style diagnostic a planner (or
     * an engineer sizing a job) reads before picking join strategies:
     * node/edge counts, density, degree min/mean/max/p90, and a log2 degree

@@ -392,6 +392,12 @@ object GraphQueries {
         nodes.select(col("id"), pmod(col("id"), lit(8L)).as("community")))
     }),
 
+    // beyond-parity: Louvain-style synchronous local moves (one level,
+    // 2 fixed rounds) — community detection by modularity gain, beyond
+    // cdlp's frequency rule; the oracle unrolls the identical rounds
+    "q_louvain_moves" -> ((s, d) =>
+      Algorithms.louvainMoves(copurchaseShared(s, d), 2).orderBy(col("id"))),
+
     // beyond-parity: personalized PageRank from the two smallest product
     // ids of the co-purchase graph — teleport + dangling mass return to
     // the seeds; oracled by 6 unrolled CTE iterations (like q_pagerank).
@@ -1111,6 +1117,35 @@ object GraphQueries {
 
   /** CDLP as `iters` chained CTEs: argmax neighbor-label frequency, ties to
     * the minimum label (row_number over count DESC, label ASC). */
+  /** Louvain local-move rounds as unrolled CTEs — mirrors
+    * [[graft.algo.Algorithms.louvainMoves]] term for term (the score
+    * expression `k - d * dcx / m2` keeps the same operator shape so the
+    * doubles match exactly; argmax = row_number over (score DESC, cc)). */
+  private def louvainOracle(rounds: Int): String = {
+    val sb = new StringBuilder(CopurchaseCte)
+    sb.append(", e AS (SELECT a AS src, b AS dst FROM pe UNION ALL SELECT b, a FROM pe)")
+    sb.append(", v AS (SELECT DISTINCT src AS id FROM e)")
+    sb.append(", deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY 1)")
+    sb.append(", m2 AS (SELECT CAST(count(*) * 2 AS DOUBLE) AS m2 FROM pe)")
+    sb.append(", c0 AS (SELECT id, id AS community FROM v)")
+    for (r <- 1 to rounds) {
+      sb.append(s", dc$r AS (SELECT community AS cc, sum(d) AS dc FROM c${r - 1} JOIN deg USING (id) GROUP BY 1)")
+      sb.append(s", k$r AS (SELECT e.src AS id, c.community AS cc, CAST(count(*) AS DOUBLE) AS k" +
+        s" FROM e JOIN c${r - 1} c ON c.id = e.dst GROUP BY 1, 2)")
+      sb.append(s", cand$r AS (SELECT id, cc, max(k) AS k FROM (SELECT id, cc, k FROM k$r" +
+        s" UNION ALL SELECT id, community AS cc, 0.0 FROM c${r - 1}) GROUP BY 1, 2)")
+      sb.append(s", sc$r AS (SELECT t.id, t.cc, t.k - deg.d *" +
+        s" (CASE WHEN t.cc = cur.community THEN dc.dc - deg.d ELSE dc.dc END) / (SELECT m2 FROM m2) AS score" +
+        s" FROM cand$r t JOIN c${r - 1} cur ON cur.id = t.id JOIN deg ON deg.id = t.id JOIN dc$r dc ON dc.cc = t.cc)")
+      sb.append(s", c$r AS (SELECT b.id, CASE WHEN (b.id + $r) % 2 = 0 THEN b.cc ELSE cur.community END AS community" +
+        s" FROM (SELECT id, cc FROM (SELECT id, cc," +
+        s" row_number() OVER (PARTITION BY id ORDER BY score DESC, cc) AS rn FROM sc$r) WHERE rn = 1) b" +
+        s" JOIN c${r - 1} cur ON cur.id = b.id)")
+    }
+    sb.append(s" SELECT CAST(id AS BIGINT) AS id, CAST(community AS BIGINT) AS community FROM c$rounds ORDER BY id")
+    sb.toString
+  }
+
   private def cdlpOracle(iters: Int): String = {
     val sb = new StringBuilder(CopurchaseCte)
     sb.append(", e AS (SELECT a AS src, b AS dst FROM pe UNION ALL SELECT b, a FROM pe)")
@@ -1358,6 +1393,7 @@ object GraphQueries {
         |SELECT CAST(v AS BIGINT) AS x, CAST(v + 5000000 AS BIGINT) AS y
         |FROM st WHERE kept * 2 >= orig AND kept > 0 ORDER BY x""".stripMargin),
     "q_cdlp" -> cdlpOracle(5),
+    "q_louvain_moves" -> louvainOracle(2),
     "q_kcore" -> kcoreOracle(80, 4),
     "q_ktruss" -> ktrussOracle(5, 3, 400),
     "q_walk_sample" -> walkOracle(3),

@@ -216,6 +216,27 @@ class AlgorithmsSpec extends SparkSpec {
     assert(qGood > qBad)
   }
 
+  test("louvainMoves: improves modularity over singletons on planted clusters, deterministic") {
+    // two triangles + bridge — the natural 2-community split
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+      .toDF("a", "b")
+    // synchronous moves from singletons pair up first (a matching-like
+    // round), so triangle consolidation needs a few rounds — 4 suffices
+    val asg = Algorithms.louvainMoves(e, 4)
+    val q = Algorithms.modularity(e, asg).head().getDouble(0)
+    val nodes = (1L to 6L).map(v => (v, v)).toDF("id", "community")
+    val q0 = Algorithms.modularity(e, nodes).head().getDouble(0)
+    assert(q > q0, s"moves did not improve modularity: $q vs singleton $q0")
+    // each triangle collapses into one community
+    val m = asg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L) && m(2L) == m(3L), s"left triangle split: $m")
+    assert(m(4L) == m(5L) && m(5L) == m(6L), s"right triangle split: $m")
+    // deterministic across runs
+    val m2 = Algorithms.louvainMoves(e, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == m2)
+  }
+
   test("graphStats: counts, density, degree stats and exact log2 histogram") {
     // star 1-{2..9}: node 1 deg 8, leaves deg 1 → density 8/(9*8/2)... =
     // 2*8/(9*8) = 0.2222; log2 buckets: deg 8 → 3, deg 1 → 0
