@@ -354,6 +354,12 @@ object Soak {
       // negative sampling: proposals ∝ vertices, one semi- + one anti-join
       "negative_sample" -> { n => Algorithms.negativeSample(
         spark.read.parquet(edgeCache(n, false)), 2, 8).count() },
+      // Louvain local moves: per round one community-degree aggregate +
+      // one map-side-combined neighbor-community count + a struct-max
+      // argmax — disjoint copies evolve independently, work ∝ edges/round
+      "louvain_moves" -> { n => Algorithms.louvainMoves(
+        spark.read.parquet(edgeCache(n, false))
+          .select(col("src").as("a"), col("dst").as("b")), 2).count() },
       // modularity of the 8-way id-hash partition: one degree aggregate +
       // a double-endpoint assignment join — strictly one-pass shapes
       "modularity" -> { n =>
