@@ -72,7 +72,8 @@ object Plans {
       "q_salted_join" -> "salted skew join: the join runs on (key, salt) - the big side's exchange spreads the hot key over 8 sub-keys (salt = per-row hash), the small side explodes x8 BEFORE its exchange; the aggregate after is an ordinary partial-combined hash aggregate",
       "q_heavy_hitters" -> "two-pass Misra-Gries: pass 1 is one mapPartitions over the token scan (bounded k-counter state, NO exchange before it); the only shuffles are the candidate distinct and the pass-2 recount whose aggregate is semi-join-pruned to <= k*partitions keys - the full token cardinality never crosses the wire",
       "q_jaccard_approx" -> "MinHash-over-neighbor-sets: ONE hash aggregate builds all 64 signature minima; the banded candidate join is a self-join on (band, bucket) hash keys - bucket-bounded, never all-pairs; the planted-truth semi-join broadcasts the small truth side",
-      "q_neighbor_sample" -> "GraphSAGE fanout: per-src PARTITIONED windows (exchange on src, never a global sort); layer 2's edge scan is semi-join-pruned by the sampled layer-1 frontier before its window")
+      "q_neighbor_sample" -> "GraphSAGE fanout: per-src PARTITIONED windows (exchange on src, never a global sort); layer 2's edge scan is semi-join-pruned by the sampled layer-1 frontier before its window",
+      "q_louvain_moves" -> "Louvain local moves: per round ONE community-degree hash aggregate + ONE map-side-combined neighbor-community count + a struct-max argmax; each round ends in a checkpointed vertex-sized leaf (LogicalRDD) - no windows over the graph, no driver value in the loop")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative catalog queries\n\n")
