@@ -549,6 +549,9 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
           confNum(Seq("radius", "maxDepth"), numArg(nextIdx, 3)).toInt)
       case "algo.trianglecount" => Algorithms.triangleCount(und)
       case "algo.graphstats" => Algorithms.graphStats(und)
+      case "algo.louvain" | "algo.louvainmoves" =>
+        Algorithms.louvainMoves(und,
+          confNum(Seq("rounds", "maxIterations"), numArg(0, 2)).toInt)
       case "algo.modularity" =>
         // community column from a prior algo run is out of CALL scope here;
         // the assignment is the deterministic k-way id hash (k = arg 0)

@@ -300,6 +300,11 @@ object CypherQueries {
       """CALL algo.modularity(8, 'PLACED') YIELD modularity
         |RETURN modularity""".stripMargin) _),
 
+    // CALL twin of q_louvain_moves over the PLACED projection
+    "q_cypher_call_louvain" -> (run(
+      """CALL algo.louvain(2, 'PLACED') YIELD id, community
+        |RETURN id, community ORDER BY id""".stripMargin) _),
+
     // CALL twin of q_closeness_centrality — must agree with the Scala API
     "q_cypher_call_closeness" -> (run(
       """CALL algo.closenessCentrality([1, 2, 3], 3, 'PLACED,CONTAINS,HAS_PART,SUPPLIED_BY')
@@ -747,6 +752,10 @@ object CypherQueries {
         |       WHERE ca.community = cb.community GROUP BY 1)
         |SELECT round(sum(coalesce(mc, 0) * 2 / m2 - (dc / m2) * (dc / m2)), 6) AS modularity
         |FROM dc LEFT JOIN mc USING (community), m2""".stripMargin,
+    "q_cypher_call_louvain" -> GraphQueries.louvainOracleOver(
+      "WITH pe0 AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a, CAST(o_orderkey + 10000000 AS BIGINT) AS b FROM orders)" +
+        ", e AS (SELECT a AS src, b AS dst FROM pe0 UNION ALL SELECT b, a FROM pe0)" +
+        ", ecnt AS (SELECT count(*) AS n FROM pe0)", 2),
     "q_cypher_call_harmonic" -> GraphQueries.oracles("q_harmonic_centrality"),
     "q_cypher_call_closeness" -> GraphQueries.oracles("q_closeness_centrality"),
     "q_cypher_call_betweenness" -> GraphQueries.oracles("q_betweenness"),

@@ -1121,12 +1121,18 @@ object GraphQueries {
     * [[graft.algo.Algorithms.louvainMoves]] term for term (the score
     * expression `k - d * dcx / m2` keeps the same operator shape so the
     * doubles match exactly; argmax = row_number over (score DESC, cc)). */
-  private def louvainOracle(rounds: Int): String = {
-    val sb = new StringBuilder(CopurchaseCte)
-    sb.append(", e AS (SELECT a AS src, b AS dst FROM pe UNION ALL SELECT b, a FROM pe)")
+  private def louvainOracle(rounds: Int): String =
+    louvainOracleOver(CopurchaseCte +
+      ", e AS (SELECT a AS src, b AS dst FROM pe UNION ALL SELECT b, a FROM pe)" +
+      ", ecnt AS (SELECT count(*) AS n FROM pe)", rounds)
+
+  /** [[louvainOracle]] over any prefix providing `e` (symmetrized edges)
+    * and `ecnt(n)` (canonical edge count). */
+  private[queries] def louvainOracleOver(prefix: String, rounds: Int): String = {
+    val sb = new StringBuilder(prefix)
     sb.append(", v AS (SELECT DISTINCT src AS id FROM e)")
     sb.append(", deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY 1)")
-    sb.append(", m2 AS (SELECT CAST(count(*) * 2 AS DOUBLE) AS m2 FROM pe)")
+    sb.append(", m2 AS (SELECT CAST(n * 2 AS DOUBLE) AS m2 FROM ecnt)")
     sb.append(", c0 AS (SELECT id, id AS community FROM v)")
     for (r <- 1 to rounds) {
       sb.append(s", dc$r AS (SELECT community AS cc, sum(d) AS dc FROM c${r - 1} JOIN deg USING (id) GROUP BY 1)")
