@@ -87,6 +87,54 @@ object Plans {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       sb.append("\n```\n")
     }
+
+    // ---- per-round bodies of the checkpoint-looped kernels ---------------
+    // Every distributed loop round ends in a localCheckpoint, so the final
+    // plan above collapses to `Scan ExistingRDD` and pins NOTHING about the
+    // loop. RoundCapture grabs round 2's PRE-checkpoint DataFrame (its
+    // inputs are themselves round-1 leaves) while the catalog query runs;
+    // the dumps below are the audited per-round shapes, and generation
+    // FAILS if any round body contains a Window over the graph, a
+    // CartesianProduct, or a BroadcastNestedLoopJoin.
+    val roundPicks: Seq[(String, String, String)] = Seq(
+      ("q_pagerank", "pagerank", "one vertex-sized rank-join-outdeg cut feeds the dangling broadcast 1-row aggregate AND the contribution join; update is a left join + projection"),
+      ("q_wcc", "wcc", "one edge-join + min aggregate (nbr minimum), one full-outer vertex merge - both vertex-sized exchanges, edge leaf reused"),
+      ("q_cdlp", "cdlp", "one label x edge join + (dst, label) count aggregate, argmax as struct-max hash aggregate - NO window over the graph"),
+      ("q_sssp", "sssp", "one dist x edge join + per-dst min aggregate + full-outer merge with least() - Bellman-Ford relaxation round"),
+      ("q_hits", "hits", "half-step: hub x edge join + per-dst sum - the L1 normalizer rides later as a broadcast 1-row aggregate over this leaf"),
+      ("q_louvain_moves", "louvain_moves", "ONE community-degree aggregate + ONE map-side-combined neighbor-community count + struct-max argmax - no windows, no driver value"),
+      ("q_louvain_levels", "louvain_weighted", "same shape as louvain_moves with weight sums over the CONTRACTED super-node graph (level 2)"))
+    sb.append("\n# Round bodies — iterative kernels, round 2 pre-checkpoint\n\n")
+    sb.append("Captured via graft.algo.RoundCapture while the catalog query " +
+      "builds its (eagerly checkpointing) loop; audited here: no Window / " +
+      "CartesianProduct / BroadcastNestedLoopJoin in any round body.\n")
+    roundPicks.foreach { case (query, kernel, note) =>
+      val caps = graft.algo.RoundCapture.capturing {
+        SparkEntry.queries(query)(spark, sfDir)
+      }
+      val df = caps.getOrElse(kernel,
+        sys.error(s"[plans] round capture missing for kernel '$kernel' via $query"))
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      require(!plan.contains("CartesianProduct"),
+        s"[plans] round body of '$kernel' contains CartesianProduct — per-round shape regression")
+      // windows over the graph and non-scalar cross joins are the
+      // regressions this gate exists for; a BroadcastNestedLoopJoin is
+      // legal ONLY as the crossJoin(broadcast(<no-grouping aggregate>))
+      // scalar ride (logical maxRows <= 1 on one side)
+      df.queryExecution.optimizedPlan.foreach {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          sys.error(s"[plans] round body of '$kernel' contains a Window — per-round shape regression")
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join if j.condition.isEmpty =>
+          require(j.left.maxRows.exists(_ <= 1) || j.right.maxRows.exists(_ <= 1),
+            s"[plans] round body of '$kernel' has a cross join with no <=1-row side — per-round shape regression")
+        case _ =>
+      }
+      sb.append(s"\n## round-body: $kernel (via $query)\n\n$note\n\n```\n")
+      sb.append(plan)
+      sb.append("\n```\n")
+    }
+
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(s"[plans] wrote $out")

@@ -347,6 +347,16 @@ object Soak {
           .withColumn("e0", col("s0") + pmod(col("id"), lit(7L)) * 50 + 50)
         graft.operators.IntervalJoin.overlap(iv("src"), iv("dst"),
           ("id", "s0", "e0"), ("id", "s0", "e0"), 5000L).count() },
+      // same join with the AUTO p50-derived cell — pins the default's
+      // safety: same pair count, cost within a small factor of hand-tuned
+      "interval_join_auto" -> { n =>
+        val e = spark.read.parquet(edgeCache(n, false))
+        def iv(c: String) = e.select(col(c).as("id"),
+            ((col(c) / off).cast("long") * 2000000000L
+              + pmod(col(c), lit(100000L)) * 10000).as("s0"))
+          .withColumn("e0", col("s0") + pmod(col("id"), lit(7L)) * 50 + 50)
+        graft.operators.IntervalJoin.overlap(iv("src"), iv("dst"),
+          ("id", "s0", "e0"), ("id", "s0", "e0")).count() },
       // GraphSAGE fanout: per-src partitioned windows — work ∝ edges, the
       // layer-2 semi-join bounds the second pass by the sampled frontier
       "neighbor_sample" -> { n => Algorithms.neighborSample(

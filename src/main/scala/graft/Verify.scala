@@ -37,6 +37,7 @@ object Verify {
       .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    CodegenTripwire.install() // fail loudly on silent interpreted fallback
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only.contains(q._1))
@@ -69,6 +70,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // codegen tripwire: any ERROR CodeGenerator during the run means a
+    // catalog query silently went interpreted — fail the whole dump
+    if (CodegenTripwire.errors > 0) {
+      System.err.println(s"[verify] CODEGEN TRIPWIRE: " +
+        s"${CodegenTripwire.errors} compile failure(s); samples:")
+      CodegenTripwire.sampleMessages.foreach(m => System.err.println("  " + m))
+      spark.stop()
+      sys.exit(2)
+    }
     spark.stop()
   }
 }

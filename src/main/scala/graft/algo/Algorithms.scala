@@ -89,7 +89,7 @@ object Algorithms {
     val outDeg = e.groupBy(col("_esrc")).agg(count(lit(1)).as("deg"))
       .withColumnRenamed("_esrc", "_degid").localCheckpoint(true)
     var ranks = v.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       // withDeg feeds BOTH the dangling-mass aggregate and the contribs join —
       // one eager leaf materialization (vertex-sized, small) instead of
       // recomputing the rank+degree join twice or persist/unpersist churn.
@@ -119,6 +119,7 @@ object Algorithms {
       // lineage once per round — a second per-round materialization of the
       // vertex-sized ranks table is pure checkpoint-write overhead (and at
       // 100x the per-round block writes are the bottleneck, per round-2)
+      RoundCapture.offer("pagerank", i, ranks)
     }
     ranks
   }
@@ -314,10 +315,11 @@ object Algorithms {
     // edge-join aggregate TWICE per half-step — cutting the leaf before
     // normalization halves the heavy work (r13: q_hits 16.3 s → see
     // BENCH_R13.md). Normalization stays lazy: it only reads the leaf.
-    for (_ <- 1 to iterations) {
-      val ar = hub.join(e, col("id") === col("_hsrc"))
+    for (i <- 1 to iterations) {
+      val ar0 = hub.join(e, col("id") === col("_hsrc"))
         .groupBy(col("_hdst")).agg(sum(col("hub")).as("__x"))
-        .localCheckpoint(true)
+      RoundCapture.offer("hits", i, ar0)
+      val ar = ar0.localCheckpoint(true)
       val as = ar.agg(sum(col("__x")).as("__s"))
       auth = v.join(ar, col("id") === col("_hdst"), "left")
         .crossJoin(broadcast(as))
@@ -470,6 +472,12 @@ object Algorithms {
       .filter(col("cand") =!= col("src"))
       .join(sym.select(col("a").as("src"), col("b").as("cand")),
         Seq("src", "cand"), "left_anti")
+      // two proposal indices of one node can hash to the SAME bucket and
+      // resolve to the same candidate — without this aggregate the k
+      // "negatives" may contain a vertex twice; keep each (src, cand)
+      // once at its smallest proposal index so the rank stays the
+      // deterministic first-k-survivors order
+      .groupBy(col("src"), col("cand")).agg(min(col("i")).as("i"))
     cand.withColumn("rank", row_number().over(
         Window.partitionBy(col("src")).orderBy(col("i"))))
       .filter(col("rank") <= k)
@@ -554,13 +562,105 @@ object Algorithms {
         .select(col("id"), col("community"), col("C"),
           (col("k") - col("d") * when(col("C") === col("community"),
             col("dc") - col("d")).otherwise(col("dc")) / col("m2")).as("score"))
-      asg = scored.groupBy(col("id"))
+      val next = scored.groupBy(col("id"))
         .agg(max(struct(col("score"), (-col("C")).as("nc"))).as("__m"),
           first(col("community")).as("__cur"))
         .select(col("id"),
           when(pmod(col("id") + r, lit(2L)) === 0, -col("__m.nc"))
             .otherwise(col("__cur")).as("community"))
-        .localCheckpoint(true)
+      RoundCapture.offer("louvain_moves", r, next)
+      asg = next.localCheckpoint(true)
+    }
+    asg
+  }
+
+  /** WEIGHTED Louvain local-move rounds — the level ≥ 2 engine of
+    * [[louvain]] over a CONTRACTED multigraph: input is canonical
+    * (a ≤ b, parallel edges pre-merged) weighted pairs, self-loops
+    * (a = b) allowed. Same synchronous rounds, same parity symmetry
+    * breaker and smaller-community tie-break as [[louvainMoves]], with
+    * the standard weighted quantities: k_{v,C} = Σ w to members of C,
+    * deg(v) = Σ incident w + 2·selfloop(v) (a self-loop stays intra
+    * wherever v goes, so it never scores a candidate but does count in
+    * the community total). All weights here are integer-valued doubles
+    * (edge counts), so every sum is exact below 2^53 and the DuckDB
+    * oracle's unrolled rounds match bitwise. Returns (id, community). */
+  private[graft] def louvainMovesWeighted(weighted: DataFrame, rounds: Int): DataFrame = {
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    val und = weighted.select(col("a"), col("b"), col("w").cast("double").as("w"))
+      .localCheckpoint(true) // consumed by sym, deg's self part, and m2
+    val sym = und.filter(col("a") =!= col("b"))
+      .unionAll(und.filter(col("a") =!= col("b"))
+        .select(col("b").as("a"), col("a").as("b"), col("w")))
+      .localCheckpoint(true) // consumed by deg and every round's k aggregate
+    val deg = sym.select(col("a").as("id"), col("w"))
+      .unionAll(und.filter(col("a") === col("b"))
+        .select(col("a").as("id"), (col("w") * 2).as("w")))
+      .groupBy(col("id")).agg(sum(col("w")).as("d"))
+      .localCheckpoint(true)
+    val m2 = und.agg((sum(col("w")) * 2).as("m2")) // contraction preserves 2m
+    var asg = deg.select(col("id"), col("id").as("community"))
+    for (r <- 1 to rounds) {
+      val dc = asg.join(deg, Seq("id"))
+        .groupBy(col("community").as("C")).agg(sum(col("d")).as("dc"))
+      val nbrC = sym.select(col("a").as("id"), col("b").as("nb"), col("w"))
+        .join(asg.select(col("id").as("nb"), col("community").as("C")), Seq("nb"))
+        .groupBy(col("id"), col("C")).agg(sum(col("w")).as("k"))
+      val cand = nbrC
+        .unionByName(asg.select(col("id"), col("community").as("C"), lit(0.0).as("k")))
+        .groupBy(col("id"), col("C")).agg(max(col("k")).as("k"))
+      val scored = cand
+        .join(asg, Seq("id")).join(deg, Seq("id")).join(dc, Seq("C"))
+        .crossJoin(broadcast(m2))
+        .select(col("id"), col("community"), col("C"),
+          (col("k") - col("d") * when(col("C") === col("community"),
+            col("dc") - col("d")).otherwise(col("dc")) / col("m2")).as("score"))
+      val next = scored.groupBy(col("id"))
+        .agg(max(struct(col("score"), (-col("C")).as("nc"))).as("__m"),
+          first(col("community")).as("__cur"))
+        .select(col("id"),
+          when(pmod(col("id") + r, lit(2L)) === 0, -col("__m.nc"))
+            .otherwise(col("__cur")).as("community"))
+      RoundCapture.offer("louvain_weighted", r, next)
+      asg = next.localCheckpoint(true)
+    }
+    asg
+  }
+
+  /** Multi-LEVEL Louvain (Blondel et al. 2008, the operator people mean
+    * by "Louvain"): run [[louvainMoves]]' local rounds, then COARSEN —
+    * contract each community to a super-node, sum parallel edges to
+    * weights (intra-community edges become self-loops), run
+    * [[louvainMovesWeighted]] local rounds on the contracted graph — and
+    * repeat for `levels` levels; each original node maps to its top-level
+    * community. `levels = 1` is exactly [[louvainMoves]]. Deterministic
+    * end to end (fixed rounds per level, parity symmetry breaking, min-id
+    * tie-breaks), so the DuckDB oracle unrolls both levels.
+    *
+    * Scale shape: contraction is one double-endpoint assignment join +
+    * one hash aggregate over the edge set — the same shape as
+    * [[modularity]]'s intra join — and each level's graph is no larger
+    * (typically far smaller) than the last; no windows over the graph,
+    * no driver state. Beyond-parity: the reference's community surface
+    * is CDLP only (`src/algo/community.rs`). Input: canonical (a, b);
+    * returns (id, community). */
+  def louvain(undirected: DataFrame, rounds: Int, levels: Int): DataFrame = {
+    require(levels > 0, s"levels must be positive, got $levels")
+    val und = undirected.select(col("a"), col("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    var asg = louvainMoves(und, rounds)
+    for (_ <- 2 to levels) {
+      val g2 = und
+        .join(asg.select(col("id").as("a"), col("community").as("__ca")), Seq("a"))
+        .join(asg.select(col("id").as("b"), col("community").as("__cb")), Seq("b"))
+        .groupBy(least(col("__ca"), col("__cb")).as("a"),
+          greatest(col("__ca"), col("__cb")).as("b"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      val up = louvainMovesWeighted(g2, rounds)
+        .select(col("id").as("__lvl"), col("community").as("__c2"))
+      asg = asg.join(up, asg("community") === up("__lvl"))
+        .select(col("id"), col("__c2").as("community"))
+        .localCheckpoint(true) // consumed by the next contraction + result
     }
     asg
   }
@@ -632,6 +732,7 @@ object Algorithms {
       val nextC = next.select(col("id"), col("ncomp").as("component"),
           (col("ncomp") < col("component")).cast("long").as("chg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      RoundCapture.offer("wcc", it + 1, nextC.drop("chg"))
       changed = nextC.agg(sum(col("chg"))).first().getLong(0)
       comp = nextC.drop("chg").localCheckpoint(true)
       it += 1
@@ -692,6 +793,7 @@ object Algorithms {
       val next = freq.groupBy(col("_udst"))
         .agg(max(struct(col("f"), (-col("label")).as("nl"))).as("m"))
         .select(col("_udst").as("id"), (-col("m.nl")).as("label"))
+      RoundCapture.offer("cdlp", i, next)
       lbl = if (i % 2 == 0 && i < iterations) next.localCheckpoint(true) else next
     }
     lbl
@@ -1068,6 +1170,7 @@ object Algorithms {
       val nd = next.select(col("id"), col("ndist").as("dist"),
           (col("dist").isNull || col("ndist") < col("dist")).cast("long").as("chg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      RoundCapture.offer("sssp", it + 1, nd.drop("chg"))
       changed = nd.agg(sum("chg")).first().getLong(0) > 0
       dist = nd.drop("chg").localCheckpoint(true)
       it += 1
@@ -1087,14 +1190,32 @@ object Algorithms {
     * `maxHops` LAZY self-joins against the checkpointed parent table in
     * ONE plan — no driver loop, no per-round parent state in the
     * relaxation. Returns (pos, id, dist) rows, pos = hops from TARGET
-    * (pos 0 = target … last = source), dist rounded to 4. Unreachable
-    * target → empty. */
+    * (pos 0 = target … last = source), dist rounded to 4.
+    *
+    * COMPLETENESS CONTRACT: the result is either a CERTIFIED full path —
+    * its last row is the source at dist 0 — or EMPTY. A shortest path
+    * longer than `maxHops` edges, an unreachable target, or an
+    * unconverged relaxation all return empty rather than a silent prefix
+    * (the walk's terminal row is checked in-plan against the source).
+    * Non-positive weights are dropped like [[pageRankWeighted]]: a
+    * zero-weight 2-cycle makes the parent relation cyclic and the walk
+    * would emit bogus alternating rows up to maxHops.
+    *
+    * The distance solve routes through the [[LocalKernels]] gate like
+    * every sibling: the kernel relaxes with the same synchronous
+    * min(dist(u)+w) double additions, so the exact-FP parent equality
+    * holds identically on either path. */
   def ssspPath(edges: DataFrame, source: Long, target: Long,
                maxHops: Int = 16): DataFrame = {
     require(maxHops > 0 && maxHops <= 64, s"maxHops in (0,64], got $maxHops")
-    val e = edges.select(col("src"), col("dst"),
-      coalesce(col("weight"), lit(1.0)).as("weight")).localCheckpoint(true)
-    val dist = ssspDistributed(e, source, maxHops * 2) // already a leaf
+    val pruned = edges.select(col("src"), col("dst"),
+        coalesce(col("weight"), lit(1.0)).as("weight"))
+      .filter(col("weight") > 0)
+    val (eg, small) = LocalKernels.gate(pruned)
+    val e = eg.localCheckpoint(true) // consumed by the solve AND the parent join
+    val dist = (if (small) LocalKernels.sssp(e, source, maxHops * 2)
+                else ssspDistributed(e, source, maxHops * 2))
+      .localCheckpoint(true) // consumed by the parent join and every walk hop
     val parent = e
       .join(dist.select(col("id").as("src"), col("dist").as("__du")), Seq("src"))
       .join(dist.select(col("id").as("dst"), col("dist").as("__dv")), Seq("dst"))
@@ -1112,7 +1233,13 @@ object Algorithms {
         .select(lit(i).as("pos"), col("id"), col("dist"))
       steps += cur
     }
-    steps.reduce(_ unionAll _)
+    // completeness certificate: keep the rows only if the walk actually
+    // reached the source (dist 0) — a 1-row broadcast flag, so a partial
+    // path can never masquerade as a complete one
+    val path = steps.reduce(_ unionAll _).localCheckpoint(true)
+    val ok = path.agg(coalesce(max(when(
+      col("id") === source && col("dist") === 0.0, 1)), lit(0)).as("__ok"))
+    path.crossJoin(broadcast(ok)).filter(col("__ok") === 1)
       .select(col("pos"), col("id"),
         graft.functions.CypherFunctions.roundC(col("dist"), 4).as("dist"))
       .orderBy(col("pos"))

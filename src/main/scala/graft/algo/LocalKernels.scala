@@ -185,32 +185,43 @@ object LocalKernels {
   private def oneRow(spark: SparkSession): Dataset[java.lang.Long] =
     spark.range(0, 1, 1, 1).as(org.apache.spark.sql.Encoders.LONG)
 
-  // Pin registry for cache hits: the hit-path plan captures a small TOKEN,
-  // not the arrays (capturing the arrays would serialize up to the full
-  // row budget into every task binary). The pin holds a strong reference
-  // so LRU eviction between plan construction and execution cannot
-  // invalidate a hit; pins age out FIFO after 64 newer pins. A hit-path
-  // DataFrame can legally be executed LATE (built, then run after many
-  // other kernel calls) or MORE THAN ONCE (show() then count(), a stage
-  // retry), so an aged-out pin is not an error: pinGet re-resolves the
-  // arrays through the resident store by cache key and only fails if the
-  // resident entry was ALSO evicted in the interim (budget-bounded LRU —
-  // at that point the arrays are genuinely gone from the JVM). Hits only
-  // happen in local mode (gated below), where driver and task share the JVM.
-  private[this] val pinned = new java.util.LinkedHashMap[java.lang.Long, AnyRef](32, 0.75f, false) {
-    override def removeEldestEntry(e: java.util.Map.Entry[java.lang.Long, AnyRef]): Boolean =
-      size() > 64
-  }
+  // Pin registry for cache hits: the hit-path plan captures a small
+  // HANDLE (a serializable long wrapper), not the arrays (capturing the
+  // arrays would serialize up to the full row budget into every task
+  // binary). The registry maps token → (WeakReference(handle), arrays):
+  // the plan's closure strongly references the handle, so the pinned
+  // arrays stay resolvable for EXACTLY the lifetime of the returned
+  // DataFrame — a hit-path plan executed arbitrarily late, or more than
+  // once (show() then count(), a stage retry), can never lose its arrays
+  // to eviction; once the DataFrame is GC'd the weak ref clears and the
+  // entry is purged on the next pin() (r13's fixed 64-pin FIFO could age
+  // a live plan's pin out and turn a cache eviction into a query error —
+  // the hit-path plan's only leaf is a 1-row range, so there is no
+  // recompute fallback). Pinned values alias the resident store's arrays,
+  // so a live pin costs one map entry, not a second copy; while pins are
+  // live the arrays can outlast the resident LRU budget — that is the
+  // point (they are reachable through user-held DataFrames regardless).
+  // Hits only happen in local mode (gated below), where driver and task
+  // share the JVM.
+  private final class PinHandle(val token: Long) extends Serializable
+  private final case class PinEntry(
+    handle: java.lang.ref.WeakReference[PinHandle], rows: AnyRef)
+  private[this] val pinned = new java.util.HashMap[java.lang.Long, PinEntry]()
   private[this] val pinSeq = new java.util.concurrent.atomic.AtomicLong()
-  private def pin(v: AnyRef): Long =
-    pinned.synchronized { val t = pinSeq.incrementAndGet(); pinned.put(t, v); t }
+  private def pin(v: AnyRef): PinHandle = pinned.synchronized {
+    val it = pinned.values().iterator()
+    while (it.hasNext) if (it.next().handle.get() == null) it.remove()
+    val h = new PinHandle(pinSeq.incrementAndGet())
+    pinned.put(h.token, PinEntry(new java.lang.ref.WeakReference(h), v))
+    h
+  }
   private def pinGet(t: Long, key: String): AnyRef = {
-    val v = pinned.synchronized(pinned.get(t))
+    val v = pinned.synchronized(Option(pinned.get(t)).map(_.rows).orNull)
     if (v != null) v
-    else residentLookup(key) match {
+    else residentLookup(key) match { // GC-race belt-and-braces
       case null => throw new IllegalStateException(
-        s"resident-cache pin $t aged out and entry $key was evicted " +
-          "before the kernel task ran")
+        s"resident-cache pin $t was garbage-collected and entry $key " +
+          "was evicted before the kernel task ran")
       case rows => rows
     }
   }
@@ -250,9 +261,9 @@ object LocalKernels {
                         (implicit enc: Encoder[T]): Dataset[T] =
     hitPair(src.sparkSession, key) match {
       case Some(g) =>
-        val tok = pin(g); val k = key.get
+        val h = pin(g); val k = key.get
         oneRow(src.sparkSession).mapPartitions { _ =>
-          val (as, bs) = pinGet(tok, k).asInstanceOf[(Array[Long], Array[Long])]
+          val (as, bs) = pinGet(h.token, k).asInstanceOf[(Array[Long], Array[Long])]
           body(Iterator.range(0, as.length).map(i => (as(i), bs(i))))
         }
       case None => src.repartition(1).mapPartitions { it =>
@@ -274,9 +285,9 @@ object LocalKernels {
                         (implicit enc: Encoder[T]): Dataset[T] =
     hitTriple(src.sparkSession, key) match {
       case Some(g @ (_, _, _: Array[Double])) =>
-        val tok = pin(g); val k = key.get
+        val h = pin(g); val k = key.get
         oneRow(src.sparkSession).mapPartitions { _ =>
-          val (as, bs, ws) = pinGet(tok, k)
+          val (as, bs, ws) = pinGet(h.token, k)
             .asInstanceOf[(Array[Long], Array[Long], Array[Double])]
           body(Iterator.range(0, as.length).map(i => (as(i), bs(i), ws(i))))
         }
@@ -979,13 +990,13 @@ object LocalKernels {
     val eProj = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
     val key = cacheKey(eProj.toDF())
     hitPair(spark, key).foreach { g =>
-      // resident edge stream (held by a pin token): only the (tiny,
+      // resident edge stream (held by a pin handle): only the (tiny,
       // gated) start set rides a job
-      val tok = pin(g); val k = key.get
+      val h = pin(g); val k = key.get
       return starts.select(col(startCol).cast("long")).distinct().as[Long]
         .repartition(1)
         .mapPartitions { sit =>
-          val (as, bs) = pinGet(tok, k).asInstanceOf[(Array[Long], Array[Long])]
+          val (as, bs) = pinGet(h.token, k).asInstanceOf[(Array[Long], Array[Long])]
           val ss = new Longs(16); sit.foreach(ss += _)
           vleBody(as, bs, ss, minHops, maxHops)
         }.toDF("start", "node", "hops")
@@ -1118,12 +1129,12 @@ object LocalKernels {
     }
     hitTriple(spark, key).foreach {
       case g @ (_, _, _: Array[Long]) =>
-        // resident edge stream (held by a pin token)
-        val tok = pin(g); val k = key.get
+        // resident edge stream (held by a pin handle)
+        val h = pin(g); val k = key.get
         return tagged
           .repartition(1)
           .mapPartitions { sit =>
-            val (as, bs, es) = pinGet(tok, k)
+            val (as, bs, es) = pinGet(h.token, k)
               .asInstanceOf[(Array[Long], Array[Long], Array[Long])]
             val ss = new Longs(16)
             val ts = if (targets.isDefined) new Longs(16) else null

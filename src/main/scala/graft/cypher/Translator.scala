@@ -550,8 +550,10 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
       case "algo.trianglecount" => Algorithms.triangleCount(und)
       case "algo.graphstats" => Algorithms.graphStats(und)
       case "algo.louvain" | "algo.louvainmoves" =>
-        Algorithms.louvainMoves(und,
-          confNum(Seq("rounds", "maxIterations"), numArg(0, 2)).toInt)
+        val rounds = confNum(Seq("rounds", "maxIterations"), numArg(0, 2)).toInt
+        val levels = confNum(Seq("levels"), numArg(1, 1)).toInt
+        if (levels <= 1) Algorithms.louvainMoves(und, rounds)
+        else Algorithms.louvain(und, rounds, levels)
       case "algo.modularity" =>
         // community column from a prior algo run is out of CALL scope here;
         // the assignment is the deterministic k-way id hash (k = arg 0)

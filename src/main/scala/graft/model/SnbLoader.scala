@@ -124,8 +124,13 @@ object SnbLoader {
                             from: String, to: String,
                             org: String, yearLt: Long)
 
+  // Keyed on the dataset dir ALONE: the derived params depend only on the
+  // (immutable) data under `dir`, and a session-identity component would
+  // both accumulate entries for stopped sessions and, on an identity-hash
+  // collision between a GC'd and a new session, serve memoized params
+  // without recomputation anyway — same behavior, no leak.
   private val icMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), IcParams]()
+    new java.util.concurrent.ConcurrentHashMap[String, IcParams]()
 
   /** IC3's (nation pair, date window) and IC11's (organisation, workFrom
     * bound), derived from the curated anchor's ACTUAL 1..2-hop neighborhood
@@ -143,9 +148,9 @@ object SnbLoader {
     * (`LdbcQueries.Pre` fr2/fpost/ic3nat/ic3yr/fwork/ic11org/ic11wf CTEs
     * — keep in sync; same percentileDisc OFFSET formulation as `anchor`).
     * Reference parameter-curation character: `benches/ldbc_common/
-    * mod.rs:460-628`. Tiny aggregate jobs, memoized per (session, dataset). */
+    * mod.rs:460-628`. Tiny aggregate jobs, memoized per dataset dir. */
   def icParams(spark: SparkSession, dir: String): IcParams =
-    icMemo.computeIfAbsent((System.identityHashCode(spark), dir), _ => {
+    icMemo.computeIfAbsent(dir, _ => {
       val (pid, _, _) = anchors(spark, dir)
       val g = snb(spark, dir)
       val k = g.edges.filter(col("relationship") === "KNOWS")

@@ -22,7 +22,12 @@ import org.apache.spark.sql.functions._
   *
   * `cellWidth` tunes the classic grid trade-off: small cells → more
   * exploded rows; large cells → more false-positive candidates per cell.
-  * Size it near the median interval length. Closed-interval semantics
+  * Size it near the median interval length — or omit it: the default
+  * derives max(1, p50 length) from ONE tiny column-pruned aggregate over
+  * both sides' lengths (a bounded scalar of the seed-selection class),
+  * so the operator is safe-by-default at unknown scale. The OUTPUT is
+  * cellWidth-independent (the grid only shapes candidate generation) —
+  * auto vs hand-tuned changes cost, never rows. Closed-interval semantics
   * (touching endpoints overlap), matching the SQL predicate. */
 object IntervalJoin {
 
@@ -30,6 +35,28 @@ object IntervalJoin {
     * (idCol, startCol, endCol); starts/ends cast to long. Output columns:
     * (a_id, a_s, a_e, b_id, b_s, b_e). Rows with s > e are dropped
     * (empty intervals), matching the SQL predicate's vacuous-false. */
+  def overlap(left: DataFrame, right: DataFrame,
+              leftCols: (String, String, String),
+              rightCols: (String, String, String)): DataFrame =
+    overlap(left, right, leftCols, rightCols,
+      autoCellWidth(left, right, leftCols, rightCols))
+
+  /** Default grid cell: the p50 interval length across BOTH inputs
+    * (approx-percentile, one aggregate job over two pruned columns per
+    * side). Median-length intervals then explode into ≤ 2 cells while
+    * cells stay too narrow to flood with false-positive candidates. */
+  private[graft] def autoCellWidth(left: DataFrame, right: DataFrame,
+                                   leftCols: (String, String, String),
+                                   rightCols: (String, String, String)): Long = {
+    def lens(df: DataFrame, cols: (String, String, String)) =
+      df.select((col(cols._3).cast("long") - col(cols._2).cast("long")).as("__len"))
+        .filter(col("__len") >= 0)
+    val p50 = lens(left, leftCols).unionAll(lens(right, rightCols))
+      .agg(percentile_approx(col("__len"), lit(0.5), lit(1000)))
+      .first()
+    math.max(1L, if (p50.isNullAt(0)) 1L else p50.getLong(0))
+  }
+
   def overlap(left: DataFrame, right: DataFrame,
               leftCols: (String, String, String),
               rightCols: (String, String, String),

@@ -305,6 +305,11 @@ object CypherQueries {
       """CALL algo.louvain(2, 'PLACED') YIELD id, community
         |RETURN id, community ORDER BY id""".stripMargin) _),
 
+    // CALL twin of q_louvain_levels: second numeric arg = levels
+    "q_cypher_call_louvain_levels" -> (run(
+      """CALL algo.louvain(2, 2, 'PLACED') YIELD id, community
+        |RETURN id, community ORDER BY id""".stripMargin) _),
+
     // CALL twin of q_closeness_centrality — must agree with the Scala API
     "q_cypher_call_closeness" -> (run(
       """CALL algo.closenessCentrality([1, 2, 3], 3, 'PLACED,CONTAINS,HAS_PART,SUPPLIED_BY')
@@ -756,6 +761,10 @@ object CypherQueries {
       "WITH pe0 AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a, CAST(o_orderkey + 10000000 AS BIGINT) AS b FROM orders)" +
         ", e AS (SELECT a AS src, b AS dst FROM pe0 UNION ALL SELECT b, a FROM pe0)" +
         ", ecnt AS (SELECT count(*) AS n FROM pe0)", 2),
+    "q_cypher_call_louvain_levels" -> GraphQueries.louvainLevelsOracleOver(
+      "WITH pe0 AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a, CAST(o_orderkey + 10000000 AS BIGINT) AS b FROM orders)" +
+        ", e AS (SELECT a AS src, b AS dst FROM pe0 UNION ALL SELECT b, a FROM pe0)" +
+        ", ecnt AS (SELECT count(*) AS n FROM pe0)", "pe0", 2),
     "q_cypher_call_harmonic" -> GraphQueries.oracles("q_harmonic_centrality"),
     "q_cypher_call_closeness" -> GraphQueries.oracles("q_closeness_centrality"),
     "q_cypher_call_betweenness" -> GraphQueries.oracles("q_betweenness"),

@@ -398,6 +398,13 @@ object GraphQueries {
     "q_louvain_moves" -> ((s, d) =>
       Algorithms.louvainMoves(copurchaseShared(s, d), 2).orderBy(col("id"))),
 
+    // MULTI-LEVEL Louvain: local moves, community contraction (parallel
+    // edges summed, intra edges to self-loops), weighted moves on the
+    // contracted graph, map-back — deterministic end to end; the oracle
+    // unrolls both levels
+    "q_louvain_levels" -> ((s, d) =>
+      Algorithms.louvain(copurchaseShared(s, d), 2, 2).orderBy(col("id"))),
+
     // beyond-parity: personalized PageRank from the two smallest product
     // ids of the co-purchase graph — teleport + dangling mass return to
     // the seeds; oracled by 6 unrolled CTE iterations (like q_pagerank).
@@ -1126,31 +1133,87 @@ object GraphQueries {
       ", e AS (SELECT a AS src, b AS dst FROM pe UNION ALL SELECT b, a FROM pe)" +
       ", ecnt AS (SELECT count(*) AS n FROM pe)", rounds)
 
+  /** One level's local-move rounds as CTEs appended to `sb`: produces
+    * `${p}c1..${p}c$rounds` from `${p}c0` over symmetrized edges
+    * `$e(src, dst[, w])`, degrees `$deg(id, d)` and the shared scalar
+    * CTE m2; `kExpr` is the neighbor-community mass aggregate
+    * (count for the unweighted level 1, weight sum for contracted
+    * levels). Mirrors [[graft.algo.Algorithms.louvainMoves]] /
+    * [[graft.algo.Algorithms.louvainMovesWeighted]] term for term (the
+    * score `k - d * dcx / m2` keeps the same operator shape so the
+    * doubles match exactly; argmax = row_number over (score DESC, cc)).
+    * Round CTEs are MATERIALIZED: each round references the previous
+    * round 3-4 times, so DuckDB's default inlining re-expands the whole
+    * prior-round tree per reference — exponential in rounds×levels (the
+    * two-level unroll exhausted 20k file handles re-opening the base
+    * parquet). Materialization evaluates each round once, like the
+    * engine's per-round localCheckpoint. */
+  private def louvainRoundCtes(sb: StringBuilder, rounds: Int, p: String,
+                               e: String, deg: String, kExpr: String): Unit =
+    for (r <- 1 to rounds) {
+      sb.append(s", ${p}dc$r AS MATERIALIZED (SELECT community AS cc, sum(d) AS dc FROM ${p}c${r - 1} JOIN $deg USING (id) GROUP BY 1)")
+      sb.append(s", ${p}k$r AS (SELECT $e.src AS id, c.community AS cc, $kExpr AS k" +
+        s" FROM $e JOIN ${p}c${r - 1} c ON c.id = $e.dst GROUP BY 1, 2)")
+      sb.append(s", ${p}cand$r AS (SELECT id, cc, max(k) AS k FROM (SELECT id, cc, k FROM ${p}k$r" +
+        s" UNION ALL SELECT id, community AS cc, 0.0 FROM ${p}c${r - 1}) GROUP BY 1, 2)")
+      sb.append(s", ${p}sc$r AS (SELECT t.id, t.cc, t.k - $deg.d *" +
+        s" (CASE WHEN t.cc = cur.community THEN dc.dc - $deg.d ELSE dc.dc END) / (SELECT m2 FROM m2) AS score" +
+        s" FROM ${p}cand$r t JOIN ${p}c${r - 1} cur ON cur.id = t.id JOIN $deg ON $deg.id = t.id JOIN ${p}dc$r dc ON dc.cc = t.cc)")
+      sb.append(s", ${p}c$r AS MATERIALIZED (SELECT b.id, CASE WHEN (b.id + $r) % 2 = 0 THEN b.cc ELSE cur.community END AS community" +
+        s" FROM (SELECT id, cc FROM (SELECT id, cc," +
+        s" row_number() OVER (PARTITION BY id ORDER BY score DESC, cc) AS rn FROM ${p}sc$r) WHERE rn = 1) b" +
+        s" JOIN ${p}c${r - 1} cur ON cur.id = b.id)")
+    }
+
   /** [[louvainOracle]] over any prefix providing `e` (symmetrized edges)
     * and `ecnt(n)` (canonical edge count). */
   private[queries] def louvainOracleOver(prefix: String, rounds: Int): String = {
     val sb = new StringBuilder(prefix)
     sb.append(", v AS (SELECT DISTINCT src AS id FROM e)")
-    sb.append(", deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY 1)")
+    sb.append(", deg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM e GROUP BY 1)")
     sb.append(", m2 AS (SELECT CAST(n * 2 AS DOUBLE) AS m2 FROM ecnt)")
     sb.append(", c0 AS (SELECT id, id AS community FROM v)")
-    for (r <- 1 to rounds) {
-      sb.append(s", dc$r AS (SELECT community AS cc, sum(d) AS dc FROM c${r - 1} JOIN deg USING (id) GROUP BY 1)")
-      sb.append(s", k$r AS (SELECT e.src AS id, c.community AS cc, CAST(count(*) AS DOUBLE) AS k" +
-        s" FROM e JOIN c${r - 1} c ON c.id = e.dst GROUP BY 1, 2)")
-      sb.append(s", cand$r AS (SELECT id, cc, max(k) AS k FROM (SELECT id, cc, k FROM k$r" +
-        s" UNION ALL SELECT id, community AS cc, 0.0 FROM c${r - 1}) GROUP BY 1, 2)")
-      sb.append(s", sc$r AS (SELECT t.id, t.cc, t.k - deg.d *" +
-        s" (CASE WHEN t.cc = cur.community THEN dc.dc - deg.d ELSE dc.dc END) / (SELECT m2 FROM m2) AS score" +
-        s" FROM cand$r t JOIN c${r - 1} cur ON cur.id = t.id JOIN deg ON deg.id = t.id JOIN dc$r dc ON dc.cc = t.cc)")
-      sb.append(s", c$r AS (SELECT b.id, CASE WHEN (b.id + $r) % 2 = 0 THEN b.cc ELSE cur.community END AS community" +
-        s" FROM (SELECT id, cc FROM (SELECT id, cc," +
-        s" row_number() OVER (PARTITION BY id ORDER BY score DESC, cc) AS rn FROM sc$r) WHERE rn = 1) b" +
-        s" JOIN c${r - 1} cur ON cur.id = b.id)")
-    }
+    louvainRoundCtes(sb, rounds, "", "e", "deg", "CAST(count(*) AS DOUBLE)")
     sb.append(s" SELECT CAST(id AS BIGINT) AS id, CAST(community AS BIGINT) AS community FROM c$rounds ORDER BY id")
     sb.toString
   }
+
+  /** TWO-LEVEL Louvain over any prefix providing `$pe` (canonical a, b
+    * pairs), `e` (its symmetrization) and `ecnt(n)` — mirrors
+    * [[graft.algo.Algorithms.louvain]](·, rounds, 2): level-1 rounds,
+    * then the contraction (community-pair weighted edges, intra-community
+    * edges as self-loops whose weight counts DOUBLE toward degree),
+    * weighted rounds over the contracted graph (m2 is contraction-
+    * invariant, so the scalar CTE is shared), and the final node →
+    * top-level-community mapping join. All level-2 weights are
+    * integer-valued doubles, so sums are exact and engine/oracle doubles
+    * match bitwise. */
+  private[queries] def louvainLevelsOracleOver(prefix: String, pe: String,
+                                               rounds: Int): String = {
+    val sb = new StringBuilder(prefix)
+    sb.append(", v AS (SELECT DISTINCT src AS id FROM e)")
+    sb.append(", deg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM e GROUP BY 1)")
+    sb.append(", m2 AS (SELECT CAST(n * 2 AS DOUBLE) AS m2 FROM ecnt)")
+    sb.append(", c0 AS (SELECT id, id AS community FROM v)")
+    louvainRoundCtes(sb, rounds, "", "e", "deg", "CAST(count(*) AS DOUBLE)")
+    sb.append(s", g2 AS MATERIALIZED (SELECT least(ca.community, cb.community) AS a2," +
+      s" greatest(ca.community, cb.community) AS b2, CAST(count(*) AS DOUBLE) AS w" +
+      s" FROM $pe JOIN c$rounds ca ON ca.id = $pe.a JOIN c$rounds cb ON cb.id = $pe.b GROUP BY 1, 2)")
+    sb.append(", e2 AS MATERIALIZED (SELECT a2 AS src, b2 AS dst, w FROM g2 WHERE a2 <> b2" +
+      " UNION ALL SELECT b2, a2, w FROM g2 WHERE a2 <> b2)")
+    sb.append(", deg2 AS MATERIALIZED (SELECT id, sum(w) AS d FROM (SELECT src AS id, w FROM e2" +
+      " UNION ALL SELECT a2, 2 * w FROM g2 WHERE a2 = b2) GROUP BY 1)")
+    sb.append(", wc0 AS (SELECT id, id AS community FROM deg2)")
+    louvainRoundCtes(sb, rounds, "w", "e2", "deg2", "sum(e2.w)")
+    sb.append(s" SELECT CAST(c.id AS BIGINT) AS id, CAST(u.community AS BIGINT) AS community" +
+      s" FROM c$rounds c JOIN wc$rounds u ON u.id = c.community ORDER BY c.id")
+    sb.toString
+  }
+
+  private def louvainLevelsOracle(rounds: Int): String =
+    louvainLevelsOracleOver(CopurchaseCte +
+      ", e AS (SELECT a AS src, b AS dst FROM pe UNION ALL SELECT b, a FROM pe)" +
+      ", ecnt AS (SELECT count(*) AS n FROM pe)", "pe", rounds)
 
   private def cdlpOracle(iters: Int): String = {
     val sb = new StringBuilder(CopurchaseCte)
@@ -1351,9 +1414,10 @@ object GraphQueries {
         |, cand AS (SELECT v.id AS src, t.i AS i,
         |    ((v.id % 1000003) * 131 + t.i * 2654435761) % nv.n AS b
         |  FROM v, nv, generate_series(0, 7) t(i))
-        |, ok AS (SELECT src, c, i FROM cand JOIN bmin USING (b)
+        |, ok AS (SELECT src, c, min(i) AS i FROM cand JOIN bmin USING (b)
         |  WHERE c <> src
-        |    AND NOT EXISTS (SELECT 1 FROM sym WHERE sym.a = cand.src AND sym.b = bmin.c))
+        |    AND NOT EXISTS (SELECT 1 FROM sym WHERE sym.a = cand.src AND sym.b = bmin.c)
+        |  GROUP BY src, c)
         |SELECT CAST(src AS BIGINT) AS src, CAST(c AS BIGINT) AS neg_dst, rank FROM (
         |  SELECT src, c, row_number() OVER (PARTITION BY src ORDER BY i) AS rank FROM ok)
         |WHERE rank <= 2 ORDER BY src, rank""".stripMargin),
@@ -1400,6 +1464,7 @@ object GraphQueries {
         |FROM st WHERE kept * 2 >= orig AND kept > 0 ORDER BY x""".stripMargin),
     "q_cdlp" -> cdlpOracle(5),
     "q_louvain_moves" -> louvainOracle(2),
+    "q_louvain_levels" -> louvainLevelsOracle(2),
     "q_kcore" -> kcoreOracle(80, 4),
     "q_ktruss" -> ktrussOracle(5, 3, 400),
     "q_walk_sample" -> walkOracle(3),

@@ -899,10 +899,11 @@ object PipelineQueries {
         .select(col("event_id"),
           unix_millis(col("ts").cast("timestamp")).as("s0"))
         .withColumn("e0", col("s0") + (pmod(col("event_id"), lit(modK)) + 1) * 3600000L)
+      // cellWidth omitted: exercises the auto p50-length default (output
+      // is cellWidth-independent, so the oracle hash is unchanged)
       graft.operators.IntervalJoin.overlap(
           iv("click", 7), iv("view", 5),
-          ("event_id", "s0", "e0"), ("event_id", "s0", "e0"),
-          cellWidth = 4 * 3600000L)
+          ("event_id", "s0", "e0"), ("event_id", "s0", "e0"))
         .orderBy(col("a_id"), col("b_id"))
     }),
 

@@ -161,6 +161,10 @@ class AlgorithmsSpec extends SparkSpec {
       assert(!edges.contains((s, d)) && !edges.contains((d, s)), s"true edge ($s,$d)")
     }
     assert(out.groupBy(_._1).forall(_._2.length <= 2))
+    // no node's negatives contain the same vertex twice (two proposal
+    // indices hashing to one bucket dedup to min(i) before ranking)
+    assert(out.map(t => (t._1, t._2)).distinct.length == out.length,
+      s"duplicate (src, neg_dst) pair in $out")
     // deterministic: a second run is identical
     val out2 = Algorithms.negativeSample(e, 2, 12).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -181,6 +185,54 @@ class AlgorithmsSpec extends SparkSpec {
     assert(p3 == Seq((0, 3L, 2.0), (1, 0L, 0.0)), s"got $p3")
     // unreachable target -> empty
     assert(Algorithms.ssspPath(e.filter(col("dst") =!= 3L), 3L, 0L, 4).count() == 0)
+  }
+
+  test("ssspPath: completeness contract — truncated walks and 0-weight cycles return empty") {
+    // a 5-edge chain with maxHops 3: the walk cannot reach the source, so
+    // the certificate filter must return EMPTY, never a partial path
+    val chain = (0L to 4L).map(v => (v, v + 1, 1.0)).toDF("src", "dst", "weight")
+    assert(Algorithms.ssspPath(chain, 0L, 5L, 3).count() == 0)
+    // ...and with enough hops the same query returns the full path
+    val full = Algorithms.ssspPath(chain, 0L, 5L, 6).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(full == (0 to 5).map(p => (p, 5L - p)), s"got $full")
+    // a zero-weight 2-cycle is dropped (like pageRankWeighted): without
+    // the filter the parent relation is cyclic and the walk emits bogus
+    // alternating rows
+    val zc = Seq((0L, 1L, 1.0), (1L, 2L, 0.0), (2L, 1L, 0.0)).toDF("src", "dst", "weight")
+    assert(Algorithms.ssspPath(zc, 0L, 2L, 4).count() == 0) // 2 unreachable w/o 0-edges
+    val z1 = Algorithms.ssspPath(zc, 0L, 1L, 4).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(z1 == Seq((0, 1L), (1, 0L)), s"got $z1")
+  }
+
+  test("louvain multi-level: coarsening strictly improves modularity over one level") {
+    // graphs where TWO synchronous parity rounds leave level 1 partially
+    // consolidated; the contracted level finishes the merge — the planted
+    // cases where levels > 1 pays
+    def clique(ids: Seq[Long]) = for { x <- ids; y <- ids if x < y } yield (x, y)
+    val twoTri = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val barbell = (clique(1L to 4L) ++ clique(7L to 10L) ++
+      Seq((4L, 5L), (5L, 6L), (6L, 7L))).toDF("a", "b")
+    for ((g, name) <- Seq((twoTri, "two-triangle"), (barbell, "barbell"))) {
+      val q1 = Algorithms.modularity(g, Algorithms.louvainMoves(g, 2))
+        .head().getDouble(0)
+      val q2 = Algorithms.modularity(g, Algorithms.louvain(g, 2, 2))
+        .head().getDouble(0)
+      assert(q2 > q1, s"$name: two-level Q=$q2 not above one-level Q=$q1")
+    }
+    // levels = 1 is exactly louvainMoves, and the result is deterministic
+    val a1 = Algorithms.louvain(twoTri, 2, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m1 = Algorithms.louvainMoves(twoTri, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a1 == m1)
+    val r1 = Algorithms.louvain(barbell, 2, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r2 = Algorithms.louvain(barbell, 2, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == r2)
   }
 
   test("modularity: naive twin on two triangles + bridge, cdlp assignment and hash assignment") {

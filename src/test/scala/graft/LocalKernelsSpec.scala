@@ -200,6 +200,23 @@ class LocalKernelsSpec extends SparkSpec {
     }
   }
 
+  test("ssspPath: gated (in-task) == pinned distributed, identical rows") {
+    // the parent tree's exact-FP equality must hold on EITHER distance
+    // path: kernel and distributed relax with the same double additions
+    for (seed <- Seq(21L, 22L)) {
+      val e = weighted(seed, 12, 50)
+      val src = e.select("src").as[Long].head()
+      val tgt = e.select("dst").as[Long].orderBy(col("dst").desc).head()
+      assert(LocalKernels.isSmall(e)) // gated run takes the kernel
+      val viaKernel = sortedRows(Algorithms.ssspPath(e, src, tgt, 8))
+      spark.conf.set("spark.graft.algo.localSizeBytes", "0")
+      val viaDist =
+        try sortedRows(Algorithms.ssspPath(e, src, tgt, 8))
+        finally spark.conf.unset("spark.graft.algo.localSizeBytes")
+      assert(viaKernel === viaDist, s"seed $seed")
+    }
+  }
+
   test("mst local == distributed, exact (unique forest under (w,a,b) order)") {
     for (seed <- 11 to 13) {
       val e = weighted(seed, 30, 80)
