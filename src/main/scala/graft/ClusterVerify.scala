@@ -69,6 +69,7 @@ object ClusterVerify {
     "q_asof_join", "q_interval_join", "q_salted_join", "q_heavy_hitters",
     "q_neighbor_sample", "q_negative_sample", "q_sssp_path",
     "q_modularity", "q_graph_stats", "q_louvain_moves", "q_cypher_call_louvain",
+    "q_louvain_levels", "q_cypher_call_louvain_levels",
     "q_funnel", "q_retention", "q_stratified_sample",
     "q_weighted_sample", "q_skew_report", "q_dup_matrix", "q_pipeline_e2e",
     "q_seq_pack", "q_pack_harmonic", "q_dsir_resample",
@@ -121,7 +122,11 @@ object ClusterVerify {
     "q_interval_join", "q_salted_join", "q_modularity", "q_graph_stats",
     "q_cypher_call_stats", "q_cypher_call_modularity", "q_heavy_hitters",
     "q_sssp_path", "q_neighbor_sample", "q_negative_sample",
-    "q_louvain_moves", "q_cypher_call_louvain")
+    "q_louvain_moves", "q_cypher_call_louvain",
+    // round-14-touched: multi-level Louvain (+ CALL twin), the
+    // auto-cellWidth interval join, the gated ssspPath distance solve,
+    // and the deduped negative sampler (already listed above)
+    "q_louvain_levels", "q_cypher_call_louvain_levels")
 
   private val sqlConfs: Map[String, String] = Map(
     "spark.sql.extensions" -> "graft.GraftExtensions",

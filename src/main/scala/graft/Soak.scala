@@ -370,6 +370,12 @@ object Soak {
       "louvain_moves" -> { n => Algorithms.louvainMoves(
         spark.read.parquet(edgeCache(n, false))
           .select(col("src").as("a"), col("dst").as("b")), 2).count() },
+      // multi-level Louvain: level 1 as above, then ONE contraction
+      // (edge-set aggregate) + weighted moves over the (much smaller)
+      // super-node graph + the map-back join — work stays ∝ edges/round
+      "louvain_levels" -> { n => Algorithms.louvain(
+        spark.read.parquet(edgeCache(n, false))
+          .select(col("src").as("a"), col("dst").as("b")), 2, 2).count() },
       // modularity of the 8-way id-hash partition: one degree aggregate +
       // a double-endpoint assignment join — strictly one-pass shapes
       "modularity" -> { n =>
