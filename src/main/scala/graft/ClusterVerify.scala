@@ -70,6 +70,7 @@ object ClusterVerify {
     "q_neighbor_sample", "q_negative_sample", "q_sssp_path",
     "q_modularity", "q_graph_stats", "q_louvain_moves", "q_cypher_call_louvain",
     "q_louvain_levels", "q_cypher_call_louvain_levels",
+    "q_node2vec_walks", "q_bidir_bfs", "q_paragraph_dedup",
     "q_funnel", "q_retention", "q_stratified_sample",
     "q_weighted_sample", "q_skew_report", "q_dup_matrix", "q_pipeline_e2e",
     "q_seq_pack", "q_pack_harmonic", "q_dsir_resample",
@@ -126,7 +127,11 @@ object ClusterVerify {
     // round-14-touched: multi-level Louvain (+ CALL twin), the
     // auto-cellWidth interval join, the gated ssspPath distance solve,
     // and the deduped negative sampler (already listed above)
-    "q_louvain_levels", "q_cypher_call_louvain_levels")
+    "q_louvain_levels", "q_cypher_call_louvain_levels",
+    // round-14 new rows: biased second-order walks, meet-in-the-middle
+    // BFS, CCNet paragraph dedup (+ CALL twins)
+    "q_node2vec_walks", "q_cypher_call_node2vec",
+    "q_bidir_bfs", "q_cypher_call_bidirbfs", "q_paragraph_dedup")
 
   private val sqlConfs: Map[String, String] = Map(
     "spark.sql.extensions" -> "graft.GraftExtensions",

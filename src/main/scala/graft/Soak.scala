@@ -376,6 +376,24 @@ object Soak {
       "louvain_levels" -> { n => Algorithms.louvain(
         spark.read.parquet(edgeCache(n, false))
           .select(col("src").as("a"), col("dst").as("b")), 2, 2).count() },
+      // node2vec biased walks: candidates explode to Σ deg(cur) rows per
+      // hop (one edge-relation's worth), the common-neighbor mark is one
+      // hash join, the pick a per-walker window — work ∝ edges/hop,
+      // disjoint copies walk independently
+      "node2vec" -> { n => Algorithms.node2vecWalks(
+        spark.read.parquet(edgeCache(n, false)), 3).count() },
+      // bidirectional BFS: pairs from copy 0 to each of the first 8 copies
+      // (bridged fixture: copy k's anchor is k bridge-hops away, so the
+      // N× run has real meet-in-the-middle depth); per-round work ∝ the
+      // two frontiers' edge expansions over the WHOLE scaled graph
+      "bidir_bfs" -> { n => Algorithms.bidirectionalBfs(
+        spark.read.parquet(edgeCache(n, true)),
+        (0 until math.min(n, 8)).map(k => (minNode, minNode + k * off)),
+        8).count() },
+      // CCNet paragraph dedup: explode + min(struct) first-occurrence
+      // aggregate (bounded by DISTINCT paragraphs) + join-back + rebuild
+      "paragraph_dedup" -> { n => graft.text.TextAnalysis.paragraphDedup(
+        spark.read.parquet(docCache(n)), "doc_id", "text", 10).count() },
       // modularity of the 8-way id-hash partition: one degree aggregate +
       // a double-endpoint assignment join — strictly one-pass shapes
       "modularity" -> { n =>

@@ -1391,6 +1391,137 @@ object Algorithms {
     fr.select(col("start") +: (1 to steps).map(i => col(s"v$i")): _*)
   }
 
+  /** Deterministic node2vec-style SECOND-ORDER walks (Grover & Leskovec
+    * 2016, KDD): the transition out of `cur` is biased by where the walk
+    * came FROM — backtracking to `prev` gets weight `wBack` (1/p),
+    * neighbors of `prev` (BFS-like moves) get `wCommon`, and everything
+    * else (DFS-like moves) gets `wFar` (1/q). Weights are INTEGERS so the
+    * cumulative-sum pick is exact in both engines; the "random" draw is
+    * the same arithmetic hash of (current node, step) as
+    * [[deterministicWalks]], taken mod the total weight, and the chosen
+    * neighbor is the first (in sorted-neighbor order) whose running
+    * cumulative weight exceeds the draw. No RNG anywhere, so the DuckDB
+    * oracle re-derives every walk exactly.
+    *
+    * Scale shape: adjacency lists are ONE hash aggregate (reused every
+    * hop). Each later hop EXPLODES the current node's candidate list
+    * (Σ deg(cur) rows ≈ one edge-relation's worth, never deg² work),
+    * marks BFS-like candidates with one distributed hash join against the
+    * edge relation on (prev, candidate), and picks per walker with a
+    * window keyed by the walker — running weight sum in sorted-neighbor
+    * order, first position past the draw. An earlier formulation tested
+    * each candidate against prev's neighbor ARRAY in-task
+    * (`array_contains`), which is O(deg(cur) × deg(prev)) per walker and
+    * collapsed on co-purchase hubs; the join form is linear in candidate
+    * count and lets Catalyst pick the join strategy. Walk state never
+    * materializes paths. Step 1 has no `prev`, so it is the first-order
+    * pick. Returns (start, v1..vSteps). */
+  def node2vecWalks(edges: DataFrame, steps: Int,
+                    wBack: Int = 1, wCommon: Int = 4, wFar: Int = 2): DataFrame = {
+    require(steps >= 1 && steps <= 16, s"steps in [1,16], got $steps")
+    require(wBack > 0 && wCommon > 0 && wFar > 0, "weights must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val sym = edges.select(col("src").as("_ws"), col("dst").as("_wd"))
+      .unionAll(edges.select(col("dst").as("_ws"), col("src").as("_wd")))
+      .filter(col("_ws") =!= col("_wd"))
+      .distinct()
+      .localCheckpoint(true) // reused as the adjacency test every hop
+    val adj = sym.groupBy(col("_ws"))
+      .agg(sort_array(collect_list(col("_wd"))).as("_nbrs"),
+        count(lit(1)).as("_deg"))
+      .localCheckpoint(true)
+    def draw(i: Int): org.apache.spark.sql.Column =
+      (col("_v") % 100000L) * 2654435761L + lit(i.toLong * 40503L)
+    // step 1: first-order (uniform over sorted neighbors) — no prev yet
+    var fr = adj.select(col("_ws").as("start"), col("_ws").as("_v"),
+        col("_nbrs"), col("_deg"))
+      .withColumn("v1",
+        element_at(col("_nbrs"), (pmod(draw(1), col("_deg")) + 1).cast("int")))
+      .select(col("start"), col("_v").as("_prev"), col("v1").as("_v"), col("v1"))
+    val ordered = Window.partitionBy(col("start")).orderBy(col("_pos"))
+    val whole = Window.partitionBy(col("start"))
+    for (i <- 2 to steps) {
+      val cand = fr.join(adj, fr("_v") === adj("_ws"))
+        .select((col("start") +: col("_prev") +: col("_v") +:
+          (1 until i).map(j => col(s"v$j"))) :+
+          posexplode(col("_nbrs")): _*)
+        .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "_n")
+      fr = cand
+        .join(sym.select(col("_ws").as("_pa"), col("_wd").as("_pb")),
+          cand("_prev") === col("_pa") && cand("_n") === col("_pb"), "left")
+        .withColumn("_wt", when(col("_n") === col("_prev"), lit(wBack.toLong))
+          .when(col("_pb").isNotNull, lit(wCommon.toLong))
+          .otherwise(lit(wFar.toLong)))
+        .withColumn("_cum", sum(col("_wt")).over(ordered))
+        .withColumn("_r", pmod(draw(i), sum(col("_wt")).over(whole)))
+        .filter(col("_cum") > col("_r"))
+        .withColumn("_rn", row_number().over(ordered))
+        .filter(col("_rn") === 1)
+        .select((col("start") +: col("_v").as("_prev") +:
+          col("_n").as("_v") +: col("_n").as(s"v$i") +:
+          (1 until i).map(j => col(s"v$j"))): _*)
+    }
+    fr.select(col("start") +: (1 to steps).map(i => col(s"v$i")): _*)
+  }
+
+  /** Bidirectional BFS shortest-path distance for a batch of (src, dst)
+    * pairs: both endpoints expand level-synchronized frontiers keyed by
+    * pair id, and the answer is min(dist_s + dist_t) over the nodes both
+    * sides have visited. Each side runs ceil(maxDepth/2) rounds, so any
+    * path of length ≤ maxDepth is found while each frontier only grows to
+    * HALF the search depth — the classic win over one-sided BFS, where
+    * frontier size at depth d is ~b^d but two meet-in-the-middle frontiers
+    * cost ~2·b^(d/2). All pairs advance in the SAME per-round job (state
+    * is (pair, side, node, dist) rows), so the round count is bounded by
+    * the deepest pair, not the pair count. Returns (src, dst, dist) with
+    * one row per pair that connects within maxDepth. */
+  def bidirectionalBfs(edges: DataFrame, pairs: Seq[(Long, Long)],
+                       maxDepth: Int): DataFrame = {
+    require(pairs.nonEmpty && maxDepth >= 1, "pairs nonempty, maxDepth >= 1")
+    val ss = edges.sparkSession
+    val sym = edges.select(col("src").cast("long").as("_es"), col("dst").cast("long").as("_ed"))
+      .unionAll(edges.select(col("dst").cast("long").as("_es"), col("src").cast("long").as("_ed")))
+      .filter(col("_es") =!= col("_ed")).distinct().localCheckpoint(true)
+    import ss.implicits._
+    val seed = pairs.distinct.zipWithIndex
+      .flatMap { case ((s, t), p) => Seq((p, 0, s, 0), (p, 1, t, 0)) }
+      .toDF("pid", "side", "id", "dist")
+    var frontier = seed.localCheckpoint(true)
+    var visited = frontier
+    val rounds = (maxDepth + 1) / 2
+    var r = 0
+    var more = true
+    while (more && r < rounds) {
+      val next = frontier.join(sym, col("id") === col("_es"))
+        .select(col("pid"), col("side"), col("_ed").as("id"),
+          (col("dist") + 1).as("dist"))
+        .groupBy(col("pid"), col("side"), col("id"))
+        .agg(min(col("dist")).as("dist"))
+        .join(visited.select(col("pid").as("vp"), col("side").as("vs"),
+          col("id").as("vi")),
+          col("pid") === col("vp") && col("side") === col("vs") &&
+            col("id") === col("vi"), "left_anti")
+        .localCheckpoint(true)
+      more = next.limit(1).count() > 0
+      r += 1
+      if (more) {
+        visited = visited.unionAll(next).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    val s = visited.filter(col("side") === 0)
+      .select(col("pid"), col("id"), col("dist").as("ds"))
+    val t = visited.filter(col("side") === 1)
+      .select(col("pid").as("tp"), col("id").as("ti"), col("dist").as("dt"))
+    val met = s.join(t, col("pid") === col("tp") && col("id") === col("ti"))
+      .groupBy(col("pid")).agg(min(col("ds") + col("dt")).as("dist"))
+      .filter(col("dist") <= maxDepth)
+    val pairDf = pairs.distinct.zipWithIndex
+      .map { case ((a, b), p) => (p, a, b) }.toDF("pid", "src", "dst")
+    pairDf.join(met, "pid")
+      .select(col("src"), col("dst"), col("dist").cast("long").as("dist"))
+  }
+
   /** SCC (reference `community.rs` Tarjan) — component = min node id in the
     * SCC. Small inputs route to the in-task iterative Tarjan
     * ([[LocalKernels.scc]], exact, one pass); large inputs run GraphX's

@@ -554,6 +554,14 @@ final class Translator(g: PropertyGraph, params: Map[String, Any] = Map.empty,
         val levels = confNum(Seq("levels"), numArg(1, 1)).toInt
         if (levels <= 1) Algorithms.louvainMoves(und, rounds)
         else Algorithms.louvain(und, rounds, levels)
+      case "algo.node2vec" =>
+        Algorithms.node2vecWalks(
+          und.select(col("a").as("src"), col("b").as("dst")),
+          confNum(Seq("steps"), numArg(0, 3)).toInt)
+      case "algo.bidirbfs" | "algo.bidirectionalbfs" =>
+        Algorithms.bidirectionalBfs(typedEdges,
+          Seq((longArg(0), longArg(1))),
+          confNum(Seq("maxDepth"), numArg(2, 6)).toInt)
       case "algo.modularity" =>
         // community column from a prior algo run is out of CALL scope here;
         // the assignment is the deterministic k-way id hash (k = arg 0)

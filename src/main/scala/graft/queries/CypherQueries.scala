@@ -310,6 +310,20 @@ object CypherQueries {
       """CALL algo.louvain(2, 2, 'PLACED') YIELD id, community
         |RETURN id, community ORDER BY id""".stripMargin) _),
 
+    // CALL twin of q_node2vec_walks over the PLACED projection — must
+    // agree with the Scala API's biased second-order picks exactly
+    "q_cypher_call_node2vec" -> (run(
+      """CALL algo.node2vec(3, 'PLACED') YIELD start, v1, v2, v3
+        |RETURN start, v1, v2, v3 ORDER BY start""".stripMargin) _),
+
+    // CALL twin of q_bidir_bfs: one (src, dst) pair over the full 4-type
+    // graph; customers connect only through order→lineitem→part/supplier
+    // chains, so d(c1, c2) = 6 exactly when they share a part or supplier
+    "q_cypher_call_bidirbfs" -> (run(
+      """CALL algo.bidirBfs(1, 2, 6, 'PLACED,CONTAINS,HAS_PART,SUPPLIED_BY')
+        |YIELD src, dst, dist
+        |RETURN src, dst, dist ORDER BY src""".stripMargin) _),
+
     // CALL twin of q_closeness_centrality — must agree with the Scala API
     "q_cypher_call_closeness" -> (run(
       """CALL algo.closenessCentrality([1, 2, 3], 3, 'PLACED,CONTAINS,HAS_PART,SUPPLIED_BY')
@@ -765,6 +779,17 @@ object CypherQueries {
       "WITH pe0 AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a, CAST(o_orderkey + 10000000 AS BIGINT) AS b FROM orders)" +
         ", e AS (SELECT a AS src, b AS dst FROM pe0 UNION ALL SELECT b, a FROM pe0)" +
         ", ecnt AS (SELECT count(*) AS n FROM pe0)", "pe0", 2),
+    "q_cypher_call_node2vec" -> GraphQueries.node2vecOracleOver(
+      "WITH pe AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS a, CAST(o_orderkey + 10000000 AS BIGINT) AS b FROM orders)", 3),
+    "q_cypher_call_bidirbfs" ->
+      // layered graph: customer—order—lineitem—{part, supplier}; an order
+      // has ONE customer and a lineitem ONE order, so the shortest
+      // customer↔customer path is exactly 6 via any shared part/supplier
+      """WITH l1 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_custkey = 1),
+        |l2 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_custkey = 2)
+        |SELECT CAST(1 AS BIGINT) AS src, CAST(2 AS BIGINT) AS dst, CAST(6 AS BIGINT) AS dist
+        |WHERE EXISTS (SELECT 1 FROM l1 JOIN l2 ON l1.p = l2.p)
+        |   OR EXISTS (SELECT 1 FROM l1 JOIN l2 ON l1.s = l2.s)""".stripMargin,
     "q_cypher_call_harmonic" -> GraphQueries.oracles("q_harmonic_centrality"),
     "q_cypher_call_closeness" -> GraphQueries.oracles("q_closeness_centrality"),
     "q_cypher_call_betweenness" -> GraphQueries.oracles("q_betweenness"),

@@ -817,6 +817,32 @@ object GraphQueries {
           col("b").cast("long").as("dst")), 3)
         .orderBy(col("start"))),
 
+    // beyond-parity: node2vec SECOND-ORDER walks (Grover & Leskovec 2016) —
+    // the transition is biased by the PREVIOUS node (return weight 1,
+    // BFS-like common-neighbor weight 4, DFS-like far weight 2, i.e.
+    // p = 4, q = 2 scaled to integers); the draw is the same arithmetic
+    // hash as q_walk_sample taken mod the total weight, so the oracle
+    // re-derives every biased pick exactly (cumulative-sum selection over
+    // the sorted neighbor list)
+    "q_node2vec_walks" -> ((s, d) =>
+      Algorithms.node2vecWalks(
+        copurchaseShared(s, d).select(col("a").cast("long").as("src"),
+          col("b").cast("long").as("dst")), 3)
+        .orderBy(col("start"))),
+
+    // beyond-parity: bidirectional BFS — batch (src, dst) distance queries
+    // where BOTH endpoints expand level-synchronized frontiers and meet in
+    // the middle (each side runs ceil(maxDepth/2) rounds, so frontiers grow
+    // to ~b^(d/2) instead of b^d); all pairs ride the same per-round job.
+    // Runs on the co-purchase subgraph under 400 (q_betweenness' fixture)
+    "q_bidir_bfs" -> ((s, d) =>
+      Algorithms.bidirectionalBfs(
+        copurchaseShared(s, d).filter(col("a") < 400 && col("b") < 400)
+          .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst")),
+        Seq((1L, 399L), (2L, 300L), (5L, 377L), (7L, 350L), (11L, 200L), (13L, 250L)),
+        6)
+        .orderBy(col("src"), col("dst"))),
+
     // §1.5 SPARQL DESCRIBE — the fourth query form (reference
     // REQ-SPARQL-003; its executor is a stub): subject-based description
     // of every ?n bound by the WHERE body, plus one constant-IRI target
@@ -1116,6 +1142,44 @@ object GraphQueries {
       sb.append(s", w$i AS (SELECT $cols, " +
         s"CAST(nbrs[CAST((($prev % 100000) * 2654435761 + ${i * 40503}) % deg AS INTEGER) + 1] AS BIGINT) AS v$i " +
         s"FROM w${i - 1} JOIN adj ON $prev = src)")
+    }
+    sb.append(s" SELECT start, " + (1 to steps).map(i => s"v$i").mkString(", ") +
+      s" FROM w$steps ORDER BY start")
+    sb.toString
+  }
+
+  /** node2vec second-order walk oracle — mirrors
+    * [[graft.algo.Algorithms.node2vecWalks]] term for term: step 1 is the
+    * first-order hash pick; each later step unnests the current node's
+    * sorted neighbor list with positions, weights each candidate (1 back
+    * to prev / 4 common neighbor of prev / 2 far) via a LEFT JOIN
+    * adjacency test, and picks the first position whose running cumulative
+    * weight exceeds the hash draw mod the total weight. */
+  private def node2vecOracle(steps: Int): String =
+    node2vecOracleOver(CopurchaseCte, steps)
+
+  /** Same, over any base CTE list ending with `pe(a, b)` undirected edge
+    * pairs (used by the CALL twin over the PLACED projection). */
+  private[queries] def node2vecOracleOver(base: String, steps: Int): String = {
+    val sb = new StringBuilder(base)
+    sb.append(", sym AS (SELECT a, b FROM pe UNION SELECT b, a FROM pe)")
+    sb.append(", adj AS (SELECT a AS src, list(b ORDER BY b) AS nbrs, count(*) AS deg FROM sym GROUP BY 1)")
+    sb.append(", w1 AS (SELECT CAST(src AS BIGINT) AS start, CAST(src AS BIGINT) AS prev, " +
+      "CAST(nbrs[CAST(((src % 100000) * 2654435761 + 40503) % deg AS INTEGER) + 1] AS BIGINT) AS v1 FROM adj)")
+    for (i <- 2 to steps) {
+      val cur = s"v${i - 1}"
+      val keep = (1 until i).map(j => s"v$j").mkString(", ")
+      sb.append(s", c$i AS (SELECT start, prev, $keep, $cur AS cur, " +
+        s"unnest(adj.nbrs) AS n, unnest(range(len(adj.nbrs))) AS pos " +
+        s"FROM w${i - 1} JOIN adj ON w${i - 1}.$cur = adj.src)")
+      sb.append(s", x$i AS (SELECT c$i.*, CASE WHEN n = prev THEN 1 " +
+        s"WHEN e.a IS NOT NULL THEN 4 ELSE 2 END AS wt " +
+        s"FROM c$i LEFT JOIN sym e ON e.a = c$i.prev AND e.b = c$i.n)")
+      sb.append(s", y$i AS (SELECT *, sum(wt) OVER (PARTITION BY start ORDER BY pos) AS cum, " +
+        s"sum(wt) OVER (PARTITION BY start) AS tot FROM x$i)")
+      sb.append(s", w$i AS (SELECT start, cur AS prev, $keep, CAST(n AS BIGINT) AS v$i FROM y$i " +
+        s"WHERE cum > ((cur % 100000) * 2654435761 + ${i * 40503}) % tot " +
+        s"QUALIFY row_number() OVER (PARTITION BY start ORDER BY pos) = 1)")
     }
     sb.append(s" SELECT start, " + (1 to steps).map(i => s"v$i").mkString(", ") +
       s" FROM w$steps ORDER BY start")
@@ -1468,6 +1532,26 @@ object GraphQueries {
     "q_kcore" -> kcoreOracle(80, 4),
     "q_ktruss" -> ktrussOracle(5, 3, 400),
     "q_walk_sample" -> walkOracle(3),
+    "q_node2vec_walks" -> node2vecOracle(3),
+    "q_bidir_bfs" ->
+      // exact BFS truth over the filtered co-purchase graph: (id, dist)
+      // pairs dedup in the recursive UNION and depth <= 3 bounds the
+      // expansion (each side of the bidirectional search runs
+      // ceil(6/2) = 3 rounds); the meet is min(ds + dt) per pair
+      """WITH RECURSIVE pe AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey AND a.l_partkey < 400 AND b.l_partkey < 400),
+        |sym AS (SELECT a, b FROM pe UNION SELECT b, a FROM pe),
+        |seeds(pid, side, id) AS (VALUES (0, 0, 1), (0, 1, 399), (1, 0, 2), (1, 1, 300), (2, 0, 5), (2, 1, 377), (3, 0, 7), (3, 1, 350), (4, 0, 11), (4, 1, 200), (5, 0, 13), (5, 1, 250)),
+        |bfs(pid, side, id, dist) AS (
+        |  SELECT pid, side, id, 0 FROM seeds JOIN (SELECT DISTINCT a FROM sym) n ON id = n.a
+        |  UNION
+        |  SELECT f.pid, f.side, e.b, f.dist + 1 FROM bfs f JOIN sym e ON f.id = e.a WHERE f.dist < 3),
+        |lvl AS (SELECT pid, side, id, min(dist) AS dist FROM bfs GROUP BY 1, 2, 3),
+        |met AS (SELECT s.pid, min(s.dist + t.dist) AS dist
+        |        FROM lvl s JOIN lvl t ON s.pid = t.pid AND s.id = t.id AND s.side = 0 AND t.side = 1
+        |        GROUP BY 1 HAVING min(s.dist + t.dist) <= 6),
+        |pairs(pid, src, dst) AS (VALUES (0, 1, 399), (1, 2, 300), (2, 5, 377), (3, 7, 350), (4, 11, 200), (5, 13, 250))
+        |SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst, CAST(dist AS BIGINT) AS dist
+        |FROM pairs JOIN met USING (pid) ORDER BY src, dst""".stripMargin,
     "q_snapshot_roundtrip" ->
       "SELECT CAST(n_nationkey + 1200000000 AS BIGINT) AS src, CAST(n_regionkey + 1300000000 AS BIGINT) AS dst FROM nation ORDER BY 1",
     "q_csv_load" ->

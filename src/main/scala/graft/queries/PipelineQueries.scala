@@ -622,6 +622,17 @@ object PipelineQueries {
         .filter(col("n_dups") > 1)
         .orderBy(col("chunk_hash"))),
 
+    // text: CCNet-style paragraph dedup WITH reassembly (Wenzek et al.
+    // 2020) — every 10-token paragraph survives only at its first
+    // (doc, position) occurrence corpus-wide and each document is rebuilt
+    // from its survivors: the dedup that SHRINKS the corpus in place,
+    // where q_chunk_dedup only reports duplicated windows. One explode,
+    // one map-side-combinable min(struct) aggregate on the paragraph key,
+    // one join back, one reassembly aggregate
+    "q_paragraph_dedup" -> ((s, d) =>
+      TextAnalysis.paragraphDedup(t(s, d, "documents"), "doc_id", "text", 10)
+        .orderBy(col("doc_id"))),
+
     // text: exact substring dedup (Lee et al. 2022's repeated-span rule,
     // relational formulation) — per doc, the fraction of tokens covered by
     // an 8-token window that repeats ANYWHERE in the corpus; one global
@@ -1580,6 +1591,22 @@ object PipelineQueries {
         |ch AS (SELECT doc_id, md5(array_to_string(w[start + 1:start + 12], ' ')) AS chunk_hash FROM st)
         |SELECT chunk_hash, count(*) AS n_dups, min(doc_id) AS first_doc
         |FROM ch GROUP BY 1 HAVING count(*) > 1 ORDER BY chunk_hash""".stripMargin,
+    "q_paragraph_dedup" ->
+      // first occurrence = min (doc_id, pos) per paragraph (window over the
+      // exploded paragraphs is fine ORACLE-side; the engine uses a
+      // map-side-combinable min(struct) aggregate); docs are rebuilt from
+      // survivors in position order
+      """WITH words AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS w FROM documents),
+        |st AS (SELECT doc_id, w, unnest(generate_series(0, CAST(ceil(len(w) / 10.0) AS BIGINT) - 1)) AS pos
+        |       FROM words WHERE len(w) > 0),
+        |paras AS (SELECT doc_id, pos, array_to_string(w[pos * 10 + 1:pos * 10 + 10], ' ') AS para FROM st),
+        |ranked AS (SELECT doc_id, pos, para,
+        |                  row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |           FROM paras)
+        |SELECT doc_id, count(*) AS n_paragraphs,
+        |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       coalesce(string_agg(CASE WHEN rn = 1 THEN para END, ' ' ORDER BY pos), '') AS clean_text
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_substring_dedup" ->
       """WITH toks AS (
         | SELECT doc_id,

@@ -390,6 +390,49 @@ object TextAnalysis {
           .as("chunk_hash"))
   }
 
+  /** CCNet-style paragraph-level dedup WITH document reassembly (Wenzek et
+    * al. 2020): the corpus is split into non-overlapping `chunkWords`-token
+    * paragraphs, each paragraph is kept only at its FIRST occurrence
+    * corpus-wide (order = (doc id, position in doc)), and every document is
+    * rebuilt from its surviving paragraphs. This is the dedup that SHRINKS
+    * the corpus in place — boilerplate repeated across crawls disappears
+    * from every copy but the first — where [[chunkDocs]]-based dedup only
+    * REPORTS duplicated windows.
+    *
+    * Scale shape: one explode projection (doc → paragraphs), ONE hash
+    * aggregate on the paragraph key to elect the first occurrence
+    * (min(struct(doc, pos)) — a map-side-combinable min, not a window over
+    * the exploded corpus), one join back on the key, and one hash aggregate
+    * to reassemble. The elected-occurrence aggregate output is bounded by
+    * the number of DISTINCT paragraphs, so hot boilerplate (the skewed key)
+    * collapses map-side. Returns (idCol, n_paragraphs, n_kept, clean_text)
+    * for every input document — a fully-deduped doc survives with
+    * n_kept = 0 and empty text. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     chunkWords: Int = 10): DataFrame = {
+    require(chunkWords > 0, s"chunkWords must be positive, got $chunkWords")
+    val paras = df
+      .select(col(idCol), tokens(col(textCol)).as("__words"))
+      .withColumn("__n", size(col("__words")))
+      .select(col(idCol), col("__n"),
+        posexplode(transform(
+          sequence(lit(0), greatest(ceil(col("__n") / lit(chunkWords)).cast("int") - 1, lit(0))),
+          i => array_join(slice(col("__words"), i * chunkWords + 1, lit(chunkWords)), " "))))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__para")
+      .filter(length(col("__para")) > 0) // empty doc → one empty paragraph; drop
+    val first = paras.groupBy(col("__para"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__first"))
+    val kept = paras.join(first, "__para")
+      .withColumn("__keep",
+        col("__first")(idCol) === col(idCol) && col("__first")("__pos") === col("__pos"))
+    kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paragraphs"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(sort_array(collect_list(
+          when(col("__keep"), struct(col("__pos"), col("__para")))))
+          .getField("__para"), " ").as("clean_text"))
+  }
+
   // ---- bigram-LM quality scoring (CCNet-style) ----------------------------
 
   /** Per-document cross-entropy under a bigram MLE language model trained on

@@ -565,4 +565,76 @@ class AlgorithmsSpec extends SparkSpec {
         assert(nbrs(s(i)).contains(s(i + 1)), s"walk $s hop $i"))
     }
   }
+
+  test("node2vecWalks matches a naive second-order oracle; bias is honored") {
+    // triangle 1-2-3 plus pendant 4 off 1 — mixed degrees, all three
+    // weight classes reachable (backtrack / common-neighbor / far)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")
+    val adjm = Map(1L -> Vector(2L, 3L, 4L), 2L -> Vector(1L, 3L),
+      3L -> Vector(1L, 2L), 4L -> Vector(1L))
+    def mod(x: Long, m: Long): Long = ((x % m) + m) % m
+    def drawOf(v: Long, step: Int, m: Long): Long =
+      mod((v % 100000L) * 2654435761L + step.toLong * 40503L, m)
+    def pick1(v: Long, step: Int): Long =
+      adjm(v)(drawOf(v, step, adjm(v).size.toLong).toInt)
+    def pick2(prev: Long, v: Long, step: Int,
+              wb: Long, wc: Long, wf: Long): Long = {
+      val nb = adjm(v)
+      val wts = nb.map(n => if (n == prev) wb
+        else if (adjm(prev).contains(n)) wc else wf)
+      val r = drawOf(v, step, wts.sum)
+      var cum = 0L
+      nb.zip(wts).collectFirst { case (n, w) if { cum += w; cum > r } => n }.get
+    }
+    def oracle(start: Long, steps: Int, wb: Long, wc: Long, wf: Long): Seq[Long] = {
+      var prev = start; var v = pick1(start, 1)
+      var out = Vector(v)
+      for (i <- 2 to steps) {
+        val nxt = pick2(prev, v, i, wb, wc, wf)
+        prev = v; v = nxt; out :+= nxt
+      }
+      start +: out
+    }
+    val got = Algorithms.node2vecWalks(e, 3).collect()
+      .map(r => (0 until 4).map(r.getLong)).toSet
+    val want = Seq(1L, 2L, 3L, 4L).map(s => oracle(s, 3, 1, 4, 2)).toSet
+    assert(got == want, s"got $got want $want")
+    // bias sensitivity on a star: from leaf 2, step 2 stands at hub 1 with
+    // prev = 2; a huge backtrack weight returns to 2, uniform weights pick
+    // a different leaf — the second-order state provably changes the walk
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("src", "dst")
+    def starWalk(wb: Int, wc: Int, wf: Int): Map[Long, Long] =
+      Algorithms.node2vecWalks(star, 2, wb, wc, wf).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(starWalk(1000, 1, 1)(2L) == 2L) // heavy return weight backtracks
+    assert(starWalk(1, 1, 1)(2L) != 2L)    // uniform draw moves on
+  }
+
+  test("bidirectionalBfs: exact distances on a chain, depth cap, disconnection") {
+    // chain 1..7 plus a disjoint edge 100-101
+    val e = ((1L to 6L).map(i => (i, i + 1)) :+ (100L, 101L)).toDF("src", "dst")
+    val got = Algorithms.bidirectionalBfs(e,
+      Seq((1L, 7L), (1L, 5L), (2L, 6L), (1L, 100L), (3L, 4L)), 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 7L) -> 6L, (1L, 5L) -> 4L, (2L, 6L) -> 4L,
+      (3L, 4L) -> 1L)) // cross-component pair yields NO row
+    // a pair whose true distance exceeds maxDepth is filtered, not truncated
+    val capped = Algorithms.bidirectionalBfs(e, Seq((1L, 7L)), 5).collect()
+    assert(capped.isEmpty)
+    // differential vs one-sided BFS on a denser graph: distances agree
+    val dense = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 6L),
+      (6L, 5L), (2L, 7L), (7L, 8L), (8L, 5L), (3L, 8L)).toDF("src", "dst")
+    val bi = Algorithms.bidirectionalBfs(dense,
+      Seq((1L, 5L), (1L, 8L), (7L, 4L)), 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(bi.keySet == Set((1L, 5L), (1L, 8L), (7L, 4L)))
+    // one-sided BFS needs the symmetrized relation (bfs is directed)
+    val denseSym = dense.unionAll(
+      dense.select(col("dst").as("src"), col("src").as("dst")))
+    for (((s, t), d) <- bi) {
+      val one = Algorithms.bfs(denseSym, s, 6)
+        .collect().map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+      assert(one(t) == d, s"pair ($s,$t)")
+    }
+  }
 }

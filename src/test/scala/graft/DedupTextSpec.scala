@@ -393,4 +393,30 @@ class DedupTextSpec extends SparkSpec {
       .as[String].head()
     assert(h1 == h2)
   }
+
+  test("paragraphDedup keeps first occurrence corpus-wide and reassembles") {
+    def para(tag: String) = (1 to 10).map(i => s"$tag$i").mkString(" ")
+    val a = para("a"); val b = para("b"); val c = para("c")
+    val corpus = Seq(
+      (1L, s"$a $b"),        // both paragraphs first seen here
+      (2L, s"$a $c"),        // a is a repeat, c survives
+      (3L, s"$a $b"),        // fully duplicated doc → nothing survives
+      (4L, s"$c $c")         // within-doc repeat: only the FIRST copy survives
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.paragraphDedup(corpus, "doc_id", "text", 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == (2L, 2L, s"$a $b"))
+    assert(got(2L) == (2L, 1L, c))   // survivor keeps its position order
+    assert(got(3L) == (2L, 0L, "")) // fully deduped doc survives as a row
+    // doc 4's paragraph c already appeared in doc 2 (smaller id) → dropped;
+    // and its own second copy is a within-doc dup regardless
+    assert(got(4L) == (2L, 0L, ""))
+    // partial trailing paragraph is its own unit: 12 tokens → 10 + 2
+    val tail = Seq((9L, (1 to 12).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val t = TextAnalysis.paragraphDedup(tail, "doc_id", "text", 10).collect().head
+    assert(t.getLong(1) == 2L && t.getLong(2) == 2L &&
+      t.getString(3) == (1 to 12).map(i => s"t$i").mkString(" "))
+  }
 }
