@@ -76,7 +76,7 @@ object Plans {
       "q_louvain_moves" -> "Louvain local moves: per round ONE community-degree hash aggregate + ONE map-side-combined neighbor-community count + a struct-max argmax; each round ends in a checkpointed vertex-sized leaf (LogicalRDD) - no windows over the graph, no driver value in the loop",
       "q_node2vec_walks" -> "node2vec biased walks: adjacency lists aggregate ONCE (checkpointed leaf); per hop the candidate list explodes as a projection (sum deg rows, never deg^2 in-task work), the common-neighbor mark is an ordinary hash join against the edge leaf on (prev, candidate), and the weighted pick is a window PARTITIONED BY walker - the exchange is on the walker key, nothing global",
       "q_bidir_bfs" -> "bidirectional BFS: each round expands BOTH (pair, side) frontiers with one join against the checkpointed edge leaf + an anti-join against visited - frontier depth is HALF the search depth per side; the meet is one visited-x-visited hash join + min aggregate, all pairs ride the same per-round job",
-      "q_paragraph_dedup" -> "CCNet paragraph dedup: paragraphs are a transform+posexplode PROJECTION; the first-occurrence election is ONE map-side-combinable min(struct) hash aggregate bounded by DISTINCT paragraphs (hot boilerplate collapses map-side); join-back on the paragraph key + one reassembly aggregate - no window over the exploded corpus")
+      "q_paragraph_dedup" -> "CCNet paragraph dedup: paragraphs are a transform+posexplode PROJECTION; the first-occurrence election is ONE min(struct) aggregate (SortAggregate - struct min is not hash-aggregable - but the PARTIAL combine still runs map-side, so the exchange is bounded by DISTINCT paragraphs and hot boilerplate collapses before it moves); join-back on the paragraph key + one reassembly aggregate - no window over the exploded corpus")
 
     val sb = new StringBuilder
     sb.append("# PLANS — physical plans of representative catalog queries\n\n")

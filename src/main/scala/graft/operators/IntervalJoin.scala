@@ -22,13 +22,19 @@ import org.apache.spark.sql.functions._
   *
   * `cellWidth` tunes the classic grid trade-off: small cells → more
   * exploded rows; large cells → more false-positive candidates per cell.
-  * Size it near the median interval length — or omit it: the default
-  * derives max(1, p50 length) from ONE tiny column-pruned aggregate over
-  * both sides' lengths (a bounded scalar of the seed-selection class),
-  * so the operator is safe-by-default at unknown scale. The OUTPUT is
-  * cellWidth-independent (the grid only shapes candidate generation) —
-  * auto vs hand-tuned changes cost, never rows. Closed-interval semantics
-  * (touching endpoints overlap), matching the SQL predicate. */
+  * Omit it and the default derives 8 × the p50 interval length from ONE
+  * tiny column-pruned aggregate over both sides' lengths (a bounded
+  * scalar of the seed-selection class). Why 8×: at c × p50, a median
+  * interval explodes into 1 + 1/c cells while false-positive candidates
+  * per true neighborhood stay ≈ 2c — per-exploded-row cost (shuffle +
+  * join machinery) empirically dwarfs per-candidate cost, so the cost
+  * curve is FLAT for c in ~[5, 100] and cliff-shaped below c = 1 (the
+  * r14 soak measured c = 1 at 2.6× the flat region on a dense
+  * duplicate-heavy fixture; c = 8 sits mid-flat on a log scale). The
+  * OUTPUT is cellWidth-independent (the grid only shapes candidate
+  * generation) — auto vs hand-tuned changes cost, never rows.
+  * Closed-interval semantics (touching endpoints overlap), matching the
+  * SQL predicate. */
 object IntervalJoin {
 
   /** All (left, right) pairs whose [s, e] intervals overlap. Inputs carry
@@ -41,10 +47,12 @@ object IntervalJoin {
     overlap(left, right, leftCols, rightCols,
       autoCellWidth(left, right, leftCols, rightCols))
 
-  /** Default grid cell: the p50 interval length across BOTH inputs
+  /** Default grid cell: 8 × the p50 interval length across BOTH inputs
     * (approx-percentile, one aggregate job over two pruned columns per
-    * side). Median-length intervals then explode into ≤ 2 cells while
-    * cells stay too narrow to flood with false-positive candidates. */
+    * side). Median intervals then explode into ~1.1 cells (the
+    * per-exploded-row shuffle/join cost dominates, so the multiple buys
+    * the flat part of the cost curve) while false-positive candidates per
+    * true neighborhood stay bounded ≈ 16 — see the object scaladoc. */
   private[graft] def autoCellWidth(left: DataFrame, right: DataFrame,
                                    leftCols: (String, String, String),
                                    rightCols: (String, String, String)): Long = {
@@ -54,7 +62,7 @@ object IntervalJoin {
     val p50 = lens(left, leftCols).unionAll(lens(right, rightCols))
       .agg(percentile_approx(col("__len"), lit(0.5), lit(1000)))
       .first()
-    math.max(1L, if (p50.isNullAt(0)) 1L else p50.getLong(0))
+    math.max(1L, if (p50.isNullAt(0)) 1L else 8L * p50.getLong(0))
   }
 
   def overlap(left: DataFrame, right: DataFrame,

@@ -399,13 +399,14 @@ object TextAnalysis {
     * from every copy but the first — where [[chunkDocs]]-based dedup only
     * REPORTS duplicated windows.
     *
-    * Scale shape: one explode projection (doc → paragraphs), ONE hash
-    * aggregate on the paragraph key to elect the first occurrence
-    * (min(struct(doc, pos)) — a map-side-combinable min, not a window over
-    * the exploded corpus), one join back on the key, and one hash aggregate
-    * to reassemble. The elected-occurrence aggregate output is bounded by
-    * the number of DISTINCT paragraphs, so hot boilerplate (the skewed key)
-    * collapses map-side. Returns (idCol, n_paragraphs, n_kept, clean_text)
+    * Scale shape: one explode projection (doc → paragraphs), ONE aggregate
+    * on the paragraph key to elect the first occurrence
+    * (min(struct(doc, pos)) — struct min compiles to a SortAggregate, but
+    * its PARTIAL combine still runs map-side, never a window over the
+    * exploded corpus), one join back on the key, and one aggregate to
+    * reassemble. The elected-occurrence exchange is bounded by the number
+    * of DISTINCT paragraphs, so hot boilerplate (the skewed key) collapses
+    * before it moves. Returns (idCol, n_paragraphs, n_kept, clean_text)
     * for every input document — a fully-deduped doc survives with
     * n_kept = 0 and empty text. */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,

@@ -33,6 +33,17 @@ class PipelineOpsSpec extends SparkSpec {
     val rows = graft.operators.IntervalJoin.overlap(
         a, b, ("id", "s", "e"), ("id", "s", "e"), cellWidth = 10L).count()
     assert(rows == 4L, s"pair attributed to more than one cell: $rows rows")
+    // the auto cell (8 x p50 length) returns the SAME pairs — output is
+    // cellWidth-independent by construction
+    val auto = graft.operators.IntervalJoin.overlap(
+        a, b, ("id", "s", "e"), ("id", "s", "e"))
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == got, s"auto cell changed the output: $auto")
+    // derived width: lengths are (25, 0, 10 | 20, 5, 9, 4) -> p50 = 9or10, x8
+    val w = graft.operators.IntervalJoin.autoCellWidth(
+      a, b, ("id", "s", "e"), ("id", "s", "e"))
+    assert(w >= 72L && w <= 80L, s"auto width off the 8 x p50 rule: $w")
   }
 
   test("heavy hitters: exact over a high-cardinality tail, MG pruning never drops a hitter") {
