@@ -55,6 +55,29 @@ class LocalKernelsSpec extends SparkSpec {
     }
   }
 
+  test("dense tier: many-edge few-vertex graphs route local, many-vertex stay distributed") {
+    // force the gray zone (estimate > 1 byte) with thresholds scaled down:
+    // plain cap 2 edges, dense cap 100 edges / 5 vertices
+    val keys = Seq(
+      "spark.graft.algo.localSizeBytes" -> "1",
+      "spark.graft.algo.localMaxEdges" -> "2",
+      "spark.graft.algo.localMaxEdgesDense" -> "100",
+      "spark.graft.algo.localMaxNodesDense" -> "5")
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 12 edges over 4 vertices: past the plain cap, inside the dense tier
+      val dense = (for (a <- 0 until 4; b <- 0 until 4 if a != b)
+        yield (a.toLong, b.toLong)).toDF("src", "dst")
+      assert(LocalKernels.isSmall(dense), "dense small-vertex graph should route local")
+      // 9 edges over 10 vertices: same edge ballpark, too many vertices
+      val sparse = (0 until 9).map(i => (i.toLong, i + 1L)).toDF("src", "dst")
+      assert(!LocalKernels.isSmall(sparse), "large-vertex graph should stay distributed")
+      // past the dense edge cap: distributed without the vertex pass
+      spark.conf.set("spark.graft.algo.localMaxEdgesDense", "10")
+      assert(!LocalKernels.isSmall(dense))
+    } finally keys.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
   test("pageRank local == distributed (1e-9)") {
     val e = randGraph(2, 40, 150)
     val loc = LocalKernels.pageRank(e, 8, 0.85).collect()
