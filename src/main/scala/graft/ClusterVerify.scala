@@ -71,6 +71,7 @@ object ClusterVerify {
     "q_modularity", "q_graph_stats", "q_louvain_moves", "q_cypher_call_louvain",
     "q_louvain_levels", "q_cypher_call_louvain_levels",
     "q_node2vec_walks", "q_bidir_bfs", "q_paragraph_dedup",
+    "q_canonical_dedup",
     "q_funnel", "q_retention", "q_stratified_sample",
     "q_weighted_sample", "q_skew_report", "q_dup_matrix", "q_pipeline_e2e",
     "q_seq_pack", "q_pack_harmonic", "q_dsir_resample",
@@ -131,7 +132,8 @@ object ClusterVerify {
     // round-14 new rows: biased second-order walks, meet-in-the-middle
     // BFS, CCNet paragraph dedup (+ CALL twins)
     "q_node2vec_walks", "q_cypher_call_node2vec",
-    "q_bidir_bfs", "q_cypher_call_bidirbfs", "q_paragraph_dedup")
+    "q_bidir_bfs", "q_cypher_call_bidirbfs", "q_paragraph_dedup",
+    "q_canonical_dedup")
 
   private val sqlConfs: Map[String, String] = Map(
     "spark.sql.extensions" -> "graft.GraftExtensions",

@@ -50,6 +50,25 @@ object Dedup {
       .filter(col(idCol) === col("keep_id"))
       .select(col(idCol), col("text_hash"))
 
+  /** Canonical-form ("fuzzy-exact") dedup — the cheap normalization pass a
+    * corpus pipeline runs between byte-exact dedup and the near-dup
+    * methods: lowercase, map every char outside [a-z0-9 ] to a space,
+    * collapse space runs, trim; the min-id document per canonical form is
+    * the keeper. Catches case / punctuation / whitespace mirror copies
+    * that byte-exact dedup misses, at exactly one codegen'd projection +
+    * one hash aggregate (bounded by DISTINCT canonical forms — mirror-copy
+    * skew collapses map-side) + one join back on the canonical key.
+    * Returns (idCol, n_dups, keep) for every input document. */
+  def canonicalDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val canon = trim(regexp_replace(regexp_replace(lower(col(textCol)),
+      "[^a-z0-9 ]", " "), " +", " "))
+    val keyed = docs.select(col(idCol), md5(canon).as("__c"))
+    val groups = keyed.groupBy(col("__c"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("__keep"))
+    keyed.join(groups, "__c")
+      .select(col(idCol), col("n_dups"), (col(idCol) === col("__keep")).as("keep"))
+  }
+
   /** Exact n-gram Jaccard similarity for all candidate pairs sharing at least
     * one k-word shingle (inverted-index self-join — the oracle-checkable
     * ground truth for the approximate methods below).

@@ -179,6 +179,19 @@ object PipelineQueries {
       Dedup.exactDupGroups(dup, "doc_id", "text").orderBy(col("doc_id"))
     }),
 
+    // dedup: canonical-form ("fuzzy-exact") dedup — the normalization pass
+    // between byte-exact and near-dup: the planted mirrors are UPPERCASED
+    // with trailing punctuation, invisible to byte-exact dedup but
+    // identical after lowercase + punctuation→space + space collapse.
+    // One projection + one hash aggregate + one key join
+    "q_canonical_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val mirrored = docs.select((col("doc_id") + 20000).as("doc_id"),
+        concat(upper(col("text")), lit(" !!")).as("text"))
+      Dedup.canonicalDedup(docs.unionAll(mirrored), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // dedup: exact n-gram (5-word shingle) Jaccard pairs >= 0.5, with the
     // stop-shingle document-frequency cap ON (the 100 TB-safe configuration —
     // a shingle shared by >10k docs is a stop phrase, not a dup signal)
@@ -1203,6 +1216,11 @@ object PipelineQueries {
       "SELECT e.vec_id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS score FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC, e.vec_id LIMIT 10",
     "q_dedup_exact" ->
       "WITH d AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 10000, text FROM documents) SELECT doc_id, md5(text) AS text_hash, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id, count(*) OVER (PARTITION BY md5(text)) AS group_size FROM d ORDER BY doc_id",
+    "q_canonical_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 20000, upper(text) || ' !!' FROM documents),
+        |c AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS canon FROM d),
+        |g AS (SELECT canon, count(*) AS n_dups, min(doc_id) AS keep_id FROM c GROUP BY 1)
+        |SELECT doc_id, n_dups, (doc_id = keep_id) AS keep FROM c JOIN g USING (canon) ORDER BY doc_id""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(w[g:g+4], ' ') AS s FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS g FROM words)),

@@ -394,6 +394,22 @@ class DedupTextSpec extends SparkSpec {
     assert(h1 == h2)
   }
 
+  test("canonicalDedup unifies case/punctuation/whitespace mirrors, not real differences") {
+    val corpus = Seq(
+      (1L, "The quick, brown fox!"),
+      (2L, "the  QUICK brown--fox"),   // mirror of 1 after normalization
+      (3L, "  the quick brown fox  "), // mirror of 1
+      (4L, "the quick brown ox"),      // one letter off: NOT a mirror
+      (5L, "version 2.0 beta"),
+      (6L, "Version 2 0  BETA?")       // digits kept, punct→space: mirror of 5
+    ).toDF("doc_id", "text")
+    val got = Dedup.canonicalDedup(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(1L) == (3L, true) && got(2L) == (3L, false) && got(3L) == (3L, false))
+    assert(got(4L) == (1L, true))
+    assert(got(5L) == (2L, true) && got(6L) == (2L, false))
+  }
+
   test("paragraphDedup keeps first occurrence corpus-wide and reassembles") {
     def para(tag: String) = (1 to 10).map(i => s"$tag$i").mkString(" ")
     val a = para("a"); val b = para("b"); val c = para("c")
