@@ -537,6 +537,13 @@ object Algorithms {
     * state in the loop. Input: canonical (a, b); returns (id, community). */
   def louvainMoves(undirected: DataFrame, rounds: Int): DataFrame = {
     require(rounds > 0, s"rounds must be positive, got $rounds")
+    val (e, small) = LocalKernels.gate(undirected.select(col("a"), col("b")))
+    if (small) LocalKernels.louvainMoves(e, rounds)
+    else louvainMovesDistributed(e, rounds)
+  }
+
+  private[graft] def louvainMovesDistributed(undirected: DataFrame, rounds: Int): DataFrame = {
+    require(rounds > 0, s"rounds must be positive, got $rounds")
     val und = undirected.select(col("a"), col("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
     val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
@@ -646,9 +653,17 @@ object Algorithms {
     * returns (id, community). */
   def louvain(undirected: DataFrame, rounds: Int, levels: Int): DataFrame = {
     require(levels > 0, s"levels must be positive, got $levels")
+    val (e, small) = LocalKernels.gate(undirected.select(col("a"), col("b")))
+    if (small) LocalKernels.louvain(e, rounds, levels)
+    else louvainDistributed(e, rounds, levels)
+  }
+
+  private[graft] def louvainDistributed(undirected: DataFrame, rounds: Int,
+                                        levels: Int): DataFrame = {
+    require(levels > 0, s"levels must be positive, got $levels")
     val und = undirected.select(col("a"), col("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
-    var asg = louvainMoves(und, rounds)
+    var asg = louvainMovesDistributed(und, rounds)
     for (_ <- 2 to levels) {
       val g2 = und
         .join(asg.select(col("id").as("a"), col("community").as("__ca")), Seq("a"))

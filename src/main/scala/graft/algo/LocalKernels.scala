@@ -339,6 +339,7 @@ object LocalKernels {
       if (n == a.length) a = java.util.Arrays.copyOf(a, n << 1)
       a(n) = v; n += 1
     }
+    def apply(i: Int): Int = a(i)
     def result(): Array[Int] = java.util.Arrays.copyOf(a, n)
   }
 
@@ -967,6 +968,283 @@ object LocalKernels {
         }
         (0 until n).iterator.filter(dist(_) != inf).map(i => (vx.ids(i), dist(i)))
       }.toDF("id", "dist")
+  }
+
+  // ---- Louvain ----------------------------------------------------------
+
+  /** One level of Louvain local moves — the in-task twin of
+    * [[Algorithms.louvainMovesDistributed]], term for term: synchronous
+    * rounds (all scores against the PREVIOUS round's assignment), score
+    * `k − (d·dcx)/m2` with dcx = dc−d for the current community, argmax by
+    * (score, then smaller community LABEL), and the (id + round) parity
+    * move rule. All inputs are integer-valued (k and d are neighbor
+    * counts, dc an integer sum), so the double expressions are EXACT and
+    * summation-order-free — the kernel's labels are bit-identical to the
+    * distributed twin's (LocalKernelsSpec differentials). */
+  def louvainMoves(edges: DataFrame, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val srcDs = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)]
+    inTask2(srcDs, cacheKey(srcDs.toDF())) { it =>
+        val vx = new Interner
+        val keys = new Longs()
+        // mirror the distributed dedup: DISTINCT raw (a, b) pairs, a != b
+        it.foreach { case (a, b) =>
+          if (a != b)
+            keys += (vx.idx(a).toLong << 32) | (vx.idx(b).toLong & 0xffffffffL)
+        }
+        val n = vx.n
+        if (n == 0) Iterator.empty
+        else {
+          val ks = uniqueSorted(keys.toArray)
+          val (off, nbr) = pairCsr(n, ks)
+          val ids = vx.ids.toArray
+          val comm = louvainRoundsUnweighted(n, off, nbr, ids, 2.0 * ks.length, rounds)
+          (0 until n).iterator.map(i => (ids(i), ids(comm(i))))
+        }
+      }.toDF("id", "community")
+  }
+
+  /** Multi-level Louvain — the in-task twin of [[Algorithms.louvain]]:
+    * level-1 local moves, then per level one contraction (community-pair
+    * counts, least/greatest canonicalization, intra edges as self-loops)
+    * and WEIGHTED local moves over the contracted graph, with the
+    * node→top-level mapping composed at the end. Contracted weights are
+    * pair COUNTS (integer-valued doubles), so the weighted score
+    * arithmetic stays exact — same parity argument as the distributed
+    * oracle relies on. */
+  def louvain(edges: DataFrame, rounds: Int, levels: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val srcDs = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)]
+    inTask2(srcDs, cacheKey(srcDs.toDF())) { it =>
+        val vx = new Interner
+        val keys = new Longs()
+        it.foreach { case (a, b) =>
+          if (a != b)
+            keys += (vx.idx(a).toLong << 32) | (vx.idx(b).toLong & 0xffffffffL)
+        }
+        val n = vx.n
+        if (n == 0) Iterator.empty
+        else {
+          val ks = uniqueSorted(keys.toArray)
+          val (off, nbr) = pairCsr(n, ks)
+          val ids = vx.ids.toArray
+          var comm = louvainRoundsUnweighted(n, off, nbr, ids, 2.0 * ks.length, rounds)
+          var lvl = 2
+          while (lvl <= levels) {
+            // contraction over the DISTINCT pair set: (least, greatest) of
+            // the endpoint community LABELS, weight = pair count
+            val cx = new Interner
+            val wByPair = mutable.LongMap.empty[Long]
+            var i = 0
+            while (i < ks.length) {
+              val la = ids(comm((ks(i) >>> 32).toInt))
+              val lb = ids(comm(ks(i).toInt))
+              val (lo, hi) = if (la <= lb) (la, lb) else (lb, la)
+              val key = (cx.idx(lo).toLong << 32) | (cx.idx(hi).toLong & 0xffffffffL)
+              wByPair.update(key, wByPair.getOrElse(key, 0L) + 1L)
+              i += 1
+            }
+            val n2 = cx.n
+            val ids2 = cx.ids.toArray
+            // split self-loops (deg += 2w, no sym edge) from real edges
+            val sb = new Ints(); val db = new Ints()
+            val wb = mutable.ArrayBuilder.make[Double]
+            val deg2 = new Array[Double](n2)
+            var m2w = 0.0
+            wByPair.foreach { case (key, cnt) =>
+              val a = (key >>> 32).toInt; val b = key.toInt; val w = cnt.toDouble
+              m2w += w
+              if (a == b) deg2(a) += w * 2
+              else {
+                sb += a; db += b; wb += w
+                sb += b; db += a; wb += w
+                deg2(a) += w; deg2(b) += w
+              }
+            }
+            val (off2, nbr2, w2) = pairCsrW(n2, sb.result(), db.result(), wb.result())
+            val up = louvainRoundsWeighted(n2, off2, nbr2, w2, deg2, ids2, 2.0 * m2w, rounds)
+            // compose: node's community label -> contracted node -> its label
+            val next = new Array[Int](n)
+            val liftIdx = new Array[Int](n2) // contracted comm idx -> level-1 comm idx of that LABEL
+            i = 0
+            while (i < n2) { liftIdx(i) = -1; i += 1 }
+            i = 0
+            while (i < n) {
+              val c2 = up(cx.idOf(ids(comm(i)))) // contracted node of my label, its community
+              if (liftIdx(c2) < 0) {
+                // the new label is ids2(c2): find/remember a level-1 index carrying it
+                liftIdx(c2) = vx.idOf.getOrElse(ids2(c2), -1)
+              }
+              next(i) = liftIdx(c2)
+              i += 1
+            }
+            comm = next
+            lvl += 1
+          }
+          (0 until n).iterator.map(i => (ids(i), ids(comm(i))))
+        }
+      }.toDF("id", "community")
+  }
+
+  /** Sort + unique in place; returns the deduped prefix copy. */
+  private def uniqueSorted(ks: Array[Long]): Array[Long] = {
+    java.util.Arrays.sort(ks)
+    var m = 0; var i = 0
+    while (i < ks.length) {
+      if (i == 0 || ks(i) != ks(i - 1)) { ks(m) = ks(i); m += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(ks, m)
+  }
+
+  /** Symmetrized CSR from packed unique (a idx << 32 | b idx) pairs. */
+  private def pairCsr(n: Int, ks: Array[Long]): (Array[Int], Array[Int]) = {
+    val sb = new Ints(); val db = new Ints()
+    var i = 0
+    while (i < ks.length) {
+      val a = (ks(i) >>> 32).toInt; val b = ks(i).toInt
+      sb += a; db += b; sb += b; db += a
+      i += 1
+    }
+    csr(n, sb.result(), db.result())
+  }
+
+  /** CSR carrying per-incidence weights (aligned with the targets). */
+  private def pairCsrW(n: Int, si: Array[Int], di: Array[Int],
+                       wi: Array[Double]): (Array[Int], Array[Int], Array[Double]) = {
+    val off = new Array[Int](n + 1)
+    var k = 0
+    while (k < si.length) { off(si(k) + 1) += 1; k += 1 }
+    var i = 0
+    while (i < n) { off(i + 1) += off(i); i += 1 }
+    val tgt = new Array[Int](si.length)
+    val w = new Array[Double](si.length)
+    val cur = java.util.Arrays.copyOf(off, n)
+    k = 0
+    while (k < si.length) {
+      val s = si(k); tgt(cur(s)) = di(k); w(cur(s)) = wi(k); cur(s) += 1; k += 1
+    }
+    (off, tgt, w)
+  }
+
+  /** Synchronous unweighted local-move rounds. deg = incidence count; k
+    * counts neighbors per community; score = k − (d·dcx)/m2 with LONG
+    * products (the distributed expression's exact type path). */
+  private def louvainRoundsUnweighted(n: Int, off: Array[Int], nbr: Array[Int],
+                                      ids: Array[Long], m2: Double,
+                                      rounds: Int): Array[Int] = {
+    val deg = new Array[Long](n)
+    var i = 0
+    while (i < n) { deg(i) = (off(i + 1) - off(i)).toLong; i += 1 }
+    var comm = Array.tabulate(n)(identity)
+    val dc = new Array[Long](n)
+    val cnt = new Array[Long](n)
+    val touched = new Ints()
+    var r = 1
+    while (r <= rounds) {
+      java.util.Arrays.fill(dc, 0L)
+      i = 0
+      while (i < n) { dc(comm(i)) += deg(i); i += 1 }
+      val next = new Array[Int](n)
+      var v = 0
+      while (v < n) {
+        if (java.lang.Math.floorMod(ids(v) + r, 2L) != 0L) next(v) = comm(v)
+        else {
+          touched.n = 0
+          var k = off(v)
+          while (k < off(v + 1)) {
+            val c = comm(nbr(k))
+            if (cnt(c) == 0L) touched += c
+            cnt(c) += 1L
+            k += 1
+          }
+          val cur = comm(v); val d = deg(v)
+          if (cnt(cur) == 0L) touched += cur // k = 0 candidate
+          var bestC = -1; var bestScore = 0.0; var bestLabel = 0L
+          var t = 0
+          while (t < touched.n) {
+            val c = touched(t)
+            val dcx = if (c == cur) dc(c) - d else dc(c)
+            val score = cnt(c).toDouble - (d * dcx).toDouble / m2
+            val label = ids(c)
+            if (bestC < 0 || score > bestScore ||
+              (score == bestScore && label < bestLabel)) {
+              bestC = c; bestScore = score; bestLabel = label
+            }
+            t += 1
+          }
+          // clear scratch
+          t = 0
+          while (t < touched.n) { cnt(touched(t)) = 0L; t += 1 }
+          next(v) = bestC
+        }
+        v += 1
+      }
+      comm = next
+      r += 1
+    }
+    comm
+  }
+
+  /** Synchronous WEIGHTED local-move rounds (contracted levels): k and d
+    * are weight sums — integer-valued doubles here (pair counts), so the
+    * sums are exact and order-free, matching the distributed twin. */
+  private def louvainRoundsWeighted(n: Int, off: Array[Int], nbr: Array[Int],
+                                    w: Array[Double], deg: Array[Double],
+                                    ids: Array[Long], m2: Double,
+                                    rounds: Int): Array[Int] = {
+    var comm = Array.tabulate(n)(identity)
+    val dc = new Array[Double](n)
+    val cnt = new Array[Double](n)
+    val seen = new Array[Boolean](n)
+    val touched = new Ints()
+    var r = 1
+    while (r <= rounds) {
+      java.util.Arrays.fill(dc, 0.0)
+      var i = 0
+      while (i < n) { dc(comm(i)) += deg(i); i += 1 }
+      val next = new Array[Int](n)
+      var v = 0
+      while (v < n) {
+        if (java.lang.Math.floorMod(ids(v) + r, 2L) != 0L) next(v) = comm(v)
+        else {
+          touched.n = 0
+          var k = off(v)
+          while (k < off(v + 1)) {
+            val c = comm(nbr(k))
+            if (!seen(c)) { seen(c) = true; touched += c }
+            cnt(c) += w(k)
+            k += 1
+          }
+          val cur = comm(v); val d = deg(v)
+          if (!seen(cur)) { seen(cur) = true; touched += cur }
+          var bestC = -1; var bestScore = 0.0; var bestLabel = 0L
+          var t = 0
+          while (t < touched.n) {
+            val c = touched(t)
+            val dcx = if (c == cur) dc(c) - d else dc(c)
+            val score = cnt(c) - (d * dcx) / m2
+            val label = ids(c)
+            if (bestC < 0 || score > bestScore ||
+              (score == bestScore && label < bestLabel)) {
+              bestC = c; bestScore = score; bestLabel = label
+            }
+            t += 1
+          }
+          t = 0
+          while (t < touched.n) { cnt(touched(t)) = 0.0; seen(touched(t)) = false; t += 1 }
+          next(v) = bestC
+        }
+        v += 1
+      }
+      comm = next
+      r += 1
+    }
+    comm
   }
 
   /** Kruskal over the canonicalized (min,max,min-weight) edge set with the

@@ -78,6 +78,43 @@ class LocalKernelsSpec extends SparkSpec {
     } finally keys.foreach { case (k, _) => spark.conf.unset(k) }
   }
 
+  test("louvainMoves local == distributed (exact labels)") {
+    for (seed <- Seq(11L, 12L, 13L)) {
+      val e = randGraph(seed, 30, 120).toDF("a", "b")
+      val loc = sortedRows(LocalKernels.louvainMoves(e, 3))
+      spark.conf.set("spark.graft.algo.localSizeBytes", "0")
+      val dist = try sortedRows(Algorithms.louvainMoves(e, 3))
+      finally spark.conf.unset("spark.graft.algo.localSizeBytes")
+      assert(loc.toSeq == dist.toSeq, s"seed $seed")
+    }
+    // BOTH pair orientations present (the distributed distinct keeps both)
+    val bi = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val lb = sortedRows(LocalKernels.louvainMoves(bi, 2))
+    spark.conf.set("spark.graft.algo.localSizeBytes", "0")
+    val db2 = try sortedRows(Algorithms.louvainMoves(bi, 2))
+    finally spark.conf.unset("spark.graft.algo.localSizeBytes")
+    assert(lb.toSeq == db2.toSeq)
+  }
+
+  test("louvain multi-level local == distributed (exact labels)") {
+    for (seed <- Seq(21L, 22L)) {
+      val e = randGraph(seed, 40, 160).toDF("a", "b")
+      val loc = sortedRows(LocalKernels.louvain(e, 2, 2))
+      spark.conf.set("spark.graft.algo.localSizeBytes", "0")
+      val dist = try sortedRows(Algorithms.louvain(e, 2, 2))
+      finally spark.conf.unset("spark.graft.algo.localSizeBytes")
+      assert(loc.toSeq == dist.toSeq, s"seed $seed")
+    }
+    // three levels on the planted barbell (contraction chain exercised)
+    val bar = (Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L),
+      (3L, 4L)) ++ Seq((7L, 8L), (8L, 9L), (9L, 7L))).toDF("a", "b")
+    val loc3 = sortedRows(LocalKernels.louvain(bar, 2, 3))
+    spark.conf.set("spark.graft.algo.localSizeBytes", "0")
+    val dist3 = try sortedRows(Algorithms.louvain(bar, 2, 3))
+    finally spark.conf.unset("spark.graft.algo.localSizeBytes")
+    assert(loc3.toSeq == dist3.toSeq)
+  }
+
   test("pageRank local == distributed (1e-9)") {
     val e = randGraph(2, 40, 150)
     val loc = LocalKernels.pageRank(e, 8, 0.85).collect()
