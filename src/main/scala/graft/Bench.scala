@@ -24,6 +24,28 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+
+    // Cool-down gate: two rounds running, the graded artifact stamped a
+    // loadavg of 8-9 (machine noise from whatever ran before the bench)
+    // while quiet windows of the SAME code sat at 0.03-0.19. Before doing
+    // anything heavy, wait — bounded — for the 1-min load to drop under
+    // SPARK_GRAFT_BENCH_MAXLOAD (default 2; <=0 disables), and stamp what
+    // happened either way so a loaded artifact is self-describing instead
+    // of reading as a phantom code regression.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXLOAD", "2.0").toDouble
+    val maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_COOLDOWN_SEC", "180").toLong
+    def load1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 } // unreadable → don't gate on it
+    val waitStart = System.nanoTime()
+    var cooled = maxLoad <= 0 || { val l = load1(); l < 0 || l < maxLoad }
+    while (!cooled && (System.nanoTime() - waitStart) < maxWaitSec * 1e9) {
+      Thread.sleep(5000)
+      val l = load1()
+      cooled = l < 0 || l < maxLoad
+    }
+    val cooldownWaitedSec = (System.nanoTime() - waitStart) / 1e9
+    val cooldownStatus = if (cooled) "ok" else "proceeded_loaded_after_timeout"
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .master(s"local[$cpus]")
@@ -130,7 +152,7 @@ object Bench {
     // stdout, and with 230+ per-query entries the line is ~6KB. Putting the
     // bulky `queries` map FIRST keeps metric/value/unit/sf inside the
     // captured tail (JSON object key order is semantically irrelevant).
-    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","loadavg_before":"$loadBefore"}""")
+    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","loadavg_before":"$loadBefore","cooldown":"$cooldownStatus","cooldown_waited_sec":${f"$cooldownWaitedSec%.1f"}}""")
     spark.stop()
   }
 }

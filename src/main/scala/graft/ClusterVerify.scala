@@ -70,7 +70,8 @@ object ClusterVerify {
     "q_neighbor_sample", "q_negative_sample", "q_sssp_path",
     "q_modularity", "q_graph_stats", "q_louvain_moves", "q_cypher_call_louvain",
     "q_louvain_levels", "q_cypher_call_louvain_levels",
-    "q_node2vec_walks", "q_bidir_bfs", "q_paragraph_dedup",
+    "q_node2vec_walks", "q_cypher_call_node2vec",
+    "q_bidir_bfs", "q_cypher_call_bidirbfs", "q_paragraph_dedup",
     "q_canonical_dedup",
     "q_funnel", "q_retention", "q_stratified_sample",
     "q_weighted_sample", "q_skew_report", "q_dup_matrix", "q_pipeline_e2e",

@@ -67,14 +67,14 @@ object Plans {
       "q_pagerank_weighted" -> "weighted PageRank: the multiplicity-weighted co-purchase MV is a parquet leaf; per round one vertex-sized rank-join-outweight cut feeds both the dangling broadcast aggregate and the contribution join - same audited shape as the unweighted twin",
       "q_skew_report" -> "key-skew report: ONE map-side-combined count aggregate, a broadcast 1-row total, TakeOrderedAndProject for the top-k; the rank window sees only the k survivors",
       "q_pipeline_e2e" -> "composed corpus-prep chain: gate/cluster/keep-best/split/sample fuse into ONE plan - the near-dup pair MV is a parquet leaf consumed once, the ES sample threshold is TakeOrdered + broadcast 1-row max, no driver round-trips between stages",
-      "q_hits" -> "HITS hubs & authorities: the deduped directed edge set is ONE checkpointed leaf (LogicalRDD) consumed by every half-step; per iteration the auth/hub updates are vertex-sized joins + hash aggregates and each L1 normalizer is a broadcast 1-row sum inside the plan - no driver-side value in the loop",
+      "q_hits" -> "HITS hubs & authorities: the deduped directed edge set is ONE checkpointed leaf (LogicalRDD); normalization is DEFERRED out of the loop (the L1 scalars cancel through the linear half-steps), so each round is ONE plan - auth sums feeding hub sums, two joins + two hash aggregates, no normalizer joins or scalar broadcasts - ending in one vertex-sized checkpoint; the single end-of-loop divide is a broadcast 1-row sum",
       "q_interval_join" -> "grid-bucketed interval overlap: both sides explode into fixed-width cells and meet in an ORDINARY hash join on the cell id - no BroadcastNestedLoopJoin anywhere in the plan (the raw range condition's fate); the overlap-start filter keeps each pair exactly once with no dedup exchange",
       "q_salted_join" -> "salted skew join: the join runs on (key, salt) - the big side's exchange spreads the hot key over 8 sub-keys (salt = per-row hash), the small side explodes x8 BEFORE its exchange; the aggregate after is an ordinary partial-combined hash aggregate",
       "q_heavy_hitters" -> "two-pass Misra-Gries: pass 1 is one mapPartitions over the token scan (bounded k-counter state, NO exchange before it); the only shuffles are the candidate distinct and the pass-2 recount whose aggregate is semi-join-pruned to <= k*partitions keys - the full token cardinality never crosses the wire",
       "q_jaccard_approx" -> "MinHash-over-neighbor-sets: ONE hash aggregate builds all 64 signature minima; the banded candidate join is a self-join on (band, bucket) hash keys - bucket-bounded, never all-pairs; the planted-truth semi-join broadcasts the small truth side",
       "q_neighbor_sample" -> "GraphSAGE fanout: per-src PARTITIONED windows (exchange on src, never a global sort); layer 2's edge scan is semi-join-pruned by the sampled layer-1 frontier before its window",
       "q_louvain_moves" -> "Louvain local moves: per round ONE community-degree hash aggregate + ONE map-side-combined neighbor-community count + a struct-max argmax; each round ends in a checkpointed vertex-sized leaf (LogicalRDD) - no windows over the graph, no driver value in the loop",
-      "q_node2vec_walks" -> "node2vec biased walks: adjacency lists aggregate ONCE (checkpointed leaf); per hop the candidate list explodes as a projection (sum deg rows, never deg^2 in-task work), the common-neighbor mark is an ordinary hash join against the edge leaf on (prev, candidate), and the weighted pick is a window PARTITIONED BY walker - the exchange is on the walker key, nothing global",
+      "q_node2vec_walks" -> "node2vec biased walks: adjacency lists aggregate ONCE (checkpointed leaf); per hop the candidate list explodes as a projection (sum deg rows, never deg^2 in-task work), the common-neighbor mark is an ordinary hash join against the edge leaf on (prev, candidate), and the weighted pick is ONE hash aggregate keyed by the walker (collect into a by-position array + codegen aggregate HOF for the first-past-the-draw) - NO window, no per-partition sort, hub skew bounded by one max-degree buffer",
       "q_bidir_bfs" -> "bidirectional BFS: each round expands BOTH (pair, side) frontiers with one join against the checkpointed edge leaf + an anti-join against visited - frontier depth is HALF the search depth per side; the meet is one visited-x-visited hash join + min aggregate, all pairs ride the same per-round job",
       "q_paragraph_dedup" -> "CCNet paragraph dedup: paragraphs are a transform+posexplode PROJECTION; the first-occurrence election is ONE min(struct) aggregate (SortAggregate - struct min is not hash-aggregable - but the PARTIAL combine still runs map-side, so the exchange is bounded by DISTINCT paragraphs and hot boilerplate collapses before it moves); join-back on the paragraph key + one reassembly aggregate - no window over the exploded corpus")
 
@@ -85,6 +85,15 @@ object Plans {
       "above it; full inventory in SURVEY.md §2.\n")
     picks.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
+      // the walk loop is one lazy plan (no per-hop checkpoints), so the
+      // final dump IS the per-hop audit: the r14 window pick is gone and
+      // generation fails if it ever comes back
+      if (name == "q_node2vec_walks")
+        df.queryExecution.optimizedPlan.foreach {
+          case _: org.apache.spark.sql.catalyst.plans.logical.Window =>
+            sys.error("[plans] q_node2vec_walks contains a Window — the aggregate-based pick regressed")
+          case _ =>
+        }
       sb.append(s"\n## $name\n\n$note\n\n```\n")
       sb.append(df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
@@ -104,7 +113,7 @@ object Plans {
       ("q_wcc", "wcc", "one edge-join + min aggregate (nbr minimum), one full-outer vertex merge - both vertex-sized exchanges, edge leaf reused"),
       ("q_cdlp", "cdlp", "one label x edge join + (dst, label) count aggregate, argmax as struct-max hash aggregate - NO window over the graph"),
       ("q_sssp", "sssp", "one dist x edge join + per-dst min aggregate + full-outer merge with least() - Bellman-Ford relaxation round"),
-      ("q_hits", "hits", "half-step: hub x edge join + per-dst sum - the L1 normalizer rides later as a broadcast 1-row aggregate over this leaf"),
+      ("q_hits", "hits", "fused round: hub-sums x edge join + per-dst sum (auth sums) feeding a second edge join + per-src sum (hub sums) - one plan, no normalizer; the L1 divides ride once after the loop"),
       ("q_louvain_moves", "louvain_moves", "ONE community-degree aggregate + ONE map-side-combined neighbor-community count + struct-max argmax - no windows, no driver value"),
       ("q_louvain_levels", "louvain_weighted", "same shape as louvain_moves with weight sums over the CONTRACTED super-node graph (level 2)"))
     sb.append("\n# Round bodies — iterative kernels, round 2 pre-checkpoint\n\n")

@@ -60,6 +60,7 @@ object Soak {
       a.join(b, "ok").filter(col("a") < col("b")).select(col("a"), col("b")).distinct()
     }
     val minNode = cop.agg(min(col("a"))).first().getLong(0)
+    val maxNode = cop.agg(max(col("b"))).first().getLong(0)
     def edgesPath(n: Int, bridged: Boolean): String = {
       val path = s"$tmp/edges_x${n}_$bridged"
       val copies = (0 until n).map(k =>
@@ -382,13 +383,17 @@ object Soak {
       // disjoint copies walk independently
       "node2vec" -> { n => Algorithms.node2vecWalks(
         spark.read.parquet(edgeCache(n, false)), 3).count() },
-      // bidirectional BFS: pairs from copy 0 to each of the first 8 copies
-      // (bridged fixture: copy k's anchor is k bridge-hops away, so the
-      // N× run has real meet-in-the-middle depth); per-round work ∝ the
-      // two frontiers' edge expansions over the WHOLE scaled graph
+      // bidirectional BFS: one within-copy pair (min→max node of copy 0,
+      // real bridge depth at every n) plus pairs from copy 0 to each of
+      // the first 8 OTHER copies (bridged fixture: copy k's anchor is k
+      // bridge-hops away, so the N× run has real meet-in-the-middle
+      // depth — the degenerate k=0 self-pair is excluded, it would do no
+      // meet work); per-round work ∝ the two frontiers' edge expansions
+      // over the WHOLE scaled graph
       "bidir_bfs" -> { n => Algorithms.bidirectionalBfs(
         spark.read.parquet(edgeCache(n, true)),
-        (0 until math.min(n, 8)).map(k => (minNode, minNode + k * off)),
+        (minNode, maxNode) +:
+          (1 to math.min(n - 1, 8)).map(k => (minNode, minNode + k * off)),
         8).count() },
       // CCNet paragraph dedup: explode + min(struct) first-occurrence
       // aggregate (bounded by DISTINCT paragraphs) + join-back + rebuild

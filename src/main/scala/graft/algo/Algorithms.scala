@@ -20,6 +20,12 @@ import org.apache.spark.storage.StorageLevel
   */
 object Algorithms {
 
+  /** Observability for the fixpoint early-exit specs ONLY: the round index
+    * the most recent louvainMoves*Distributed call last executed (< its
+    * `rounds` argument exactly when the two-no-move-round fixpoint fired).
+    * Plain volatile — specs run their assertions single-threaded. */
+  @volatile private[graft] var lastLouvainMoveRounds: Int = 0
+
   /** Set a checkpoint dir (idempotent) and arrange for the per-app
     * subdirectory (Spark appends a fresh UUID per context) to be deleted at
     * JVM exit — Spark never removes reliable-checkpoint data on its own, so
@@ -287,9 +293,12 @@ object Algorithms {
     * hub(u), hub(u) = Σ_{u→v} auth(v), each divided by its global sum.
     *
     * Same audited iterative shape as pageRank: the deduped edge relation
-    * is ONE checkpointed leaf, each half-step is a vertex-sized join +
-    * aggregate, and the normalizing sums are broadcast 1-row aggregates
-    * inside the plan — no driver-side value in the loop. Small inputs
+    * is ONE checkpointed leaf and each round is ONE fused plan (auth sums
+    * feeding hub sums) ending in one vertex-sized checkpoint — the L1
+    * normalization is deferred out of the loop entirely (the scalars
+    * cancel through the linear half-steps; see the in-loop comment) and
+    * applied once at the end as broadcast 1-row sums. No driver-side
+    * value in the loop. Small inputs
     * route to the in-task kernel ([[LocalKernels.hits]]) like the other
     * linear-pass iteratives — 12 sequential half-step jobs are pure
     * scheduling overhead on a sub-64MB graph (r13: q_hits 16.3 s → sub-s
@@ -306,32 +315,50 @@ object Algorithms {
       .distinct().localCheckpoint(true)
     val v = e.select(col("_hsrc").as("id")).unionAll(e.select(col("_hdst").as("id")))
       .distinct().localCheckpoint(true)
-    var hub = v.withColumn("hub", lit(1.0))
-    var auth = v.withColumn("auth", lit(0.0))
-    // per half-step the CHECKPOINT target is the UNNORMALIZED sum table
-    // `ar`/`hr` (vertex-sized), not the normalized frame: the normalized
-    // frame references the sums twice (join side + the L1 normalizer
-    // aggregate), so checkpointing after normalization evaluated the
-    // edge-join aggregate TWICE per half-step — cutting the leaf before
-    // normalization halves the heavy work (r13: q_hits 16.3 s → see
-    // BENCH_R13.md). Normalization stays lazy: it only reads the leaf.
+    // Normalization DEFERRED out of the loop (the r14-asked half-step
+    // fusion, done right): L1-normalizing divides every value by a
+    // positive 1-row scalar, and that scalar cancels straight through the
+    // next linear half-step (Σ(x/s) = (Σx)/s, then /Σ again), so the
+    // RANKED and the FINAL normalized values are identical if the loop
+    // iterates raw unnormalized sums and divides exactly once at the end.
+    // Per round that leaves ONE plan — the auth-sums subtree consumed
+    // exactly once by the hub-sums aggregate, no normalizer joins, no
+    // broadcast scalars in the loop — ending in ONE vertex-sized
+    // checkpoint (r13 shape ran TWO checkpoint jobs per round plus two
+    // scalar broadcasts; at sf1's 6.4M-vertex projection the per-job
+    // fixed cost dominated). A naive in-loop fusion that kept the
+    // normalizer was measured 50% SLOWER: the scalar's subtree duplicates
+    // the edge-join aggregate in-plan and alias differences break
+    // exchange reuse. Magnitudes grow like (avg degree)^half-steps —
+    // ~1e24 at 12 half-steps of degree 100, far inside double range —
+    // and the result matches the normalized form to summation-order ULPs
+    // (the same slack the catalog's 6-decimal rounding and the kernel
+    // differential already absorb). Vertices absent from a sum table
+    // carry exact 0.0 and contribute nothing downstream; the final
+    // v-left-joins restore their zero rows.
+    var hubS = v.select(col("id"), lit(1.0).as("__x"))
+    var authS = v.select(col("id"), lit(0.0).as("__x"))
     for (i <- 1 to iterations) {
-      val ar0 = hub.join(e, col("id") === col("_hsrc"))
-        .groupBy(col("_hdst")).agg(sum(col("hub")).as("__x"))
-      RoundCapture.offer("hits", i, ar0)
-      val ar = ar0.localCheckpoint(true)
-      val as = ar.agg(sum(col("__x")).as("__s"))
-      auth = v.join(ar, col("id") === col("_hdst"), "left")
-        .crossJoin(broadcast(as))
-        .select(col("id"), (coalesce(col("__x"), lit(0.0)) / col("__s")).as("auth"))
-      val hr = auth.join(e, col("id") === col("_hdst"))
-        .groupBy(col("_hsrc")).agg(sum(col("auth")).as("__x"))
-        .localCheckpoint(true)
-      val hs = hr.agg(sum(col("__x")).as("__s"))
-      hub = v.join(hr, col("id") === col("_hsrc"), "left")
-        .crossJoin(broadcast(hs))
-        .select(col("id"), (coalesce(col("__x"), lit(0.0)) / col("__s")).as("hub"))
+      val ta = hubS.join(e, col("id") === col("_hsrc"))
+        .groupBy(col("_hdst").as("id")).agg(sum(col("__x")).as("__x"))
+      val th0 = ta.join(e, col("id") === col("_hdst"))
+        .groupBy(col("_hsrc").as("id")).agg(sum(col("__x")).as("__x"))
+      RoundCapture.offer("hits", i, th0)
+      hubS = th0.localCheckpoint(true)
+      authS = ta
     }
+    // one extra job: materialize the final auth sums so the two consumers
+    // below (the L1 scalar + the output join) share a leaf instead of each
+    // re-running the last edge join
+    val aLeaf = authS.localCheckpoint(true)
+    val as = aLeaf.agg(sum(col("__x")).as("__s"))
+    val hs = hubS.agg(sum(col("__x")).as("__s"))
+    val hub = v.join(hubS.withColumnRenamed("__x", "__h"), Seq("id"), "left")
+      .crossJoin(broadcast(hs))
+      .select(col("id"), (coalesce(col("__h"), lit(0.0)) / col("__s")).as("hub"))
+    val auth = v.join(aLeaf.withColumnRenamed("__x", "__a"), Seq("id"), "left")
+      .crossJoin(broadcast(as))
+      .select(col("id"), (coalesce(col("__a"), lit(0.0)) / col("__s")).as("auth"))
     hub.join(auth, "id")
   }
 
@@ -552,7 +579,15 @@ object Algorithms {
       .localCheckpoint(true)
     val m2 = und.agg((count(lit(1)) * 2).cast("double").as("m2"))
     var asg = deg.select(col("id"), col("id").as("community"))
-    for (r <- 1 to rounds) {
+    // FIXPOINT early-exit (same argument as kCore's): after TWO
+    // consecutive no-move rounds both parities have settled against an
+    // unchanged assignment, and round r+2 recomputes round r's exact
+    // scores under the same parity — so every remaining round is an
+    // identity and skipping them is result-identical to the oracle's
+    // fixed unroll (a converged round IS a no-op there too).
+    var stable = 0
+    var r = 1
+    while (r <= rounds && stable < 2) {
       val dc = asg.join(deg, Seq("id"))
         .groupBy(col("community").as("C")).agg(sum(col("d")).as("dc"))
       val nbrC = sym.select(col("a").as("id"), col("b").as("nb"))
@@ -574,9 +609,15 @@ object Algorithms {
           first(col("community")).as("__cur"))
         .select(col("id"),
           when(pmod(col("id") + r, lit(2L)) === 0, -col("__m.nc"))
-            .otherwise(col("__cur")).as("community"))
-      RoundCapture.offer("louvain_moves", r, next)
-      asg = next.localCheckpoint(true)
+            .otherwise(col("__cur")).as("community"),
+          col("__cur").as("__was"))
+      RoundCapture.offer("louvain_moves", r, next.drop("__was"))
+      val ck = next.localCheckpoint(true)
+      stable = if (ck.filter(col("community") =!= col("__was")).limit(1).isEmpty)
+        stable + 1 else 0
+      asg = ck.drop("__was")
+      lastLouvainMoveRounds = r
+      r += 1
     }
     asg
   }
@@ -607,7 +648,10 @@ object Algorithms {
       .localCheckpoint(true)
     val m2 = und.agg((sum(col("w")) * 2).as("m2")) // contraction preserves 2m
     var asg = deg.select(col("id"), col("id").as("community"))
-    for (r <- 1 to rounds) {
+    // same two-no-move-round fixpoint early-exit as the unweighted twin
+    var stable = 0
+    var r = 1
+    while (r <= rounds && stable < 2) {
       val dc = asg.join(deg, Seq("id"))
         .groupBy(col("community").as("C")).agg(sum(col("d")).as("dc"))
       val nbrC = sym.select(col("a").as("id"), col("b").as("nb"), col("w"))
@@ -627,9 +671,15 @@ object Algorithms {
           first(col("community")).as("__cur"))
         .select(col("id"),
           when(pmod(col("id") + r, lit(2L)) === 0, -col("__m.nc"))
-            .otherwise(col("__cur")).as("community"))
-      RoundCapture.offer("louvain_weighted", r, next)
-      asg = next.localCheckpoint(true)
+            .otherwise(col("__cur")).as("community"),
+          col("__cur").as("__was"))
+      RoundCapture.offer("louvain_weighted", r, next.drop("__was"))
+      val ck = next.localCheckpoint(true)
+      stable = if (ck.filter(col("community") =!= col("__was")).limit(1).isEmpty)
+        stable + 1 else 0
+      asg = ck.drop("__was")
+      lastLouvainMoveRounds = r
+      r += 1
     }
     asg
   }
@@ -1216,10 +1266,16 @@ object Algorithms {
     * zero-weight 2-cycle makes the parent relation cyclic and the walk
     * would emit bogus alternating rows up to maxHops.
     *
-    * The distance solve routes through the [[LocalKernels]] gate like
-    * every sibling: the kernel relaxes with the same synchronous
-    * min(dist(u)+w) double additions, so the exact-FP parent equality
-    * holds identically on either path. */
+    * Routes WHOLESALE through the [[LocalKernels]] gate: below the
+    * threshold the solve, the parent derivation, AND the walk all run in
+    * one task ([[LocalKernels.ssspPath]] — the parent table is
+    * vertex-sized, the walk a backward array hop loop, so a 16-join
+    * reconstruction plan is pure overhead there); above it the
+    * distributed formulation below is the only one that exists. The
+    * kernel relaxes with the same synchronous min(dist(u)+w) double
+    * additions, so the exact-FP parent equality holds identically on
+    * either path and the differential (LocalKernelsSpec) pins identical
+    * rows. */
   def ssspPath(edges: DataFrame, source: Long, target: Long,
                maxHops: Int = 16): DataFrame = {
     require(maxHops > 0 && maxHops <= 64, s"maxHops in (0,64], got $maxHops")
@@ -1227,9 +1283,14 @@ object Algorithms {
         coalesce(col("weight"), lit(1.0)).as("weight"))
       .filter(col("weight") > 0)
     val (eg, small) = LocalKernels.gate(pruned)
+    if (small) {
+      return LocalKernels.ssspPath(eg, source, target, maxHops)
+        .select(col("pos"), col("id"),
+          graft.functions.CypherFunctions.roundC(col("dist"), 4).as("dist"))
+        .orderBy(col("pos"))
+    }
     val e = eg.localCheckpoint(true) // consumed by the solve AND the parent join
-    val dist = (if (small) LocalKernels.sssp(e, source, maxHops * 2)
-                else ssspDistributed(e, source, maxHops * 2))
+    val dist = ssspDistributed(e, source, maxHops * 2)
       .localCheckpoint(true) // consumed by the parent join and every walk hop
     val parent = e
       .join(dist.select(col("id").as("src"), col("dist").as("__du")), Seq("src"))
@@ -1422,9 +1483,13 @@ object Algorithms {
     * hop). Each later hop EXPLODES the current node's candidate list
     * (Σ deg(cur) rows ≈ one edge-relation's worth, never deg² work),
     * marks BFS-like candidates with one distributed hash join against the
-    * edge relation on (prev, candidate), and picks per walker with a
-    * window keyed by the walker — running weight sum in sorted-neighbor
-    * order, first position past the draw. An earlier formulation tested
+    * edge relation on (prev, candidate), and picks per walker with ONE
+    * hash aggregate keyed by the walker — candidates regroup into a
+    * by-position sorted array and an `aggregate` HOF runs the cumulative
+    * weight sum, taking the first position past the draw; no window and
+    * no per-partition sort, so a celebrity hub costs one max-degree
+    * aggregation buffer instead of a window partition holding every hub
+    * walker's candidate list. An earlier formulation tested
     * each candidate against prev's neighbor ARRAY in-task
     * (`array_contains`), which is O(deg(cur) × deg(prev)) per walker and
     * collapsed on co-purchase hubs; the join form is linear in candidate
@@ -1435,9 +1500,10 @@ object Algorithms {
                     wBack: Int = 1, wCommon: Int = 4, wFar: Int = 2): DataFrame = {
     require(steps >= 1 && steps <= 16, s"steps in [1,16], got $steps")
     require(wBack > 0 && wCommon > 0 && wFar > 0, "weights must be positive")
-    import org.apache.spark.sql.expressions.Window
-    val sym = edges.select(col("src").as("_ws"), col("dst").as("_wd"))
-      .unionAll(edges.select(col("dst").as("_ws"), col("src").as("_wd")))
+    // cast like bidirectionalBfs: int-typed edge inputs would otherwise
+    // leak int v1..vN columns and lean on implicit promotion in the draw
+    val sym = edges.select(col("src").cast("long").as("_ws"), col("dst").cast("long").as("_wd"))
+      .unionAll(edges.select(col("dst").cast("long").as("_ws"), col("src").cast("long").as("_wd")))
       .filter(col("_ws") =!= col("_wd"))
       .distinct()
       .localCheckpoint(true) // reused as the adjacency test every hop
@@ -1453,27 +1519,43 @@ object Algorithms {
       .withColumn("v1",
         element_at(col("_nbrs"), (pmod(draw(1), col("_deg")) + 1).cast("int")))
       .select(col("start"), col("_v").as("_prev"), col("v1").as("_v"), col("v1"))
-    val ordered = Window.partitionBy(col("start")).orderBy(col("_pos"))
-    val whole = Window.partitionBy(col("start"))
     for (i <- 2 to steps) {
       val cand = fr.join(adj, fr("_v") === adj("_ws"))
         .select((col("start") +: col("_prev") +: col("_v") +:
           (1 until i).map(j => col(s"v$j"))) :+
           posexplode(col("_nbrs")): _*)
         .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "_n")
-      fr = cand
+      val marked = cand
         .join(sym.select(col("_ws").as("_pa"), col("_wd").as("_pb")),
           cand("_prev") === col("_pa") && cand("_n") === col("_pb"), "left")
         .withColumn("_wt", when(col("_n") === col("_prev"), lit(wBack.toLong))
           .when(col("_pb").isNotNull, lit(wCommon.toLong))
           .otherwise(lit(wFar.toLong)))
-        .withColumn("_cum", sum(col("_wt")).over(ordered))
-        .withColumn("_r", pmod(draw(i), sum(col("_wt")).over(whole)))
-        .filter(col("_cum") > col("_r"))
-        .withColumn("_rn", row_number().over(ordered))
-        .filter(col("_rn") === 1)
+      // first-past-the-draw as ONE hash aggregate keyed by the walker — no
+      // window, no per-partition sort: a celebrity hub costs one
+      // max-degree aggregation buffer, never a window partition holding
+      // every hub walker's candidates. The running cum-sum + pick runs
+      // array-side in a codegen'd `aggregate` HOF over the by-position
+      // sorted candidate structs — identical selection to the old
+      // window form (first sorted-neighbor position whose cumulative
+      // weight exceeds the draw), pinned by the hub differential in
+      // AlgorithmsSpec and the unchanged catalog hash.
+      val keys = col("start") +: col("_prev") +: col("_v") +:
+        (1 until i).map(j => col(s"v$j"))
+      fr = marked.groupBy(keys: _*)
+        .agg(sum(col("_wt")).as("_W"),
+          sort_array(collect_list(struct(col("_pos"), col("_wt"), col("_n"))))
+            .as("_cands"))
+        .withColumn("_r", pmod(draw(i), col("_W")))
+        .withColumn("_pick", aggregate(col("_cands"),
+          struct(lit(0L).as("c"), lit(null).cast("long").as("n")),
+          (acc, x) => struct(
+            (acc("c") + x("_wt")).as("c"),
+            coalesce(acc("n"),
+              when(acc("c") + x("_wt") > col("_r"), x("_n"))).as("n")),
+          acc => acc("n")))
         .select((col("start") +: col("_v").as("_prev") +:
-          col("_n").as("_v") +: col("_n").as(s"v$i") +:
+          col("_pick").as("_v") +: col("_pick").as(s"v$i") +:
           (1 until i).map(j => col(s"v$j"))): _*)
     }
     fr.select(col("start") +: (1 to steps).map(i => col(s"v$i")): _*)

@@ -970,6 +970,78 @@ object LocalKernels {
       }.toDF("id", "dist")
   }
 
+  /** Full weighted shortest PATH in one task — solve + parent derivation +
+    * backward walk, the in-task twin of [[Algorithms.ssspPath]]'s
+    * 16-sequential-join reconstruction. The distance solve is the same
+    * synchronous Bellman-Ford as [[sssp]] (identical double additions, so
+    * the exact-FP parent equality below matches the distributed parent
+    * join bit-for-bit); parent(v) = min ORIGINAL-id u with
+    * dist(u) + w(u,v) == dist(v), v != source; the walk follows parents
+    * target→source for at most `maxHops` hops. Emits (pos, id, dist) with
+    * pos counted from the TARGET, unrounded — [[Algorithms.ssspPath]]
+    * applies the shared rounding/order. Same all-or-nothing completeness
+    * contract as the distributed certificate: a walk whose terminal row is
+    * not the source at dist 0 (unreachable target, path longer than
+    * maxHops) returns NOTHING, never a silent prefix. Caller pre-filters
+    * weight > 0 like the distributed path (a zero-weight cycle would make
+    * the parent relation cyclic); with w > 0 the walk strictly decreases
+    * dist and must terminate. */
+  def ssspPath(edges: DataFrame, source: Long, target: Long, maxHops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val srcDs = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        coalesce(col("weight"), lit(1.0)).cast("double")).as[(Long, Long, Double)]
+    inTask3(srcDs, cacheKey(srcDs.toDF())) { it =>
+        val vx = new Interner
+        val sb = new Ints(); val db = new Ints(); val wb = mutable.ArrayBuilder.make[Double]
+        it.foreach { case (s, d, w) => sb += vx.idx(s); db += vx.idx(d); wb += w }
+        val src = vx.idx(source)
+        val n = vx.n
+        val (si, di, w) = (sb.result(), db.result(), wb.result())
+        val inf = Double.MaxValue
+        var dist = Array.fill(n)(inf)
+        dist(src) = 0.0
+        var round = 0
+        var changed = true
+        while (changed && round < maxHops * 2) { // same cap as the distributed solve
+          changed = false
+          val nd = dist.clone() // synchronous: relax against the PREVIOUS round
+          var k = 0
+          while (k < si.length) {
+            val ds = dist(si(k))
+            if (ds != inf) {
+              val cand = ds + w(k)
+              if (cand < nd(di(k))) { nd(di(k)) = cand; changed = true }
+            }
+            k += 1
+          }
+          dist = nd; round += 1
+        }
+        // parent(v) = min original-id u with dist(u) + w == dist(v) — exact FP:
+        // dist(v) was literally produced by one of these same additions
+        val parent = Array.fill(n)(-1)
+        var k = 0
+        while (k < si.length) {
+          val u = si(k); val v = di(k)
+          if (v != src && dist(u) != inf && dist(u) + w(k) == dist(v) &&
+              (parent(v) < 0 || vx.ids(u) < vx.ids(parent(v)))) parent(v) = u
+          k += 1
+        }
+        val tgt = vx.idOf.getOrElse(target, -1)
+        if (tgt < 0 || dist(tgt) == inf) Iterator.empty
+        else {
+          val walk = mutable.ArrayBuffer((0, vx.ids(tgt), dist(tgt)))
+          var cur = tgt; var pos = 0
+          while (cur != src && parent(cur) >= 0 && pos < maxHops) {
+            cur = parent(cur); pos += 1
+            walk += ((pos, vx.ids(cur), dist(cur)))
+          }
+          val (_, lastId, lastD) = walk.last
+          if (lastId == source && lastD == 0.0) walk.iterator else Iterator.empty
+        }
+      }.toDF("pos", "id", "dist")
+  }
+
   // ---- Louvain ----------------------------------------------------------
 
   /** One level of Louvain local moves — the in-task twin of

@@ -9,6 +9,7 @@ import graft.streaming.EventStream
 import graft.text.TextAnalysis
 import graft.vector.VectorSearch
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline catalog: dedup, similarity search, text analysis,
@@ -1007,8 +1008,8 @@ object PipelineQueries {
             col("n"), col("total_value"))
         val q = agg.writeStream.outputMode("append").format("parquet")
           .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
-          .start()
-        q.processAllAvailable(); q.stop()
+          .trigger(Trigger.AvailableNow).start()
+        q.awaitTermination()
       }
       s.read.parquet(s"$base/out")
         .select(col("h").cast("timestamp_ntz").as("h"), col("event_type"),
@@ -1035,8 +1036,8 @@ object PipelineQueries {
           .select(col("event_id"), col("ts"))
         val q = dd.writeStream.outputMode("append").format("parquet")
           .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
-          .start()
-        q.processAllAvailable(); q.stop()
+          .trigger(Trigger.AvailableNow).start()
+        q.awaitTermination()
       }
       s.read.parquet(s"$base/out").agg(count(lit(1)).as("n"))
     }),
@@ -1058,8 +1059,8 @@ object PipelineQueries {
           EventStream.readDocuments(s, d), probes, "doc_id", "text", 3)
         val q = rep.writeStream.outputMode("append").format("parquet")
           .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
-          .start()
-        q.processAllAvailable(); q.stop()
+          .trigger(Trigger.AvailableNow).start()
+        q.awaitTermination()
       }
       s.read.parquet(s"$base/out")
         .select(col("doc_id"), col("probe_id"), col("n_hits"), col("contaminated"))
@@ -1084,8 +1085,8 @@ object PipelineQueries {
           EventStream.readDocuments(s, d), "doc_id", "text", lo, prior)
         val q = scored.writeStream.outputMode("append").format("parquet")
           .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
-          .start()
-        q.processAllAvailable(); q.stop()
+          .trigger(Trigger.AvailableNow).start()
+        q.awaitTermination()
       }
       s.read.parquet(s"$base/out")
         .select(col("doc_id"), col("n_words"), col("nb_score"), col("predicted"))
@@ -1113,8 +1114,8 @@ object PipelineQueries {
         val sess = EventStream.sessionize(s, ev, 1800000L)
         val q = sess.writeStream.outputMode("append").format("parquet")
           .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
-          .start()
-        q.processAllAvailable(); q.stop()
+          .trigger(Trigger.AvailableNow).start()
+        q.awaitTermination()
       }
       s.read.parquet(s"$base/out")
         .orderBy(col("user_id"), col("session_start"))
@@ -1140,8 +1141,8 @@ object PipelineQueries {
         val j = EventStream.intervalJoin(clicks, buys, "1 hour")
         val q = j.writeStream.outputMode("append").format("parquet")
           .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
-          .start()
-        q.processAllAvailable(); q.stop()
+          .trigger(Trigger.AvailableNow).start()
+        q.awaitTermination()
       }
       s.read.parquet(s"$base/out").orderBy(col("user_id"), col("l_id"), col("r_id"))
     }),
@@ -1154,8 +1155,8 @@ object PipelineQueries {
       withStreamShuffle(s) {
         val agg = EventStream.windowedCounts(EventStream.readEvents(s, d), "1 hour", "2 hours")
         val q = agg.writeStream.outputMode("complete")
-          .format("memory").queryName("graft_stream_win").start()
-        q.processAllAvailable(); q.stop()
+          .format("memory").queryName("graft_stream_win").trigger(Trigger.AvailableNow).start()
+        q.awaitTermination()
       }
       s.table("graft_stream_win")
         .select(col("window.start").cast("timestamp_ntz").as("h"),

@@ -407,8 +407,11 @@ object TextAnalysis {
     * reassemble. The elected-occurrence exchange is bounded by the number
     * of DISTINCT paragraphs, so hot boilerplate (the skewed key) collapses
     * before it moves. Returns (idCol, n_paragraphs, n_kept, clean_text)
-    * for every input document — a fully-deduped doc survives with
-    * n_kept = 0 and empty text. */
+    * for every input document that has at least one non-empty paragraph —
+    * a fully-DEDUPED doc survives with n_kept = 0 and empty text, but an
+    * EMPTY/whitespace-only doc (zero non-empty paragraphs) produces no
+    * output row at all (its single empty paragraph is dropped before the
+    * election, matching the SQL-oracle formulation). */
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
                      chunkWords: Int = 10): DataFrame = {
     require(chunkWords > 0, s"chunkWords must be positive, got $chunkWords")

@@ -289,6 +289,25 @@ class AlgorithmsSpec extends SparkSpec {
     assert(m == m2)
   }
 
+  test("louvainMoves: distributed fixpoint early-exit fires on a converged graph, result identical") {
+    // two triangles + bridge converge well before 12 rounds; after two
+    // consecutive no-move rounds (both parities settled) every remaining
+    // round is an identity, so the capped and generous runs must agree
+    // AND the generous run must have stopped early
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+      .toDF("a", "b")
+    spark.conf.set("spark.graft.algo.localSizeBytes", "0") // pin distributed
+    try {
+      val at4 = Algorithms.louvainMoves(e, 4).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val at12 = Algorithms.louvainMoves(e, 12).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(at4 == at12, "early-exit changed the converged assignment")
+      assert(Algorithms.lastLouvainMoveRounds < 12,
+        s"fixpoint exit never fired: ran ${Algorithms.lastLouvainMoveRounds} rounds")
+    } finally spark.conf.unset("spark.graft.algo.localSizeBytes")
+  }
+
   test("graphStats: counts, density, degree stats and exact log2 histogram") {
     // star 1-{2..9}: node 1 deg 8, leaves deg 1 → density 8/(9*8/2)... =
     // 2*8/(9*8) = 0.2222; log2 buckets: deg 8 → 3, deg 1 → 0
@@ -608,6 +627,43 @@ class AlgorithmsSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(starWalk(1000, 1, 1)(2L) == 2L) // heavy return weight backtracks
     assert(starWalk(1, 1, 1)(2L) != 2L)    // uniform draw moves on
+  }
+
+  test("node2vecWalks: hub-heavy graph (one node deg >> rest) matches the naive oracle") {
+    // celebrity hub 1 wired to every leaf 2..61, plus a leaf ring so the
+    // common-neighbor weight class fires from the hub too — pins the
+    // aggregate-based pick (no window) on exactly the skew shape the old
+    // per-walker window partition was weakest on
+    val hubEdges = (2L to 61L).map(l => (1L, l)) ++
+      (2L until 61L).map(l => (l, l + 1))
+    val e = hubEdges.toDF("src", "dst")
+    val adjm = hubEdges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, ns) => v -> ns.map(_._2).distinct.sorted.toVector }
+    def mod(x: Long, m: Long): Long = ((x % m) + m) % m
+    def drawOf(v: Long, step: Int, m: Long): Long =
+      mod((v % 100000L) * 2654435761L + step.toLong * 40503L, m)
+    def pick2(prev: Long, v: Long, step: Int): Long = {
+      val nb = adjm(v)
+      val wts = nb.map(n => if (n == prev) 1L
+        else if (adjm(prev).contains(n)) 4L else 2L)
+      val r = drawOf(v, step, wts.sum)
+      var cum = 0L
+      nb.zip(wts).collectFirst { case (n, w) if { cum += w; cum > r } => n }.get
+    }
+    def oracle(start: Long, steps: Int): Seq[Long] = {
+      var prev = start
+      var v = adjm(start)(drawOf(start, 1, adjm(start).size.toLong).toInt)
+      var out = Vector(v)
+      for (i <- 2 to steps) {
+        val nxt = pick2(prev, v, i)
+        prev = v; v = nxt; out :+= nxt
+      }
+      start +: out
+    }
+    val got = Algorithms.node2vecWalks(e, 4).collect()
+      .map(r => (0 until 5).map(r.getLong)).toSet
+    val want = adjm.keySet.map(s => oracle(s, 4)).toSet
+    assert(got == want)
   }
 
   test("bidirectionalBfs: exact distances on a chain, depth cap, disconnection") {
