@@ -46,14 +46,29 @@ object SnbLoader {
   val OrgOff: Long      = 1500000000L
 
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), PropertyGraph]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Boolean), PropertyGraph]()
 
   def snb(spark: SparkSession, dir: String): PropertyGraph =
-    memo.computeIfAbsent((System.identityHashCode(spark), dir),
-      _ => build(spark, dir))
+    memo.computeIfAbsent((System.identityHashCode(spark), dir, false),
+      _ => build(spark, dir, zipf = false))
+
+  /** The DATAGEN-SHAPED twin (r14 verdict task #7): identical projection
+    * except KNOWS additionally carries the deterministic power-law hub
+    * families — edge (a, a mod 2^j) for even j in [2, 16] wherever the
+    * target is a distinct existing person. Hub b's degree is
+    * Σ_{2^j > b} n/2^j ≈ 2n/2^ceil(log2 b) ∝ n/b — a Zipf tail like
+    * LDBC datagen's KNOWS (facebookDegreeDistribution), from pure key
+    * arithmetic the DuckDB oracles replay exactly (`LdbcQueries.PreZipf`).
+    * Friend-of-friend sets through the hubs genuinely explode (any
+    * 2-hop neighborhood contains a hub's whole modulus class), which is
+    * the IC3/IC5/IC6/IC10 workload character the near-key graph's flat
+    * deg ≈ 2.5 could not produce. */
+  def snbZipf(spark: SparkSession, dir: String): PropertyGraph =
+    memo.computeIfAbsent((System.identityHashCode(spark), dir, true),
+      _ => build(spark, dir, zipf = true))
 
   private val anchorMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), (Long, String, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Boolean), (Long, String, Long)]()
 
   /** Stats-derived workload anchors (r11 verdict task #8): the reference
     * curates Interactive parameters from graph statistics — percentile-of-
@@ -77,8 +92,18 @@ object SnbLoader {
     * CTEs — keep in sync). A few tiny aggregate jobs, memoized per
     * (session, dataset). */
   def anchors(spark: SparkSession, dir: String): (Long, String, Long) =
-    anchorMemo.computeIfAbsent((System.identityHashCode(spark), dir), _ => {
-      val g = snb(spark, dir)
+    anchorsOf(spark, dir, zipf = false)
+
+  /** [[anchors]] over the [[snbZipf]] graph — the same percentile-of-degree
+    * derivation; on the power-law KNOWS the p90-degree anchor sits near
+    * the hub tiers, so its 1..2-hop reach is genuinely large. */
+  def anchorsZipf(spark: SparkSession, dir: String): (Long, String, Long) =
+    anchorsOf(spark, dir, zipf = true)
+
+  private def anchorsOf(spark: SparkSession, dir: String,
+                        zipf: Boolean): (Long, String, Long) =
+    anchorMemo.computeIfAbsent((System.identityHashCode(spark), dir, zipf), _ => {
+      val g = if (zipf) snbZipf(spark, dir) else snb(spark, dir)
       val k = g.edges.filter(col("relationship") === "KNOWS")
         .select(col("src").as("s"), col("dst").as("d"))
       val ku = k.unionAll(k.select(col("d").as("s"), col("s").as("d")))
@@ -130,7 +155,7 @@ object SnbLoader {
   // collision between a GC'd and a new session, serve memoized params
   // without recomputation anyway — same behavior, no leak.
   private val icMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, IcParams]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Boolean), IcParams]()
 
   /** IC3's (nation pair, date window) and IC11's (organisation, workFrom
     * bound), derived from the curated anchor's ACTUAL 1..2-hop neighborhood
@@ -150,9 +175,17 @@ object SnbLoader {
     * Reference parameter-curation character: `benches/ldbc_common/
     * mod.rs:460-628`. Tiny aggregate jobs, memoized per dataset dir. */
   def icParams(spark: SparkSession, dir: String): IcParams =
-    icMemo.computeIfAbsent(dir, _ => {
-      val (pid, _, _) = anchors(spark, dir)
-      val g = snb(spark, dir)
+    icParamsOf(spark, dir, zipf = false)
+
+  /** [[icParams]] over the [[snbZipf]] graph. */
+  def icParamsZipf(spark: SparkSession, dir: String): IcParams =
+    icParamsOf(spark, dir, zipf = true)
+
+  private def icParamsOf(spark: SparkSession, dir: String,
+                         zipf: Boolean): IcParams =
+    icMemo.computeIfAbsent((dir, zipf), _ => {
+      val (pid, _, _) = anchorsOf(spark, dir, zipf)
+      val g = if (zipf) snbZipf(spark, dir) else snb(spark, dir)
       val k = g.edges.filter(col("relationship") === "KNOWS")
         .select(col("src").as("s"), col("dst").as("d"))
       val ku = k.unionAll(k.select(col("d").as("s"), col("s").as("d")))
@@ -223,7 +256,8 @@ object SnbLoader {
       dst.cast("long").as("dst"), lit(rel).as("relationship"),
       workFrom.cast("long").as("workFrom"))
 
-  private def build(spark: SparkSession, dir: String): PropertyGraph = {
+  private def build(spark: SparkSession, dir: String,
+                    zipf: Boolean): PropertyGraph = {
     val cust = Tables(spark, dir, "customer")
     val ord  = Tables(spark, dir, "orders")
     val li   = Tables(spark, dir, "lineitem")
@@ -306,9 +340,31 @@ object SnbLoader {
         .join(pk2, Seq("dst"), "left_semi")
         .select(edgeRow(lit(2000000000L) + col("src") * 8 + fam,
           col("src"), col("dst"), "KNOWS"): _*)
-    val knowsE = knows(1, ck % 3 =!= 0, 0)
+    val knowsNear = knows(1, ck % 3 =!= 0, 0)
       .unionByName(knows(4, ck % 7 < 3, 1))
       .unionByName(knows(13, ck % 11 < 2, 2))
+    // Zipf variant: add the power-law hub families — (a, a mod 2^j) for
+    // even j in [2, 16] when the target exists and differs. deg(hub b) ≈
+    // Σ_{2^j > b} n/2^j ∝ n/b. DISTINCT over the families (a's low bits
+    // can make several j collapse to the same target); near-key pairs
+    // never collide with these (near-key dst > src, hub dst < src), so
+    // the union stays pair-distinct and `ku`'s both-ways UNION ALL keeps
+    // exact multiplicity 1 per direction. dst < 2^16 bounds make
+    // 20e9 + src*65536 + dst a unique id clear of every other edge space.
+    val knowsE =
+      if (!zipf) knowsNear
+      else {
+        val hub = (2 to 16 by 2).map { j =>
+          val m = 1L << j
+          cust.filter(ck >= m)
+            .select(ck.cast("long").as("src"), (ck % m).cast("long").as("dst"))
+            .filter(col("dst") =!= col("src"))
+        }.reduce(_ unionAll _).distinct()
+          .join(pk2, Seq("dst"), "left_semi")
+          .select(edgeRow(lit(20000000000L) + col("src") * 65536L + col("dst"),
+            col("src"), col("dst"), "KNOWS"): _*)
+        knowsNear.unionByName(hub)
+      }
 
     val postCreator = postBase.select(edgeRow(lit(3000000000L) + col("okey"),
       col("pid"), col("creator"), "HAS_CREATOR"): _*)
@@ -370,6 +426,10 @@ object SnbLoader {
     val srcTables = Seq("customer", "orders", "lineitem", "part",
       "supplier", "nation", "region")
     val gv = "snb-v2" // v2: hive-partitioned MVs (labelset / relationship)
+    // the two KNOWS variants are DIFFERENT graphs sharing one builder
+    // (and therefore one bytecode fingerprint) — the MV name must carry
+    // the variant or whichever builds first poisons the other's reads
+    val mvBase = if (zipf) "snb_zipf" else "snb"
     // nodes partitioned by the label SET (single string: "Place|Country"),
     // so a label scan prunes to its directories — the label index as
     // storage layout. The helper column is dropped before the graph is
@@ -377,11 +437,11 @@ object SnbLoader {
     val labelSets = Seq(Seq("Person"), Seq("Post"), Seq("Comment"),
       Seq("Forum"), Seq("Tag"), Seq("TagClass"), Seq("Place", "Country"),
       Seq("Place", "Continent"), Seq("Organisation"))
-    val nodesMv = SharedMv(spark, dir, srcTables, "snb_nodes", gv,
+    val nodesMv = SharedMv(spark, dir, srcTables, s"${mvBase}_nodes", gv,
       partitionCols = Seq("labelset"))(
       nodes.withColumn("labelset", concat_ws("|", col("labels")))
         .repartition(col("labelset"), pmod(hash(col("id")), lit(4))))
-    val edgesMv = SharedMv(spark, dir, srcTables, "snb_edges", gv,
+    val edgesMv = SharedMv(spark, dir, srcTables, s"${mvBase}_edges", gv,
       partitionCols = Seq("relationship"))(
       edges.repartition(col("relationship"), pmod(hash(col("id")), lit(4))))
 

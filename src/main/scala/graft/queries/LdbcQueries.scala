@@ -29,13 +29,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object LdbcQueries {
 
-  private def run(cy: String)(s: SparkSession, d: String): DataFrame = {
+  private def runOn(cy: String, zipf: Boolean)(s: SparkSession, d: String): DataFrame = {
     // stats-derived anchors (SnbLoader.anchors — percentile-of-degree, the
-    // reference's parameter-curation character) passed as query parameters
-    val (pid, tag, target) = SnbLoader.anchors(s, d)
+    // reference's parameter-curation character) passed as query parameters;
+    // the zipf twin derives the SAME statistics over its power-law graph
+    val (pid, tag, target) =
+      if (zipf) SnbLoader.anchorsZipf(s, d) else SnbLoader.anchors(s, d)
     // IC3/IC11 neighborhood-derived filters (SnbLoader.icParams): computed
-    // lazily so the 19 queries that don't use them never pay the jobs
-    lazy val ic = SnbLoader.icParams(s, d)
+    // lazily so the queries that don't use them never pay the jobs
+    lazy val ic = if (zipf) SnbLoader.icParamsZipf(s, d) else SnbLoader.icParams(s, d)
     val base = Map[String, Any](
       "anchorPerson" -> pid, "anchorTag" -> tag, "pathTarget" -> target)
     val params =
@@ -44,8 +46,55 @@ object LdbcQueries {
         "ic3Nation1" -> ic.nation1, "ic3Nation2" -> ic.nation2,
         "ic3From" -> ic.from, "ic3To" -> ic.to,
         "ic11Org" -> ic.org, "ic11YearLt" -> ic.yearLt)
-    QueryEngine.execute(cy, SnbLoader.snb(s, d), params)
+    QueryEngine.execute(cy,
+      if (zipf) SnbLoader.snbZipf(s, d) else SnbLoader.snb(s, d), params)
   }
+  private def run(cy: String)(s: SparkSession, d: String): DataFrame =
+    runOn(cy, zipf = false)(s, d)
+  private def runZ(cy: String)(s: SparkSession, d: String): DataFrame =
+    runOn(cy, zipf = true)(s, d)
+
+  // Friend-of-friend-heavy IC texts, shared verbatim by the standard rows
+  // and their `_zipf` twins (same Cypher, power-law KNOWS fixture —
+  // `SnbLoader.snbZipf` — with twin-derived anchors/parameters).
+  private val Ic3Text =
+    """MATCH (p:Person {id: $anchorPerson})-[:KNOWS*1..2]-(friend:Person)
+      |WHERE friend.id <> $anchorPerson
+      |WITH DISTINCT friend
+      |MATCH (friend)<-[:HAS_CREATOR]-(m:Post)-[:IS_LOCATED_IN]->(place:Place)
+      |WHERE m.creationDate >= $ic3From AND m.creationDate < $ic3To
+      |  AND (place.name = $ic3Nation1 OR place.name = $ic3Nation2)
+      |RETURN friend.id AS friendId, friend.firstName AS firstName,
+      |       friend.lastName AS lastName, count(m) AS msgCount
+      |ORDER BY msgCount DESC, friendId
+      |LIMIT 20""".stripMargin
+  private val Ic5Text =
+    """MATCH (p:Person {id: $anchorPerson})-[:KNOWS*1..2]-(friend:Person)
+      |WHERE friend.id <> $anchorPerson
+      |WITH DISTINCT friend
+      |MATCH (friend)<-[:HAS_MEMBER]-(forum:Forum)
+      |RETURN forum.id AS forumId, forum.title AS forumTitle,
+      |       count(friend) AS memberCount
+      |ORDER BY memberCount DESC, forumId
+      |LIMIT 20""".stripMargin
+  private val Ic6Text =
+    """MATCH (p:Person {id: $anchorPerson})-[:KNOWS*1..2]-(friend:Person)<-[:HAS_CREATOR]-(post:Post)-[:HAS_TAG]->(tag:Tag {name: $anchorTag})
+      |WHERE friend.id <> $anchorPerson
+      |WITH DISTINCT post
+      |MATCH (post)-[:HAS_TAG]->(otherTag:Tag)
+      |WHERE otherTag.name <> $anchorTag
+      |RETURN otherTag.name AS tagName, count(post) AS postCount
+      |ORDER BY postCount DESC, tagName
+      |LIMIT 10""".stripMargin
+  private val Ic10Text =
+    """MATCH (p:Person {id: $anchorPerson})-[:KNOWS*2]-(stranger:Person)
+      |WHERE stranger.id <> $anchorPerson AND NOT EXISTS { MATCH (p)-[:KNOWS]-(stranger) }
+      |WITH DISTINCT stranger
+      |MATCH (stranger)-[:HAS_INTEREST]->(tag:Tag)
+      |RETURN stranger.id AS strangerId, stranger.firstName AS firstName,
+      |       stranger.lastName AS lastName, count(tag) AS commonInterests
+      |ORDER BY commonInterests DESC, strangerId
+      |LIMIT 10""".stripMargin
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- short reads -----------------------------------------------------
@@ -113,17 +162,8 @@ object LdbcQueries {
         |ORDER BY creationDate DESC, postId
         |LIMIT 20""".stripMargin) _),
 
-    "q_ldbc_ic3" -> (run(
-      """MATCH (p:Person {id: $anchorPerson})-[:KNOWS*1..2]-(friend:Person)
-        |WHERE friend.id <> $anchorPerson
-        |WITH DISTINCT friend
-        |MATCH (friend)<-[:HAS_CREATOR]-(m:Post)-[:IS_LOCATED_IN]->(place:Place)
-        |WHERE m.creationDate >= $ic3From AND m.creationDate < $ic3To
-        |  AND (place.name = $ic3Nation1 OR place.name = $ic3Nation2)
-        |RETURN friend.id AS friendId, friend.firstName AS firstName,
-        |       friend.lastName AS lastName, count(m) AS msgCount
-        |ORDER BY msgCount DESC, friendId
-        |LIMIT 20""".stripMargin) _),
+    "q_ldbc_ic3" -> (run(Ic3Text) _),
+    "q_ldbc_ic3_zipf" -> (runZ(Ic3Text) _),
 
     "q_ldbc_ic4" -> (run(
       """MATCH (p:Person {id: $anchorPerson})-[:KNOWS]-(friend:Person)<-[:HAS_CREATOR]-(post:Post)-[:HAS_TAG]->(tag:Tag)
@@ -132,25 +172,11 @@ object LdbcQueries {
         |ORDER BY postCount DESC, tagName
         |LIMIT 10""".stripMargin) _),
 
-    "q_ldbc_ic5" -> (run(
-      """MATCH (p:Person {id: $anchorPerson})-[:KNOWS*1..2]-(friend:Person)
-        |WHERE friend.id <> $anchorPerson
-        |WITH DISTINCT friend
-        |MATCH (friend)<-[:HAS_MEMBER]-(forum:Forum)
-        |RETURN forum.id AS forumId, forum.title AS forumTitle,
-        |       count(friend) AS memberCount
-        |ORDER BY memberCount DESC, forumId
-        |LIMIT 20""".stripMargin) _),
+    "q_ldbc_ic5" -> (run(Ic5Text) _),
+    "q_ldbc_ic5_zipf" -> (runZ(Ic5Text) _),
 
-    "q_ldbc_ic6" -> (run(
-      """MATCH (p:Person {id: $anchorPerson})-[:KNOWS*1..2]-(friend:Person)<-[:HAS_CREATOR]-(post:Post)-[:HAS_TAG]->(tag:Tag {name: $anchorTag})
-        |WHERE friend.id <> $anchorPerson
-        |WITH DISTINCT post
-        |MATCH (post)-[:HAS_TAG]->(otherTag:Tag)
-        |WHERE otherTag.name <> $anchorTag
-        |RETURN otherTag.name AS tagName, count(post) AS postCount
-        |ORDER BY postCount DESC, tagName
-        |LIMIT 10""".stripMargin) _),
+    "q_ldbc_ic6" -> (run(Ic6Text) _),
+    "q_ldbc_ic6_zipf" -> (runZ(Ic6Text) _),
 
     "q_ldbc_ic7" -> (run(
       """MATCH (p:Person {id: $anchorPerson})<-[:HAS_CREATOR]-(m:Post)<-[:LIKES]-(liker:Person)
@@ -178,15 +204,8 @@ object LdbcQueries {
         |ORDER BY creationDate DESC, postId, friendId
         |LIMIT 20""".stripMargin) _),
 
-    "q_ldbc_ic10" -> (run(
-      """MATCH (p:Person {id: $anchorPerson})-[:KNOWS*2]-(stranger:Person)
-        |WHERE stranger.id <> $anchorPerson AND NOT EXISTS { MATCH (p)-[:KNOWS]-(stranger) }
-        |WITH DISTINCT stranger
-        |MATCH (stranger)-[:HAS_INTEREST]->(tag:Tag)
-        |RETURN stranger.id AS strangerId, stranger.firstName AS firstName,
-        |       stranger.lastName AS lastName, count(tag) AS commonInterests
-        |ORDER BY commonInterests DESC, strangerId
-        |LIMIT 10""".stripMargin) _),
+    "q_ldbc_ic10" -> (run(Ic10Text) _),
+    "q_ldbc_ic10_zipf" -> (runZ(Ic10Text) _),
 
     "q_ldbc_ic11" -> (run(
       """MATCH (p:Person {id: $anchorPerson})-[:KNOWS*1..2]-(friend:Person)-[wa:WORK_AT]->(org:Organisation)
@@ -216,21 +235,37 @@ object LdbcQueries {
 
   // ---- DuckDB oracles ------------------------------------------------------
 
+  /** Near-key KNOWS derivation (the k0 CTE body) — shared verbatim by the
+    * standard prelude and the zipf twin's (which unions the hub families
+    * on top; keep in sync with `SnbLoader.build`). */
+  private val K0Near =
+    """SELECT a.c_custkey AS s, b.c_custkey AS d FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1 WHERE a.c_custkey % 3 <> 0
+      | UNION ALL SELECT a.c_custkey, b.c_custkey FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 4 WHERE a.c_custkey % 7 < 3
+      | UNION ALL SELECT a.c_custkey, b.c_custkey FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 13 WHERE a.c_custkey % 11 < 2""".stripMargin
+
+  /** The zipf twin's KNOWS: near-key rules PLUS the deterministic
+    * power-law hub families (a, a mod 2^j), even j in [2, 16] — mirrors
+    * `SnbLoader.build`'s zipf branch exactly (DISTINCT over the families;
+    * near-key and hub pair sets are disjoint by direction). */
+  private val K0Zipf = K0Near +
+    """
+      | UNION ALL SELECT s, d FROM (SELECT DISTINCT a.c_custkey AS s, a.c_custkey % m.m AS d
+      |   FROM customer a CROSS JOIN (VALUES (4),(16),(64),(256),(1024),(4096),(16384),(65536)) m(m)
+      |   WHERE a.c_custkey >= m.m AND a.c_custkey % m.m IN (SELECT c_custkey FROM customer))""".stripMargin
+
   /** The SNB derivation, in SQL — line-for-line the rules in
-    * `SnbLoader.build`. Unused CTEs are pruned by DuckDB's optimizer, so
-    * every oracle shares this prefix. */
-  private[queries] val Pre =
-    """person AS (SELECT c_custkey AS id, c_mktsegment AS firstName, c_name AS lastName,
+    * `SnbLoader.build`, parameterized by the KNOWS rule. Unused CTEs are
+    * pruned by DuckDB's optimizer, so every oracle shares this prefix. */
+  private def preWith(k0: String): String =
+    s"""person AS (SELECT c_custkey AS id, c_mktsegment AS firstName, c_name AS lastName,
       |   CASE WHEN c_custkey % 2 = 0 THEN 'male' ELSE 'female' END AS gender,
       |   c_custkey % 365 AS birthday, CAST(c_custkey % 1000 AS VARCHAR) AS creationDate,
       |   CAST(c_custkey % 256 AS VARCHAR) || '.' || CAST(c_nationkey AS VARCHAR) AS locationIP,
       |   CASE WHEN c_custkey % 3 = 0 THEN 'Firefox' WHEN c_custkey % 3 = 1 THEN 'Chrome' ELSE 'Safari' END AS browserUsed
       | FROM customer),
-      |k0 AS (SELECT a.c_custkey AS s, b.c_custkey AS d FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1 WHERE a.c_custkey % 3 <> 0
-      | UNION ALL SELECT a.c_custkey, b.c_custkey FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 4 WHERE a.c_custkey % 7 < 3
-      | UNION ALL SELECT a.c_custkey, b.c_custkey FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 13 WHERE a.c_custkey % 11 < 2),
-      |ku AS (SELECT s, d FROM k0 UNION ALL SELECT d, s FROM k0),
-      |post AS (SELECT 10000000 + o_orderkey AS id, o_custkey AS creator,
+      |k0 AS ($k0),
+      |ku AS (SELECT s, d FROM k0 UNION ALL SELECT d, s FROM k0),""".stripMargin + "\n" +
+    """post AS (SELECT 10000000 + o_orderkey AS id, o_custkey AS creator,
       |   CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END AS content,
       |   CASE WHEN o_orderkey % 5 = 0 THEN o_orderpriority || '.jpg' ELSE NULL END AS imageFile,
       |   strftime(o_orderdate, '%Y-%m-%d') AS creationDate,
@@ -279,7 +314,11 @@ object LdbcQueries {
       |ic11wf AS (SELECT workFrom + 1 AS yearLt FROM fwork WHERE oid = (SELECT oid FROM ic11org) ORDER BY workFrom
       |   LIMIT 1 OFFSET (SELECT CAST(ceil(0.5 * count(*)) AS BIGINT) - 1 FROM fwork WHERE oid = (SELECT oid FROM ic11org)))""".stripMargin
 
+  private[queries] val Pre = preWith(K0Near)
+  private[queries] val PreZipf = preWith(K0Zipf)
+
   private[queries] def o(sql: String): String = s"WITH $Pre $sql"
+  private[queries] def oZ(sql: String): String = s"WITH $PreZipf $sql"
 
   /** Oracles needing the recursive BFS walk (IC13/IC14): DuckDB requires the
     * RECURSIVE keyword on the whole WITH chain. Min-length walks are exactly
@@ -342,6 +381,16 @@ object LdbcQueries {
         | AND m.creationDate < CAST((SELECT y FROM ic3yr) + 1 AS VARCHAR) || '-01-01'
         | AND c.name IN (SELECT name FROM ic3nat)
         |GROUP BY 1, 2, 3 ORDER BY msgCount DESC, friendId LIMIT 20""".stripMargin),
+    "q_ldbc_ic3_zipf" -> oZ(
+      """SELECT r.id AS friendId, p.firstName AS firstName, p.lastName AS lastName,
+        | count(*) AS msgCount
+        |FROM reach2 r JOIN person p ON p.id = r.id JOIN post m ON m.creator = r.id
+        | JOIN country c ON c.id = m.country
+        |WHERE r.id <> (SELECT pid FROM anchor)
+        | AND m.creationDate >= CAST((SELECT y FROM ic3yr) AS VARCHAR) || '-01-01'
+        | AND m.creationDate < CAST((SELECT y FROM ic3yr) + 1 AS VARCHAR) || '-01-01'
+        | AND c.name IN (SELECT name FROM ic3nat)
+        |GROUP BY 1, 2, 3 ORDER BY msgCount DESC, friendId LIMIT 20""".stripMargin),
     "q_ldbc_ic4" -> o(
       """SELECT t.name AS tagName, count(*) AS postCount
         |FROM r1 JOIN post m ON m.creator = r1.id JOIN ptag pt ON pt.mid = m.id
@@ -353,7 +402,20 @@ object LdbcQueries {
         |FROM reach2 r JOIN member mb ON mb.pid = r.id JOIN forum f ON f.id = mb.fid
         |WHERE r.id <> (SELECT pid FROM anchor)
         |GROUP BY 1, 2 ORDER BY memberCount DESC, forumId LIMIT 20""".stripMargin),
+    "q_ldbc_ic5_zipf" -> oZ(
+      """SELECT f.id AS forumId, f.title AS forumTitle, count(*) AS memberCount
+        |FROM reach2 r JOIN member mb ON mb.pid = r.id JOIN forum f ON f.id = mb.fid
+        |WHERE r.id <> (SELECT pid FROM anchor)
+        |GROUP BY 1, 2 ORDER BY memberCount DESC, forumId LIMIT 20""".stripMargin),
     "q_ldbc_ic6" -> o(
+      """SELECT t2.name AS tagName, count(*) AS postCount
+        |FROM (SELECT DISTINCT m.id FROM reach2 r JOIN post m ON m.creator = r.id
+        |   JOIN ptag pt ON pt.mid = m.id JOIN tag t ON t.id = pt.tid
+        |   WHERE r.id <> (SELECT pid FROM anchor) AND t.name = (SELECT name FROM atag)) g
+        | JOIN ptag pt2 ON pt2.mid = g.id JOIN tag t2 ON t2.id = pt2.tid
+        |WHERE t2.name <> (SELECT name FROM atag)
+        |GROUP BY 1 ORDER BY postCount DESC, tagName LIMIT 10""".stripMargin),
+    "q_ldbc_ic6_zipf" -> oZ(
       """SELECT t2.name AS tagName, count(*) AS postCount
         |FROM (SELECT DISTINCT m.id FROM reach2 r JOIN post m ON m.creator = r.id
         |   JOIN ptag pt ON pt.mid = m.id JOIN tag t ON t.id = pt.tid
@@ -381,6 +443,14 @@ object LdbcQueries {
         |WHERE r.id <> (SELECT pid FROM anchor) AND m.creationDate < '1997-01-01'
         |ORDER BY creationDate DESC, postId, friendId LIMIT 20""".stripMargin),
     "q_ldbc_ic10" -> o(
+      """SELECT s.id AS strangerId, p.firstName AS firstName, p.lastName AS lastName,
+        | count(*) AS commonInterests
+        |FROM (SELECT DISTINCT k2.d AS id FROM ku k1 JOIN ku k2 ON k2.s = k1.d
+        |   WHERE k1.s = (SELECT pid FROM anchor) AND k2.d <> (SELECT pid FROM anchor)
+        |    AND NOT EXISTS (SELECT 1 FROM ku WHERE ku.s = (SELECT pid FROM anchor) AND ku.d = k2.d)) s
+        | JOIN person p ON p.id = s.id JOIN interest i ON i.pid = s.id
+        |GROUP BY 1, 2, 3 ORDER BY commonInterests DESC, strangerId LIMIT 10""".stripMargin),
+    "q_ldbc_ic10_zipf" -> oZ(
       """SELECT s.id AS strangerId, p.firstName AS firstName, p.lastName AS lastName,
         | count(*) AS commonInterests
         |FROM (SELECT DISTINCT k2.d AS id FROM ku k1 JOIN ku k2 ON k2.s = k1.d
