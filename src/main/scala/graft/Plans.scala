@@ -74,7 +74,7 @@ object Plans {
       "q_jaccard_approx" -> "MinHash-over-neighbor-sets: ONE hash aggregate builds all 64 signature minima; the banded candidate join is a self-join on (band, bucket) hash keys - bucket-bounded, never all-pairs; the planted-truth semi-join broadcasts the small truth side",
       "q_neighbor_sample" -> "GraphSAGE fanout: per-src PARTITIONED windows (exchange on src, never a global sort); layer 2's edge scan is semi-join-pruned by the sampled layer-1 frontier before its window",
       "q_louvain_moves" -> "Louvain local moves: per round ONE community-degree hash aggregate + ONE map-side-combined neighbor-community count + a struct-max argmax; each round ends in a checkpointed vertex-sized leaf (LogicalRDD) - no windows over the graph, no driver value in the loop",
-      "q_node2vec_walks" -> "node2vec biased walks: adjacency lists aggregate ONCE (checkpointed leaf); per hop the candidate list explodes as a projection (sum deg rows, never deg^2 in-task work), the common-neighbor mark is an ordinary hash join against the edge leaf on (prev, candidate), and the weighted pick is ONE hash aggregate keyed by the walker (collect into a by-position array + codegen aggregate HOF for the first-past-the-draw) - NO window, no per-partition sort, hub skew bounded by one max-degree buffer",
+      "q_node2vec_walks" -> "node2vec biased walks: adjacency lists aggregate ONCE (checkpointed leaf); per hop the candidate list explodes as a projection (sum deg rows, never deg^2 in-task work), the common-neighbor mark is an ordinary hash join against the edge leaf on (prev, candidate), and the weighted pick is a window PARTITIONED BY the walker - one exchange on the walker key, nothing global, a partition = one walker's candidate list (<= max degree, the same bound an aggregate buffer would hold); the r15 A/B measured the collect_list+aggregate-HOF alternative 5x slower, so the window IS the optimized form here",
       "q_bidir_bfs" -> "bidirectional BFS: each round expands BOTH (pair, side) frontiers with one join against the checkpointed edge leaf + an anti-join against visited - frontier depth is HALF the search depth per side; the meet is one visited-x-visited hash join + min aggregate, all pairs ride the same per-round job",
       "q_paragraph_dedup" -> "CCNet paragraph dedup: paragraphs are a transform+posexplode PROJECTION; the first-occurrence election is ONE min(struct) aggregate (SortAggregate - struct min is not hash-aggregable - but the PARTIAL combine still runs map-side, so the exchange is bounded by DISTINCT paragraphs and hot boilerplate collapses before it moves); join-back on the paragraph key + one reassembly aggregate - no window over the exploded corpus")
 
@@ -86,12 +86,18 @@ object Plans {
     picks.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       // the walk loop is one lazy plan (no per-hop checkpoints), so the
-      // final dump IS the per-hop audit: the r14 window pick is gone and
-      // generation fails if it ever comes back
+      // final dump IS the per-hop audit: every Window must be partitioned
+      // by the walker key (one walker's candidate list per partition —
+      // bounded by max degree, never a global sort); generation fails on
+      // an UNPARTITIONED window. The r14 "no window at all" assertion is
+      // gone deliberately: the r15 same-JVM A/B measured the
+      // aggregate-HOF pick 5× slower than the partitioned window
+      // (OPTIMIZATION_r15.md), so the window is the optimized form.
       if (name == "q_node2vec_walks")
         df.queryExecution.optimizedPlan.foreach {
-          case _: org.apache.spark.sql.catalyst.plans.logical.Window =>
-            sys.error("[plans] q_node2vec_walks contains a Window — the aggregate-based pick regressed")
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty =>
+            sys.error("[plans] q_node2vec_walks contains a GLOBAL window — per-walker partitioning regressed")
           case _ =>
         }
       sb.append(s"\n## $name\n\n$note\n\n```\n")

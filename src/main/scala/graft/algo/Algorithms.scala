@@ -1483,13 +1483,18 @@ object Algorithms {
     * hop). Each later hop EXPLODES the current node's candidate list
     * (Σ deg(cur) rows ≈ one edge-relation's worth, never deg² work),
     * marks BFS-like candidates with one distributed hash join against the
-    * edge relation on (prev, candidate), and picks per walker with ONE
-    * hash aggregate keyed by the walker — candidates regroup into a
-    * by-position sorted array and an `aggregate` HOF runs the cumulative
-    * weight sum, taking the first position past the draw; no window and
-    * no per-partition sort, so a celebrity hub costs one max-degree
-    * aggregation buffer instead of a window partition holding every hub
-    * walker's candidate list. An earlier formulation tested
+    * edge relation on (prev, candidate), and picks per walker with a
+    * window PARTITIONED BY the walker — running weight sum in
+    * sorted-neighbor order, first position past the draw. The r15 A/B
+    * (same JVM, noop sink, 3 reps alternating) pinned this as the right
+    * form: a collect_list-into-sorted-array + aggregate-HOF pick — the
+    * "no window" formulation — measured 30.3-33.5 s vs the window's
+    * 5.1-7.0 s on the sf0.1 co-purchase graph and 4.9-5.8 s vs 2.9-3.7 s
+    * on the PLACED projection (ObjectHashAggregate buffers + per-group
+    * array sort + serialized-array shuffle cost 5× the window's one
+    * sort). Skew bound is IDENTICAL either way: a window partition here
+    * is ONE walker's candidate list (≤ max degree), exactly the buffer
+    * the aggregate form would hold per group. An earlier formulation tested
     * each candidate against prev's neighbor ARRAY in-task
     * (`array_contains`), which is O(deg(cur) × deg(prev)) per walker and
     * collapsed on co-purchase hubs; the join form is linear in candidate
@@ -1500,6 +1505,7 @@ object Algorithms {
                     wBack: Int = 1, wCommon: Int = 4, wFar: Int = 2): DataFrame = {
     require(steps >= 1 && steps <= 16, s"steps in [1,16], got $steps")
     require(wBack > 0 && wCommon > 0 && wFar > 0, "weights must be positive")
+    import org.apache.spark.sql.expressions.Window
     // cast like bidirectionalBfs: int-typed edge inputs would otherwise
     // leak int v1..vN columns and lean on implicit promotion in the draw
     val sym = edges.select(col("src").cast("long").as("_ws"), col("dst").cast("long").as("_wd"))
@@ -1519,43 +1525,34 @@ object Algorithms {
       .withColumn("v1",
         element_at(col("_nbrs"), (pmod(draw(1), col("_deg")) + 1).cast("int")))
       .select(col("start"), col("_v").as("_prev"), col("v1").as("_v"), col("v1"))
+    // first-past-the-draw per walker: one exchange on the walker key
+    // (`start` — one walk per start vertex), partition-local sort by
+    // candidate position, running weight sum. A window partition is one
+    // walker's candidate list, bounded by max degree — the same bound the
+    // aggregate-pick alternative would hold as one group buffer, which the
+    // r15 A/B measured 5× slower (see scaladoc); windows here are the
+    // measured-fast form, not an accident.
+    val ordered = Window.partitionBy(col("start")).orderBy(col("_pos"))
+    val whole = Window.partitionBy(col("start"))
     for (i <- 2 to steps) {
       val cand = fr.join(adj, fr("_v") === adj("_ws"))
         .select((col("start") +: col("_prev") +: col("_v") +:
           (1 until i).map(j => col(s"v$j"))) :+
           posexplode(col("_nbrs")): _*)
         .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "_n")
-      val marked = cand
+      fr = cand
         .join(sym.select(col("_ws").as("_pa"), col("_wd").as("_pb")),
           cand("_prev") === col("_pa") && cand("_n") === col("_pb"), "left")
         .withColumn("_wt", when(col("_n") === col("_prev"), lit(wBack.toLong))
           .when(col("_pb").isNotNull, lit(wCommon.toLong))
           .otherwise(lit(wFar.toLong)))
-      // first-past-the-draw as ONE hash aggregate keyed by the walker — no
-      // window, no per-partition sort: a celebrity hub costs one
-      // max-degree aggregation buffer, never a window partition holding
-      // every hub walker's candidates. The running cum-sum + pick runs
-      // array-side in a codegen'd `aggregate` HOF over the by-position
-      // sorted candidate structs — identical selection to the old
-      // window form (first sorted-neighbor position whose cumulative
-      // weight exceeds the draw), pinned by the hub differential in
-      // AlgorithmsSpec and the unchanged catalog hash.
-      val keys = col("start") +: col("_prev") +: col("_v") +:
-        (1 until i).map(j => col(s"v$j"))
-      fr = marked.groupBy(keys: _*)
-        .agg(sum(col("_wt")).as("_W"),
-          sort_array(collect_list(struct(col("_pos"), col("_wt"), col("_n"))))
-            .as("_cands"))
-        .withColumn("_r", pmod(draw(i), col("_W")))
-        .withColumn("_pick", aggregate(col("_cands"),
-          struct(lit(0L).as("c"), lit(null).cast("long").as("n")),
-          (acc, x) => struct(
-            (acc("c") + x("_wt")).as("c"),
-            coalesce(acc("n"),
-              when(acc("c") + x("_wt") > col("_r"), x("_n"))).as("n")),
-          acc => acc("n")))
+        .withColumn("_cum", sum(col("_wt")).over(ordered))
+        .withColumn("_r", pmod(draw(i), sum(col("_wt")).over(whole)))
+        .filter(col("_cum") > col("_r"))
+        .withColumn("_rn", row_number().over(ordered))
+        .filter(col("_rn") === 1)
         .select((col("start") +: col("_v").as("_prev") +:
-          col("_pick").as("_v") +: col("_pick").as(s"v$i") +:
+          col("_n").as("_v") +: col("_n").as(s"v$i") +:
           (1 until i).map(j => col(s"v$j"))): _*)
     }
     fr.select(col("start") +: (1 to steps).map(i => col(s"v$i")): _*)

@@ -632,8 +632,9 @@ class AlgorithmsSpec extends SparkSpec {
   test("node2vecWalks: hub-heavy graph (one node deg >> rest) matches the naive oracle") {
     // celebrity hub 1 wired to every leaf 2..61, plus a leaf ring so the
     // common-neighbor weight class fires from the hub too — pins the
-    // aggregate-based pick (no window) on exactly the skew shape the old
-    // per-walker window partition was weakest on
+    // first-past-the-draw pick on exactly the celebrity-hub skew shape,
+    // independent of formulation (window vs aggregate: the r15 A/B kept
+    // the per-walker window as the measured-fast form)
     val hubEdges = (2L to 61L).map(l => (1L, l)) ++
       (2L until 61L).map(l => (l, l + 1))
     val e = hubEdges.toDF("src", "dst")
