@@ -1,0 +1,63 @@
+package graft
+
+// Scratch per-query profiler for the r15 optimization round: runs named
+// catalog queries N times inside ONE JVM/session (min-of-N, count action —
+// the bench's methodology) so cross-window machine noise cancels. Args:
+//   runMain graft.QProbe q_a q_b ...
+// Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_QPROBE_REPS.
+import org.apache.spark.sql.SparkSession
+
+object QProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_QPROBE_REPS", "4").toInt
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.graphx.pregel.checkpointInterval", "10")
+      .config("spark.sql.maxPlanStringLength", "32768")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ui.retainedExecutions", "2")
+      .config("spark.cleaner.periodicGC.interval", "2min")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // optional stage trace: SPARK_GRAFT_QPROBE_TRACE=1 prints every stage's
+    // wall time + task count + callsite so per-query cost decomposes
+    if (sys.env.get("SPARK_GRAFT_QPROBE_TRACE").contains("1")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val ms = for {
+            s <- si.submissionTime; c <- si.completionTime
+          } yield c - s
+          println(f"[stage] ${ms.getOrElse(-1L)}%6d ms  ${si.numTasks}%4d tasks  ${si.name.take(110)}")
+        }
+      })
+    }
+    val names = args.toSeq
+    // one warmup of the first query absorbs JVM/parquet warmup
+    names.headOption.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      val runs = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        System.gc()
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count() catch { case e: Throwable =>
+          println(s"[qprobe] $n ERROR ${e.getMessage.take(120)}"); }
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[qprobe] $n%-34s min ${runs.min}%7.3f  runs ${runs.map(r => f"$r%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -715,28 +715,49 @@ object LocalKernels {
         else {
           // in-neighbor CSR (src of und edge is the label donor)
           val (off, nbr) = csr(n, db.result(), sb.result())
-          var lbl = Array.tabulate(n)(i => vx.ids(i))
-          val cnt = mutable.LongMap.empty[Int]
+          // labels as DENSE vertex indices (a label is always some vertex's
+          // id), counted in a flat int array + touched list — the same
+          // no-map idiom as the Louvain rounds. The per-vertex
+          // mutable.LongMap counter this replaces measured tens of µs per
+          // update on id-valued keys (r15 profile of the louvain
+          // contraction, same map type), and clear() per vertex re-walks
+          // the map's backing arrays; the flat counter resets only the
+          // touched entries. Tie-break semantics unchanged: max frequency,
+          // then smallest label VALUE (ids(idx) comparison).
+          val ids = vx.ids.toArray
+          var lbl = Array.tabulate(n)(identity)
+          val cnt = new Array[Int](n)
+          val touched = new Ints()
           var r = 0
           while (r < iterations) {
-            val next = new Array[Long](n)
+            val next = new Array[Int](n)
             var v = 0
             while (v < n) {
-              cnt.clear()
+              touched.n = 0
               var k = off(v)
               while (k < off(v + 1)) {
-                val l = lbl(nbr(k)); cnt.update(l, cnt.getOrElse(l, 0) + 1); k += 1
+                val li = lbl(nbr(k))
+                if (cnt(li) == 0) touched += li
+                cnt(li) += 1
+                k += 1
               }
-              var best = lbl(v); var bestF = 0
-              cnt.foreach { case (l, f) =>
-                if (f > bestF || (f == bestF && l < best)) { best = l; bestF = f }
+              var bestI = lbl(v); var bestF = 0
+              var t = 0
+              while (t < touched.n) {
+                val li = touched(t); val f = cnt(li)
+                if (f > bestF || (f == bestF && ids(li) < ids(bestI))) {
+                  bestI = li; bestF = f
+                }
+                t += 1
               }
-              next(v) = best
+              t = 0
+              while (t < touched.n) { cnt(touched(t)) = 0; t += 1 }
+              next(v) = bestI
               v += 1
             }
             lbl = next; r += 1
           }
-          (0 until n).iterator.map(i => (vx.ids(i), lbl(i)))
+          (0 until n).iterator.map(i => (ids(i), ids(lbl(i))))
         }
       }.toDF("id", "label")
   }
@@ -1108,27 +1129,43 @@ object LocalKernels {
           var lvl = 2
           while (lvl <= levels) {
             // contraction over the DISTINCT pair set: (least, greatest) of
-            // the endpoint community LABELS, weight = pair count
+            // the endpoint community LABELS, weight = pair count.
+            // Counting is SORT + run-length over packed (loIdx, hiIdx)
+            // keys — the same no-map idiom as level 1's uniqueSorted. The
+            // r15 profile caught the previous mutable.LongMap counter at
+            // ~30 µs/update on exactly these packed small-int keys (4.4 s
+            // for 150k pairs on the PLACED projection — the whole
+            // q_cypher_call_louvain_levels row was this loop); one
+            // Arrays.sort of the packed keys does the same dedup+count in
+            // ~10 ms and is branch-predictable regardless of key mixing.
             val cx = new Interner
-            val wByPair = mutable.LongMap.empty[Long]
+            val pk = new Longs()
             var i = 0
             while (i < ks.length) {
               val la = ids(comm((ks(i) >>> 32).toInt))
               val lb = ids(comm(ks(i).toInt))
-              val (lo, hi) = if (la <= lb) (la, lb) else (lb, la)
-              val key = (cx.idx(lo).toLong << 32) | (cx.idx(hi).toLong & 0xffffffffL)
-              wByPair.update(key, wByPair.getOrElse(key, 0L) + 1L)
+              val lo = if (la <= lb) la else lb
+              val hi = if (la <= lb) lb else la
+              pk += (cx.idx(lo).toLong << 32) | (cx.idx(hi).toLong & 0xffffffffL)
               i += 1
             }
             val n2 = cx.n
             val ids2 = cx.ids.toArray
-            // split self-loops (deg += 2w, no sym edge) from real edges
+            val pks = pk.toArray
+            java.util.Arrays.sort(pks)
+            // split self-loops (deg += 2w, no sym edge) from real edges,
+            // consuming sorted runs as (pair, count)
             val sb = new Ints(); val db = new Ints()
             val wb = mutable.ArrayBuilder.make[Double]
             val deg2 = new Array[Double](n2)
             var m2w = 0.0
-            wByPair.foreach { case (key, cnt) =>
-              val a = (key >>> 32).toInt; val b = key.toInt; val w = cnt.toDouble
+            var p = 0
+            while (p < pks.length) {
+              val key = pks(p)
+              var q = p + 1
+              while (q < pks.length && pks(q) == key) q += 1
+              val a = (key >>> 32).toInt; val b = key.toInt
+              val w = (q - p).toDouble
               m2w += w
               if (a == b) deg2(a) += w * 2
               else {
@@ -1136,6 +1173,7 @@ object LocalKernels {
                 sb += b; db += a; wb += w
                 deg2(a) += w; deg2(b) += w
               }
+              p = q
             }
             val (off2, nbr2, w2) = pairCsrW(n2, sb.result(), db.result(), wb.result())
             val up = louvainRoundsWeighted(n2, off2, nbr2, w2, deg2, ids2, 2.0 * m2w, rounds)
