@@ -420,9 +420,16 @@ object Algorithms {
                               bands: Int = 32,
                               threshold: Double = 0.3): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // NO .distinct() on the symmetrized stream (guide §2.4 — a dedup
+    // exchange on data feeding an idempotent aggregate is a pure extra
+    // shuffle): every signature entry is a min(hash(i, b)), and min is
+    // duplicate-insensitive, so parallel edges/both-direction repeats
+    // cannot perturb any signature — the partial (map-side) min combine
+    // absorbs them for free where the distinct paid a full 2|E|-row
+    // exchange first.
     val sym = edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
       .unionAll(edges.select(col("dst").cast("long").as("a"), col("src").cast("long").as("b")))
-      .filter(col("a") =!= col("b")).distinct()
+      .filter(col("a") =!= col("b"))
     val mins = (0 until numHashes).map(i => min(hash(lit(i), col("b"))).as(s"h$i"))
     // one hash aggregate builds every signature; the leaf cut is consumed
     // by both sides of the band-bucket self-join

@@ -207,17 +207,27 @@ object Dedup {
                              threshold: Double): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val banded = sig.select(col("doc"), col("sig"),
+    // The banded self-join and the (i, j) dedup move ONLY narrow keys
+    // (doc, band, bucket) — the 64-int signature arrays are re-attached
+    // AFTER dedup by two joins against the |docs|-sized signature table
+    // (guide §2.3: shuffle keys and metadata, attach payloads once). The
+    // previous form carried `sig` on both sides of the self-join and
+    // through the dedup exchange: bands× the array bytes through every
+    // shuffle, and on dense graphs (co-purchase neighbor sets) the
+    // pre-dedup candidate volume multiplies that again.
+    val banded = sig.select(col("doc"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * r + 1, lit(r)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val a = banded.as("a"); val b = banded.as("b")
     val cand = a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("i"), col("b.doc").as("j"),
-        col("a.sig").as("si"), col("b.sig").as("sj"))
+      .select(col("a.doc").as("i"), col("b.doc").as("j"))
       .dropDuplicates("i", "j")
-    cand.select(col("i"), col("j"),
+    cand
+      .join(sig.select(col("doc").as("i"), col("sig").as("si")), Seq("i"))
+      .join(sig.select(col("doc").as("j"), col("sig").as("sj")), Seq("j"))
+      .select(col("i"), col("j"),
         (size(filter(zip_with(col("si"), col("sj"), (x, y) => x === y), b => b))
           .cast("double") / numHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
