@@ -1146,7 +1146,10 @@ object Algorithms {
           col("s") === col("s2") && col("id") === col("vid"), "left_anti")
         .groupBy(col("s"), col("id")).agg(sum(col("sigma")).as("sigma"))
         .localCheckpoint(true)
-      more = next.count() > 0
+      // emptiness probe, not a full count: limit(1) over the checkpointed
+      // leaf touches one partition in the common non-empty case instead of
+      // scanning and summing all of them every round
+      more = next.limit(1).count() > 0
       it += 1
       if (more) {
         visited = visited.unionAll(next.select(col("s"), col("id")))
@@ -1202,7 +1205,8 @@ object Algorithms {
         .join(dist.select(col("s").as("s2"), col("id").as("vid")),
           col("s") === col("s2") && col("id") === col("vid"), "left_anti")
         .localCheckpoint(true)
-      more = next.count() > 0
+      // same emptiness-probe-not-count as the betweenness forward loop
+      more = next.limit(1).count() > 0
       it += 1
       if (more) {
         dist = dist.unionAll(next.select(col("s"), col("id"), lit(it).as("dist")))
@@ -1580,9 +1584,17 @@ object Algorithms {
                        maxDepth: Int): DataFrame = {
     require(pairs.nonEmpty && maxDepth >= 1, "pairs nonempty, maxDepth >= 1")
     val ss = edges.sparkSession
-    val sym = edges.select(col("src").cast("long").as("_es"), col("dst").cast("long").as("_ed"))
-      .unionAll(edges.select(col("dst").cast("long").as("_es"), col("src").cast("long").as("_ed")))
+    // canonicalize BEFORE the dedup, symmetrize after (guide §2.3 —
+    // shuffle fewer bytes): the distinct's exchange and the checkpoint
+    // then carry |E| canonical pairs instead of 2|E| directed rows; the
+    // flip union below is two scans of the same checkpointed leaf and
+    // introduces no duplicates (canonical pairs are unique and a != b).
+    // Adjacency SET is identical to the old directed-union distinct, so
+    // every BFS round sees the same graph.
+    val und = edges.select(least(col("src").cast("long"), col("dst").cast("long")).as("_es"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("_ed"))
       .filter(col("_es") =!= col("_ed")).distinct().localCheckpoint(true)
+    val sym = und.unionAll(und.select(col("_ed").as("_es"), col("_es").as("_ed")))
     import ss.implicits._
     val seed = pairs.distinct.zipWithIndex
       .flatMap { case ((s, t), p) => Seq((p, 0, s, 0), (p, 1, t, 0)) }
@@ -1606,7 +1618,12 @@ object Algorithms {
       more = next.limit(1).count() > 0
       r += 1
       if (more) {
-        visited = visited.unionAll(next).localCheckpoint(true)
+        // visited stays a lazy union of the per-round CHECKPOINTED
+        // frontiers — re-checkpointing the whole union each round
+        // re-materialized all previously-visited rows every round (an
+        // O(rounds²) total write) for no reader benefit: the anti-join
+        // and the final meet scan the union of leaves just as fast.
+        visited = visited.unionAll(next)
         frontier = next
       }
     }
