@@ -263,10 +263,16 @@ object Algorithms {
   def adamicAdar(edges: DataFrame, sources: Seq[Long], topK: Int = 20,
                  maxCommonDeg: Long = 10000): DataFrame = {
     require(sources.nonEmpty, "adamicAdar needs at least one source vertex")
-    val sym = edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
-      .unionAll(edges.select(col("dst").cast("long").as("a"), col("src").cast("long").as("b")))
+    // canonicalize BEFORE the dedup, symmetrize after (guide §2.3, same
+    // r15 change as bidirectionalBfs): the distinct exchange and the
+    // checkpoint carry |E| canonical pairs, not 2|E| directed rows; the
+    // flip-union introduces no duplicates, so deg counts and wedge sets
+    // are identical to the directed-union-distinct form
+    val und = edges.select(least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(true) // consumed by deg, both wedge sides, anti-join
+    val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("z")).agg(count(lit(1)).as("d"))
       .filter(col("d") <= maxCommonDeg)
     // Cap BEFORE the wedge join: deg joins onto the seeded (small) side, so
@@ -380,10 +386,13 @@ object Algorithms {
   def jaccardSimilarity(edges: DataFrame, sources: Seq[Long],
                         topK: Int = 20): DataFrame = {
     require(sources.nonEmpty, "jaccardSimilarity needs at least one source")
-    val sym = edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
-      .unionAll(edges.select(col("dst").cast("long").as("a"), col("src").cast("long").as("b")))
+    // canonical dedup + flip-union — see adamicAdar (identical adjacency
+    // set, half the dedup/checkpoint bytes)
+    val und = edges.select(least(col("src").cast("long"), col("dst").cast("long")).as("a"),
+        greatest(col("src").cast("long"), col("dst").cast("long")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint(true) // consumed by deg and both wedge sides
+    val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("v")).agg(count(lit(1)).as("d"))
     val s1 = sym.select(col("a").as("z"), col("b").as("x"))
       .filter(col("x").isin(sources: _*))
