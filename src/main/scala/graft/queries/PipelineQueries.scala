@@ -1053,7 +1053,17 @@ object PipelineQueries {
         p.delete(); ()
       }
       rm(new java.io.File(base))
-      withStreamShuffle(s) {
+      // NOT wrapped in withStreamShuffle: this stream is STATELESS (no
+      // state store to set up per partition — the 4-partition clamp exists
+      // to bound per-batch state-store overhead on the stateful rows), and
+      // its |docs|×|probes| shingle-intersect compute is the heaviest
+      // per-row work in the streaming family. Removing the clamp alone
+      // measured NOTHING (4.62 vs 4.69 s same-JVM min) — Spark 4's
+      // streaming AQE re-coalesced the tiny-bytes stage anyway — but
+      // combined with contaminationStream's explicit-N repartitions it
+      // lets the intersect stage run at session parallelism: 4.69 → 3.80 s
+      // (the stage trace shows the pair stage at 32 tasks, 2.6 → 1.8 s).
+      locally {
         val probes = t(s, d, "documents").filter(col("doc_id") % 50 === 0)
         val rep = EventStream.contaminationStream(
           EventStream.readDocuments(s, d), probes, "doc_id", "text", 3)

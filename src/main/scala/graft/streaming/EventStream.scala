@@ -104,15 +104,24 @@ object EventStream {
       transform(wordShinglesFromWords(split(c, " "), k), s => xxhash64(s))
     val p = broadcast(probes.select(col(idCol).as("probe_id"),
       sh(col(textCol)).as("__ps")))
-    // the repartition is a MATERIALIZATION BARRIER, not a distribution
-    // choice: without it CollapseProject folds the (interpreted, HOF)
-    // shingle build into the cross join's output, re-evaluating it once
-    // per (doc, probe) PAIR instead of once per doc — measured 8.8 s vs
-    // 5.4 s at sf0.1 (5000 docs × 100 probes) even before the hash
-    // switch. One doc-count-sized exchange per micro-batch buys
-    // |probes|× fewer HOF evaluations.
-    docs.select(col(idCol).as("doc_id"), sh(col(textCol)).as("__ds"))
-      .repartition(col("doc_id"))
+    // TWO repartition barriers, both load-bearing (r12 + r15 findings):
+    // the SECOND is the materialization barrier that stops CollapseProject
+    // folding the (interpreted, HOF) shingle build into the cross join's
+    // output — without it the build re-runs once per (doc, probe) PAIR
+    // instead of once per doc (r12 measured 8.8 s vs 5.4 s). The FIRST
+    // distributes the RAW text before the build: a single-file stream
+    // source is ONE input partition, so the r12 shape ran the whole
+    // shingle build inside the 1-task scan stage (r15 stage trace: 3.5 s
+    // single-task). Explicit numPartitions (REPARTITION_BY_NUM) on both:
+    // Spark 4's streaming AQE coalesces by BYTE size and was fusing this
+    // compute-bound, few-MB stage down to 1-2 tasks; the session's
+    // shuffle-partition setting is the scale-tuned value, not a local
+    // constant.
+    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__txt"))
+      .repartition(n, col("doc_id"))
+      .select(col("doc_id"), sh(col("__txt")).as("__ds"))
+      .repartition(n, col("doc_id"))
       .crossJoin(p)
       .filter(col("doc_id") =!= col("probe_id"))
       .select(col("doc_id"), col("probe_id"),
