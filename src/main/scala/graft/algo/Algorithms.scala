@@ -1592,6 +1592,19 @@ object Algorithms {
   def bidirectionalBfs(edges: DataFrame, pairs: Seq[(Long, Long)],
                        maxDepth: Int): DataFrame = {
     require(pairs.nonEmpty && maxDepth >= 1, "pairs nonempty, maxDepth >= 1")
+    // kernel gate like every sibling iterative: below the threshold the
+    // whole batch of pairs runs as depth-capped in-task BFS passes
+    // ([[LocalKernels.bidirBfs]] — meet-in-the-middle buys nothing inside
+    // one task); above it the per-round frontier-join formulation below is
+    // the only one that exists. Differential pinned in LocalKernelsSpec.
+    val pruned = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val (e, small) = LocalKernels.gate(pruned)
+    if (small) LocalKernels.bidirBfs(e, pairs, maxDepth)
+    else bidirectionalBfsDistributed(e, pairs, maxDepth)
+  }
+
+  private[graft] def bidirectionalBfsDistributed(edges: DataFrame, pairs: Seq[(Long, Long)],
+                                                 maxDepth: Int): DataFrame = {
     val ss = edges.sparkSession
     // canonicalize BEFORE the dedup, symmetrize after (guide §2.3 —
     // shuffle fewer bytes): the distinct's exchange and the checkpoint

@@ -952,6 +952,43 @@ object LocalKernels {
       }.toDF("id", "dist")
   }
 
+  /** In-task twin of [[Algorithms.bidirectionalBfs]] — per distinct pair
+    * one depth-capped UNDIRECTED BFS from src (meet-in-the-middle buys
+    * nothing inside one task: a plain BFS to maxDepth is one O(V+E) pass).
+    * Output contract matches the distributed meet exactly: one
+    * (src, dst, dist) row per pair whose true undirected distance is
+    * ≤ maxDepth; a degenerate (x, x) pair is distance 0 even when x has
+    * no edges (the distributed seeds both sides at dist 0 before any
+    * expansion, so they "meet" immediately); self-loop edges are dropped
+    * like the distributed symmetrization's a != b filter. */
+  def bidirBfs(edges: DataFrame, pairs: Seq[(Long, Long)], maxDepth: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val srcDs = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
+    val pd = pairs.distinct
+    inTask2(srcDs, cacheKey(srcDs.toDF())) { it =>
+        val vx = new Interner
+        val sb = new Ints(); val db = new Ints()
+        it.foreach { case (s, d) =>
+          if (s != d) {
+            val a = vx.idx(s); val b = vx.idx(d)
+            sb += a; db += b; sb += b; db += a
+          }
+        }
+        val n = vx.n
+        val (off, tgt) = csr(n, sb.result(), db.result())
+        pd.iterator.flatMap { case (s, t) =>
+          if (s == t) Iterator((s, t, 0L))
+          else (vx.idOf.get(s), vx.idOf.get(t)) match {
+            case (Some(si), Some(ti)) =>
+              val (dist, _) = bfsFrom(si, n, off, tgt, maxDepth)
+              if (dist(ti) >= 0) Iterator((s, t, dist(ti).toLong)) else Iterator.empty
+            case _ => Iterator.empty
+          }
+        }
+      }.toDF("src", "dst", "dist")
+  }
+
   /** Synchronous (round-based) Bellman-Ford, `maxIter` rounds or fixpoint —
     * the same bounded relaxation as [[Algorithms.sssp]], so intermediate
     * states after a capped round count match too. Emits reachable vertices

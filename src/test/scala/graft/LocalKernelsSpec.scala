@@ -78,6 +78,23 @@ class LocalKernelsSpec extends SparkSpec {
     } finally keys.foreach { case (k, _) => spark.conf.unset(k) }
   }
 
+  test("bidirBfs local == distributed (pairs, depth cap, degenerate pair, absent endpoints)") {
+    for (seed <- Seq(31L, 32L, 33L)) {
+      val e = randGraph(seed, 30, 80)
+      val ids = e.select(col("src")).unionAll(e.select(col("dst")))
+        .distinct().orderBy(col("src")).collect().map(_.getLong(0))
+      val pairs = Seq((ids.head, ids.last), (ids.head, ids.head),
+        (ids(1), ids(ids.length / 2)), (ids.head, 999999L)) // absent endpoint
+      for (depth <- Seq(2, 5)) {
+        val loc = sortedRows(LocalKernels.bidirBfs(e, pairs, depth))
+        spark.conf.set("spark.graft.algo.localSizeBytes", "0")
+        val dist = try sortedRows(Algorithms.bidirectionalBfs(e, pairs, depth))
+        finally spark.conf.unset("spark.graft.algo.localSizeBytes")
+        assert(loc.toSeq == dist.toSeq, s"seed $seed depth $depth")
+      }
+    }
+  }
+
   test("louvainMoves local == distributed (exact labels)") {
     for (seed <- Seq(11L, 12L, 13L)) {
       val e = randGraph(seed, 30, 120).toDF("a", "b")
