@@ -506,13 +506,19 @@ object LocalKernels {
     val sd = seeds.distinct
     val src = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
     inTask2(src, cacheKey(src.toDF())) { it =>
+      // directed dedup as pack → sort → unique (r15: a boxed
+      // mutable.HashSet[Long] on packed keys measured ~µs per insert —
+      // same pathology as the Louvain contraction's LongMap; one
+      // Arrays.sort replaces 2M hash inserts)
       val vx = new Interner
-      val seen = mutable.HashSet.empty[Long]
-      val sb = new Ints(); val db = new Ints()
+      val keys = new Longs()
       it.foreach { case (s, d) =>
-        val a = vx.idx(s); val b = vx.idx(d)
-        if (seen.add((a.toLong << 32) | (b.toLong & 0xffffffffL))) { sb += a; db += b }
+        keys += (vx.idx(s).toLong << 32) | (vx.idx(d).toLong & 0xffffffffL)
       }
+      val ks = uniqueSorted(keys.toArray)
+      val sb = new Ints(); val db = new Ints()
+      var ki = 0
+      while (ki < ks.length) { sb += (ks(ki) >>> 32).toInt; db += ks(ki).toInt; ki += 1 }
       val (si, di) = (sb.result(), db.result())
       val n = vx.n
       val (off, tgt) = csr(n, si, di)
@@ -611,13 +617,19 @@ object LocalKernels {
     import spark.implicits._
     val src = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
     inTask2(src, cacheKey(src.toDF())) { it =>
+      // directed dedup as pack → sort → unique (r15: a boxed
+      // mutable.HashSet[Long] on packed keys measured ~µs per insert —
+      // same pathology as the Louvain contraction's LongMap; one
+      // Arrays.sort replaces 2M hash inserts)
       val vx = new Interner
-      val seen = mutable.HashSet.empty[Long]
-      val sb = new Ints(); val db = new Ints()
+      val keys = new Longs()
       it.foreach { case (s, d) =>
-        val a = vx.idx(s); val b = vx.idx(d)
-        if (seen.add((a.toLong << 32) | (b.toLong & 0xffffffffL))) { sb += a; db += b }
+        keys += (vx.idx(s).toLong << 32) | (vx.idx(d).toLong & 0xffffffffL)
       }
+      val ks = uniqueSorted(keys.toArray)
+      val sb = new Ints(); val db = new Ints()
+      var ki = 0
+      while (ki < ks.length) { sb += (ks(ki) >>> 32).toInt; db += ks(ki).toInt; ki += 1 }
       val (si, di) = (sb.result(), db.result())
       val n = vx.n
       if (n == 0) Iterator.empty
@@ -876,17 +888,20 @@ object LocalKernels {
     import spark.implicits._
     val srcDs = edges.select(col("src").cast("long"), col("dst").cast("long")).as[(Long, Long)]
     inTask2(srcDs, cacheKey(srcDs.toDF())) { it =>
+        // canonical dedup as pack → sort → unique (see betweenness — the
+        // tuple-keyed HashSet boxed every pair)
         val vx = new Interner
-        val seen = mutable.HashSet.empty[(Long, Long)]
-        val es = new Ints(); val ed = new Ints()
+        val keys = new Longs()
         it.foreach { case (s, d) =>
           if (s != d) {
             val lo = math.min(s, d); val hi = math.max(s, d)
-            if (seen.add((lo, hi))) {
-              es += vx.idx(lo); ed += vx.idx(hi)
-            }
+            keys += (vx.idx(lo).toLong << 32) | (vx.idx(hi).toLong & 0xffffffffL)
           }
         }
+        val ks = uniqueSorted(keys.toArray)
+        val es = new Ints(); val ed = new Ints()
+        var ki = 0
+        while (ki < ks.length) { es += (ks(ki) >>> 32).toInt; ed += ks(ki).toInt; ki += 1 }
         val n = vx.n
         val (si, di) = (es.result(), ed.result())
         val alive = Array.fill(n)(true)
