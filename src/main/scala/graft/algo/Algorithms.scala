@@ -493,8 +493,12 @@ object Algorithms {
   def negativeSample(edges: DataFrame, k: Int, proposals: Int): DataFrame = {
     require(k > 0 && proposals >= k, s"need proposals >= k, got ($proposals, $k)")
     import org.apache.spark.sql.expressions.Window
+    // NO .distinct() (guide §2.4): every consumer of `und` is
+    // duplicate-insensitive — `sym` only feeds a LEFT ANTI join (set
+    // membership) and `v` is re-distinct'd below — so the dedup exchange
+    // was a pure extra |E|-row shuffle for any input
     val und = edges.select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+      .filter(col("a") =!= col("b")).localCheckpoint(true)
     val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
     val v = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
       .distinct().localCheckpoint(true) // consumed by buckets + proposals
