@@ -26,6 +26,11 @@ object QProbe {
       .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional conf overrides for routing experiments (e.g. kernel-gate
+    // thresholds): SPARK_GRAFT_QPROBE_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_QPROBE_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+    })
     // optional stage trace: SPARK_GRAFT_QPROBE_TRACE=1 prints every stage's
     // wall time + task count + callsite so per-query cost decomposes
     if (sys.env.get("SPARK_GRAFT_QPROBE_TRACE").contains("1")) {
