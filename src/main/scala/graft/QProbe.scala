@@ -52,16 +52,20 @@ object QProbe {
     }
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
+      // a failed rep must NOT contribute its (near-zero) elapsed time to the
+      // min — record NaN for it and filter below (ADVICE r15)
       val runs = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         System.gc()
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case e: Throwable =>
-          println(s"[qprobe] $n ERROR ${e.getMessage.take(120)}"); }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+          println(s"[qprobe] $n ERROR ${e.getMessage.take(120)}"); false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
       }
-      println(f"[qprobe] $n%-34s min ${runs.min}%7.3f  runs ${runs.map(r => f"$r%.2f").mkString(",")}")
+      val good = runs.filterNot(_.isNaN)
+      val minS = if (good.nonEmpty) f"${good.min}%7.3f" else "  FAIL "
+      println(f"[qprobe] $n%-34s min $minS  runs ${runs.map(r => f"$r%.2f").mkString(",")}")
     }
     spark.stop()
   }

@@ -41,6 +41,23 @@ object PipelineQueries {
     try body finally s.conf.set(key, old)
   }
 
+  /** Additionally drop the trailing NO-DATA micro-batch. Only for streams
+    * whose output cannot depend on it: an INNER stream-stream join emits
+    * every match in the batch where the pair meets, dropDuplicates emits
+    * first occurrences immediately, complete mode re-emits the whole result
+    * each batch — for all three the watermark-advance batch does nothing
+    * but evict state, yet it pays a full stateful-stage round (state-store
+    * load + delta + commit per partition: measured 3.31 -> 2.13 s on
+    * q_streaming_join, 2.20 -> 1.36 s on q_streaming_dedup same-JVM).
+    * Streams that EMIT on watermark close (append-mode aggregation,
+    * event-time timeouts) MUST keep the default. */
+  private def withStreamShuffleNoTail[T](s: SparkSession, n: Int = 4)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val old = s.conf.get(key)
+    s.conf.set(key, "false")
+    try withStreamShuffle(s, n)(body) finally s.conf.set(key, old)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // vector: group-wise L2-renormalized centroids (cluster reps / mean
     // pooling) in long format — one partial-aggregated shuffle of
@@ -1030,7 +1047,7 @@ object PipelineQueries {
         p.delete(); ()
       }
       rm(new java.io.File(base))
-      withStreamShuffle(s) {
+      withStreamShuffleNoTail(s) {
         val doubled = EventStream.readEvents(s, d).unionAll(EventStream.readEvents(s, d))
         val dd = EventStream.dedupedEvents(doubled, "2 hours")
           .select(col("event_id"), col("ts"))
@@ -1143,7 +1160,7 @@ object PipelineQueries {
         p.delete(); ()
       }
       rm(new java.io.File(base))
-      withStreamShuffle(s) {
+      withStreamShuffleNoTail(s) {
         val clicks = EventStream.readEvents(s, d)
           .filter(col("user_id") < 30 && col("event_type") === "click")
         val buys = EventStream.readEvents(s, d)
@@ -1162,7 +1179,7 @@ object PipelineQueries {
     // mode re-emits everything and the memory sink buffers on the driver;
     // q_streaming_append above is the at-scale twin
     "q_streaming_window" -> ((s, d) => {
-      withStreamShuffle(s) {
+      withStreamShuffleNoTail(s) {
         val agg = EventStream.windowedCounts(EventStream.readEvents(s, d), "1 hour", "2 hours")
         val q = agg.writeStream.outputMode("complete")
           .format("memory").queryName("graft_stream_win").trigger(Trigger.AvailableNow).start()
