@@ -152,7 +152,19 @@ object Bench {
     // stdout, and with 230+ per-query entries the line is ~6KB. Putting the
     // bulky `queries` map FIRST keeps metric/value/unit/sf inside the
     // captured tail (JSON object key order is semantically irrelevant).
-    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","loadavg_before":"$loadBefore","cooldown":"$cooldownStatus","cooldown_waited_sec":${f"$cooldownWaitedSec%.1f"}}""")
+    val fullLine = s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","loadavg_before":"$loadBefore","cooldown":"$cooldownStatus","cooldown_waited_sec":${f"$cooldownWaitedSec%.1f"}}"""
+    println(fullLine)
+    // The ~12KB line above overflows the harness's stdout tail-capture (two
+    // rounds of BENCH_r*.json carried parsed:null — the tail kept only the
+    // end of the line). Recovery contract (r15 verdict item 2): persist the
+    // FULL artifact to a file, then print a SHORT self-contained summary as
+    // the LAST line so any tail-capture ends with one complete JSON object.
+    try {
+      val p = java.nio.file.Paths.get("docs/bench_last.json")
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(p, fullLine + "\n")
+    } catch { case _: Throwable => () } // best-effort: cwd may not be the repo
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":"$cpus","n_queries":${results.size},"loadavg_before":"$loadBefore","cooldown":"$cooldownStatus","cooldown_waited_sec":${f"$cooldownWaitedSec%.1f"},"queries_file":"docs/bench_last.json"}""")
     spark.stop()
   }
 }
