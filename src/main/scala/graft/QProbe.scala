@@ -54,12 +54,22 @@ object QProbe {
       val fn = SparkEntry.queries(n)
       // a failed rep must NOT contribute its (near-zero) elapsed time to the
       // min — record NaN for it and filter below (ADVICE r15)
+      val split = sys.env.get("SPARK_GRAFT_QPROBE_SPLIT").contains("1")
       val runs = (1 to reps).map { _ =>
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         System.gc()
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+        val ok = try {
+          val df = fn(spark, sfDir)
+          if (split) {
+            val t1 = System.nanoTime()
+            df.count()
+            val t2 = System.nanoTime()
+            println(f"[qprobe]   $n build ${(t1 - t0) / 1e9}%.3f  action ${(t2 - t1) / 1e9}%.3f")
+          } else df.count()
+          true
+        } catch { case e: Throwable =>
           println(s"[qprobe] $n ERROR ${e.getMessage.take(120)}"); false }
         if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
       }

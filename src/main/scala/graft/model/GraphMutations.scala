@@ -32,12 +32,29 @@ object GraphMutations {
     * for insert-if-absent). */
   def createNodes(g: PropertyGraph, rows: DataFrame): PropertyGraph = {
     checkUnique(g, rows)
-    derived(g, g.nodes.unionByName(rows, allowMissingColumns = true), g.edges)
+    // the per-label index stays valid under append: each label table gets
+    // exactly the appended rows carrying that label (array_contains folds
+    // to a constant when the batch's labels are literal — the usual CREATE
+    // shape — so untouched label tables keep their pruned single-table
+    // scan). Without this every post-write label scan fell back to an
+    // array_contains pass over the FULL nodes table: 28-task stages per
+    // anchor lookup across q_ldbc_upd/q_finbench_w's statement chains.
+    // a batch with no labels column appends label-less nodes: they belong to
+    // no label scan, so the existing index is untouched-and-consistent
+    val byLabel =
+      if (!rows.columns.contains("labels")) g.byLabel
+      else g.byLabel.map { case (l, df) =>
+        l -> df.unionByName(rows.filter(array_contains(col("labels"), l)),
+          allowMissingColumns = true)
+      }
+    derived(g, g.nodes.unionByName(rows, allowMissingColumns = true), g.edges,
+      byLabel)
   }
 
-  /** CREATE edges. */
+  /** CREATE edges — nodes (and the label index) are untouched. */
   def createEdges(g: PropertyGraph, rows: DataFrame): PropertyGraph =
-    derived(g, g.nodes, g.edges.unionByName(rows, allowMissingColumns = true))
+    derived(g, g.nodes, g.edges.unionByName(rows, allowMissingColumns = true),
+      g.byLabel)
 
   /** MERGE nodes by id (reference `operator.rs:7304-7424`):
     * existing nodes whose id appears in `incoming` get `onMatchSet` applied;
@@ -100,13 +117,16 @@ object GraphMutations {
       else g.edges
         .join(idc.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
         .join(idc.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
-    derived(g, n, e)
+    // label index stays valid under deletion: same anti-join per label table
+    derived(g, n, e,
+      g.byLabel.map { case (l, df) => l -> df.join(idc, Seq("id"), "left_anti") })
   }
 
-  /** DELETE edges by id set. */
+  /** DELETE edges by id set — nodes (and the label index) are untouched. */
   def deleteEdges(g: PropertyGraph, ids: DataFrame): PropertyGraph =
     derived(g, g.nodes,
-      g.edges.join(ids.select(ids.columns.head).toDF("id").distinct(), Seq("id"), "left_anti"))
+      g.edges.join(ids.select(ids.columns.head).toDF("id").distinct(), Seq("id"), "left_anti"),
+      g.byLabel)
 
   /** SET node properties where `pred` holds (reference `operator.rs:7090-7228`).
     * All assignments are applied in one projection, so they observe the
@@ -194,10 +214,15 @@ object GraphMutations {
     setNodePropsByIds(g, ids, Map("labels" -> newLabels))
   }
 
-  /** Mutations derive a NEW graph: the per-label index and stats key are
-    * dropped (stale after a write) but registered constraints carry over. */
-  private def derived(g: PropertyGraph, n: DataFrame, e: DataFrame): PropertyGraph =
-    PropertyGraph(n, e, constraints = g.constraints)
+  /** Mutations derive a NEW graph: the stats key is dropped (stale after a
+    * write) but registered constraints carry over. The per-label index is
+    * carried ONLY where the caller proves it stays consistent (append /
+    * delete, which pass the maintained map); SET/MERGE-style mutations
+    * rewrite node rows in place, so their label tables would go stale —
+    * they keep the default and fall back to the pushable predicate. */
+  private def derived(g: PropertyGraph, n: DataFrame, e: DataFrame,
+                      byLabel: Map[String, DataFrame] = Map.empty): PropertyGraph =
+    PropertyGraph(n, e, byLabel = byLabel, constraints = g.constraints)
 
   /** Unique-constraint check before node insert (reference
     * `src/index/manager.rs:117-126` check_unique_constraint): for every

@@ -70,6 +70,49 @@ class WriteChainSpec extends SparkSpec {
     assert(g.nodes.count() == 40L + 6L)
   }
 
+  test("per-label index stays exactly consistent across append/delete chains") {
+    import graft.model.GraphMutations
+    import org.apache.spark.sql.functions._
+    def idx(g: PropertyGraph): PropertyGraph = g.copy(byLabel = Map(
+      "P" -> g.nodes.filter(array_contains($"labels", "P")),
+      "Q" -> g.nodes.filter(array_contains($"labels", "Q"))))
+    def assertConsistent(g: PropertyGraph): Unit =
+      Seq("P", "Q", "Z").foreach { l =>
+        val viaIndex = g.nodesWithLabel(l).select("id").as[Long].collect().sorted
+        val viaScan = g.nodes.filter(array_contains($"labels", l))
+          .select("id").as[Long].collect().sorted
+        assert(viaIndex.sameElements(viaScan), s"label $l: index diverged from scan")
+      }
+    var g = idx(fresh)
+    // append: multi-label rows land in BOTH tables, unseen label Z falls back
+    g = GraphMutations.createNodes(g, Seq(
+      (200L, Seq("P"), "p200"), (201L, Seq("Q"), "q201"),
+      (202L, Seq("P", "Q"), "pq202"), (203L, Seq("Z"), "z203"))
+      .toDF("id", "labels", "name"))
+    assert(g.byLabel.nonEmpty, "createNodes must carry the label index")
+    assertConsistent(g)
+    // edge create/delete leave the node index untouched
+    g = GraphMutations.createEdges(g, Seq((900L, 200L, 201L, "R"))
+      .toDF("id", "src", "dst", "relationship"))
+    assert(g.byLabel.nonEmpty)
+    g = GraphMutations.deleteEdges(g, Seq(900L).toDF("id"))
+    assert(g.byLabel.nonEmpty)
+    assertConsistent(g)
+    // delete: anti-join applies to every label table
+    g = GraphMutations.deleteNodes(g, Seq(202L, 1L).toDF("id"))
+    assert(g.byLabel.nonEmpty, "deleteNodes must carry the label index")
+    assertConsistent(g)
+    // a labels-less batch appends label-free nodes: index untouched, still exact
+    g = GraphMutations.createNodes(g, Seq((300L, "bare")).toDF("id", "name"))
+    assert(g.byLabel.nonEmpty)
+    assertConsistent(g)
+    // SET-style mutations rewrite rows in place: the index must be DROPPED
+    g = GraphMutations.setNodePropsByIds(g, Seq(200L).toDF("id"),
+      Map("name" -> lit("renamed")))
+    assert(g.byLabel.isEmpty, "SET must drop the label index (stale rows)")
+    assertConsistent(g)
+  }
+
   test("DETACH DELETE cascade + empty-match DELETE (the SNB DEL order)") {
     var g = fresh
     g = QueryEngine.executeWrite("CREATE (z:P {id: 999, name: 'z'})", g)._1
