@@ -28,7 +28,8 @@ object R15Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = new java.io.File("plans/r15")
+    val dir = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r15"))
     dir.mkdirs()
     names.foreach { n =>
       SparkEntry.queries.get(n) match {
