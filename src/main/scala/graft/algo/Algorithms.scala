@@ -1572,9 +1572,14 @@ object Algorithms {
           .otherwise(lit(wFar.toLong)))
         .withColumn("_cum", sum(col("_wt")).over(ordered))
         .withColumn("_r", pmod(draw(i), sum(col("_wt")).over(whole)))
-        .filter(col("_cum") > col("_r"))
-        .withColumn("_rn", row_number().over(ordered))
-        .filter(col("_rn") === 1)
+        // first-past-the-draw picked WITHOUT a second window: weights are
+        // strictly positive, so _cum is strictly increasing in _pos order
+        // and the draw _r ∈ [0, total) falls inside exactly one candidate's
+        // cumulative interval [_cum - _wt, _cum) — the same row the old
+        // filter(_cum > _r) + row_number = 1 pair selected, minus that
+        // pair's extra Exchange+Sort of the full candidate set per step
+        // (the filter broke the window ordering, forcing a re-shuffle)
+        .filter(col("_cum") > col("_r") && col("_r") >= col("_cum") - col("_wt"))
         .select((col("start") +: col("_v").as("_prev") +:
           col("_n").as("_v") +: col("_n").as(s"v$i") +:
           (1 until i).map(j => col(s"v$j"))): _*)
