@@ -33,8 +33,10 @@ object QProbe {
     })
     // optional stage trace: SPARK_GRAFT_QPROBE_TRACE=1 prints every stage's
     // wall time + task count + callsite so per-query cost decomposes
-    if (sys.env.get("SPARK_GRAFT_QPROBE_TRACE").contains("1")) {
+    val trace = sys.env.get("SPARK_GRAFT_QPROBE_TRACE").contains("1")
+    if (trace) {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val si = sc.stageInfo
@@ -42,6 +44,14 @@ object QProbe {
             s <- si.submissionTime; c <- si.completionTime
           } yield c - s
           println(f"[stage] ${ms.getOrElse(-1L)}%6d ms  ${si.numTasks}%4d tasks  ${si.name.take(110)}")
+        }
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobStart.put(js.jobId, js.time): Unit
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val ms = Option(jobStart.remove(je.jobId)).map(je.time - _).getOrElse(-1L)
+          println(f"[job]   $ms%6d ms  job ${je.jobId}")
         }
       })
     }
@@ -55,7 +65,8 @@ object QProbe {
       // a failed rep must NOT contribute its (near-zero) elapsed time to the
       // min — record NaN for it and filter below (ADVICE r15)
       val split = sys.env.get("SPARK_GRAFT_QPROBE_SPLIT").contains("1")
-      val runs = (1 to reps).map { _ =>
+      val runs = (1 to reps).map { rep =>
+        if (trace) println(s"[qprobe] ---- $n rep $rep")
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         System.gc()
@@ -63,10 +74,17 @@ object QProbe {
         val ok = try {
           val df = fn(spark, sfDir)
           if (split) {
+            // decompose the action into catalyst phases: optimization and
+            // physical planning are driver-side CPU; "exec" is the jobs
             val t1 = System.nanoTime()
-            df.count()
+            val cnt = df.groupBy().count() // the count()'s actual plan
+            cnt.queryExecution.optimizedPlan
             val t2 = System.nanoTime()
-            println(f"[qprobe]   $n build ${(t1 - t0) / 1e9}%.3f  action ${(t2 - t1) / 1e9}%.3f")
+            cnt.queryExecution.executedPlan
+            val t3 = System.nanoTime()
+            cnt.collect() // executes the already-planned count
+            val t4 = System.nanoTime()
+            println(f"[qprobe]   $n build ${(t1 - t0) / 1e9}%.3f  opt ${(t2 - t1) / 1e9}%.3f  phys ${(t3 - t2) / 1e9}%.3f  exec ${(t4 - t3) / 1e9}%.3f")
           } else df.count()
           true
         } catch { case e: Throwable =>

@@ -992,14 +992,25 @@ object LocalKernels {
         }
         val n = vx.n
         val (off, tgt) = csr(n, sb.result(), db.result())
-        pd.iterator.flatMap { case (s, t) =>
-          if (s == t) Iterator((s, t, 0L))
-          else (vx.idOf.get(s), vx.idOf.get(t)) match {
-            case (Some(si), Some(ti)) =>
+        // one bfsFrom per DISTINCT source: k pairs sharing a source answer
+        // from the same dist array instead of paying k traversals (ADVICE
+        // r15). Degenerate (s, s) pairs keep their unconditional emit —
+        // including sources absent from the edge set.
+        pd.groupBy(_._1).toSeq.sortBy(_._1).iterator.flatMap { case (s, grp) =>
+          val degenerate = grp.collect { case (a, b) if a == b => (a, b, 0L) }
+          val targets = grp.collect { case (a, b) if a != b => b }
+          val resolved = vx.idOf.get(s) match {
+            case Some(si) if targets.nonEmpty =>
               val (dist, _) = bfsFrom(si, n, off, tgt, maxDepth)
-              if (dist(ti) >= 0) Iterator((s, t, dist(ti).toLong)) else Iterator.empty
-            case _ => Iterator.empty
+              targets.flatMap { t =>
+                vx.idOf.get(t) match {
+                  case Some(ti) if dist(ti) >= 0 => Seq((s, t, dist(ti).toLong))
+                  case _ => Nil
+                }
+              }
+            case _ => Nil
           }
+          degenerate.iterator ++ resolved.iterator
         }
       }.toDF("src", "dst", "dist")
   }

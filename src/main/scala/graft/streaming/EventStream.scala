@@ -117,7 +117,11 @@ object EventStream {
     // compute-bound, few-MB stage down to 1-2 tasks; the session's
     // shuffle-partition setting is the scale-tuned value, not a local
     // constant.
-    val n = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // parse-with-fallback: some platforms set shuffle partitions to a
+    // non-integer sentinel (e.g. "auto") — fall back to defaultParallelism
+    val n = scala.util.Try(
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(docs.sparkSession.sparkContext.defaultParallelism)
     docs.select(col(idCol).as("doc_id"), col(textCol).as("__txt"))
       .repartition(n, col("doc_id"))
       .select(col("doc_id"), sh(col("__txt")).as("__ds"))
