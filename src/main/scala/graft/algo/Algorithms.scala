@@ -1543,12 +1543,32 @@ object Algorithms {
       .localCheckpoint(true)
     def draw(i: Int): org.apache.spark.sql.Column =
       (col("_v") % 100000L) * 2654435761L + lit(i.toLong * 40503L)
+    // Prefix packaging is STEP-COUNT-adaptive (guide §2.3): the picked
+    // v1..v_{i-1} ride every per-step candidate exchange, and at depth the
+    // per-COLUMN overhead (wider codegen projections / unsafe-row fields
+    // through each exchange+sort) grows with i. The r16 probe (PLACED
+    // projection, sf0.1, 32c, min-of-3 ×2 alternations) measured steps=8:
+    // 6.27-6.40 s carrying i long columns, 3.82-4.33 s carrying nothing
+    // (the unattainable floor). Two re-join assemblies measured WORSE than
+    // the carry (lazy per-step pick branches + reassembly agg: 9.4 s — the
+    // union arms canonicalize differently, ReusedExchange never fires and
+    // branch i recomputes steps 1..i; per-step localCheckpoint pins: 7.2 s
+    // — eight materialization barriers). The shipped deep form packs the
+    // prefix into ONE array column (same bytes, one field): a single lazy
+    // chain like the carry, measured below it at steps=8. Shallow walks
+    // (catalog depth 3) keep the plain-column carry — measured fastest
+    // there.
+    val carryPrefix = steps <= 4
     // step 1: first-order (uniform over sorted neighbors) — no prev yet
-    var fr = adj.select(col("_ws").as("start"), col("_ws").as("_v"),
+    val fr1 = adj.select(col("_ws").as("start"), col("_ws").as("_v"),
         col("_nbrs"), col("_deg"))
       .withColumn("v1",
         element_at(col("_nbrs"), (pmod(draw(1), col("_deg")) + 1).cast("int")))
-      .select(col("start"), col("_v").as("_prev"), col("v1").as("_v"), col("v1"))
+    var fr =
+      if (carryPrefix)
+        fr1.select(col("start"), col("_v").as("_prev"), col("v1").as("_v"), col("v1"))
+      else fr1.select(col("start"), col("_v").as("_prev"), col("v1").as("_v"),
+        array(col("v1")).as("_vs"))
     // first-past-the-draw per walker: one exchange on the walker key
     // (`start` — one walk per start vertex), partition-local sort by
     // candidate position, running weight sum. A window partition is one
@@ -1559,9 +1579,10 @@ object Algorithms {
     val ordered = Window.partitionBy(col("start")).orderBy(col("_pos"))
     val whole = Window.partitionBy(col("start"))
     for (i <- 2 to steps) {
+      val prefix =
+        if (carryPrefix) (1 until i).map(j => col(s"v$j")) else Seq(col("_vs"))
       val cand = fr.join(adj, fr("_v") === adj("_ws"))
-        .select((col("start") +: col("_prev") +: col("_v") +:
-          (1 until i).map(j => col(s"v$j"))) :+
+        .select((col("start") +: col("_prev") +: col("_v") +: prefix) :+
           posexplode(col("_nbrs")): _*)
         .withColumnRenamed("pos", "_pos").withColumnRenamed("col", "_n")
       fr = cand
@@ -1581,10 +1602,15 @@ object Algorithms {
         // (the filter broke the window ordering, forcing a re-shuffle)
         .filter(col("_cum") > col("_r") && col("_r") >= col("_cum") - col("_wt"))
         .select((col("start") +: col("_v").as("_prev") +:
-          col("_n").as("_v") +: col("_n").as(s"v$i") +:
-          (1 until i).map(j => col(s"v$j"))): _*)
+          col("_n").as("_v") +:
+          (if (carryPrefix) col("_n").as(s"v$i") +: prefix
+           else Seq(concat(col("_vs"), array(col("_n"))).as("_vs")))): _*)
     }
-    fr.select(col("start") +: (1 to steps).map(i => col(s"v$i")): _*)
+    if (carryPrefix)
+      fr.select(col("start") +: (1 to steps).map(i => col(s"v$i")): _*)
+    else
+      fr.select(col("start") +:
+        (1 to steps).map(i => element_at(col("_vs"), i).as(s"v$i")): _*)
   }
 
   /** Bidirectional BFS shortest-path distance for a batch of (src, dst)
